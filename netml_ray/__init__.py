@@ -1,0 +1,35 @@
+"""netml_ray — a Ray-Data-native windowed feature-engineering engine.
+
+A from-scratch re-expression of the capabilities of noise-lab/netml
+(reference at /root/reference, netml 0.7.1) as an idiomatic Ray Data
+pipeline over Parquet corpora of Common-Crawl-style web pages
+``(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)``:
+
+- gap-cut sessionization per entity key with the reference's exact
+  trailing-discard / min-count semantics
+  (ref: src/netml/pparser/parser.py:141-206, 209-299)
+- windowed feature vectors per session: IAT, SIZE, IAT_SIZE, STATS,
+  SAMP_NUM, SAMP_SIZE, FFT, pad/truncate
+  (ref: parser.py:354-652, 762-834)
+- lag/lead / inter-arrival / rolling window functions
+- a point-in-time (backward as-of) join with zero temporal leakage
+- dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  search over embeddings, text quality / language-id / token stats
+
+Execution model: ``ray.data.Dataset`` end-to-end — ``read_parquet`` →
+``map_batches`` over zero-copy Arrow batches (actor pools for stateful
+stages) → hash-partition by key → per-partition sort → segmented numpy
+kernels → ``write_parquet``.  No code is ported from the reference; the
+reference is cited for *semantics* only.
+"""
+
+from netml_ray.partition import partition_map, partition_map2  # noqa: F401
+from netml_ray.sessionize import (  # noqa: F401
+    sessionize_simple,
+    sessionize_netml,
+    netml_session_pipeline,
+)
+from netml_ray.asof import asof_join  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,121 @@
+"""Point-in-time (backward as-of) join — the engine's J3 operator.
+
+Attaches, to every left row ``(key, ts)``, the right row with the
+greatest ``right_ts`` ≤ left ts (or < when ``strict=True``) for the
+same key — zero temporal leakage by construction.  Ties on ``right_ts``
+within a key resolve to the *last* such right row under the
+deterministic partition sort — pandas merge_asof semantics, mirrored in
+the row-wise oracle (netml_ray.oracle.asof_expected).
+
+Implementation: co-partition both sides by ``hash(key) % P`` (one
+shuffle over the union), per-partition sort by (key, ts), then a pure
+numpy ``searchsorted`` per key segment and a single Arrow ``take`` —
+no pandas conversion, list/nested right columns stay zero-copy Arrow.
+The reference's nearest analog is the last-value-wins label lookup
+(parser.py:900-918); there is no distributed as-of join to port — this
+operator is new, designed Ray-Data-first per SURVEY.md §2.5 J3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from netml_ray.partition import partition_map2
+from netml_ray.kernels import segment_starts
+
+
+def _num_or_ts(col: pa.ChunkedArray) -> np.ndarray:
+    typ = col.type
+    if pa.types.is_timestamp(typ):
+        return pc.cast(col, pa.int64()).to_numpy()
+    return col.to_numpy()
+
+
+def asof_match_indices(
+    lkeys: list, lts: np.ndarray, rkeys: list, rts: np.ndarray, strict: bool
+) -> np.ndarray:
+    """Per-key backward as-of match: for each left row, the index of the
+    last right row with rts ≤ (or <) lts and equal key; -1 = no match.
+    Both sides must be sorted by (key, ts).  Python work is per key
+    *segment*, numpy per row."""
+    n = len(lts)
+    out = np.full(n, -1, dtype=np.int64)
+    # right segments by key
+    r_starts = segment_starts_from_list(rkeys)
+    r_ends = np.r_[r_starts[1:], len(rkeys)]
+    rmap = {rkeys[s]: (s, e) for s, e in zip(r_starts, r_ends)}
+    l_starts = segment_starts_from_list(lkeys)
+    l_ends = np.r_[l_starts[1:], n]
+    side = "left" if strict else "right"
+    for s, e in zip(l_starts, l_ends):
+        seg = rmap.get(lkeys[s])
+        if seg is None:
+            continue
+        rs, re_ = seg
+        pos = np.searchsorted(rts[rs:re_], lts[s:e], side=side) - 1
+        idx = np.where(pos >= 0, pos + rs, -1)
+        out[s:e] = idx
+    return out
+
+
+def segment_starts_from_list(keys: list) -> np.ndarray:
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = [0]
+    prev = keys[0]
+    for i in range(1, n):
+        k = keys[i]
+        if k != prev:
+            starts.append(i)
+            prev = k
+    return np.array(starts, dtype=np.int64)
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    strict: bool = False,
+    right_cols: list[str] | None = None,
+    suffix: str = "_state",
+    left_tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Backward as-of join of two Datasets (see module docstring).
+
+    Unmatched left rows keep nulls in the attached columns — filter
+    afterwards for inner semantics.
+    """
+
+    def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lkeys = lt[key].to_pylist()
+        rkeys = rt[key].to_pylist()
+        ltsv = _num_or_ts(lt[left_ts]).astype(np.float64)
+        rtsv = _num_or_ts(rt[right_ts]).astype(np.float64)
+        idx = asof_match_indices(lkeys, ltsv, rkeys, rtsv, strict)
+        mask = idx < 0
+        take_idx = pa.array(np.where(mask, 0, idx), mask=mask)
+        keep = right_cols if right_cols is not None else [c for c in rt.column_names if c != key]
+        if right_ts not in keep:
+            keep = [right_ts] + list(keep)
+        out = lt
+        for c in keep:
+            name = c + suffix if c in lt.column_names else c
+            out = out.append_column(name, pc.take(rt[c], take_idx))
+        return out
+
+    return partition_map2(
+        left,
+        right,
+        key,
+        _fn,
+        num_partitions=num_partitions,
+        sort_left=[key, left_ts] + ([left_tiebreak] if left_tiebreak else []),
+        sort_right=[key, right_ts],
+    )

@@ -1,0 +1,183 @@
+"""Per-session feature vectors — the recast of the reference's
+flow2features (parser.py:762-834) as Ray Data stages.
+
+Feature width is data-dependent (dim = floor(q-quantile of per-session
+row counts), parser.py:783-785; SAMP rate = 0.3-quantile of session
+durations, parser.py:801-808) → a small stats pass (partial aggregation
+inside map_batches, then a tiny groupby) feeds global scalars that are
+broadcast by closure into the vectorized feature pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from netml_ray import kernels
+from netml_ray.partition import partition_map
+from netml_ray.sessionize import SESSION, TS_SEC, _key_codes, exact_quantiles
+
+FEAT_TYPES = ("IAT", "SIZE", "IAT_SIZE", "STATS", "SAMP_NUM", "SAMP_SIZE")
+
+
+@dataclass
+class FeatureMeta:
+    feat_type: str
+    dim: int        # the quantile dim (parser.py:785)
+    width: int      # actual vector width after the per-type dim rule
+    rate: float     # SAMP sampling rate (0 when unused)
+    fft: bool
+
+
+def session_stats_small(sessions_ds, key: str = "url"):
+    """Per-session (n, tmin, tmax) with partial pre-aggregation inside
+    map_batches — sessions may span block boundaries; the tiny global
+    groupby combines partials correctly regardless."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], type=pa.string()), SESSION: pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "tmin": pa.array([], type=pa.float64()), "tmax": pa.array([], type=pa.float64())}
+            )
+        t = t.sort_by([(key, "ascending"), (SESSION, "ascending")])
+        codes = _key_codes(t, key)
+        sess = t[SESSION].to_numpy()
+        tsf = t[TS_SEC].to_numpy()
+        seg = kernels.encode_keys(codes, sess)
+        starts = kernels.segment_starts(seg)
+        ends = np.r_[starts[1:], len(seg)]
+        return pa.table(
+            {
+                key: pc.take(t[key], pa.array(starts)),
+                SESSION: pa.array(sess[starts]),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "tmin": pa.array(np.minimum.reduceat(tsf, starts)),
+                "tmax": pa.array(np.maximum.reduceat(tsf, starts)),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = sessions_ds.map_batches(_partial, batch_format="pyarrow")
+    return partial.groupby([key, SESSION]).aggregate(
+        Sum("n", alias_name="n"), Min("tmin", alias_name="tmin"), Max("tmax", alias_name="tmax")
+    )
+
+
+def compute_dims(
+    sessions_ds, feat_type: str, *, key: str = "url", q_interval: float = 0.9
+) -> FeatureMeta:
+    """Global scalar pass: dim and (for SAMP) the sampling rate —
+    exact np.quantile parity (parser.py:783-808)."""
+    stats = session_stats_small(sessions_ds, key).materialize()
+    counts = stats.map_batches(
+        lambda t: pa.table({"v": pc.cast(t["n"], pa.float64())}), batch_format="pyarrow"
+    )
+    dim = int(np.floor(exact_quantiles(counts, "v", [q_interval])[0]))
+    rate = 0.0
+    if feat_type in ("SAMP_NUM", "SAMP_SIZE"):
+        durs = stats.map_batches(
+            lambda t: pa.table({"v": pc.subtract(t["tmax"], t["tmin"])}), batch_format="pyarrow"
+        )
+        rate = exact_quantiles(durs, "v", [0.3])[0]
+    width = {
+        "IAT": dim - 1,
+        "SIZE": dim,
+        "IAT_SIZE": 2 * dim - 1,
+        "STATS": 12,
+        "SAMP_NUM": dim - 1,
+        "SAMP_SIZE": dim - 1,
+    }[feat_type]
+    return FeatureMeta(feat_type, dim, width, rate, False)
+
+
+def _feature_fn(meta: FeatureMeta, key: str, size_col: str):
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        sess = t[SESSION].to_numpy()
+        tsf = t[TS_SEC].to_numpy()
+        sz = t[size_col].to_numpy().astype(np.float64)
+        seg = kernels.encode_keys(codes, sess)
+        starts = kernels.segment_starts(seg)
+        ends = np.r_[starts[1:], len(seg)]
+
+        ft = meta.feat_type
+        if ft == "IAT":
+            offsets, values = kernels.iat_lists(seg, tsf)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "SIZE":
+            offsets, values = kernels.size_lists(seg, sz)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "IAT_SIZE":
+            offsets, values = kernels.iat_size_lists(seg, tsf, sz)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "STATS":
+            mat = kernels.stats_matrix(seg, tsf, sz)
+        elif ft == "SAMP_NUM":
+            offsets, values = kernels.samp_lists(seg, tsf, None, meta.rate)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "SAMP_SIZE":
+            offsets, values = kernels.samp_lists(seg, tsf, sz, meta.rate)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        else:  # pragma: no cover
+            raise ValueError(ft)
+        if meta.fft:
+            mat = kernels.fft_real(mat, mat.shape[1])
+
+        n_seg, width = mat.shape
+        feat_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n_seg + 1, dtype=np.int64) * width),
+            pa.array(mat.ravel()),
+        )
+        return pa.table(
+            {
+                key: pc.take(t[key], pa.array(starts)),
+                SESSION: pa.array(sess[starts]),
+                "n_rows": pa.array((ends - starts).astype(np.int64)),
+                "start_sec": pa.array(tsf[starts]),
+                "end_sec": pa.array(tsf[ends - 1]),
+                "features": feat_col,
+            }
+        )
+
+    return _fn
+
+
+def session_features(
+    sessions_ds,
+    feat_type: str = "IAT",
+    *,
+    key: str = "url",
+    size_col: str = "size",
+    q_interval: float = 0.9,
+    fft: bool = False,
+    tiebreak: str | None = None,
+    meta: FeatureMeta | None = None,
+    num_partitions: int | None = None,
+):
+    """Compute per-session feature vectors.
+
+    Returns ``(features_ds, meta)`` — one row per (key, session_id)
+    with a fixed-width ``features: list<double>`` column plus
+    ``start_sec`` / ``end_sec`` (the session's time extent; ``end_sec``
+    is the as-of state timestamp downstream).
+    """
+    if feat_type not in FEAT_TYPES:
+        raise ValueError(f"feat_type must be one of {FEAT_TYPES}")
+    if meta is None:
+        meta = compute_dims(sessions_ds, feat_type, key=key, q_interval=q_interval)
+        meta.fft = fft
+    sort_by = [key, SESSION, TS_SEC] + ([tiebreak] if tiebreak else [])
+    out = partition_map(
+        sessions_ds,
+        key,
+        _feature_fn(meta, key, size_col),
+        sort_by=sort_by,
+        num_partitions=num_partitions,
+    )
+    return out, meta

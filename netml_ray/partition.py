@@ -1,0 +1,153 @@
+"""Key-complete partitioning primitive.
+
+All ordered/keyed operators (sessionize, windowed features, as-of join)
+need *key-complete, time-sorted runs*: every row of a key in one place,
+sorted by timestamp.  The reference gets this with an in-memory
+``OrderedDict[fid -> pkts]`` + per-flow sort (parser.py:112-130, 151);
+at scale we get it with a hash shuffle:
+
+    pid = stable_hash(key) % P            (vectorized, map_batches)
+    ds.groupby("__pid").map_groups(fn)    (Ray Data sort-based shuffle)
+
+``fn`` receives one whole hash partition as a zero-copy ``pa.Table``,
+sorts it by ``(key, ts, tiebreak)`` once, and runs *segmented* numpy
+kernels over all keys in the partition in a handful of vectorized
+calls — the per-group Python dispatch cost is O(P), not O(n_keys).
+
+Skew note (north_rule): a single hot key lands in one partition.  The
+partition fn is vectorized, so a hot key costs O(rows) numpy work, and
+P should be sized so the *largest* key's run fits a worker's heap.
+``salt_hot_keys`` (sessionize.py) provides the explicit two-phase path
+for keys too hot for one partition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from netml_ray.hashing import pid_for
+
+PID = "__pid"
+SIDE = "__side"
+
+
+def default_num_partitions(num_cpus: int | None = None) -> int:
+    import ray
+
+    if num_cpus is None:
+        try:
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_cpus = 8
+    return max(16, 2 * num_cpus)
+
+
+def add_pid(ds, key: str, num_partitions: int):
+    """Append a partition-id column computed from ``key`` (vectorized)."""
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(PID, pa.array([], type=pa.int32()))
+        return t.append_column(PID, pa.array(pid_for(t[key], num_partitions)))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def sort_partition(t: pa.Table, keys: Sequence[str]) -> pa.Table:
+    """Deterministic partition-local sort (ties broken by given columns)."""
+    return t.sort_by([(k, "ascending") for k in keys])
+
+
+def partition_map(
+    ds,
+    key: str,
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    num_partitions: int | None = None,
+    sort_by: Sequence[str] | None = None,
+    drop_pid: bool = True,
+):
+    """Apply ``fn`` to key-complete partitions of ``ds``.
+
+    ``fn`` gets one hash partition as a ``pa.Table`` (sorted by
+    ``sort_by`` when given — always make the sort deterministic with a
+    tiebreaker column) and returns a ``pa.Table``.
+    """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    ds = add_pid(ds, key, num_partitions)
+
+    def _run(t: pa.Table) -> pa.Table:
+        if sort_by is not None:
+            t = sort_partition(t, sort_by)
+        out = fn(t)
+        if drop_pid and PID in out.column_names:
+            out = out.drop_columns([PID])
+        return out
+
+    return ds.groupby(PID).map_groups(_run, batch_format="pyarrow")
+
+
+def partition_map2(
+    left,
+    right,
+    key: str,
+    fn: Callable[[pa.Table, pa.Table], pa.Table],
+    *,
+    num_partitions: int | None = None,
+    sort_left: Sequence[str] | None = None,
+    sort_right: Sequence[str] | None = None,
+):
+    """Co-partition two datasets by ``key`` and apply a two-table fn.
+
+    Used by the as-of join: both sides are tagged, unioned (one shuffle
+    over the union), and ``fn(left_part, right_part)`` runs per
+    partition.  Schemas may differ — each side keeps its own columns;
+    the union carries a unified schema with nulls for the other side's
+    columns, split back apart before calling ``fn``.
+    """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    # unified schema: left columns then right-only columns (null-padded)
+    unified = [(n, lschema.field(n).type) for n in lcols]
+    unified += [(n, rschema.field(n).type) for n in rcols if n not in lcols]
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays, names = [], []
+            for name, typ in unified:
+                if name in t.column_names:
+                    arrays.append(t[name])
+                else:
+                    arrays.append(pa.nulls(n, type=typ))
+                names.append(name)
+            out = pa.table(arrays, names=names)
+            return out.append_column(SIDE, pa.array(np.full(n, side, dtype=np.int8)))
+
+        return _f
+
+    left = add_pid(left.map_batches(_tag(0), batch_format="pyarrow"), key, num_partitions)
+    right = add_pid(right.map_batches(_tag(1), batch_format="pyarrow"), key, num_partitions)
+    both = left.union(right)
+
+    def _run(t: pa.Table) -> pa.Table:
+        side = t[SIDE]
+        lt = t.filter(pc.equal(side, 0)).select([c for c in lcols if c in t.column_names])
+        rt = t.filter(pc.equal(side, 1)).select([c for c in rcols if c in t.column_names])
+        if sort_left is not None:
+            lt = sort_partition(lt, sort_left)
+        if sort_right is not None:
+            rt = sort_partition(rt, sort_right)
+        return fn(lt, rt)
+
+    return both.groupby(PID).map_groups(_run, batch_format="pyarrow")
