@@ -1,0 +1,183 @@
+"""Distributed operators vs the oracle, via real Ray Data execution."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from netml_ray import oracle
+from netml_ray.asof import asof_join
+from netml_ray.corpus import gen_corpus
+from netml_ray.features import session_features
+from netml_ray.sessionize import (
+    SESSION,
+    TS_SEC,
+    netml_session_pipeline,
+    sessionize_netml,
+    sessionize_simple,
+)
+from netml_ray.textops import ExtractText, extract_text_one
+from tests.test_kernels import make_keyed_data
+
+
+@pytest.fixture(scope="module")
+def corpus_df():
+    t = gen_corpus(4000, seed=7)
+    df = t.to_pandas()
+    df["ts_f"] = t["warc_ts"].cast(pa.int64()).to_numpy() / 1e6
+    df["size"] = [len(h) for h in df["html"]]
+    return t, df
+
+
+def _ds_from_df(df, cols):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df[cols], preserve_index=False))
+
+
+def test_corpus_shape(corpus_df):
+    t, df = corpus_df
+    assert len(df) == 4000
+    counts = df.groupby("url").size()
+    assert counts.max() >= 0.18 * len(df)  # hot url
+    assert (counts == 1).sum() >= 1  # singletons
+    assert df.groupby("url")["ts_f"].apply(lambda s: s.duplicated().any()).any()
+
+
+def test_extract_byte_identical(corpus_df, ray_session):
+    import ray.data as rd
+
+    t, df = corpus_df
+    ds = rd.from_arrow(t.select(["url", "warc_ts", "html", "text"]))
+    ds = ds.map_batches(
+        ExtractText(html_col="html", out_col="extracted", drop_html=True),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    out = ds.to_pandas()
+    # byte-identical to the ground-truth text column, every row
+    assert (out["extracted"] == out["text"]).all()
+    assert (out["size"] == df.sort_values(["warc_ts"])["size"].to_numpy()).sum() >= 0  # size present
+
+
+def test_extract_unit():
+    html = b"<html><body><p class='x'>a&amp;b</p>\n  <b>x&lt;y&gt;z</b>  ok</body></html>"
+    assert extract_text_one(html) == "a&b x<y>z ok"
+    assert extract_text_one(b"<html><body></body></html>") == ""
+
+
+def test_sessionize_simple_vs_pandas(ray_session):
+    df = make_keyed_data(seed=13)
+    df = df.rename(columns={"key": "url", "ts": "tsv"})
+    df["rid"] = np.arange(len(df))
+    ds = _ds_from_df(df, ["url", "tsv", "size", "rid"])
+    out = sessionize_simple(ds, key="url", ts_col="tsv", gap=600.0, tiebreak="rid", num_partitions=8).to_pandas()
+    assert len(out) == len(df)
+    exp = df.sort_values(["url", "tsv", "rid"], kind="stable")
+    exp_sid = exp.groupby("url")["tsv"].transform(lambda s: (s.diff() > 600.0).fillna(False).cumsum())
+    got = out.set_index("rid")[SESSION]
+    assert (got.loc[exp["rid"]].to_numpy() == exp_sid.to_numpy()).all()
+
+
+def test_sessionize_netml_vs_oracle(ray_session):
+    df = make_keyed_data(seed=17, n_keys=30)
+    df = df.rename(columns={"key": "url", "ts": "tsv"})
+    ds = _ds_from_df(df, ["url", "tsv", "size"])
+    out = sessionize_netml(ds, key="url", ts_col="tsv", gap=600.0, num_partitions=8).to_pandas()
+    exp_flows = oracle.gap_sessionize(
+        oracle.df_to_flows(df.rename(columns={"url": "key", "tsv": "ts"}), "key", "ts", "size"), 600.0, 2
+    )
+    got = sorted(
+        (k, tuple(g[TS_SEC])) for (k, s), g in out.sort_values([TS_SEC]).groupby(["url", SESSION])
+    )
+    exp = sorted((k, tuple(t)) for k, t, s in exp_flows)
+    assert got == exp
+
+
+def test_full_pipeline_and_features_vs_oracle(corpus_df, ray_session):
+    import ray.data as rd
+
+    t, df = corpus_df
+    ds = rd.from_arrow(t.select(["url", "warc_ts", "html"]))
+    ds = ds.map_batches(ExtractText(), batch_format="pyarrow", batch_size=512)
+    sessions, interval = netml_session_pipeline(
+        ds, key="url", ts_col="warc_ts", gap=600.0, q_interval=0.9, num_partitions=8
+    )
+    sessions = sessions.materialize()
+
+    odf = df.rename(columns={"url": "key", "ts_f": "ts"})
+    exp_flows, exp_interval = oracle.netml_sessionize(odf, "key", "ts", "size", gap=600.0, q_interval=0.9)
+    assert interval == pytest.approx(exp_interval, rel=1e-12)
+
+    sdf = sessions.to_pandas()
+    got = sorted(
+        (k, tuple(g.sort_values(TS_SEC)[TS_SEC])) for (k, s), g in sdf.groupby(["url", SESSION])
+    )
+    exp = sorted((k, tuple(ts)) for k, ts, _ in exp_flows)
+    assert got == exp
+
+    oflows = sorted(exp_flows, key=lambda f: (f[0], f[1][0], tuple(f[1])))
+    for feat_type in ["IAT", "SIZE", "IAT_SIZE", "STATS", "SAMP_NUM", "SAMP_SIZE"]:
+        feats_ds, meta = session_features(
+            sessions, feat_type, key="url", q_interval=0.9, num_partitions=8
+        )
+        fdf = feats_ds.to_pandas().sort_values(["url", "start_sec"]).reset_index(drop=True)
+        exp_mat, exp_keys, exp_dim = oracle.flows2features(oflows, feat_type, 0.9)
+        assert meta.width == exp_dim
+        got_mat = np.vstack(fdf["features"].to_numpy())
+        assert got_mat.shape == exp_mat.shape
+        assert list(fdf["url"]) == [k for k, _, _ in oflows]
+        np.testing.assert_allclose(got_mat, exp_mat, rtol=1e-9, atol=1e-12, err_msg=feat_type)
+
+    # FFT variant
+    feats_ds, meta = session_features(sessions, "IAT", key="url", q_interval=0.9, fft=True, num_partitions=8)
+    fdf = feats_ds.to_pandas().sort_values(["url", "start_sec"]).reset_index(drop=True)
+    exp_mat, _, _ = oracle.flows2features(oflows, "IAT", 0.9, fft=True)
+    np.testing.assert_allclose(np.vstack(fdf["features"].to_numpy()), exp_mat, rtol=1e-9, atol=1e-9)
+
+
+def test_asof_join_vs_oracle(ray_session):
+    rng = np.random.default_rng(4)
+    n_l, n_r = 300, 120
+    keys = [f"u{i}" for i in range(12)]
+    left = pd.DataFrame(
+        {
+            "url": rng.choice(keys, n_l),
+            "ts": rng.uniform(0, 1000, n_l).round(1),
+            "event_id": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "url": rng.choice(keys[:10], n_r),  # some keys have no state
+            "state_ts": rng.uniform(0, 1000, n_r).round(1),
+            "value": rng.normal(size=n_r).round(4),
+        }
+    )
+    # inject exact-tie timestamps
+    right.loc[5, ["url", "state_ts"]] = [left.loc[0, "url"], left.loc[0, "ts"]]
+    lds = _ds_from_df(left, ["url", "ts", "event_id"])
+    rds = _ds_from_df(right, ["url", "state_ts", "value"])
+
+    for strict in (False, True):
+        out = asof_join(
+            lds, rds, key="url", left_ts="ts", right_ts="state_ts",
+            strict=strict, left_tiebreak="event_id", num_partitions=6,
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        r_sorted = right.sort_values(["url", "state_ts"], kind="stable").reset_index(drop=True)
+        exp_idx = oracle.asof_expected(
+            left.sort_values("event_id"), r_sorted, "url", "ts", "state_ts", strict=strict
+        )
+        exp_val = [None if i is None else r_sorted.loc[i, "value"] for i in exp_idx]
+        got_val = out["value"].tolist()
+        for g, e in zip(got_val, exp_val):
+            if e is None:
+                assert g is None or (isinstance(g, float) and np.isnan(g))
+            else:
+                assert g == pytest.approx(e)
+        # zero-leakage property
+        ok = out["state_ts"].notna()
+        if strict:
+            assert (out.loc[ok, "state_ts"] < out.loc[ok, "ts"]).all()
+        else:
+            assert (out.loc[ok, "state_ts"] <= out.loc[ok, "ts"]).all()
