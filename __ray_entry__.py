@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline on /root/testdata/sf0.001.
+``queries()`` — one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data ops: dedup / similarity / text
+analysis).  ``oracle_sql()`` — DuckDB-equivalent SQL for every
+SQL-expressible query, with matching column names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,652 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+P = 16  # partition count for keyed ops at sf0.01 test scale
+
+EVENT_GAP = 43200.0  # 12 h session gap over the events table
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _nan_to_null(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = np.isnan(v)
+        t = t.set_column(t.column_names.index(c), c, pa.array(v, mask=mask))
+    return t
+
+
+def _sec_to_ts(arr: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(np.round(arr * 1e6).astype(np.int64)), pa.timestamp("us"))
+
+
+# ---------------------------------------------------------------------------
+# relational basics (SURVEY §2.2, §2.6, §2.8: filters, projections,
+# aggregates, sorts/limits, unions, broadcast joins)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(_pre, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       AVG(l_quantity) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less(t["l_quantity"], pa.scalar(25.0)))
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+                         "revenue": rev})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 25
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast hash join orders⨝customer⨝nation (small dims)."""
+    from ray.data.aggregate import Count, Sum
+
+    from netml_ray.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    j = broadcast_join(orders, cust, "o_custkey", how="inner")
+    j = j.map_batches(lambda t: t.rename_columns(
+        [c if c != "c_nationkey" else "n_nationkey" for c in t.column_names]),
+        batch_format="pyarrow")
+    j = broadcast_join(j, nation, "n_nationkey", how="inner")
+    out = j.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
+    )
+    return out.sort("n_name")
+
+
+SQL_ORDERS_PER_NATION = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(o_totalprice) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, type=pa.string())})
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def q_union_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    a = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    lo = a.filter(expr="l_quantity < 10")
+    hi = a.filter(expr="l_quantity >= 40")
+    u = lo.union(hi)
+    return u.groupby("l_returnflag").aggregate(Count(alias_name="n")).sort("l_returnflag")
+
+
+SQL_UNION_COUNTS = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT * FROM lineitem WHERE l_quantity < 10
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_quantity >= 40
+) GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization / windows / as-of (SURVEY §2.3, §2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+def _session_agg(sess_ds, key="user_id"):
+    """(key, session_id) → n_events, start_ts, end_ts (timestamps)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from netml_ray.sessionize import SESSION, TS_SEC
+
+    agg = sess_ds.groupby([key, SESSION]).aggregate(
+        Count(alias_name="n_events"),
+        Min(TS_SEC, alias_name="start_sec"),
+        Max(TS_SEC, alias_name="end_sec"),
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            "session_id": t[SESSION],
+            "n_events": t["n_events"],
+            "start_ts": _sec_to_ts(t["start_sec"].to_numpy()),
+            "end_ts": _sec_to_ts(t["end_sec"].to_numpy()),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def q_sessionize_events(sf_dir: str):
+    from netml_ray.sessionize import sessionize_simple
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    sess = sessionize_simple(ev, key="user_id", ts_col="ts", gap=EVENT_GAP,
+                             tiebreak="event_id", num_partitions=P)
+    return _session_agg(sess)
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {EVENT_GAP} THEN 1 ELSE 0 END AS cut
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_sessionize_netml_events(sf_dir: str):
+    """G3 reference semantics (trailing discard + min-count filters)."""
+    from netml_ray.sessionize import sessionize_netml
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    sess = sessionize_netml(ev, key="user_id", ts_col="ts", gap=EVENT_GAP,
+                            min_rows=2, tiebreak="event_id", num_partitions=P)
+    return _session_agg(sess)
+
+
+SQL_SESSIONIZE_NETML = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {EVENT_GAP} THEN 1 ELSE 0 END AS cut
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid,
+         COUNT(*) OVER (PARTITION BY user_id) AS user_n
+  FROM e
+), g AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts, MAX(user_n) AS user_n
+  FROM s GROUP BY user_id, sid
+), f AS (
+  SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM g
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, n_events, start_ts, end_ts
+FROM f
+WHERE user_n >= 2 AND NOT (max_sid > 0 AND sid = max_sid) AND n_events >= 2
+"""
+
+
+def q_lag_lead_events(sf_dir: str):
+    from netml_ray.windows import add_lag_lead
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_lag_lead(ev, "user_id", "ts", "value", k=1, tiebreak="event_id", num_partitions=P)
+
+    def _fin(t: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "lag_value": t["lag_value"], "lead_value": t["lead_value"],
+            "delta_sec": t["delta_sec"],
+        })
+        return _nan_to_null(t, ["lag_value", "lead_value", "delta_sec"])
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id,
+       lag(value)  OVER w AS lag_value,
+       lead(value) OVER w AS lead_value,
+       epoch(ts) - lag(epoch(ts)) OVER w AS delta_sec
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rolling_events(sf_dir: str):
+    from netml_ray.windows import add_rolling
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_rolling(ev, "user_id", "ts", "value", window=5, tiebreak="event_id", num_partitions=P)
+    return out.select_columns(["event_id", "user_id", "roll_count", "roll_sum", "roll_mean",
+                               "roll_min", "roll_max"])
+
+
+SQL_ROLLING = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS DOUBLE) AS roll_count,
+       SUM(value) OVER w AS roll_sum,
+       AVG(value) OVER w AS roll_mean,
+       MIN(value) OVER w AS roll_min,
+       MAX(value) OVER w AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_session_stats_events(sf_dir: str):
+    """netml STATS 12-vector analog per (user, session) over `value`
+    (ref: parser.py:430-469), flattened to named columns for SQL parity."""
+    from netml_ray import kernels
+    from netml_ray.partition import partition_map
+    from netml_ray.sessionize import SESSION, TS_SEC, _key_codes, sessionize_simple
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    sess = sessionize_simple(ev, key="user_id", ts_col="ts", gap=EVENT_GAP,
+                             tiebreak="event_id", num_partitions=P)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, "user_id")
+        seg = kernels.encode_keys(codes, t[SESSION].to_numpy())
+        starts = kernels.segment_starts(seg)
+        tsf = t[TS_SEC].to_numpy()
+        v = t["value"].to_numpy().astype(np.float64)
+        m = kernels.stats_matrix(seg, tsf, v)
+        names = ["duration_sec", "events_rate", "value_rate", "value_mean", "value_std",
+                 "value_q1", "value_q2", "value_q3", "value_min", "value_max",
+                 "n_events", "value_sum"]
+        cols = {"user_id": pc.take(t["user_id"], pa.array(starts)),
+                "session_id": pa.array(t[SESSION].to_numpy()[starts])}
+        for i, nm in enumerate(names):
+            arr = m[:, i]
+            if nm == "n_events":
+                cols[nm] = pa.array(arr.astype(np.int64))
+            else:
+                cols[nm] = pa.array(arr)
+        return pa.table(cols)
+
+    return partition_map(sess, "user_id", _stats,
+                         sort_by=["user_id", SESSION, TS_SEC, "event_id"], num_partitions=P)
+
+
+SQL_SESSION_STATS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {EVENT_GAP} THEN 1 ELSE 0 END AS cut
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_sec,
+       CASE WHEN MAX(ts) = MIN(ts) THEN 0.0
+            ELSE COUNT(*) / (epoch(MAX(ts)) - epoch(MIN(ts))) END AS events_rate,
+       CASE WHEN MAX(ts) = MIN(ts) THEN 0.0
+            ELSE SUM(value) / (epoch(MAX(ts)) - epoch(MIN(ts))) END AS value_rate,
+       AVG(value) AS value_mean,
+       stddev_pop(value) AS value_std,
+       quantile_cont(value, 0.25) AS value_q1,
+       quantile_cont(value, 0.50) AS value_q2,
+       quantile_cont(value, 0.75) AS value_q3,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(value) AS value_sum
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_asof_purchase_signup(sf_dir: str):
+    """Backward as-of join: each purchase gets the user's latest signup
+    value at-or-before its ts (J3; DuckDB ASOF JOIN oracle)."""
+    from netml_ray.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"])
+    signups = ev.filter(expr="event_type == 'signup'").select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    # deterministic build side: last event_id wins per (user, ts)
+    def _dedup(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy()
+        tsv = pc.cast(t["ts"], pa.int64()).to_numpy()
+        last = np.r_[(uid[1:] != uid[:-1]) | (tsv[1:] != tsv[:-1]), True]
+        return t.filter(pa.array(last)).rename_columns(["signup_event_id", "signup_ts", "user_id", "value"])
+
+    from netml_ray.partition import partition_map
+
+    sdedup = partition_map(signups, "user_id", _dedup, num_partitions=P)
+    out = asof_join(
+        purchases, sdedup.select_columns(["user_id", "signup_ts", "value"]),
+        key="user_id", left_ts="ts", right_ts="signup_ts",
+        left_tiebreak="event_id", num_partitions=P,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+            "signup_ts": t["signup_ts"], "signup_value": t["value"],
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_ASOF = """
+WITH signups AS (
+  SELECT user_id, ts AS signup_ts, value
+  FROM events WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+purchases AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.value AS signup_value
+FROM purchases p ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text analysis / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(sf_dir: str):
+    from netml_ray.dedup import dedup_exact
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_exact(docs, "text", "doc_id")
+    return out.select_columns(["doc_id"]).sort("doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def q_dedup_prefix_docs(sf_dir: str):
+    """Exact dedup on the 5-token prefix — groups with >1 member are
+    near-dup clusters; returns cluster (prefix, n_docs, min doc_id)."""
+    from ray.data.aggregate import Count, Min
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pfx(t: pa.Table) -> pa.Table:
+        pfx = [" ".join(s.split()[:5]) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "prefix": pa.array(pfx, type=pa.string())})
+
+    p = docs.map_batches(_pfx, batch_format="pyarrow")
+    out = p.groupby("prefix").aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc")
+    )
+    return out.sort("prefix")
+
+
+SQL_DEDUP_PREFIX = r"""
+SELECT array_to_string(regexp_split_to_array(text, ' ')[1:5], ' ') AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents GROUP BY prefix ORDER BY prefix
+"""
+
+
+def q_token_count_docs(sf_dir: str):
+    from netml_ray.textops import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda t: token_count_batch(t), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_docs(sf_dir: str):
+    from netml_ray.textops import quality_score_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda t: quality_score_batch(t), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_chars_calc", "punct_ratio", "digit_ratio", "upper_ratio"])
+
+
+SQL_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) / GREATEST(length(text), 1.0) AS punct_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) / GREATEST(length(text), 1.0) AS digit_ratio,
+       length(regexp_replace(text, '[^A-Z]', '', 'g')) / GREATEST(length(text), 1.0) AS upper_ratio
+FROM documents
+"""
+
+
+def q_fingerprint_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _md5(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(h, type=pa.string())})
+
+    return docs.map_batches(_md5, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+
+def q_knn_cosine(sf_dir: str):
+    from netml_ray.similarity import knn_cosine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.sort("vec_id").take(1)[0]
+    query = np.asarray(qrow["embedding"], dtype=np.float64)
+    pdf = knn_cosine(emb, query, k=10, dtype=np.float64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_KNN = """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT vec_id, list_cosine_similarity(embedding, qe) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# --- rows-only checks (non-SQL-expressible; oracle omitted on purpose) -----
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents ∪ perturbed copies
+    (deterministic planted near-dups)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import minhash_lsh_duplicates
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    pert = docs.copy()
+    pert["doc_id"] = pert["doc_id"] + 1_000_000
+    pert["text"] = pert["text"] + " extra"
+    both = rd.from_pandas(pd.concat([docs, pert], ignore_index=True))
+    pairs = minhash_lsh_duplicates(both, jaccard_threshold=0.5)
+    return pairs.sort(["id_a", "id_b"])
+
+
+def q_simhash_docs(sf_dir: str):
+    import ray.data as rd
+
+    from netml_ray.dedup import SimHasher
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_lang_id_docs(sf_dir: str):
+    from netml_ray.textops import LangId
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "pred_lang"])
+
+
+def q_knn_cosine_ivf(sf_dir: str):
+    from netml_ray.similarity import knn_cosine_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.sort("vec_id").take(1)[0]
+    query = np.asarray(qrow["embedding"], dtype=np.float64)
+    pdf = knn_cosine_ivf(emb, query, k=10)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_crawl_flagship(sf_dir: str):
+    """Flagship netml-recast pipeline over the deterministic synthetic
+    crawl corpus (sized by sf); rows-only check — covered by allclose
+    pytest oracles instead of SQL."""
+    from netml_ray.corpus import corpus_path
+    from netml_ray.pipeline import crawl_feature_pipeline
+
+    n = 6000 if "0.001" in sf_dir else (60000 if "0.01" in sf_dir else 200000)
+    path = corpus_path(n, seed=7)
+    joined, meta = crawl_feature_pipeline(path, feat_type="STATS", num_partitions=P)
+    return joined
+
+
+def q_events_flagship(sf_dir: str):
+    from netml_ray.pipeline import events_session_pipeline
+
+    return events_session_pipeline(sf_dir, num_partitions=P)
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from netml_ray.pipeline import events_session_pipeline
+
+    return events_session_pipeline("/root/testdata/sf0.001", num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing": q_q1_pricing,
+        "filter_project": q_filter_project,
+        "topk_orders": q_topk_orders,
+        "orders_per_nation": q_orders_per_nation,
+        "distinct_segments": q_distinct_segments,
+        "union_counts": q_union_counts,
+        "sessionize_events": q_sessionize_events,
+        "sessionize_netml_events": q_sessionize_netml_events,
+        "lag_lead_events": q_lag_lead_events,
+        "rolling_events": q_rolling_events,
+        "session_stats_events": q_session_stats_events,
+        "asof_purchase_signup": q_asof_purchase_signup,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_prefix_docs": q_dedup_prefix_docs,
+        "token_count_docs": q_token_count_docs,
+        "quality_docs": q_quality_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "knn_cosine": q_knn_cosine,
+        # rows-only (non-SQL-expressible)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_docs": q_simhash_docs,
+        "lang_id_docs": q_lang_id_docs,
+        "knn_cosine_ivf": q_knn_cosine_ivf,
+        "crawl_flagship": q_crawl_flagship,
+        "events_flagship": q_events_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing": SQL_Q1,
+        "filter_project": SQL_FILTER_PROJECT,
+        "topk_orders": SQL_TOPK,
+        "orders_per_nation": SQL_ORDERS_PER_NATION,
+        "distinct_segments": SQL_DISTINCT_SEGMENTS,
+        "union_counts": SQL_UNION_COUNTS,
+        "sessionize_events": SQL_SESSIONIZE,
+        "sessionize_netml_events": SQL_SESSIONIZE_NETML,
+        "lag_lead_events": SQL_LAG_LEAD,
+        "rolling_events": SQL_ROLLING,
+        "session_stats_events": SQL_SESSION_STATS,
+        "asof_purchase_signup": SQL_ASOF,
+        "dedup_exact_docs": SQL_DEDUP_EXACT,
+        "dedup_prefix_docs": SQL_DEDUP_PREFIX,
+        "token_count_docs": SQL_TOKEN_COUNT,
+        "quality_docs": SQL_QUALITY,
+        "fingerprint_docs": SQL_FINGERPRINT,
+        "knn_cosine": SQL_KNN,
+    }

@@ -82,10 +82,12 @@ def partition_map(
     ds = add_pid(ds, key, num_partitions)
 
     def _run(t: pa.Table) -> pa.Table:
+        if drop_pid and PID in t.column_names:
+            t = t.drop_columns([PID])
         if sort_by is not None:
             t = sort_partition(t, sort_by)
         out = fn(t)
-        if drop_pid and PID in out.column_names:
+        if PID in out.column_names:
             out = out.drop_columns([PID])
         return out
 

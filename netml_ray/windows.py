@@ -1,0 +1,67 @@
+"""Dataset-level window operators: lag/lead, inter-arrival deltas,
+rolling aggregates (north_rule additions; reference analog is the
+lag-1 ``np.diff`` in parser.py:371)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from netml_ray import kernels
+from netml_ray.partition import partition_map
+from netml_ray.sessionize import TS_SEC, _key_codes, with_ts_sec
+
+
+def add_lag_lead(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    k: int = 1,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Append ``lag_<v>``, ``lead_<v>`` and ``delta_sec`` (inter-arrival
+    seconds, NaN at each key's first row) per key in ts order."""
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        v = t[value_col].to_numpy().astype(np.float64)
+        tsf = t[TS_SEC].to_numpy()
+        lag, lead = kernels.lag_lead(codes, v, k)
+        dts, _ = kernels.lag_lead(codes, tsf, 1)
+        t = t.append_column(f"lag_{value_col}", pa.array(lag))
+        t = t.append_column(f"lead_{value_col}", pa.array(lead))
+        t = t.append_column("delta_sec", pa.array(tsf - dts))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=sort_by, num_partitions=num_partitions)
+
+
+def add_rolling(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: int = 5,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Append rolling count/sum/mean/min/max over the current + window-1
+    preceding rows per key (SQL ROWS BETWEEN n PRECEDING AND CURRENT ROW)."""
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        v = t[value_col].to_numpy().astype(np.float64)
+        r = kernels.rolling_stats(codes, v, window)
+        for name in ("count", "sum", "mean", "min", "max"):
+            t = t.append_column(f"roll_{name}", pa.array(r[name]))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=sort_by, num_partitions=num_partitions)
