@@ -594,7 +594,7 @@ def q_crawl_flagship(sf_dir: str):
 
     n = 6000 if "0.001" in sf_dir else (60000 if "0.01" in sf_dir else 200000)
     path = corpus_path(n, seed=7)
-    joined, meta = crawl_feature_pipeline(path, feat_type="STATS", num_partitions=P)
+    joined, meta = crawl_feature_pipeline(path, feat_type="STATS", num_partitions=None)
     return joined
 
 

@@ -1,0 +1,144 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "crawl_docs_per_sec": ...}
+
+``--scaling``: runs the same suite twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs
+plus scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline suite: the crawl flagship (extract→sessionize→features→as-of)
+# plus representative operators from each family
+BENCH_QUERIES = [
+    "crawl_flagship",
+    "events_flagship",
+    "q1_pricing",
+    "sessionize_events",
+    "rolling_events",
+    "asof_purchase_signup",
+    "dedup_exact_docs",
+    "knn_cosine",
+]
+
+
+def _consume(res) -> int:
+    """Force execution; return row count without driver materialization."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    n = 0
+    for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def crawl_rows_for(sf_dir: str) -> int:
+    return 6000 if "0.001" in sf_dir else (60000 if "0.01" in sf_dir else 200000)
+
+
+def run_suite() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from netml_ray.corpus import corpus_path
+
+    # pre-generate the synthetic crawl corpus (input materialization, not
+    # pipeline work) and warm the page cache with one untimed read
+    cp = corpus_path(crawl_rows_for(SF_DIR), seed=7)
+    with open(cp, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    for t in ["events", "lineitem", "documents", "embeddings", "orders"]:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = _consume(qs[name](SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+        rows[name] = n
+    total = round(sum(times.values()), 3)
+    crawl_docs = crawl_rows_for(SF_DIR)
+    result = {
+        "metric": "headline pipelines wall time (crawl flagship + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_docs": crawl_docs,
+        "crawl_docs_per_sec": round(crawl_docs / max(times["crawl_flagship"], 1e-9), 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        tput_lo = r_lo["crawl_docs"] / r_lo["queries"]["crawl_flagship"]
+        tput_hi = r_hi["crawl_docs"] / r_hi["queries"]["crawl_flagship"]
+        eff = (tput_hi / tput_lo) / (hi / lo)
+        # suite-level efficiency as a secondary signal
+        eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling efficiency (crawl flagship docs/sec, num_cpus 8 vs 32)",
+            "sec_8": r_lo["queries"]["crawl_flagship"],
+            "sec_32": r_hi["queries"]["crawl_flagship"],
+            "docs_per_sec_8": round(tput_lo, 1),
+            "docs_per_sec_32": round(tput_hi, 1),
+            "scaling_efficiency": round(eff, 3),
+            "suite_sec_8": r_lo["value"],
+            "suite_sec_32": r_hi["value"],
+            "suite_scaling_efficiency": round(eff_total, 3),
+            "sf": SF_DIR,
+        }))
+        return
+    print(json.dumps(run_suite()))
+
+
+if __name__ == "__main__":
+    main()

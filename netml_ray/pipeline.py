@@ -31,7 +31,7 @@ def crawl_feature_pipeline(
     feat_type: str = "STATS",
     gap: float = 600.0,
     q_interval: float = 0.9,
-    extract_concurrency=(1, 8),
+    extract_concurrency=None,
     num_partitions: int | None = None,
     keep_text: bool = False,
 ):
@@ -44,6 +44,11 @@ def crawl_feature_pipeline(
     """
     import ray.data as rd
 
+    import ray
+
+    if extract_concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        extract_concurrency = (1, max(2, ncpu - 2))
     ds = rd.read_parquet(corpus_path, columns=["url", "warc_ts", "html"])
     ds = ds.map_batches(
         ExtractText,
@@ -53,7 +58,11 @@ def crawl_feature_pipeline(
         concurrency=extract_concurrency,
     )
     narrow = ds.select_columns(["url", "warc_ts", "size"])
-    narrow = with_ts_sec(narrow, "warc_ts")
+    # materialize the narrow projection ONCE: it is consumed three times
+    # (G3-durations pass, G3+G4 pass, as-of left side) and re-running the
+    # extract actor pool per consumer would triple the heaviest stage.
+    # html was dropped above, so the pinned footprint is ~24B/row.
+    narrow = with_ts_sec(narrow, "warc_ts").materialize()
 
     sessions, interval = netml_session_pipeline(
         narrow, key="url", ts_col="warc_ts", gap=gap, q_interval=q_interval,
@@ -64,6 +73,9 @@ def crawl_feature_pipeline(
     feats, meta = session_features(
         sessions, feat_type, key="url", q_interval=q_interval, num_partitions=num_partitions
     )
+    # small (one row per session); pin it so the as-of shuffle's sort
+    # sampling doesn't re-execute the feature lineage
+    feats = feats.materialize()
 
     events = narrow.select_columns(["url", "warc_ts", TS_SEC])
     joined = asof_join(
@@ -132,7 +144,7 @@ def events_session_pipeline(
         sess, "user_id", _summarize,
         sort_by=["user_id", SESSION, TS_SEC, "event_id"],
         num_partitions=num_partitions,
-    )
+    ).materialize()  # one row per session — pin for the as-of shuffle
 
     joined = asof_join(
         sess.select_columns(["event_id", "user_id", TS_SEC, "value", SESSION]),

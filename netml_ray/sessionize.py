@@ -164,15 +164,24 @@ def exact_quantiles(ds, col: str, qs: list[float], *, collect_threshold: int = 5
     order-statistic pick at floor/ceil((n-1)q), linear-interpolated —
     same result without materializing the column on the driver.
     """
-    n = ds.count()
-    if n == 0:
-        raise ValueError("quantile of empty dataset")
-    if n <= collect_threshold:
-        vals = np.concatenate(
-            [b[col].to_numpy() for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
-        ) if n else np.empty(0)
+    # single streaming pass: collect up to the threshold; only fall back
+    # to the distributed sort path when the column is genuinely huge
+    chunks: list[np.ndarray] = []
+    total = 0
+    overflow = False
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        chunks.append(b[col].to_numpy())
+        total += b.num_rows
+        if total > collect_threshold:
+            overflow = True
+            break
+    if not overflow:
+        if total == 0:
+            raise ValueError("quantile of empty dataset")
+        vals = np.concatenate(chunks)
         return [float(np.quantile(vals, q=q)) for q in qs]
     # distributed: one sort, then fetch the handful of needed order stats
+    n = ds.count()
     needed: set[int] = set()
     for q in qs:
         pos = (n - 1) * q
