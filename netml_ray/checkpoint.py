@@ -1,0 +1,164 @@
+"""Per-partition checkpointing with lineage + metrics (north_rule:
+a killed run resumes without recomputing completed partitions).
+
+Layout (resume-friendly, scan = manifest)::
+
+    out_dir/
+      scalars.json              # global scalars (interval, dim, rate, ...)
+      part=<pid>/data.parquet   # the partition's output
+      part=<pid>/_SUCCESS.json  # lineage + metrics, written ATOMICALLY
+                                # (tmp + rename) after data.parquet
+
+A partition is complete iff its ``_SUCCESS.json`` exists; partial
+writes leave only a tmp file that the rerun overwrites.  The success
+record carries ``rows``, ``checksum`` (xor of row hashes —
+order-insensitive), ``wall_s``, input fragment description and the
+environment fingerprint (polars version — the partition hash function)
+so a resume can detect an incompatible environment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from netml_ray.partition import PID, add_pid, default_num_partitions, sort_partition
+
+
+def _success_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part={pid}", "_SUCCESS.json")
+
+
+def completed_partitions(out_dir: str) -> dict[int, dict]:
+    done = {}
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if not name.startswith("part="):
+            continue
+        sp = os.path.join(out_dir, name, "_SUCCESS.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                done[int(name.split("=", 1)[1])] = json.load(f)
+    return done
+
+
+def save_scalars(out_dir: str, scalars: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "scalars.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(scalars, f)
+    os.replace(tmp, os.path.join(out_dir, "scalars.json"))
+
+
+def load_scalars(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, "scalars.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _table_checksum(t: pa.Table) -> int:
+    """Order-insensitive 64-bit checksum of the table's rows."""
+    import polars as pl
+
+    if t.num_rows == 0:
+        return 0
+    h = pl.from_arrow(t).hash_rows(seed=7).to_numpy()
+    return int(np.bitwise_xor.reduce(h))
+
+
+def checkpointed_partition_map(
+    ds,
+    key: str,
+    fn,
+    out_dir: str,
+    *,
+    num_partitions: int | None = None,
+    sort_by=None,
+    input_desc: str = "",
+):
+    """partition_map with per-partition atomic checkpoints.
+
+    Completed partitions (``_SUCCESS.json`` present) are filtered out of
+    the input *before* the shuffle, so a resume neither recomputes nor
+    re-shuffles them.  Returns the directory path; read the combined
+    output with ``read_checkpointed(out_dir)``.
+    """
+    import polars as pl
+    import ray
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    os.makedirs(out_dir, exist_ok=True)
+    done = set(completed_partitions(out_dir))
+    env_fp = f"polars={pl.__version__}"
+
+    ds = add_pid(ds, key, num_partitions)
+    if done:
+        done_ref = ray.put(frozenset(done))
+
+        def _skip(t: pa.Table) -> pa.Table:
+            d = ray.get(done_ref)
+            mask = np.fromiter((p not in d for p in t[PID].to_numpy()), dtype=bool,
+                               count=t.num_rows)
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(_skip, batch_format="pyarrow")
+
+    def _run(t: pa.Table) -> pa.Table:
+        t0 = time.time()
+        if t.num_rows == 0:
+            return pa.table({"partition_id": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        pid = int(t[PID][0].as_py())
+        t = t.drop_columns([PID])
+        if sort_by is not None:
+            t = sort_partition(t, sort_by)
+        out = fn(t)
+        if PID in out.column_names:
+            out = out.drop_columns([PID])
+        pdir = os.path.join(out_dir, f"part={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".data.parquet.tmp.{os.getpid()}")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        rec = {
+            "partition_id": pid,
+            "rows": out.num_rows,
+            "input_rows": len(t),
+            "checksum": _table_checksum(out),
+            "wall_s": round(time.time() - t0, 4),
+            "input": input_desc,
+            "env": env_fp,
+            "ts": time.time(),
+        }
+        stmp = os.path.join(pdir, f"._SUCCESS.tmp.{os.getpid()}")
+        with open(stmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(stmp, _success_path(out_dir, pid))
+        return pa.table({"partition_id": pa.array([pid], type=pa.int64()),
+                         "rows": pa.array([out.num_rows], type=pa.int64())})
+
+    marker = ds.groupby(PID).map_groups(_run, batch_format="pyarrow")
+    marker.materialize()  # drive execution of pending partitions
+    return out_dir
+
+
+def read_checkpointed(out_dir: str):
+    """Dataset over all completed partitions' parquet files."""
+    import ray.data as rd
+
+    files = [
+        os.path.join(out_dir, f"part={pid}", "data.parquet")
+        for pid in sorted(completed_partitions(out_dir))
+    ]
+    if not files:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    return rd.read_parquet(files)

@@ -1,50 +1,66 @@
 """End-to-end pipelines.
 
 ``crawl_feature_pipeline`` is the flagship (BASELINE.json north_star):
-read crawl Parquet → stateful HTML→text extraction (actor pool) →
-project narrow → netml sessionization (G3+G4, data-dependent interval)
-→ per-session feature vectors (data-dependent dim) → backward as-of
-join attaching each url's latest completed-session feature state to
-every (url, warc_ts) crawl event with zero temporal leakage.
+
+  phase 0  read crawl Parquet → stateful HTML→text extraction (actor
+           pool) → narrow projection (url, warc_ts, ts_sec, size),
+           materialized once (html never travels past extraction)
+  phase 1  global scalars: G3 session-duration quantile → ``interval``;
+           G3+G4 per-session (n, duration) stats → ``dim`` / ``rate``.
+           Both passes shuffle only to emit *tiny* per-session rows.
+           Persisted to ``out_dir/scalars.json`` → a resume skips them.
+  phase 2  ONE fused partition pass: per key-complete, time-sorted hash
+           partition — G3+G4 sessionize → per-session feature vectors →
+           backward as-of attach (latest completed session state, zero
+           leakage) to every (url, warc_ts) event of the partition.
+           With ``out_dir`` set the pass is checkpointed per partition
+           (atomic writes + lineage/metrics; killed runs resume without
+           recomputing completed partitions).
+
+The data-dependent scalars (interval = q-quantile of G3 durations,
+parser.py:726-729; dim = floor(quantile of session sizes),
+parser.py:783-785; SAMP rate, parser.py:801-808) are why phase 1
+exists — the reference's schema-from-data design forces the extra
+passes; they move only per-session aggregates, not rows.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from netml_ray import kernels
 from netml_ray.asof import asof_join
-from netml_ray.features import session_features
+from netml_ray.features import FeatureMeta, _feature_fn, session_features
+from netml_ray.partition import partition_map
 from netml_ray.sessionize import (
     SESSION,
     TS_SEC,
+    _g3_durations_fn,
+    _key_codes,
+    _per_key_session_ordinal,
+    exact_quantiles,
     netml_session_pipeline,
     sessionize_simple,
     with_ts_sec,
 )
 from netml_ray.textops import ExtractText
 
+FEAT_WIDTH = {
+    "IAT": lambda d: d - 1,
+    "SIZE": lambda d: d,
+    "IAT_SIZE": lambda d: 2 * d - 1,
+    "STATS": lambda d: 12,
+    "SAMP_NUM": lambda d: d - 1,
+    "SAMP_SIZE": lambda d: d - 1,
+}
 
-def crawl_feature_pipeline(
-    corpus_path: str,
-    *,
-    feat_type: str = "STATS",
-    gap: float = 600.0,
-    q_interval: float = 0.9,
-    extract_concurrency=None,
-    num_partitions: int | None = None,
-    keep_text: bool = False,
-):
-    """Returns ``(joined_ds, meta)``.
 
-    ``joined_ds`` rows: every crawl event ``(url, warc_ts)`` with the
-    latest-known session feature state (``features``, ``state_ts`` =
-    session end) attached; events before any completed session carry
-    nulls.  ``state_ts <= warc_ts`` for every matched row (leak-free).
-    """
-    import ray.data as rd
-
+def extract_narrow(corpus_path: str, extract_concurrency=None):
+    """read → extract (actor pool) → narrow materialized projection."""
     import ray
+    import ray.data as rd
 
     if extract_concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -58,51 +74,247 @@ def crawl_feature_pipeline(
         concurrency=extract_concurrency,
     )
     narrow = ds.select_columns(["url", "warc_ts", "size"])
-    # materialize the narrow projection ONCE: it is consumed three times
-    # (G3-durations pass, G3+G4 pass, as-of left side) and re-running the
-    # extract actor pool per consumer would triple the heaviest stage.
-    # html was dropped above, so the pinned footprint is ~24B/row.
-    narrow = with_ts_sec(narrow, "warc_ts").materialize()
+    # materialized ONCE: consumed by both scalar passes and the fused
+    # pass; ~24B/row after dropping html/text.
+    return with_ts_sec(narrow, "warc_ts").materialize()
 
-    sessions, interval = netml_session_pipeline(
-        narrow, key="url", ts_col="warc_ts", gap=gap, q_interval=q_interval,
-        num_partitions=num_partitions,
-    )
-    sessions = sessions.materialize()  # reused by the stats pass + feature pass
 
-    feats, meta = session_features(
-        sessions, feat_type, key="url", q_interval=q_interval, num_partitions=num_partitions
-    )
-    # small (one row per session); pin it so the as-of shuffle's sort
-    # sampling doesn't re-execute the feature lineage
-    feats = feats.materialize()
+def _g3g4_sessionize_arrays(codes, tsf, gap, interval, min_rows):
+    """Shared G3+G4 kernel: returns (keep_mask, final_segment_codes)."""
+    keep, g3_ord = kernels.gap_sessionize(codes, tsf, gap, min_rows=min_rows, netml=True)
+    codes2 = codes[keep]
+    tsf2 = tsf[keep]
+    seg = kernels.encode_keys(codes2, g3_ord[keep])
+    keep2, sub = kernels.interval_split(seg, tsf2, interval, min_rows=min_rows)
+    final_seg = kernels.encode_keys(seg, sub)
+    idx = np.flatnonzero(keep)[keep2]
+    mask = np.zeros(len(codes), dtype=bool)
+    mask[idx] = True
+    return mask, final_seg[keep2]
 
-    events = narrow.select_columns(["url", "warc_ts", TS_SEC])
-    joined = asof_join(
-        events,
-        feats.select_columns(["url", "end_sec", "features", SESSION]),
-        key="url",
-        left_ts=TS_SEC,
-        right_ts="end_sec",
-        num_partitions=num_partitions,
+
+def _session_scalar_stats_fn(key: str, gap: float, min_rows: int, interval: float):
+    """Emit per-session (n, duration) only — feeds the dim/rate quantiles."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        tsf = t[TS_SEC].to_numpy()
+        mask, seg = _g3g4_sessionize_arrays(codes, tsf, gap, interval, min_rows)
+        tsf2 = tsf[mask]
+        starts = kernels.segment_starts(seg)
+        ends = np.r_[starts[1:], len(seg)]
+        return pa.table(
+            {
+                "n": pa.array((ends - starts).astype(np.float64)),
+                "duration": pa.array(tsf2[ends - 1] - tsf2[starts] if len(starts) else np.empty(0)),
+            }
+        )
+
+    return _fn
+
+
+def compute_crawl_scalars(
+    narrow,
+    *,
+    key: str = "url",
+    gap: float = 600.0,
+    q_interval: float = 0.9,
+    min_rows: int = 2,
+    feat_type: str = "STATS",
+    num_partitions: int | None = None,
+) -> dict:
+    sort_by = [key, TS_SEC]
+    dur_ds = partition_map(narrow, key, _g3_durations_fn(key, gap, min_rows),
+                           sort_by=sort_by, num_partitions=num_partitions)
+    interval = exact_quantiles(dur_ds, "duration", [q_interval])[0]
+
+    stats_ds = partition_map(
+        narrow, key, _session_scalar_stats_fn(key, gap, min_rows, interval),
+        sort_by=sort_by, num_partitions=num_partitions,
+    ).materialize()
+    dim = int(np.floor(exact_quantiles(stats_ds, "n", [q_interval])[0]))
+    rate = 0.0
+    if feat_type in ("SAMP_NUM", "SAMP_SIZE"):
+        rate = exact_quantiles(stats_ds, "duration", [0.3])[0]
+    return {"interval": interval, "dim": dim, "rate": rate,
+            "gap": gap, "q_interval": q_interval, "min_rows": min_rows,
+            "feat_type": feat_type, "width": FEAT_WIDTH[feat_type](dim)}
+
+
+def _fused_fn(key: str, scalars: dict, fft: bool = False):
+    """Phase-2 kernel: sessionize → features → as-of attach, all local
+    to one key-complete sorted partition."""
+    gap = scalars["gap"]
+    interval = scalars["interval"]
+    min_rows = scalars["min_rows"]
+    meta = FeatureMeta(scalars["feat_type"], scalars["dim"], scalars["width"],
+                       scalars["rate"], fft)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        tsf = t[TS_SEC].to_numpy()
+        sz = t["size"].to_numpy().astype(np.float64)
+        mask, seg = _g3g4_sessionize_arrays(codes, tsf, gap, interval, min_rows)
+        codes2, tsf2, sz2 = codes[mask], tsf[mask], sz[mask]
+        starts = kernels.segment_starts(seg)
+        ends = np.r_[starts[1:], len(seg)]
+        n = len(tsf)
+        if len(starts) == 0:
+            # no session survived in this partition → all rows unmatched
+            width = meta.width
+            empty = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int64)), pa.array([], type=pa.float64())
+            )
+            allnull = pa.array(np.arange(n), mask=np.ones(n, dtype=bool))
+            return pa.table({
+                "url": t[key],
+                "warc_ts": t["warc_ts"],
+                "state_ts": pa.array(np.full(n, np.nan), mask=np.ones(n, dtype=bool)),
+                "session_id": pa.array(np.zeros(n, dtype=np.int64), mask=np.ones(n, dtype=bool)),
+                "features": pc.take(empty, allnull) if n else empty,
+            })
+
+        # feature matrix per session (same kernels as session_features)
+        ft = meta.feat_type
+        if ft == "IAT":
+            offsets, values = kernels.iat_lists(seg, tsf2)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "SIZE":
+            offsets, values = kernels.size_lists(seg, sz2)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "IAT_SIZE":
+            offsets, values = kernels.iat_size_lists(seg, tsf2, sz2)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "STATS":
+            mat = kernels.stats_matrix(seg, tsf2, sz2)
+        elif ft == "SAMP_NUM":
+            offsets, values = kernels.samp_lists(seg, tsf2, None, meta.rate)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        elif ft == "SAMP_SIZE":
+            offsets, values = kernels.samp_lists(seg, tsf2, sz2, meta.rate)
+            mat = kernels.pad_truncate(offsets, values, meta.width)
+        else:  # pragma: no cover
+            raise ValueError(ft)
+        if fft:
+            mat = kernels.fft_real(mat, mat.shape[1])
+
+        # backward as-of: latest session (by end time) with end_sec <= ts,
+        # per key — vectorized searchsorted over each key's session run
+        sess_key = codes2[starts]          # key code per session
+        sess_end = tsf2[ends - 1]          # state timestamp per session
+        n = len(tsf)
+        match = np.full(n, -1, dtype=np.int64)
+        key_starts = kernels.segment_starts(codes)
+        key_ends = np.r_[key_starts[1:], n]
+        skey_starts = kernels.segment_starts(sess_key)
+        skey_ends = np.r_[skey_starts[1:], len(sess_key)]
+        smap = {int(sess_key[s]): (s, e) for s, e in zip(skey_starts, skey_ends)}
+        for ks, ke in zip(key_starts, key_ends):
+            rng = smap.get(int(codes[ks]))
+            if rng is None:
+                continue
+            s, e = rng
+            pos = np.searchsorted(sess_end[s:e], tsf[ks:ke], side="right") - 1
+            match[ks:ke] = np.where(pos >= 0, pos + s, -1)
+
+        nomatch = match < 0
+        safe = np.where(nomatch, 0, match)
+        width = mat.shape[1]
+        feat_flat = mat[safe].ravel()
+        feat_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * width),
+            pa.array(feat_flat),
+        )
+        state_ts = np.where(nomatch, np.nan, sess_end[safe])
+        sess_ord = _per_key_session_ordinal(sess_key, np.arange(len(sess_key)))
+        out = pa.table(
+            {
+                "url": t[key],
+                "warc_ts": t["warc_ts"],
+                "state_ts": pa.array(state_ts, mask=nomatch),
+                "session_id": pa.array(
+                    np.where(nomatch, 0, sess_ord[safe]), mask=nomatch
+                ),
+                "features": feat_col,
+            }
+        )
+        # null-out features for unmatched rows
+        if nomatch.any():
+            fmask = pa.array(~nomatch)
+            feat_valid = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * width),
+                pa.array(feat_flat),
+            )
+            # rebuild with validity: use if_else on list arrays via take
+            take_idx = pa.array(np.arange(n), mask=nomatch)
+            out = out.set_column(
+                out.column_names.index("features"), "features",
+                pc.take(feat_valid, take_idx),
+            )
+        return out
+
+    return _fn
+
+
+def crawl_feature_pipeline(
+    corpus_path: str,
+    *,
+    feat_type: str = "STATS",
+    gap: float = 600.0,
+    q_interval: float = 0.9,
+    min_rows: int = 2,
+    fft: bool = False,
+    extract_concurrency=None,
+    num_partitions: int | None = None,
+    out_dir: str | None = None,
+):
+    """Flagship pipeline (see module docstring).
+
+    Returns ``(joined_ds, scalars)``.  With ``out_dir`` the fused phase
+    is checkpointed per partition and a rerun resumes (scalars are also
+    persisted and skipped on resume).
+    """
+    from netml_ray.checkpoint import (
+        checkpointed_partition_map,
+        load_scalars,
+        read_checkpointed,
+        save_scalars,
     )
-    meta.rate = meta.rate  # keep dataclass
-    return joined, {"interval": interval, "dim": meta.dim, "width": meta.width,
-                    "rate": meta.rate, "feat_type": feat_type}
+
+    narrow = extract_narrow(corpus_path, extract_concurrency)
+
+    scalars = load_scalars(out_dir) if out_dir else None
+    if scalars is None or scalars.get("feat_type") != feat_type:
+        scalars = compute_crawl_scalars(
+            narrow, gap=gap, q_interval=q_interval, min_rows=min_rows,
+            feat_type=feat_type, num_partitions=num_partitions,
+        )
+        if out_dir:
+            save_scalars(out_dir, scalars)
+
+    fn = _fused_fn("url", scalars, fft)
+    if out_dir:
+        checkpointed_partition_map(
+            narrow, "url", fn, out_dir,
+            num_partitions=num_partitions, sort_by=["url", TS_SEC],
+            input_desc=corpus_path,
+        )
+        return read_checkpointed(out_dir), scalars
+    joined = partition_map(narrow, "url", fn, sort_by=["url", TS_SEC],
+                           num_partitions=num_partitions)
+    return joined, scalars
 
 
 def events_session_pipeline(
     sf_dir: str,
     *,
     gap: float = 43200.0,
-    window: int = 5,
     num_partitions: int | None = None,
 ):
     """Flagship over the driver's ``events`` table: sessionize per
     user_id, per-session stats state, as-of join the latest *closed*
-    session's stats onto every event (leak-free)."""
+    session's stats onto every event (strictly-before → leak-free)."""
     import ray.data as rd
-    import pyarrow.compute as pc
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
     ev = with_ts_sec(ev, "ts")
@@ -110,14 +322,8 @@ def events_session_pipeline(
                              tiebreak="event_id", num_partitions=num_partitions)
     sess = sess.materialize()
 
-    # per-session summary state (count / mean / min / max / end time)
     def _summarize(t: pa.Table) -> pa.Table:
-        from netml_ray import kernels
-        from netml_ray.sessionize import _key_codes
-
-        t = t.sort_by([("user_id", "ascending"), (SESSION, "ascending"), (TS_SEC, "ascending")])
         codes = _key_codes(t, "user_id")
-        # user_id is int64 — dictionary_encode works on any type
         sess_ids = t[SESSION].to_numpy()
         seg = kernels.encode_keys(codes, sess_ids)
         starts = kernels.segment_starts(seg)
@@ -128,7 +334,7 @@ def events_session_pipeline(
         sums = np.add.reduceat(v, starts)
         return pa.table(
             {
-                "user_id": pa.compute.take(t["user_id"], pa.array(starts)),
+                "user_id": pc.take(t["user_id"], pa.array(starts)),
                 SESSION: pa.array(sess_ids[starts]),
                 "s_n": pa.array((ends - starts).astype(np.int64)),
                 "s_mean": pa.array(sums / lens),
@@ -137,8 +343,6 @@ def events_session_pipeline(
                 "end_sec": pa.array(tsf[ends - 1]),
             }
         )
-
-    from netml_ray.partition import partition_map
 
     state = partition_map(
         sess, "user_id", _summarize,

@@ -1,0 +1,169 @@
+"""Fused flagship pipeline vs oracle + checkpoint/resume semantics."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from netml_ray import oracle
+from netml_ray.checkpoint import (
+    checkpointed_partition_map,
+    completed_partitions,
+    read_checkpointed,
+)
+from netml_ray.corpus import corpus_path
+from netml_ray.pipeline import crawl_feature_pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus_file():
+    return corpus_path(4000, seed=7, cache_dir="/tmp/netml_ray_test_corpus")
+
+
+def _oracle_expected(path):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    df = t.to_pandas()
+    df["ts"] = t["warc_ts"].cast(pa.int64()).to_numpy() / 1e6
+    df["size"] = [len(h) for h in df["html"]]
+    flows, interval = oracle.netml_sessionize(
+        df.rename(columns={"url": "key"}), "key", "ts", "size", gap=600.0, q_interval=0.9
+    )
+    oflows = sorted(flows, key=lambda f: (f[0], f[1][0]))
+    mat, keys, dim = oracle.flows2features(oflows, "STATS", 0.9)
+    # per url: session end times ascending + feature rows
+    by_url: dict = {}
+    for i, (k, ts_arr, _) in enumerate(oflows):
+        by_url.setdefault(k, []).append((ts_arr[-1], i))
+    exp = {}
+    for idx, row in df.iterrows():
+        lst = by_url.get(row["url"], [])
+        best = None
+        for end, i in lst:
+            if end <= row["ts"] and (best is None or end > best[0]):
+                best = (end, i)
+        exp[(row["url"], row["warc_ts"])] = best and (best[0], mat[best[1]])
+    return exp, interval
+
+
+def test_fused_pipeline_matches_oracle_asof(corpus_file, ray_session):
+    joined, scalars = crawl_feature_pipeline(corpus_file, feat_type="STATS", num_partitions=8)
+    out = joined.to_pandas()
+    exp, interval = _oracle_expected(corpus_file)
+    assert scalars["interval"] == pytest.approx(interval, rel=1e-12)
+    assert len(out) == 4000
+    n_matched = 0
+    for _, r in out.iterrows():
+        e = exp[(r["url"], r["warc_ts"])]
+        if e is None:
+            assert r["features"] is None or (isinstance(r["state_ts"], float) and np.isnan(r["state_ts"]))
+        else:
+            n_matched += 1
+            assert r["state_ts"] == pytest.approx(e[0], abs=1e-9)
+            np.testing.assert_allclose(np.asarray(r["features"]), e[1], rtol=1e-9, atol=1e-12)
+    assert n_matched > 100  # corpus guarantees plenty of matched events
+    # zero temporal leakage
+    ok = out["state_ts"].notna()
+    ts_sec = out["warc_ts"].astype("int64") / 1e6
+    assert (out.loc[ok, "state_ts"] <= ts_sec[ok] + 1e-9).all()
+
+
+def _flaky_fn(marker_dir):
+    """Partition fn (closure → pickled by value for workers) that fails
+    for a subset of partitions while the FAIL marker exists."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        import hashlib
+        import os as _os
+
+        import pyarrow.compute as pc
+
+        key0 = t["url"][0].as_py()
+        _os.makedirs(marker_dir, exist_ok=True)
+        tag = hashlib.sha1(key0.encode()).hexdigest()[:12]
+        with open(_os.path.join(marker_dir, f"call_{tag}"), "a") as f:
+            f.write("x\n")
+        if _os.path.exists(_os.path.join(marker_dir, "FAIL")) and t.num_rows % 3 == 0:
+            raise RuntimeError("injected failure")
+        return pa.table({"url": t["url"], "n": pc.cast(pc.multiply(t["size"], 2), pa.int64())})
+
+    return _fn
+
+
+def test_checkpoint_resume(corpus_file, ray_session, tmp_path):
+    import ray.data as rd
+
+    out_dir = str(tmp_path / "ckpt")
+    marker = str(tmp_path / "marker")
+
+    ds = rd.read_parquet(corpus_file, columns=["url", "warc_ts"])
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(
+        lambda t: t.append_column("size", pc.binary_length(pc.cast(t["url"], pa.binary()))),
+        batch_format="pyarrow",
+    )
+
+    fn = _flaky_fn(marker)
+    os.makedirs(marker, exist_ok=True)
+    open(os.path.join(marker, "FAIL"), "w").close()
+    try:
+        checkpointed_partition_map(ds, "url", fn, out_dir, num_partitions=8)
+    except Exception:
+        pass
+    done_first = completed_partitions(out_dir)
+    assert 0 < len(done_first) < 8  # partial completion
+    first_ts = {p: rec["ts"] for p, rec in done_first.items()}
+    calls_before = len(glob.glob(os.path.join(marker, "call_*")))
+
+    # resume without failure injection
+    os.remove(os.path.join(marker, "FAIL"))
+    checkpointed_partition_map(ds, "url", fn, out_dir, num_partitions=8)
+    done_second = completed_partitions(out_dir)
+    assert len(done_second) == 8
+    # completed partitions were NOT recomputed (records untouched)
+    for p, ts in first_ts.items():
+        assert done_second[p]["ts"] == ts
+
+    # output equals a clean run
+    clean_dir = str(tmp_path / "clean")
+    fn2 = _flaky_fn(str(tmp_path / "m2"))
+    checkpointed_partition_map(ds, "url", fn2, clean_dir, num_partitions=8)
+    a = read_checkpointed(out_dir).to_pandas().sort_values(["url", "n"]).reset_index(drop=True)
+    b = read_checkpointed(clean_dir).to_pandas().sort_values(["url", "n"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # lineage/metrics recorded
+    rec = next(iter(done_second.values()))
+    for field in ("rows", "checksum", "wall_s", "env", "input_rows"):
+        assert field in rec
+
+
+def test_resumable_crawl_pipeline(corpus_file, ray_session, tmp_path):
+    out_dir = str(tmp_path / "flagship")
+    j1, s1 = crawl_feature_pipeline(corpus_file, feat_type="STATS",
+                                    num_partitions=8, out_dir=out_dir)
+    df1 = j1.to_pandas()
+    assert os.path.exists(os.path.join(out_dir, "scalars.json"))
+    done = completed_partitions(out_dir)
+    assert len(done) > 0
+    ts_before = {p: r["ts"] for p, r in done.items()}
+
+    # rerun: everything resumes, nothing recomputed
+    j2, s2 = crawl_feature_pipeline(corpus_file, feat_type="STATS",
+                                    num_partitions=8, out_dir=out_dir)
+    df2 = j2.to_pandas()
+    assert s1 == s2
+    done2 = completed_partitions(out_dir)
+    assert {p: r["ts"] for p, r in done2.items()} == ts_before
+
+    key = ["url", "warc_ts"]
+    a = df1.sort_values(key).reset_index(drop=True)
+    b = df2.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
