@@ -589,11 +589,20 @@ def q_crawl_flagship(sf_dir: str):
     """Flagship netml-recast pipeline over the deterministic synthetic
     crawl corpus (sized by sf); rows-only check — covered by allclose
     pytest oracles instead of SQL."""
+    import os
+
     from netml_ray.corpus import corpus_path
     from netml_ray.pipeline import crawl_feature_pipeline
 
-    n = 6000 if "0.001" in sf_dir else (60000 if "0.01" in sf_dir else 200000)
-    path = corpus_path(n, seed=7)
+    if "0.001" in sf_dir:
+        n, tok = 6000, 12
+    elif "0.01" in sf_dir:
+        n, tok = 60000, 12
+    else:  # bench scale: larger corpus with realistic page sizes
+        n, tok = 1500000, 60
+    n = int(os.environ.get("GRAFT_CRAWL_ROWS", n))
+    tok = int(os.environ.get("GRAFT_CRAWL_TOKENS", tok))
+    path = corpus_path(n, seed=7, avg_tokens=tok)
     joined, meta = crawl_feature_pipeline(path, feat_type="STATS", num_partitions=None)
     return joined
 

@@ -51,8 +51,16 @@ def _consume(res) -> int:
     return n
 
 
-def crawl_rows_for(sf_dir: str) -> int:
-    return 6000 if "0.001" in sf_dir else (60000 if "0.01" in sf_dir else 200000)
+def crawl_rows_for(sf_dir: str) -> tuple[int, int]:
+    """(rows, avg_tokens) of the synthetic crawl corpus per scale."""
+    if "0.001" in sf_dir:
+        base = (6000, 12)
+    elif "0.01" in sf_dir:
+        base = (60000, 12)
+    else:
+        base = (1500000, 60)
+    return (int(os.environ.get("GRAFT_CRAWL_ROWS", base[0])),
+            int(os.environ.get("GRAFT_CRAWL_TOKENS", base[1])))
 
 
 def run_suite() -> dict:
@@ -71,16 +79,27 @@ def run_suite() -> dict:
 
     # pre-generate the synthetic crawl corpus (input materialization, not
     # pipeline work) and warm the page cache with one untimed read
-    cp = corpus_path(crawl_rows_for(SF_DIR), seed=7)
-    with open(cp, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    crawl_rows, crawl_tok = crawl_rows_for(SF_DIR)
+    cp = corpus_path(crawl_rows, seed=7, avg_tokens=crawl_tok)
+    cp_files = [os.path.join(cp, x) for x in os.listdir(cp)] if os.path.isdir(cp) else [cp]
+    for fp in cp_files:
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
     for t in ["events", "lineitem", "documents", "embeddings", "orders"]:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
             with open(p, "rb") as f:
                 while f.read(1 << 24):
                     pass
+
+    # warm the Ray worker pool (fixed per-process cost, not pipeline work)
+    import pyarrow as _pa
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).materialize()
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
@@ -91,7 +110,7 @@ def run_suite() -> dict:
         times[name] = round(time.time() - t0, 3)
         rows[name] = n
     total = round(sum(times.values()), 3)
-    crawl_docs = crawl_rows_for(SF_DIR)
+    crawl_docs = crawl_rows
     result = {
         "metric": "headline pipelines wall time (crawl flagship + operator suite)",
         "value": total,

@@ -12,6 +12,10 @@ Fixture requirements exercised (FIXTURES.md):
   * urls whose trailing records fall after a gap (trailing discard)
   * ``text`` is the exact ground-truth extraction of ``html`` under the
     pinned extractor spec (textops.EXTRACTOR_VERSION)
+
+Generation is vectorized (one RNG draw array per aspect, token
+fragments precomputed) — ~100k rows/s — so multi-million-row bench
+corpora are cheap to materialize (and cached by content key).
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 1
+GEN_VERSION = 2
 
 _VOCAB = (
     "the quick brown fox jumps over lazy dog data pipeline ray arrow "
@@ -40,23 +44,30 @@ def _escape(tok: str) -> str:
     return "".join(_ENT.get(c, c) for c in tok)
 
 
-def _render_html(tokens: list[str], rng: np.random.Generator) -> bytes:
-    """Render tokens into noisy HTML whose pinned extraction equals
-    ``" ".join(tokens)`` exactly."""
+def _fragments() -> tuple[list[str], list[str]]:
+    """Precomputed (html_fragment, word) pairs covering word × style ×
+    whitespace variants; extraction of any concatenation equals the
+    space-joined words."""
     ws = [" ", "\n", "\t", "  ", "\n  "]
-    parts = ["<html><head><title></title></head><body>"]
-    for i, tok in enumerate(tokens):
-        r = rng.integers(0, 10)
-        esc = _escape(tok)
-        if r < 2:
-            parts.append(f"<p class='c{r}'>{esc}</p>")
-        elif r < 4:
-            parts.append(f"<b>{esc}</b>")
-        else:
-            parts.append(esc)
-        parts.append(ws[int(rng.integers(0, len(ws)))])
-    parts.append("</body></html>")
-    return "".join(parts).encode("utf-8")
+    frags, words = [], []
+    for w in _VOCAB:
+        esc = _escape(w)
+        for si, style in enumerate(["plain", "p", "b"]):
+            if style == "p":
+                h = f"<p class='c{si}'>{esc}</p>"
+            elif style == "b":
+                h = f"<b>{esc}</b>"
+            else:
+                h = esc
+            for j in range(len(ws)):
+                frags.append(h + ws[j])
+                words.append(w)
+    return frags, words
+
+
+_FRAGS, _FRAG_WORDS = _fragments()
+_HEAD = "<html><head><title></title></head><body>"
+_TAIL = "</body></html>"
 
 
 def gen_corpus(
@@ -65,6 +76,7 @@ def gen_corpus(
     *,
     start_epoch: int = 1_600_000_000,
     avg_rows_per_url: int = 40,
+    avg_tokens: int = 12,
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
     n_urls = max(4, n_rows // avg_rows_per_url)
@@ -75,77 +87,89 @@ def gen_corpus(
     remaining = n_rows - n_hot - n_single
     others = n_urls - 1 - n_single
     base = np.maximum(1, rng.poisson(max(2, remaining // max(1, others)), others))
-    # adjust to match total
     diff = remaining - int(base.sum())
     base[0] = max(2, base[0] + diff)
     counts = np.r_[n_hot, base, np.ones(n_single, dtype=np.int64)].astype(np.int64)
+    n = int(counts.sum())
 
-    urls = []
-    for i in range(len(counts)):
-        dom = _DOMAINS[i % len(_DOMAINS)]
-        urls.append(f"https://{dom}/page/{i}")
+    url_idx = np.repeat(np.arange(len(counts)), counts)
+    urls = np.array(
+        [f"https://{_DOMAINS[i % len(_DOMAINS)]}/page/{i}" for i in range(len(counts))],
+        dtype=object,
+    )
+    langs = np.array(_LANGS, dtype=object)[rng.integers(0, len(_LANGS), len(counts))]
 
-    url_col: list[str] = []
-    ts_col: list[int] = []  # epoch microseconds
-    html_col: list[bytes] = []
-    text_col: list[str] = []
-    lang_col: list[str] = []
+    # --- timestamps: vectorized per-row step mixture, cumsum per url ---
+    first = np.zeros(n, dtype=bool)
+    first[np.r_[0, np.cumsum(counts)[:-1]]] = True
+    u = rng.random(n)
+    dt = rng.uniform(0.5, 240.0, n)
+    dt[u < 0.08] = 0.0  # duplicate timestamps
+    bmask = (u >= 0.08) & (u < 0.14)
+    dt[bmask] = np.array([599.9, 600.0, 600.1])[rng.integers(0, 3, int(bmask.sum()))]
+    smask = (u >= 0.14) & (u < 0.14 + 1.0 / 18.0)  # session break ~ every 18 rows
+    dt[smask] = rng.uniform(650.0, 90000.0, int(smask.sum()))
+    dt[first] = 0.0
+    cs = np.cumsum(dt)
+    url_first_row = np.repeat(np.flatnonzero(first), counts)
+    starts = (start_epoch + rng.integers(0, 30 * 86400, len(counts))).astype(np.float64)
+    ts = np.repeat(starts, counts) + (cs - cs[url_first_row])
+    ts_us = np.round(ts * 1e6).astype(np.int64)
 
-    for ui, cnt in enumerate(counts):
-        cnt = int(cnt)
-        url = urls[ui]
-        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
-        # session structure: bursts separated by gaps straddling 600 s
-        t = float(start_epoch + rng.integers(0, 30 * 86400))
-        times: list[float] = []
-        i = 0
-        while i < cnt:
-            burst = min(cnt - i, int(rng.integers(1, max(2, cnt // 2 + 2))))
-            for _ in range(burst):
-                times.append(t)
-                step_kind = rng.integers(0, 10)
-                if step_kind == 0:
-                    dt = 0.0  # duplicate timestamp
-                elif step_kind == 1:
-                    dt = float(rng.choice([599.9, 600.0, 600.1]))  # boundary
-                else:
-                    dt = float(rng.uniform(0.5, 240.0))
-                t += dt
-                i += 1
-                if i >= cnt:
-                    break
-            t += float(rng.uniform(650.0, 90000.0))  # inter-session gap > 600
-        times = times[:cnt]
-        for tv in times:
-            ntok = int(rng.integers(0, 24))
-            tokens = [str(_VOCAB[int(rng.integers(0, len(_VOCAB)))]) for _ in range(ntok)]
-            text = " ".join(tokens)
-            html = _render_html(tokens, rng)
-            url_col.append(url)
-            ts_col.append(int(round(tv * 1e6)))
-            html_col.append(html)
-            text_col.append(text)
-            lang_col.append(lang)
+    # --- documents: fragment sampling, vectorized draws ---
+    ntok = rng.integers(0, 2 * avg_tokens, n)
+    ntok[rng.random(n) < 0.02] = 0  # empty-text rows
+    offs = np.r_[0, np.cumsum(ntok)]
+    tok = rng.integers(0, len(_FRAGS), int(offs[-1]))
+    frag_arr = _FRAGS
+    word_arr = _FRAG_WORDS
+    html_col = np.empty(n, dtype=object)
+    text_col = np.empty(n, dtype=object)
+    for i in range(n):
+        ids = tok[offs[i] : offs[i + 1]]
+        html_col[i] = (_HEAD + "".join([frag_arr[j] for j in ids]) + _TAIL).encode("utf-8")
+        text_col[i] = " ".join([word_arr[j] for j in ids])
 
-    order = np.argsort(np.array(ts_col), kind="stable")  # corpus arrives time-ordered overall
+    order = np.argsort(ts_us, kind="stable")  # corpus arrives time-ordered overall
     tbl = pa.table(
         {
-            "url": pa.array(np.array(url_col, dtype=object)[order].tolist(), type=pa.string()),
-            "warc_ts": pa.array(np.array(ts_col)[order], type=pa.timestamp("us")),
-            "html": pa.array([html_col[i] for i in order], type=pa.binary()),
-            "text": pa.array([text_col[i] for i in order], type=pa.string()),
-            "lang": pa.array([lang_col[i] for i in order], type=pa.string()),
+            "url": pa.array(urls[url_idx][order].tolist(), type=pa.string()),
+            "warc_ts": pa.array(ts_us[order], type=pa.timestamp("us")),
+            "html": pa.array(html_col[order].tolist(), type=pa.binary()),
+            "text": pa.array(text_col[order].tolist(), type=pa.string()),
+            "lang": pa.array(langs[url_idx][order].tolist(), type=pa.string()),
         }
     )
     return tbl
 
 
-def corpus_path(n_rows: int, seed: int = 7, cache_dir: str = "/tmp/netml_ray_corpus") -> str:
-    """Generate-once cached corpus parquet (deterministic by key)."""
+def corpus_path(
+    n_rows: int,
+    seed: int = 7,
+    cache_dir: str = "/tmp/netml_ray_corpus",
+    avg_tokens: int = 12,
+    shards: int = 32,
+) -> str:
+    """Generate-once cached corpus as a DIRECTORY of parquet shards
+    (deterministic by key).  Sharded layout + small row groups give the
+    reader real parallelism — a single-file single-row-group corpus
+    serializes the read stage."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"corpus_v{GEN_VERSION}_n{n_rows}_s{seed}.parquet")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(gen_corpus(n_rows, seed), tmp)
+    path = os.path.join(
+        cache_dir, f"corpus_v{GEN_VERSION}_n{n_rows}_s{seed}_t{avg_tokens}"
+    )
+    if not os.path.isdir(path):
+        tmp = path + f".tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        tbl = gen_corpus(n_rows, seed, avg_tokens=avg_tokens)
+        n = tbl.num_rows
+        per = max(1, (n + shards - 1) // shards)
+        for i in range(0, shards):
+            lo = i * per
+            if lo >= n:
+                break
+            part = tbl.slice(lo, min(per, n - lo))
+            pq.write_table(part, os.path.join(tmp, f"shard_{i:04d}.parquet"),
+                           row_group_size=16384)
         os.replace(tmp, path)  # atomic
     return path

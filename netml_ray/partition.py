@@ -94,6 +94,81 @@ def partition_map(
     return ds.groupby(PID).map_groups(_run, batch_format="pyarrow")
 
 
+def partition_sorted(
+    ds,
+    key: str,
+    *,
+    sort_by: Sequence[str],
+    num_partitions: int | None = None,
+):
+    """THE shuffle: hash-partition ``ds`` by ``key`` and sort each
+    partition by ``sort_by``; returns ``(parts, pid_counts)`` where
+    ``parts`` is materialized with the ``__pid`` column kept and
+    ``pid_counts`` maps pid → row count (the safety contract for
+    ``aligned_map``).
+
+    Downstream passes then run as plain ``map_batches`` over ``parts``
+    (no further shuffles): map_groups tasks emit whole sorted
+    partitions, and Ray only splits an output block when it exceeds
+    ``target_max_block_size`` — so as long as every partition is
+    smaller than that (the P-sizing rule at scale), each batch holds
+    only complete partitions.  ``aligned_map`` *verifies* this against
+    ``pid_counts`` and fails loudly rather than computing on a split
+    partition.
+    """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    ds = add_pid(ds, key, num_partitions)
+
+    # pid → expected row count (tiny aggregation, no row shuffle)
+    def _cnt(t: pa.Table) -> pa.Table:
+        pids, counts = np.unique(t[PID].to_numpy(), return_counts=True)
+        return pa.table({"pid": pa.array(pids), "n": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    cnt = ds.map_batches(_cnt, batch_format="pyarrow").groupby("pid").aggregate(
+        Sum("n", alias_name="n")
+    )
+    pid_counts: dict[int, int] = {}
+    for b in cnt.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for p, n in zip(b["pid"].to_pylist(), b["n"].to_pylist()):
+            pid_counts[int(p)] = int(n)
+
+    def _sorted(t: pa.Table) -> pa.Table:
+        return sort_partition(t, list(sort_by) + [PID])
+
+    parts = ds.groupby(PID).map_groups(_sorted, batch_format="pyarrow").materialize()
+    return parts, pid_counts
+
+
+def aligned_map(parts, fn: Callable[[pa.Table], pa.Table], pid_counts: dict[int, int]):
+    """Map ``fn`` over blocks of a ``partition_sorted`` result.
+
+    Each batch is one-or-more COMPLETE sorted partitions; completeness
+    is asserted against ``pid_counts`` (a split partition raises with a
+    remediation hint instead of silently mis-computing).  ``fn`` sees
+    the batch without the ``__pid`` column.
+    """
+    import ray
+
+    ref = ray.put(pid_counts)
+
+    def _run(t: pa.Table) -> pa.Table:
+        expected = ray.get(ref)
+        pids, counts = np.unique(t[PID].to_numpy(), return_counts=True)
+        for p, n in zip(pids, counts):
+            if expected.get(int(p)) != int(n):
+                raise RuntimeError(
+                    f"partition {int(p)} split across blocks ({n} of "
+                    f"{expected.get(int(p))} rows in this batch): raise "
+                    "DataContext.target_max_block_size or use more partitions"
+                )
+        return fn(t.drop_columns([PID]))
+
+    return parts.map_batches(_run, batch_format="pyarrow", batch_size=None)
+
+
 def partition_map2(
     left,
     right,

@@ -62,21 +62,31 @@ def extract_narrow(corpus_path: str, extract_concurrency=None):
     import ray
     import ray.data as rd
 
-    if extract_concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        extract_concurrency = (1, max(2, ncpu - 2))
+    from netml_ray.textops import extract_text_batch
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     ds = rd.read_parquet(corpus_path, columns=["url", "warc_ts", "html"])
-    ds = ds.map_batches(
-        ExtractText,
-        fn_constructor_kwargs={"drop_html": True},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=extract_concurrency,
-    )
+    if extract_concurrency is None:
+        # default: stateless tasks with per-worker lazy extractor state —
+        # same amortization as an actor pool, none of the pool spin-up
+        # (12.8s vs 4.7s for 600k docs / 32 cpus measured here).  Pass an
+        # int/tuple to force a real actor pool (heavy parser state).
+        ds = ds.map_batches(extract_text_batch, batch_format="pyarrow", batch_size=2048)
+    else:
+        ds = ds.map_batches(
+            ExtractText,
+            fn_constructor_kwargs={"drop_html": True},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=extract_concurrency,
+        )
     narrow = ds.select_columns(["url", "warc_ts", "size"])
     # materialized ONCE: consumed by both scalar passes and the fused
-    # pass; ~24B/row after dropping html/text.
-    return with_ts_sec(narrow, "warc_ts").materialize()
+    # pass; ~24B/row after dropping html/text.  Coalesce the read's many
+    # tiny post-projection blocks so the downstream shuffle's sort-map
+    # stage isn't task-count bound.
+    narrow = with_ts_sec(narrow, "warc_ts")
+    return narrow.repartition(2 * ncpu).materialize()
 
 
 def _g3g4_sessionize_arrays(codes, tsf, gap, interval, min_rows):
@@ -122,16 +132,28 @@ def compute_crawl_scalars(
     min_rows: int = 2,
     feat_type: str = "STATS",
     num_partitions: int | None = None,
+    parts=None,
+    pid_counts=None,
 ) -> dict:
+    """Global scalar passes.  When ``parts``/``pid_counts`` from
+    ``partition_sorted`` are given, both passes are shuffle-free
+    aligned maps over the already-sorted partitions."""
+    from netml_ray.partition import aligned_map
+
     sort_by = [key, TS_SEC]
-    dur_ds = partition_map(narrow, key, _g3_durations_fn(key, gap, min_rows),
-                           sort_by=sort_by, num_partitions=num_partitions)
+    if parts is not None:
+        dur_ds = aligned_map(parts, _g3_durations_fn(key, gap, min_rows), pid_counts)
+    else:
+        dur_ds = partition_map(narrow, key, _g3_durations_fn(key, gap, min_rows),
+                               sort_by=sort_by, num_partitions=num_partitions)
     interval = exact_quantiles(dur_ds, "duration", [q_interval])[0]
 
-    stats_ds = partition_map(
-        narrow, key, _session_scalar_stats_fn(key, gap, min_rows, interval),
-        sort_by=sort_by, num_partitions=num_partitions,
-    ).materialize()
+    stats_fn = _session_scalar_stats_fn(key, gap, min_rows, interval)
+    if parts is not None:
+        stats_ds = aligned_map(parts, stats_fn, pid_counts).materialize()
+    else:
+        stats_ds = partition_map(narrow, key, stats_fn, sort_by=sort_by,
+                                 num_partitions=num_partitions).materialize()
     dim = int(np.floor(exact_quantiles(stats_ds, "n", [q_interval])[0]))
     rate = 0.0
     if feat_type in ("SAMP_NUM", "SAMP_SIZE"):
@@ -280,28 +302,38 @@ def crawl_feature_pipeline(
         read_checkpointed,
         save_scalars,
     )
+    from netml_ray.partition import aligned_map, partition_sorted
 
     narrow = extract_narrow(corpus_path, extract_concurrency)
 
-    scalars = load_scalars(out_dir) if out_dir else None
-    if scalars is None or scalars.get("feat_type") != feat_type:
-        scalars = compute_crawl_scalars(
-            narrow, gap=gap, q_interval=q_interval, min_rows=min_rows,
-            feat_type=feat_type, num_partitions=num_partitions,
-        )
-        if out_dir:
-            save_scalars(out_dir, scalars)
-
-    fn = _fused_fn("url", scalars, fft)
     if out_dir:
+        # resumable path: per-partition checkpointed shuffle
+        scalars = load_scalars(out_dir)
+        if scalars is None or scalars.get("feat_type") != feat_type:
+            scalars = compute_crawl_scalars(
+                narrow, gap=gap, q_interval=q_interval, min_rows=min_rows,
+                feat_type=feat_type, num_partitions=num_partitions,
+            )
+            save_scalars(out_dir, scalars)
+        fn = _fused_fn("url", scalars, fft)
         checkpointed_partition_map(
             narrow, "url", fn, out_dir,
             num_partitions=num_partitions, sort_by=["url", TS_SEC],
             input_desc=corpus_path,
         )
         return read_checkpointed(out_dir), scalars
-    joined = partition_map(narrow, "url", fn, sort_by=["url", TS_SEC],
-                           num_partitions=num_partitions)
+
+    # fast path: ONE shuffle (sort-partition), then every pass — the two
+    # scalar passes and the fused sessionize+features+as-of pass — is a
+    # shuffle-free aligned map over the sorted partitions
+    parts, pid_counts = partition_sorted(
+        narrow, "url", sort_by=["url", TS_SEC], num_partitions=num_partitions
+    )
+    scalars = compute_crawl_scalars(
+        narrow, gap=gap, q_interval=q_interval, min_rows=min_rows,
+        feat_type=feat_type, parts=parts, pid_counts=pid_counts,
+    )
+    joined = aligned_map(parts, _fused_fn("url", scalars, fft), pid_counts)
     return joined, scalars
 
 

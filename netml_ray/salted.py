@@ -1,0 +1,217 @@
+"""Explicit hot-key (skew) handling: salted sessionization.
+
+A single hot url (the corpus generator plants one with ~20% of all
+rows) lands every row in one hash partition under plain
+``partition_map`` — one straggler task and, at 10^12-row scale, a
+partition that cannot fit a worker.  The salted path splits a hot key's
+timeline into contiguous time chunks (``salt = floor(ts / chunk)``),
+sessionizes each chunk independently, and runs a *small* boundary-merge
+pass over per-chunk session summaries (sessions ≪ rows) to stitch
+sessions that span chunk edges — the two-phase design SURVEY §7.4
+calls for.
+
+    phase A   per-key counts (partial agg) → hot key set (broadcast)
+    phase B   cold keys → ordinary sessionize (one shuffle)
+              hot keys → shuffle by (key, salt); local gap cut;
+                         emit rows + (salt, local_sid)
+    phase C   per-(key, salt, local_sid) summaries (first/last ts, n) —
+              tiny — merged sequentially per key on the driver:
+              sessions merge across a chunk edge iff the boundary gap
+              ≤ gap; global ids + netml keep-flags (trailing-session
+              discard, min-rows) derived from merged counts
+    phase D   broadcast {(key, salt, lsid) → (session_id, keep)} and
+              map it over the salted rows — no further shuffle
+
+Equivalence to the unsalted operators is pinned by tests (same session
+sets for simple AND netml modes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from netml_ray import kernels
+from netml_ray.partition import partition_map
+from netml_ray.sessionize import SESSION, TS_SEC, _key_codes, with_ts_sec
+
+SALT = "__salt"
+LSID = "__lsid"
+
+
+def hot_keys(ds, key: str, threshold: int) -> set:
+    """Keys with more than ``threshold`` rows (partial agg + tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(t[key].to_pylist())
+        return pa.table({key: pa.array(list(c.keys())),
+                         "n": pa.array(list(c.values()), type=pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(key).aggregate(
+        Sum("n", alias_name="n")
+    )
+    out = set()
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        m = pc.greater(b["n"], pa.scalar(threshold))
+        out.update(b.filter(m)[key].to_pylist())
+    return out
+
+
+def sessionize_salted(
+    ds,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    *,
+    gap: float = 600.0,
+    netml: bool = False,
+    min_rows: int = 2,
+    hot_threshold: int = 1_000_000,
+    chunk: float | None = None,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Sessionize with explicit salting for hot keys.
+
+    Output schema matches ``sessionize_simple`` / ``sessionize_netml``:
+    input rows (+ ``ts_sec``) + ``session_id``; in netml mode filtered
+    rows are dropped.  ``chunk`` defaults to ``max(3600, 200 * gap)``.
+    """
+    import ray
+
+    from netml_ray.sessionize import sessionize_netml as _netml
+    from netml_ray.sessionize import sessionize_simple as _simple
+
+    if chunk is None:
+        chunk = max(3600.0, 200.0 * gap)
+    ds = with_ts_sec(ds, ts_col)
+    hot = hot_keys(ds, key, hot_threshold)
+    if not hot:
+        f = _netml if netml else _simple
+        return f(ds, key=key, ts_col=ts_col, gap=gap, tiebreak=tiebreak,
+                 num_partitions=num_partitions, **({"min_rows": min_rows} if netml else {}))
+
+    hot_ref = ray.put(frozenset(hot))
+
+    def _split(want_hot: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            mask = np.fromiter((v in hs for v in t[key].to_pylist()),
+                               dtype=bool, count=t.num_rows)
+            return t.filter(pa.array(mask if want_hot else ~mask))
+
+        return _f
+
+    cold = ds.map_batches(_split(False), batch_format="pyarrow")
+    hotds = ds.map_batches(_split(True), batch_format="pyarrow")
+
+    f = _netml if netml else _simple
+    cold_out = f(cold, key=key, ts_col=ts_col, gap=gap, tiebreak=tiebreak,
+                 num_partitions=num_partitions, **({"min_rows": min_rows} if netml else {}))
+
+    # ---- hot path: salt by time chunk -------------------------------------
+    def _add_salt(t: pa.Table) -> pa.Table:
+        salt = np.floor(t[TS_SEC].to_numpy() / chunk).astype(np.int64)
+        t = t.append_column(SALT, pa.array(salt))
+        combo = pc.binary_join_element_wise(
+            pc.cast(t[key], pa.string()), pc.cast(t[SALT], pa.string()), "\x1f"
+        )
+        return t.append_column("__saltkey", combo)
+
+    hotds = hotds.map_batches(_add_salt, batch_format="pyarrow")
+    sort_by = ["__saltkey", TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _local_cut(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, "__saltkey")
+        tsf = t[TS_SEC].to_numpy()
+        _, lsid = kernels.gap_sessionize(codes, tsf, gap, netml=False)
+        return t.append_column(LSID, pa.array(lsid))
+
+    salted = partition_map(hotds, "__saltkey", _local_cut, sort_by=sort_by,
+                           num_partitions=num_partitions).materialize()
+
+    # ---- tiny summary pass + driver merge ---------------------------------
+    def _summ(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(key, "ascending"), (SALT, "ascending"), (LSID, "ascending"),
+                       (TS_SEC, "ascending")])
+        codes = _key_codes(t, key)
+        seg = kernels.encode_keys(codes, t[SALT].to_numpy(), t[LSID].to_numpy())
+        starts = kernels.segment_starts(seg)
+        ends = np.r_[starts[1:], len(seg)]
+        tsf = t[TS_SEC].to_numpy()
+        return pa.table({
+            key: pc.take(t[key], pa.array(starts)),
+            SALT: pa.array(t[SALT].to_numpy()[starts]),
+            LSID: pa.array(t[LSID].to_numpy()[starts]),
+            "first_ts": pa.array(tsf[starts]),
+            "last_ts": pa.array(tsf[ends - 1]),
+            "n": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    summ = (
+        salted.map_batches(_summ, batch_format="pyarrow")
+        .groupby([key, SALT, LSID])
+        .aggregate(Min("first_ts", alias_name="first_ts"),
+                   Max("last_ts", alias_name="last_ts"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values([key, SALT, LSID], kind="stable")
+        .reset_index(drop=True)
+    )
+
+    gsid = np.empty(len(summ), dtype=np.int64)
+    gcount: dict[tuple, dict[int, int]] = {}
+    prev_key = None
+    prev_last = None
+    cur = -1
+    for i, r in summ.iterrows():
+        k = r[key]
+        if k != prev_key:
+            prev_key, cur = k, 0
+        elif r["first_ts"] - prev_last > gap:
+            cur += 1
+        gsid[i] = cur
+        prev_last = r["last_ts"]
+        gcount.setdefault(k, {})
+        gcount[k][cur] = gcount[k].get(cur, 0) + int(r["n"])
+    summ["_gsid"] = gsid
+
+    keep = np.ones(len(summ), dtype=bool)
+    if netml:
+        for k, counts in gcount.items():
+            mx = max(counts)
+            total = sum(counts.values())
+            kmask = summ[key].to_numpy() == k
+            g = summ.loc[kmask, "_gsid"].to_numpy()
+            ok = np.ones(len(g), dtype=bool)
+            if total < max(2, min_rows):
+                ok[:] = False
+            if mx > 0:
+                ok &= g != mx  # trailing-session discard
+            cnt = np.array([counts[x] for x in g])
+            ok &= cnt >= min_rows
+            keep[kmask] = ok
+    summ["_keep"] = keep
+
+    mapping = summ[[key, SALT, LSID, "_gsid", "_keep"]]
+    map_ref = ray.put(mapping)
+
+    class _Apply:
+        def __init__(self):
+            self.map = ray.get(map_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pa.table({key: t[key], SALT: t[SALT], LSID: t[LSID]}).to_pandas()
+            m = df.merge(self.map, on=[key, SALT, LSID], how="left")
+            t = t.append_column(SESSION, pa.array(m["_gsid"].to_numpy().astype(np.int64)))
+            t = t.filter(pa.array(m["_keep"].to_numpy()))
+            return t.drop_columns([SALT, LSID, "__saltkey"])
+
+    hot_out = salted.map_batches(_Apply, batch_format="pyarrow", concurrency=(1, 8))
+    return cold_out.union(hot_out)

@@ -67,6 +67,20 @@ class ExtractText:
         return t
 
 
+_EXTRACT_SINGLETON: "ExtractText | None" = None
+
+
+def extract_text_batch(t: pa.Table) -> pa.Table:
+    """Stateless-task form of the extractor: state (compiled patterns)
+    lives in a per-worker-process lazy singleton, so plain map_batches
+    tasks get actor-like state amortization without actor-pool spin-up.
+    Output is identical to the ``ExtractText`` actor stage."""
+    global _EXTRACT_SINGLETON
+    if _EXTRACT_SINGLETON is None:
+        _EXTRACT_SINGLETON = ExtractText(drop_html=True)
+    return _EXTRACT_SINGLETON(t)
+
+
 # ---------------------------------------------------------------------------
 # language id (n-gram heuristic), quality, tokens, fingerprint
 # ---------------------------------------------------------------------------

@@ -1,0 +1,106 @@
+"""Salted (skew-aware) sessionization equivalence + multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from netml_ray.multimodal import FrameSample, MediaDecode, fake_decoder, media_corpus
+from netml_ray.salted import sessionize_salted
+from netml_ray.sessionize import SESSION, TS_SEC, sessionize_netml, sessionize_simple
+from tests.test_kernels import make_keyed_data
+
+
+def _mk_ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def _sessions_set(df, key="url"):
+    return sorted(
+        (k, s, tuple(g[TS_SEC])) for (k, s), g in
+        df.sort_values([key, TS_SEC]).groupby([key, SESSION])
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed_df():
+    df = make_keyed_data(seed=31, n_keys=20, max_rows=40)
+    # plant a hot key with many rows spanning many chunks
+    rng = np.random.default_rng(5)
+    n_hot = 2500
+    t = 0.0
+    rows = []
+    for i in range(n_hot):
+        rows.append(("hotkey", t, float(rng.integers(1, 500))))
+        t += float(rng.choice([0.0, 30.0, 120.0, 650.0, 2000.0], p=[0.05, 0.5, 0.3, 0.1, 0.05]))
+    hot = pd.DataFrame(rows, columns=["key", "ts", "size"])
+    df = pd.concat([df, hot], ignore_index=True)
+    df = df.rename(columns={"key": "url", "ts": "tsv"})
+    df["rid"] = np.arange(len(df))
+    return df
+
+
+@pytest.mark.parametrize("netml", [False, True])
+def test_salted_equals_unsalted(skewed_df, ray_session, netml):
+    ds = _mk_ds(skewed_df[["url", "tsv", "size", "rid"]])
+    salted = sessionize_salted(
+        ds, key="url", ts_col="tsv", gap=600.0, netml=netml, min_rows=2,
+        hot_threshold=500, chunk=5000.0, tiebreak="rid", num_partitions=8,
+    ).to_pandas()
+    ds2 = _mk_ds(skewed_df[["url", "tsv", "size", "rid"]])
+    if netml:
+        ref = sessionize_netml(ds2, key="url", ts_col="tsv", gap=600.0,
+                               min_rows=2, tiebreak="rid", num_partitions=8).to_pandas()
+    else:
+        ref = sessionize_simple(ds2, key="url", ts_col="tsv", gap=600.0,
+                                tiebreak="rid", num_partitions=8).to_pandas()
+    assert len(salted) == len(ref)
+    assert _sessions_set(salted) == _sessions_set(ref)
+    # the hot key actually went through the salted path in >1 chunk
+    hot_sessions = salted[salted["url"] == "hotkey"]
+    assert len(hot_sessions) > 0
+
+
+def test_salted_no_hot_keys_passthrough(ray_session):
+    df = make_keyed_data(seed=2, n_keys=8).rename(columns={"key": "url", "ts": "tsv"})
+    df["rid"] = np.arange(len(df))
+    ds = _mk_ds(df[["url", "tsv", "size", "rid"]])
+    out = sessionize_salted(ds, key="url", ts_col="tsv", gap=600.0,
+                            hot_threshold=10**9, tiebreak="rid", num_partitions=4).to_pandas()
+    assert len(out) == len(df)
+
+
+def test_media_decode_plumbing(ray_session):
+    import ray.data as rd
+
+    t = media_corpus(100)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        MediaDecode,
+        fn_constructor_kwargs={"decoder": fake_decoder, "resize": (8, 8)},
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    ).map_batches(FrameSample, batch_format="pyarrow", concurrency=2)
+    df = out.to_pandas()
+    assert len(df) == 100
+    assert "image" not in df.columns  # payload dropped after decode
+    assert all(len(f) == 6 for f in df["media_features"])
+    assert all(len(p) == 8 * 8 * 3 for p in df["pixels"])
+    # deterministic across runs
+    df2 = rd.from_arrow(t).map_batches(
+        MediaDecode,
+        fn_constructor_kwargs={"decoder": fake_decoder, "resize": (8, 8)},
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    ).to_pandas()
+    a = np.stack(df.sort_values("media_id")["media_features"].to_numpy())
+    b = np.stack(df2.sort_values("media_id")["media_features"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+    # frame sampling
+    assert (df["sampled_frames"].map(len) == np.ceil(df["n_frames"] / 10)).all()
+
+
+def test_media_strict_mode_raises():
+    md = MediaDecode()
+    with pytest.raises(NotImplementedError):
+        md(media_corpus(2))
