@@ -538,7 +538,110 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def q_label_join_events(sf_dir: str):
+    """J1-style broadcast inner join (dict-lookup analog,
+    parser.py:905-918): attach each user's market segment."""
+    from ray.data.aggregate import Count
+
+    from netml_ray.joins import broadcast_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "user_id"})
+    j = broadcast_join(ev, cust, "user_id", how="inner")
+    out = j.groupby("c_mktsegment").aggregate(Count(alias_name="n_events"))
+    return out.sort("c_mktsegment")
+
+
+SQL_LABEL_JOIN = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_time_normed_events(sf_dir: str):
+    """M7 analog (parser.py:1074): subtract the global first timestamp."""
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    tmin = ev.min("ts")  # driver-side scalar aggregate
+
+    def _f(t: pa.Table) -> pa.Table:
+        sec = pc.cast(t["ts"], pa.int64()).to_numpy() / 1e6
+        base = tmin.timestamp() if hasattr(tmin, "timestamp") else float(tmin) / 1e6
+        return pa.table({"event_id": t["event_id"],
+                         "t_norm": pa.array(sec - base)})
+
+    return ev.map_batches(_f, batch_format="pyarrow")
+
+
+SQL_TIME_NORMED = """
+SELECT event_id, epoch(ts) - (SELECT MIN(epoch(ts)) FROM events) AS t_norm
+FROM events
+"""
+
+
+def q_session_type_counts(sf_dir: str):
+    """A6 analog (per-flow TCP-flag counts, parser.py:302-351): per
+    (user, session) value-counts of event_type."""
+    from ray.data.aggregate import Count
+
+    from netml_ray.sessionize import SESSION, sessionize_simple
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    sess = sessionize_simple(ev, key="user_id", ts_col="ts", gap=EVENT_GAP,
+                             tiebreak="event_id", num_partitions=P)
+    out = sess.groupby(["user_id", SESSION, "event_type"]).aggregate(
+        Count(alias_name="n")
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [c if c != SESSION else "session_id" for c in t.column_names]
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_SESSION_TYPE_COUNTS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {EVENT_GAP} THEN 1 ELSE 0 END AS cut
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid, event_type
+"""
+
+
 # --- rows-only checks (non-SQL-expressible; oracle omitted on purpose) -----
+
+
+def q_anomaly_scores(sf_dir: str):
+    """ndm analog end-to-end (cli.py:456-583): session STATS features →
+    driver-side PCA fit on a sample → distributed scoring actor pool.
+    Rows-only (iterative model fit is not SQL-expressible)."""
+    import numpy as np
+
+    from netml_ray import models
+    from netml_ray.corpus import corpus_path
+    from netml_ray.pipeline import crawl_feature_pipeline
+
+    path = corpus_path(6000, seed=7)
+    joined, scalars = crawl_feature_pipeline(path, feat_type="STATS", num_partitions=P)
+    feats = joined.map_batches(
+        lambda t: t.filter(t["features"].combine_chunks().is_valid()),
+        batch_format="pyarrow",
+    )
+    X = models.collect_features(feats, limit=20000)
+    model = models.fit("PCA", X, n_components=3)
+    scored = models.score_dataset(feats, model, concurrency=(1, 4))
+    return scored.select_columns(["url", "warc_ts", "score"])
 
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs over documents ∪ perturbed copies
@@ -636,6 +739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_events": q_rolling_events,
         "session_stats_events": q_session_stats_events,
         "asof_purchase_signup": q_asof_purchase_signup,
+        "label_join_events": q_label_join_events,
+        "time_normed_events": q_time_normed_events,
+        "session_type_counts": q_session_type_counts,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_prefix_docs": q_dedup_prefix_docs,
         "token_count_docs": q_token_count_docs,
@@ -643,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "knn_cosine": q_knn_cosine,
         # rows-only (non-SQL-expressible)
+        "anomaly_scores": q_anomaly_scores,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "lang_id_docs": q_lang_id_docs,
@@ -666,6 +773,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_events": SQL_ROLLING,
         "session_stats_events": SQL_SESSION_STATS,
         "asof_purchase_signup": SQL_ASOF,
+        "label_join_events": SQL_LABEL_JOIN,
+        "time_normed_events": SQL_TIME_NORMED,
+        "session_type_counts": SQL_SESSION_TYPE_COUNTS,
         "dedup_exact_docs": SQL_DEDUP_EXACT,
         "dedup_prefix_docs": SQL_DEDUP_PREFIX,
         "token_count_docs": SQL_TOKEN_COUNT,

@@ -38,17 +38,25 @@ BENCH_QUERIES = [
 ]
 
 
-def _consume(res) -> int:
-    """Force execution; return row count without driver materialization."""
+def _consume(res, name: str) -> int:
+    """Force execution without a driver bottleneck: Datasets are written
+    to partitioned parquet (the realistic terminal op — parallel, no
+    single-threaded driver iteration); row count comes from the written
+    file metadata."""
+    import glob
+
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
     if isinstance(res, (pd.DataFrame, pa.Table)):
         return len(res)
-    n = 0
-    for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        n += b.num_rows
-    return n
+    out = f"/tmp/netml_bench_out/{name}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    res.write_parquet(out)
+    return sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{out}/*.parquet"))
 
 
 def crawl_rows_for(sf_dir: str) -> tuple[int, int]:
@@ -106,7 +114,7 @@ def run_suite() -> dict:
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        n = _consume(qs[name](SF_DIR))
+        n = _consume(qs[name](SF_DIR), name)
         times[name] = round(time.time() - t0, 3)
         rows[name] = n
     total = round(sum(times.values()), 3)

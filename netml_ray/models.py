@@ -1,0 +1,210 @@
+"""Novelty-detection models — the recast of the reference's ``ndm``
+package (src/netml/ndm: model.py, pca.py, gmm.py, kde.py, ocsvm.py,
+iforest.py, ae.py) for the Ray engine.
+
+Division of labor mirrors the reference and SURVEY §2.4 T2/T3:
+
+- **fit** runs on the driver over a sampled/limited features Dataset
+  (post-aggregation matrices are small; analog cli.py:493-583)
+- **predict/score** runs distributed: the fitted model is broadcast via
+  ``ray.put`` and applied per batch by an actor pool (analog
+  cli.py:200-202)
+
+This container has no sklearn/torch, so the models here are pure-numpy
+reimplementations of the *math* (PCA reconstruction error, Gaussian
+KDE log-likelihood, spherical GMM via EM); sklearn-backed algorithms
+(OCSVM, IsolationForest) surface as ``MissingDependencyError``
+placeholders, mirroring the reference's guarded-import pattern
+(src/netml/ndm/ae.py:5-14, utils/tool.py:17-18).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class MissingDependencyError(RuntimeError):
+    """Analog of the reference's ManualDependencyError (tool.py:17-18)."""
+
+
+class PCADetector:
+    """Anomaly score = reconstruction error from a rank-k PCA
+    (math parity with the reference's pca.py:76-107 approach)."""
+
+    def __init__(self, n_components: int = 2):
+        self.k = n_components
+
+    def fit(self, X: np.ndarray) -> "PCADetector":
+        self.mean_ = X.mean(axis=0)
+        Xc = X - self.mean_
+        _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+        self.components_ = vt[: self.k]
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        Xc = X - self.mean_
+        proj = Xc @ self.components_.T @ self.components_
+        # higher = more anomalous
+        return np.sqrt(((Xc - proj) ** 2).sum(axis=1))
+
+
+class KDEDetector:
+    """Gaussian KDE negative log-likelihood (analog kde.py:78-107)."""
+
+    def __init__(self, bandwidth: float = 1.0, max_fit_rows: int = 5000):
+        self.h = bandwidth
+        self.max_fit_rows = max_fit_rows
+
+    def fit(self, X: np.ndarray) -> "KDEDetector":
+        self.X_ = X[: self.max_fit_rows]
+        self.d_ = X.shape[1]
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        # -log mean kernel density; higher = more anomalous
+        out = np.empty(len(X))
+        h2 = 2.0 * self.h * self.h
+        for i in range(0, len(X), 256):
+            blk = X[i : i + 256]
+            d2 = ((blk[:, None, :] - self.X_[None, :, :]) ** 2).sum(axis=2)
+            out[i : i + 256] = -np.log(np.exp(-d2 / h2).mean(axis=1) + 1e-300)
+        return out
+
+
+class GMMDetector:
+    """Spherical-covariance GMM by EM; score = −log p(x)
+    (analog gmm.py:91-122)."""
+
+    def __init__(self, n_components: int = 3, iters: int = 30, seed: int = 42):
+        self.k = n_components
+        self.iters = iters
+        self.seed = seed
+
+    def fit(self, X: np.ndarray) -> "GMMDetector":
+        rng = np.random.default_rng(self.seed)
+        n, d = X.shape
+        k = min(self.k, n)
+        mu = X[rng.choice(n, k, replace=False)].astype(np.float64)
+        var = np.full(k, X.var() + 1e-6)
+        pi = np.full(k, 1.0 / k)
+        for _ in range(self.iters):
+            logp = self._log_comp(X, mu, var, pi)
+            m = logp.max(axis=1, keepdims=True)
+            r = np.exp(logp - m)
+            r /= r.sum(axis=1, keepdims=True)
+            nk = r.sum(axis=0) + 1e-12
+            pi = nk / n
+            mu = (r.T @ X) / nk[:, None]
+            for j in range(k):
+                var[j] = (r[:, j] * ((X - mu[j]) ** 2).sum(axis=1)).sum() / (nk[j] * d) + 1e-9
+        self.mu_, self.var_, self.pi_ = mu, var, pi
+        return self
+
+    @staticmethod
+    def _log_comp(X, mu, var, pi):
+        d = X.shape[1]
+        d2 = ((X[:, None, :] - mu[None, :, :]) ** 2).sum(axis=2)
+        return (
+            np.log(pi)[None, :]
+            - 0.5 * d * np.log(2 * np.pi * var)[None, :]
+            - d2 / (2 * var)[None, :]
+        )
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        logp = self._log_comp(X, self.mu_, self.var_, self.pi_)
+        m = logp.max(axis=1)
+        return -(m + np.log(np.exp(logp - m[:, None]).sum(axis=1)))
+
+
+def _missing(name: str):
+    class _Missing:
+        def __init__(self, *a, **k):
+            raise MissingDependencyError(
+                f"{name} requires scikit-learn, which is not available in "
+                "this environment (reference analog: ManualDependencyError)"
+            )
+
+    return _Missing
+
+
+OCSVM = _missing("OCSVM")
+IsolationForest = _missing("IsolationForest")
+Autoencoder = _missing("Autoencoder (torch)")
+
+ALGORITHMS = {
+    "PCA": PCADetector,
+    "KDE": KDEDetector,
+    "GMM": GMMDetector,
+    "OCSVM": OCSVM,
+    "IF": IsolationForest,
+    "AE": Autoencoder,
+}
+
+
+def auc_score(y_true: np.ndarray, scores: np.ndarray) -> float:
+    """ROC AUC by rank statistic (ties → midrank), numpy only —
+    analog of the reference's sklearn roc_curve+auc (ndm/model.py:97-104)."""
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    s_sorted = scores[order]
+    # midranks for ties
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j + 1 < len(s_sorted) and s_sorted[j + 1] == s_sorted[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    pos = y_true == 1
+    n1, n0 = pos.sum(), (~pos).sum()
+    if n1 == 0 or n0 == 0:
+        return float("nan")
+    return float((ranks[pos].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0))
+
+
+def collect_features(ds, feature_col: str = "features", limit: int | None = 100_000) -> np.ndarray:
+    """Driver-side matrix from a features Dataset (fit-side; small)."""
+    if limit is not None:
+        ds = ds.limit(limit)
+    rows = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        col = b[feature_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        rows.append(flat.reshape(len(arr), -1))
+    return np.vstack(rows) if rows else np.empty((0, 0))
+
+
+def fit(algorithm: str, X: np.ndarray, **params):
+    """Driver-side fit (analog cli.py:539-563 plugin resolve + fit)."""
+    cls = ALGORITHMS[algorithm.upper()]
+    return cls(**params).fit(X)
+
+
+def score_dataset(ds, model, feature_col: str = "features", concurrency=(1, 8)):
+    """Distributed scoring: model broadcast once, actor pool per batch
+    (analog cli.py:200-202).  Appends a ``score`` column."""
+    import ray
+
+    ref = ray.put(model)
+
+    class Scorer:
+        def __init__(self):
+            self.model = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t[feature_col]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            mask = arr.is_valid().to_numpy(zero_copy_only=False)
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            width = flat.size // max(1, int(mask.sum())) if mask.any() else 1
+            scores = np.full(t.num_rows, np.nan)
+            if mask.any():
+                X = flat.reshape(int(mask.sum()), width)
+                scores[mask] = self.model.decision_function(X)
+            return t.append_column("score", pa.array(scores, mask=~mask))
+
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)

@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 from netml_ray.hashing import pid_for
 
 PID = "__pid"
+PIDROWS = "__pidrows"
 SIDE = "__side"
 
 
@@ -120,51 +121,40 @@ def partition_sorted(
         num_partitions = default_num_partitions()
     ds = add_pid(ds, key, num_partitions)
 
-    # pid → expected row count (tiny aggregation, no row shuffle)
-    def _cnt(t: pa.Table) -> pa.Table:
-        pids, counts = np.unique(t[PID].to_numpy(), return_counts=True)
-        return pa.table({"pid": pa.array(pids), "n": pa.array(counts.astype(np.int64))})
-
-    from ray.data.aggregate import Sum
-
-    cnt = ds.map_batches(_cnt, batch_format="pyarrow").groupby("pid").aggregate(
-        Sum("n", alias_name="n")
-    )
-    pid_counts: dict[int, int] = {}
-    for b in cnt.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-        for p, n in zip(b["pid"].to_pylist(), b["n"].to_pylist()):
-            pid_counts[int(p)] = int(n)
-
     def _sorted(t: pa.Table) -> pa.Table:
-        return sort_partition(t, list(sort_by) + [PID])
+        t = sort_partition(t, list(sort_by))
+        # self-describing block safety: every row carries its partition's
+        # total row count, so aligned_map can verify completeness without
+        # a separate counting pass
+        return t.append_column(
+            PIDROWS, pa.array(np.full(t.num_rows, t.num_rows, dtype=np.int64))
+        )
 
     parts = ds.groupby(PID).map_groups(_sorted, batch_format="pyarrow").materialize()
-    return parts, pid_counts
+    return parts, None
 
 
-def aligned_map(parts, fn: Callable[[pa.Table], pa.Table], pid_counts: dict[int, int]):
+def aligned_map(parts, fn: Callable[[pa.Table], pa.Table], pid_counts=None):
     """Map ``fn`` over blocks of a ``partition_sorted`` result.
 
     Each batch is one-or-more COMPLETE sorted partitions; completeness
-    is asserted against ``pid_counts`` (a split partition raises with a
-    remediation hint instead of silently mis-computing).  ``fn`` sees
-    the batch without the ``__pid`` column.
+    is verified against the self-describing ``__pidrows`` column (a
+    split partition raises with a remediation hint instead of silently
+    mis-computing).  ``fn`` sees the batch without the helper columns.
     """
-    import ray
-
-    ref = ray.put(pid_counts)
 
     def _run(t: pa.Table) -> pa.Table:
-        expected = ray.get(ref)
-        pids, counts = np.unique(t[PID].to_numpy(), return_counts=True)
-        for p, n in zip(pids, counts):
-            if expected.get(int(p)) != int(n):
-                raise RuntimeError(
-                    f"partition {int(p)} split across blocks ({n} of "
-                    f"{expected.get(int(p))} rows in this batch): raise "
-                    "DataContext.target_max_block_size or use more partitions"
-                )
-        return fn(t.drop_columns([PID]))
+        pids = t[PID].to_numpy()
+        expected = t[PIDROWS].to_numpy()
+        upids, first_idx, counts = np.unique(pids, return_index=True, return_counts=True)
+        bad = counts != expected[first_idx]
+        if bad.any():
+            p = int(upids[np.flatnonzero(bad)[0]])
+            raise RuntimeError(
+                f"partition {p} split across blocks: raise "
+                "DataContext.target_max_block_size or use more partitions"
+            )
+        return fn(t.drop_columns([PID, PIDROWS]))
 
     return parts.map_batches(_run, batch_format="pyarrow", batch_size=None)
 

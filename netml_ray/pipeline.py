@@ -57,8 +57,11 @@ FEAT_WIDTH = {
 }
 
 
-def extract_narrow(corpus_path: str, extract_concurrency=None):
-    """read → extract (actor pool) → narrow materialized projection."""
+def extract_narrow(corpus_path: str, extract_concurrency=None, materialize: bool = True):
+    """read → extract (per-worker-state tasks or actor pool) → narrow
+    projection.  ``materialize=False`` when a single downstream consumer
+    (e.g. partition_sorted) will drive the whole lineage once — skips an
+    execution + driver gather."""
     import ray
     import ray.data as rd
 
@@ -81,12 +84,9 @@ def extract_narrow(corpus_path: str, extract_concurrency=None):
             concurrency=extract_concurrency,
         )
     narrow = ds.select_columns(["url", "warc_ts", "size"])
-    # materialized ONCE: consumed by both scalar passes and the fused
-    # pass; ~24B/row after dropping html/text.  Coalesce the read's many
-    # tiny post-projection blocks so the downstream shuffle's sort-map
-    # stage isn't task-count bound.
+    # ~24B/row after dropping html/text
     narrow = with_ts_sec(narrow, "warc_ts")
-    return narrow.repartition(2 * ncpu).materialize()
+    return narrow.materialize() if materialize else narrow
 
 
 def _g3g4_sessionize_arrays(codes, tsf, gap, interval, min_rows):
@@ -150,14 +150,19 @@ def compute_crawl_scalars(
 
     stats_fn = _session_scalar_stats_fn(key, gap, min_rows, interval)
     if parts is not None:
-        stats_ds = aligned_map(parts, stats_fn, pid_counts).materialize()
+        stats_ds = aligned_map(parts, stats_fn, pid_counts)
     else:
         stats_ds = partition_map(narrow, key, stats_fn, sort_by=sort_by,
-                                 num_partitions=num_partitions).materialize()
-    dim = int(np.floor(exact_quantiles(stats_ds, "n", [q_interval])[0]))
-    rate = 0.0
-    if feat_type in ("SAMP_NUM", "SAMP_SIZE"):
-        rate = exact_quantiles(stats_ds, "duration", [0.3])[0]
+                                 num_partitions=num_partitions)
+    need_rate = feat_type in ("SAMP_NUM", "SAMP_SIZE")
+    specs = {"n": [q_interval]}
+    if need_rate:
+        specs["duration"] = [0.3]
+    from netml_ray.sessionize import exact_quantiles_multi
+
+    qres = exact_quantiles_multi(stats_ds, specs)
+    dim = int(np.floor(qres["n"][0]))
+    rate = qres["duration"][0] if need_rate else 0.0
     return {"interval": interval, "dim": dim, "rate": rate,
             "gap": gap, "q_interval": q_interval, "min_rows": min_rows,
             "feat_type": feat_type, "width": FEAT_WIDTH[feat_type](dim)}
@@ -304,7 +309,7 @@ def crawl_feature_pipeline(
     )
     from netml_ray.partition import aligned_map, partition_sorted
 
-    narrow = extract_narrow(corpus_path, extract_concurrency)
+    narrow = extract_narrow(corpus_path, extract_concurrency, materialize=bool(out_dir))
 
     if out_dir:
         # resumable path: per-partition checkpointed shuffle

@@ -205,6 +205,31 @@ def exact_quantiles(ds, col: str, qs: list[float], *, collect_threshold: int = 5
     return out
 
 
+def exact_quantiles_multi(ds, specs: dict[str, list[float]], *, collect_threshold: int = 5_000_000) -> dict[str, list[float]]:
+    """Exact quantiles for several columns in ONE streaming pass
+    (falls back to per-column exact_quantiles above the threshold)."""
+    chunks: dict[str, list[np.ndarray]] = {c: [] for c in specs}
+    total = 0
+    overflow = False
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for c in specs:
+            chunks[c].append(b[c].to_numpy())
+        total += b.num_rows
+        if total > collect_threshold:
+            overflow = True
+            break
+    if overflow:
+        return {c: exact_quantiles(ds, c, qs, collect_threshold=collect_threshold)
+                for c, qs in specs.items()}
+    if total == 0:
+        raise ValueError("quantile of empty dataset")
+    out = {}
+    for c, qs in specs.items():
+        vals = np.concatenate(chunks[c])
+        out[c] = [float(np.quantile(vals, q=q)) for q in qs]
+    return out
+
+
 def netml_session_pipeline(
     ds,
     key: str = "url",

@@ -1,0 +1,94 @@
+"""Model layer (ndm analog): numpy detectors, distributed scoring, AUC."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from netml_ray import models
+from netml_ray.joins import label_join, normalize_labels
+
+
+def _blob_data(seed=0, n=400, d=6, n_anom=40):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1.0, (n, d))
+    A = rng.normal(6.0, 1.0, (n_anom, d))  # far cluster = anomalies
+    Xall = np.vstack([X, A])
+    y = np.r_[np.zeros(n, dtype=int), np.ones(n_anom, dtype=int)]
+    return Xall, y
+
+
+@pytest.mark.parametrize("algo", ["PCA", "KDE", "GMM"])
+def test_detectors_separate_anomalies(algo):
+    X, y = _blob_data()
+    m = models.fit(algo, X[y == 0])  # fit on normal only
+    s = m.decision_function(X)
+    auc = models.auc_score(y, s)
+    assert auc > 0.95, f"{algo} auc={auc}"
+
+
+def test_missing_dependency_placeholders():
+    for name in ["OCSVM", "IF", "AE"]:
+        with pytest.raises(models.MissingDependencyError):
+            models.ALGORITHMS[name]()
+
+
+def test_auc_parity_simple():
+    y = np.array([0, 0, 1, 1])
+    s = np.array([0.1, 0.4, 0.35, 0.8])
+    assert models.auc_score(y, s) == pytest.approx(0.75)
+    # ties handled by midrank
+    assert models.auc_score(np.array([0, 1]), np.array([1.0, 1.0])) == pytest.approx(0.5)
+
+
+def test_distributed_scoring_roundtrip(ray_session):
+    import ray.data as rd
+
+    X, y = _blob_data(seed=3)
+    n, d = X.shape
+    feats = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int64) * d), pa.array(X.ravel())
+    )
+    t = pa.table({"row_id": pa.array(np.arange(n)), "features": feats,
+                  "label": pa.array(y)})
+    ds = rd.from_arrow(t)
+    model = models.fit("PCA", X[y == 0], n_components=2)
+    scored = models.score_dataset(ds, model, concurrency=2)
+    df = scored.to_pandas().sort_values("row_id")
+    expected = model.decision_function(X)
+    np.testing.assert_allclose(df["score"].to_numpy(), expected, rtol=1e-9)
+    assert models.auc_score(y, df["score"].to_numpy()) > 0.95
+
+
+def test_collect_features_and_split(ray_session):
+    import ray.data as rd
+
+    X, y = _blob_data(seed=9)
+    n, d = X.shape
+    feats = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int64) * d), pa.array(X.ravel())
+    )
+    ds = rd.from_arrow(pa.table({"features": feats}))
+    M = models.collect_features(ds)
+    assert M.shape == (n, d)
+    train, test = ds.train_test_split(test_size=0.25, seed=42)
+    assert train.count() + test.count() == n
+
+
+def test_label_join_semantics(ray_session):
+    """J1 parity: last-wins dedup + BENIGN/NORMAL→0 + inner semantics
+    (ref: parser.py:857-924)."""
+    import pandas as pd
+    import ray.data as rd
+
+    labels = pd.DataFrame({
+        "url": ["a", "b", "a", "c"],
+        "label_raw": ["BENIGN", "Bot", "ddos", "normal"],
+    })
+    norm = normalize_labels(labels, "url", "label_raw")
+    assert dict(zip(norm["url"], norm["label"])) == {"a": 1, "b": 1, "c": 0}  # last wins for a
+
+    ds = rd.from_items([{"url": u, "v": i} for i, u in enumerate(["a", "b", "d", "c", "a"])])
+    out = label_join(ds, labels, "url", "label_raw").to_pandas()
+    assert len(out) == 4  # url 'd' dropped (inner)
+    assert set(out["url"]) == {"a", "b", "c"}
+    assert out.set_index("v")["label"].to_dict() == {0: 1, 1: 1, 3: 0, 4: 1}
