@@ -716,6 +716,24 @@ def q_events_flagship(sf_dir: str):
     return events_session_pipeline(sf_dir, num_partitions=P)
 
 
+def q_netml_two_stage_events(sf_dir: str):
+    """Full reference two-stage sessionization (G3 timeout split →
+    data-dependent interval quantile → G4 grid-aligned split) over the
+    events table.  G4's nominal-start scan is not SQL-expressible —
+    rows-only here; exact semantics are pinned by the pytest oracle
+    (tests/test_kernels.py, tests/test_ray_ops.py)."""
+    import ray.data as rd
+
+    from netml_ray.sessionize import SESSION, netml_session_pipeline
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    sess, interval = netml_session_pipeline(
+        ev, key="user_id", ts_col="ts", gap=EVENT_GAP, q_interval=0.9,
+        tiebreak="event_id", num_partitions=P,
+    )
+    return _session_agg(sess)
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -756,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "crawl_flagship": q_crawl_flagship,
         "events_flagship": q_events_flagship,
+        "netml_two_stage_events": q_netml_two_stage_events,
     }
 
 

@@ -68,7 +68,14 @@ def extract_narrow(corpus_path: str, extract_concurrency=None, materialize: bool
     from netml_ray.textops import extract_text_batch
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    ds = rd.read_parquet(corpus_path, columns=["url", "warc_ts", "html"])
+    # bound the task count: the default reader heuristic yields thousands
+    # of ~2.7k-row blocks for a sharded corpus, and per-task scheduling
+    # overhead then dominates the extract stage wall (a data-proportional
+    # driver-side cost).  ~64 blocks keeps tasks seconds-long.
+    ds = rd.read_parquet(
+        corpus_path, columns=["url", "warc_ts", "html"],
+        override_num_blocks=max(64, 2 * ncpu),
+    )
     if extract_concurrency is None:
         # default: stateless tasks with per-worker lazy extractor state —
         # same amortization as an actor pool, none of the pool spin-up

