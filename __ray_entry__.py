@@ -308,6 +308,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING
 """
 
 
+def q_rolling_quantile_events(sf_dir: str):
+    from netml_ray.windows import add_rolling_quantile
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_rolling_quantile(ev, "user_id", "ts", "value", window=5, q=0.5,
+                               tiebreak="event_id", num_partitions=P)
+    return out.select_columns(["event_id", "user_id", "roll_q"])
+
+
+SQL_ROLLING_QUANTILE = """
+SELECT event_id, user_id,
+       quantile_cont(value, 0.5) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_q
+FROM events
+"""
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column: partial sums per
+    batch (map-side combine) → driver merge — no shuffle of vectors."""
+    import numpy as np
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.float64).reshape(t.num_rows, -1)
+        labels = t["label"].to_numpy()
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            out_l.append(int(lab))
+            out_s.append(sel.sum(axis=0))
+            out_n.append(len(sel))
+        d = m.shape[1]
+        sums = np.concatenate(out_s) if out_s else np.empty(0)
+        return pa.table({
+            "label": pa.array(out_l, type=pa.int32()),
+            "sum": pa.ListArray.from_arrays(
+                pa.array(np.arange(len(out_l) + 1, dtype=np.int64) * d), pa.array(sums)),
+            "n": pa.array(out_n, type=pa.int64()),
+        })
+
+    import numpy as np
+    import pandas as pd
+
+    parts = _partial  # single fn reused below
+    agg: dict[int, tuple] = {}
+    for b in emb.map_batches(parts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16):
+        for lab, s, n in zip(b["label"].to_pylist(), b["sum"].to_pylist(), b["n"].to_pylist()):
+            cur = agg.get(lab)
+            s = np.asarray(s)
+            agg[lab] = (s if cur is None else cur[0] + s, n if cur is None else cur[1] + n)
+    # round to 9 dp on BOTH sides: float sum order differs between the
+    # map-side combine and DuckDB's streaming avg (last-ulp noise)
+    rows = sorted((lab, np.round(s / n, 9).tolist()) for lab, (s, n) in agg.items())
+    return pa.table({
+        "label": pa.array([r[0] for r in rows], type=pa.int32()),
+        "centroid": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
+    })
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT label, list(round(av, 9) ORDER BY idx) AS centroid FROM (
+  SELECT label, idx, avg(v) AS av FROM u GROUP BY label, idx
+) GROUP BY label ORDER BY label
+"""
+
+
 def q_session_stats_events(sf_dir: str):
     """netml STATS 12-vector analog per (user, session) over `value`
     (ref: parser.py:430-469), flattened to named columns for SQL parity."""
@@ -755,6 +831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_netml_events": q_sessionize_netml_events,
         "lag_lead_events": q_lag_lead_events,
         "rolling_events": q_rolling_events,
+        "rolling_quantile_events": q_rolling_quantile_events,
+        "embedding_centroids": q_embedding_centroids,
         "session_stats_events": q_session_stats_events,
         "asof_purchase_signup": q_asof_purchase_signup,
         "label_join_events": q_label_join_events,
@@ -790,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_netml_events": SQL_SESSIONIZE_NETML,
         "lag_lead_events": SQL_LAG_LEAD,
         "rolling_events": SQL_ROLLING,
+        "rolling_quantile_events": SQL_ROLLING_QUANTILE,
+        "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "session_stats_events": SQL_SESSION_STATS,
         "asof_purchase_signup": SQL_ASOF,
         "label_join_events": SQL_LABEL_JOIN,

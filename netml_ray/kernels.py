@@ -443,6 +443,27 @@ def lag_lead(
     return lag, lead
 
 
+def rolling_quantile(
+    seg_codes: np.ndarray, values: np.ndarray, window: int, q: float
+) -> np.ndarray:
+    """Rolling linear-interpolated quantile over the current + window-1
+    preceding rows per segment (SQL ``quantile_cont(...) OVER (ROWS
+    BETWEEN w-1 PRECEDING AND CURRENT ROW)`` parity).
+
+    Vectorized via a lagged-value matrix + np.nanquantile — O(n·w)."""
+    n = len(values)
+    mat = np.full((n, window), np.nan)
+    starts, ends = _seg_bounds(seg_codes)
+    seg_of = np.zeros(n, dtype=np.int64)
+    seg_of[starts] = 1
+    seg_of = np.cumsum(seg_of) - 1
+    pos = np.arange(n) - starts[seg_of]
+    for k in range(window):
+        ok = pos >= k
+        mat[ok, k] = values[np.arange(n)[ok] - k]
+    return np.nanquantile(mat, q, axis=1)
+
+
 def rolling_stats(
     seg_codes: np.ndarray, values: np.ndarray, window: int
 ) -> dict[str, np.ndarray]:

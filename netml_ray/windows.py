@@ -65,3 +65,27 @@ def add_rolling(
         return t
 
     return partition_map(ds, key, _fn, sort_by=sort_by, num_partitions=num_partitions)
+
+
+def add_rolling_quantile(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: int = 5,
+    q: float = 0.5,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Rolling linear-interpolated quantile (SQL quantile_cont window
+    parity) per key over current + window-1 preceding rows."""
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        v = t[value_col].to_numpy().astype(np.float64)
+        return t.append_column("roll_q", pa.array(kernels.rolling_quantile(codes, v, window, q)))
+
+    return partition_map(ds, key, _fn, sort_by=sort_by, num_partitions=num_partitions)
