@@ -115,15 +115,22 @@ def run_suite() -> dict:
 
     def _warm(t):
         import sys as _s
+        import time as _t
 
         _s.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import numpy as _np
+        import pyarrow as _pa
+
         import netml_ray.kernels  # noqa: F401
         import netml_ray.textops  # noqa: F401
 
-        return t
+        _t.sleep(0.5)  # hold the slot so all NUM_CPUS workers spawn
+        # push ~64MB/task through plasma: first-touch page faults on the
+        # object-store mapping otherwise tax the first real execution
+        return _pa.table({"x": _pa.array(_np.zeros(8 << 20, dtype=_np.float64))})
 
-    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
-        _warm, batch_format="pyarrow"
+    rd.range(NUM_CPUS, override_num_blocks=NUM_CPUS).map_batches(
+        _warm, batch_format="pyarrow", batch_size=None
     ).materialize()
 
     qs = entrymod.queries()
