@@ -154,29 +154,48 @@ def minhash_lsh_duplicates(
 
     exploded = sig_ds.map_batches(_explode, batch_format="pyarrow")
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        texts = g[text_col].to_numpy()
+    # one hash partition holds MANY (band, band_hash) buckets — pair
+    # generation loops over buckets inside a single vectorized fn
+    # instead of per-bucket map_groups dispatch (thousands of tiny
+    # Python group calls otherwise dominate)
+    def _bucket_pairs_part(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("band", "ascending"), ("band_hash", "ascending"),
+                       (id_col, "ascending")])
+        bands = t["band"].to_numpy()
+        hashes = t["band_hash"].to_numpy()
+        ids = t[id_col].to_numpy()
+        texts = np.asarray(t[text_col].to_pylist(), dtype=object)
+        change = np.r_[True, (bands[1:] != bands[:-1]) | (hashes[1:] != hashes[:-1])]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(bands)]
         out_a, out_b, out_j = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if ids[i] == ids[j]:
-                    continue
-                jac = jaccard_ngrams(texts[i], texts[j], k)
-                if jac >= jaccard_threshold:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    if ids[i] == ids[j]:
+                        continue
+                    jac = jaccard_ngrams(texts[i], texts[j], k)
+                    if jac >= jaccard_threshold:
+                        out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
+    from netml_ray.partition import partition_map
 
-    # dedup pairs found in multiple bands
-    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    pairs = partition_map(exploded, "band_hash", _bucket_pairs_part)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup_pairs, batch_format="pandas")
+    # dedup pairs found in multiple bands (same vectorized pattern)
+    def _dedup_pairs_part(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return t.filter(pa.array(first))
+
+    return partition_map(pairs, "id_a", _dedup_pairs_part)
 
 
 class SimHasher:

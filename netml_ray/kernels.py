@@ -346,46 +346,56 @@ def samp_lists(
     (parser.py:533-542); otherwise the trailing bin is appended iff its
     accumulated value is > 0 (parser.py:549-550).
     """
+    # The reference's bin boundaries come from the *incremental* float
+    # state ``current`` (current += rate; current += m*rate), which a
+    # closed-form floor((t - t0)/rate) formula cannot replicate bit-for-
+    # bit (e.g. (a+300)-a ≠ 300.0 in float64 — found by the hypothesis
+    # property tests).  So the kernel walks *emitted bins* (≤ 501 per
+    # session thanks to the cap, parser.py:538-542): rows within a bin
+    # are consumed in bulk via searchsorted + an exact-expression
+    # boundary fix-up, and sizes via a prefix sum — per-session cost is
+    # O(bins · log n), not O(rows).
     starts, ends = _seg_bounds(seg_codes)
     n_seg = len(starts)
-    rel = ts - np.repeat(ts[starts], ends - starts)
-    f = np.floor(rel / rate).astype(np.int64)
-    # Exact bin-boundary records (rel == k*rate) are state-dependent in
-    # the reference scan: they join bin k-1 iff bin k-1 is already open
-    # (accumulate branch, parser.py:520), else they start bin k at its
-    # left edge (else branch advances `current` to exactly rel,
-    # parser.py:528-537).  Resolve per boundary level, ascending.
-    exact = (f.astype(np.float64) * rate) == rel
-    b = f.copy()
     w = np.ones(len(ts), dtype=np.float64) if sizes is None else sizes.astype(np.float64)
+    cw = np.r_[0.0, np.cumsum(w)]
 
     out_vals: list[np.ndarray] = []
     out_lens = np.empty(n_seg, dtype=np.int64)
     for k, (s, e) in enumerate(zip(starts, ends)):
-        ex = exact[s:e]
-        if ex.any():
-            fseg = f[s:e]
-            occupied = set(fseg[~ex].tolist())
-            occupied.add(0)
-            bseg_fix = b[s:e]
-            for M in np.unique(fseg[ex]):
-                M = int(M)
-                res = M - 1 if (M > 0 and (M - 1) in occupied) else M
-                occupied.add(res)
-                bseg_fix[ex & (fseg == M)] = res
-        bseg = b[s:e]
-        over = np.flatnonzero(bseg > SAMP_CAP)
-        if len(over):
-            stop = s + over[0]
-            counts = np.bincount(b[s:stop], weights=w[s:stop], minlength=SAMP_CAP)
-            v = counts[:SAMP_CAP]
-        else:
-            blast = int(bseg[-1])
-            counts = np.bincount(bseg, weights=w[s:e], minlength=blast + 1)
-            if counts[blast] > 0:
-                v = counts[: blast + 1]
-            else:
-                v = counts[:blast]
+        tseg = ts[s:e]
+        n = e - s
+        feats: list[float] = []
+        current = tseg[0]
+        binstart = 0
+        while True:
+            # first row j with tseg[j] - current > rate (exact reference
+            # expression; searchsorted gives the candidate, the loops
+            # correct ±1-ulp boundary disagreements)
+            j = int(np.searchsorted(tseg, current + rate, side="right"))
+            j = max(j, binstart + 1)
+            while j - 1 > binstart and tseg[j - 1] - current > rate:
+                j -= 1
+            while j < n and not (tseg[j] - current > rate):
+                j += 1
+            if j >= n:
+                samp = (n - binstart) if sizes is None else (cw[e] - cw[s + binstart])
+                if samp > 0:  # trailing bin (parser.py:549-550)
+                    feats.append(float(samp))
+                break
+            samp = (j - binstart) if sizes is None else (cw[s + j] - cw[s + binstart])
+            current += rate
+            feats.append(float(samp))
+            m = int((tseg[j] - current) // rate)  # parser.py:533
+            if m > 0:
+                m = min(m, SAMP_CAP)
+                feats.extend([0.0] * m)
+                current += m * rate
+            if len(feats) > SAMP_CAP:  # parser.py:538-542
+                feats = feats[:SAMP_CAP]
+                break
+            binstart = j
+        v = np.asarray(feats, dtype=np.float64)
         out_vals.append(v)
         out_lens[k] = len(v)
     offsets = np.r_[0, np.cumsum(out_lens)]

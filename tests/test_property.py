@@ -1,0 +1,121 @@
+"""Property-based tests: vectorized kernels ≡ sequential oracle on
+hypothesis-generated inputs (beyond the fixed-seed fixtures)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from netml_ray import kernels, oracle
+
+settings.register_profile("ci", max_examples=60, deadline=None)
+settings.load_profile("ci")
+
+
+@st.composite
+def keyed_events(draw, max_keys=6, max_rows=40):
+    n_keys = draw(st.integers(1, max_keys))
+    keys, ts, sizes = [], [], []
+    for k in range(n_keys):
+        n = draw(st.integers(1, max_rows))
+        t = draw(st.floats(0, 1000, allow_nan=False))
+        for _ in range(n):
+            keys.append(f"k{k}")
+            ts.append(round(t, 6))
+            sizes.append(float(draw(st.integers(0, 500))))
+            # steps engineered to hit gap boundaries and duplicates
+            t += draw(st.sampled_from([0.0, 0.5, 10.0, 99.9, 100.0, 100.1, 300.0, 1500.0]))
+    return pd.DataFrame({"key": keys, "ts": ts, "size": sizes})
+
+
+def _sorted_arrays(df):
+    d = df.sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
+    codes = pd.factorize(d["key"])[0].astype(np.int64)
+    return d, codes, d["ts"].to_numpy(), d["size"].to_numpy()
+
+
+def _flows_cmp(flows):
+    return sorted((k, tuple(t), tuple(s)) for k, t, s in flows)
+
+
+def _kernel_flows(d, keep, seg):
+    d = d.assign(_seg=seg)[keep]
+    return sorted(
+        (k, tuple(g["ts"]), tuple(g["size"]))
+        for (k, s), g in d.groupby(["key", "_seg"], sort=True)
+    )
+
+
+@given(keyed_events(), st.sampled_from([50.0, 100.0, 600.0]))
+def test_prop_gap_sessionize(df, gap):
+    d, codes, ts, sz = _sorted_arrays(df)
+    keep, ordinal = kernels.gap_sessionize(codes, ts, gap, min_rows=2, netml=True)
+    got = _kernel_flows(d, keep, kernels.encode_keys(codes, ordinal))
+    exp = _flows_cmp(oracle.gap_sessionize(oracle.df_to_flows(df, "key", "ts", "size"), gap, 2))
+    assert got == exp
+
+
+@given(keyed_events(), st.sampled_from([10.0, 99.9, 100.0, 250.0]))
+def test_prop_interval_split(df, interval):
+    flows_g3 = oracle.gap_sessionize(oracle.df_to_flows(df, "key", "ts", "size"), 600.0, 2)
+    exp = _flows_cmp(oracle.interval_split(flows_g3, interval, 2))
+
+    d, codes, ts, sz = _sorted_arrays(df)
+    keep, g3 = kernels.gap_sessionize(codes, ts, 600.0, min_rows=2, netml=True)
+    d2 = d[keep].reset_index(drop=True)
+    seg = kernels.encode_keys(codes[keep], g3[keep])
+    keep2, sub = kernels.interval_split(seg, ts[keep], interval, min_rows=2)
+    got = _kernel_flows(d2, keep2, kernels.encode_keys(seg, sub))
+    assert got == exp
+
+
+@given(keyed_events(max_keys=3), st.sampled_from([0.5, 1.0, 7.3, 100.0]), st.booleans())
+def test_prop_samp(df, rate, use_sizes):
+    if not oracle.gap_sessionize(oracle.df_to_flows(df, "key", "ts", "size"), 600.0, 2):
+        return  # everything filtered before the quantile stage
+    flows, interval = oracle.netml_sessionize(df, "key", "ts", "size",
+                                              gap=600.0, q_interval=0.9)
+    if not flows:
+        return
+    oflows = sorted(flows, key=lambda f: (f[0], f[1][0], tuple(f[1])))
+    d, codes, ts, sz = _sorted_arrays(df)
+    keep, g3 = kernels.gap_sessionize(codes, ts, 600.0, min_rows=2, netml=True)
+    seg0 = kernels.encode_keys(codes[keep], g3[keep])
+    keep2, sub = kernels.interval_split(seg0, ts[keep], interval, min_rows=2)
+    idx = np.flatnonzero(keep)[keep2]
+    seg = kernels.encode_keys(kernels.encode_keys(seg0, sub)[keep2])
+    ts2, sz2 = ts[idx], sz[idx]
+
+    kind = "SAMP_SIZE" if use_sizes else "SAMP_NUM"
+    offs, vals = kernels.samp_lists(seg, ts2, sz2 if use_sizes else None, rate)
+    exp = oracle.feat_samp(oflows, rate, kind)
+    assert len(offs) - 1 == len(exp)
+    for i in range(len(exp)):
+        np.testing.assert_allclose(vals[offs[i]:offs[i + 1]], exp[i],
+                                   err_msg=f"{kind} rate={rate} seg={i}")
+
+
+@given(st.integers(0, 10_000))
+def test_prop_asof_indices(seed):
+    rng = np.random.default_rng(seed)
+    keys = [f"u{i}" for i in range(4)]
+    nl, nr = int(rng.integers(1, 30)), int(rng.integers(0, 20))
+    lk = sorted(rng.choice(keys, nl).tolist())
+    rk = sorted(rng.choice(keys, nr).tolist())
+    lt = np.sort(rng.integers(0, 50, nl)).astype(np.float64)
+    rt = np.sort(rng.integers(0, 50, nr)).astype(np.float64)
+    # sort within key groups
+    ldf = pd.DataFrame({"k": lk, "t": rng.permutation(lt)}).sort_values(["k", "t"]).reset_index(drop=True)
+    rdf = pd.DataFrame({"k": rk, "t": rng.permutation(rt)}).sort_values(["k", "t"]).reset_index(drop=True)
+    for strict in (False, True):
+        from netml_ray.asof import asof_match_indices
+
+        got = asof_match_indices(ldf["k"].tolist(), ldf["t"].to_numpy(),
+                                 rdf["k"].tolist(), rdf["t"].to_numpy(), strict)
+        exp = oracle.asof_expected(ldf, rdf, "k", "t", "t", strict=strict)
+        for g, e in zip(got.tolist(), exp):
+            if e is None:
+                assert g == -1
+            else:
+                # both pick the last eligible row; compare by (key, ts)
+                assert rdf.loc[g, "t"] == rdf.loc[e, "t"]
+                assert rdf.loc[g, "k"] == rdf.loc[e, "k"]
