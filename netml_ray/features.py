@@ -96,7 +96,41 @@ def compute_dims(
     return FeatureMeta(feat_type, dim, width, rate, False)
 
 
-def _feature_fn(meta: FeatureMeta, key: str, size_col: str):
+DEFAULT_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def _header_matrix(meta, seg, sizes, langs_col_values, langs: tuple, fft: bool):
+    """Reference header path (parser.py:820-829): n_cats categorical
+    counts + size series, padded (or FFT'd) to ``n_cats + width``."""
+    n_cats = len(langs)
+    lut = {v: i for i, v in enumerate(langs)}
+    codes = np.fromiter((lut.get(v, n_cats) for v in langs_col_values),
+                        dtype=np.int64, count=len(langs_col_values))
+    # unknown categories fall into a scratch bucket that is dropped
+    starts = kernels.segment_starts(seg)
+    ends = np.r_[starts[1:], len(seg)]
+    lens = ends - starts
+    seg_idx = np.repeat(np.arange(len(starts)), lens)
+    counts = np.zeros((len(starts), n_cats + 1), dtype=np.float64)
+    np.add.at(counts, (seg_idx, codes), 1.0)
+    counts = counts[:, :n_cats]
+    out_lens = n_cats + lens
+    offsets = np.r_[0, np.cumsum(out_lens)]
+    values = np.empty(int(offsets[-1]), dtype=np.float64)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        o = offsets[i]
+        values[o : o + n_cats] = counts[i]
+        values[o + n_cats : offsets[i + 1]] = sizes[s:e]
+    h_dim = n_cats + meta.width  # analog of h_dim = 8 + self.dim
+    hmat = kernels.pad_truncate(offsets, values, h_dim)
+    if fft:
+        hmat = kernels.fft_real(hmat, h_dim)
+    return hmat
+
+
+def _feature_fn(meta: FeatureMeta, key: str, size_col: str,
+                header: bool = False, lang_col: str = "lang",
+                langs: tuple = DEFAULT_LANGS):
     def _fn(t: pa.Table) -> pa.Table:
         codes = _key_codes(t, key)
         sess = t[SESSION].to_numpy()
@@ -128,6 +162,9 @@ def _feature_fn(meta: FeatureMeta, key: str, size_col: str):
             raise ValueError(ft)
         if meta.fft:
             mat = kernels.fft_real(mat, mat.shape[1])
+        if header:
+            hmat = _header_matrix(meta, seg, sz, t[lang_col].to_pylist(), langs, meta.fft)
+            mat = np.hstack([hmat, mat])  # h + f (parser.py:825-829)
 
         n_seg, width = mat.shape
         feat_col = pa.ListArray.from_arrays(
@@ -156,6 +193,9 @@ def session_features(
     size_col: str = "size",
     q_interval: float = 0.9,
     fft: bool = False,
+    header: bool = False,
+    lang_col: str = "lang",
+    langs: tuple = DEFAULT_LANGS,
     tiebreak: str | None = None,
     meta: FeatureMeta | None = None,
     num_partitions: int | None = None,
@@ -165,7 +205,9 @@ def session_features(
     Returns ``(features_ds, meta)`` — one row per (key, session_id)
     with a fixed-width ``features: list<double>`` column plus
     ``start_sec`` / ``end_sec`` (the session's time extent; ``end_sec``
-    is the as-of state timestamp downstream).
+    is the as-of state timestamp downstream).  ``header=True`` prepends
+    the categorical-counts + size-series header vector (reference
+    parser.py:820-829; width ``len(langs) + width``).
     """
     if feat_type not in FEAT_TYPES:
         raise ValueError(f"feat_type must be one of {FEAT_TYPES}")
@@ -176,7 +218,7 @@ def session_features(
     out = partition_map(
         sessions_ds,
         key,
-        _feature_fn(meta, key, size_col),
+        _feature_fn(meta, key, size_col, header=header, lang_col=lang_col, langs=langs),
         sort_by=sort_by,
         num_partitions=num_partitions,
     )

@@ -403,6 +403,34 @@ def samp_lists(
     return offsets, values
 
 
+def header_lists(
+    seg_codes: np.ndarray,
+    cat_codes: np.ndarray,
+    sizes: np.ndarray,
+    n_cats: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment header vector: ``n_cats`` categorical value-counts
+    followed by the per-record size series (ragged) — the recast of the
+    reference's header features (8 TCP-flag counts + per-packet TTL
+    list, parser.py:302-351); callers pad/truncate to ``n_cats + dim``
+    exactly as the reference pads to ``8 + dim`` (parser.py:822-828).
+    """
+    starts, ends = _seg_bounds(seg_codes)
+    n_seg = len(starts)
+    lens = ends - starts
+    seg_idx = np.repeat(np.arange(n_seg), lens)
+    counts = np.zeros((n_seg, n_cats), dtype=np.float64)
+    np.add.at(counts, (seg_idx, cat_codes), 1.0)
+    out_lens = n_cats + lens
+    offsets = np.r_[0, np.cumsum(out_lens)]
+    values = np.empty(int(offsets[-1]), dtype=np.float64)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        o = offsets[i]
+        values[o : o + n_cats] = counts[i]
+        values[o + n_cats : offsets[i + 1]] = sizes[s:e]
+    return offsets, values
+
+
 def pad_truncate(offsets: np.ndarray, values: np.ndarray, dim: int) -> np.ndarray:
     """Fix ragged rows to width ``dim``: cut or zero-pad (ref: parser.py:818).
 
