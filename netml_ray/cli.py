@@ -1,0 +1,159 @@
+"""CLI mirroring the reference's ``netml learn`` / ``netml classify``
+entry points (src/netml/cli.py:371-454 learn, cli.py:187-239 classify)
+on the Ray engine::
+
+    python -m netml_ray.cli learn --corpus DIR_OR_FILE [--labels CSV]
+        [--feature-type IAT] [--algorithm PCA] [--params JSON]
+        --features-out PATH.parquet --model-out PATH.pkl
+    python -m netml_ray.cli classify --corpus DIR_OR_FILE
+        --model PATH.pkl [--out PATH.parquet]
+
+Pipeline-step selection (extract / train / both) follows cli.py:248-250;
+hyperparameters come as a JSON dict validated against the algorithm's
+``__init__`` signature (cli.py:345-349, 533-553).  Artifacts: features
+as Parquet (the engine's pickle-sink recast), model as a small driver
+pickle (models are post-aggregation small, cli.py:574).
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import pickle
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def _bind_params(cls, params: dict) -> dict:
+    """Validate params against the ctor signature (cli.py:541-547)."""
+    sig = inspect.signature(cls.__init__)
+    unknown = [k for k in params if k not in sig.parameters]
+    if unknown:
+        raise SystemExit(f"unknown parameter(s) for {cls.__name__}: {unknown}")
+    return params
+
+
+def cmd_learn(args) -> int:
+    _ensure_ray()
+    from netml_ray import models
+    from netml_ray.api import CrawlCorpus
+
+    cc = CrawlCorpus(args.corpus, min_rows=args.min_rows)
+    cc.corpus2sessions(q_interval=args.q_interval)
+    if args.labels:
+        cc.label_sessions(pd.read_csv(args.labels), label_col=args.label_col)
+    cc.sessions2features(args.feature_type, fft=args.fft, header=args.header)
+
+    n, d = cc.features.shape
+    print(f"extracted features: {n} sessions x {d} dims "
+          f"(interval={cc.interval:.6g}, dim={cc.meta.dim})")
+    if args.features_out:
+        t = pa.table({
+            "url": pa.array(cc.keys, type=pa.string()),
+            "session_id": pa.array(cc.session_ids),
+            "features": pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * d),
+                pa.array(cc.features.ravel()),
+            ),
+            "label": pa.array(
+                cc.labels if cc.labels is not None else [None] * n,
+                type=pa.int64(),
+            ),
+        })
+        pq.write_table(t, args.features_out)
+        print(f"features -> {args.features_out}")
+
+    if args.action in ("train", "both"):
+        params = _bind_params(models.ALGORITHMS[args.algorithm.upper()],
+                              json.loads(args.params) if args.params else {})
+        X = cc.features
+        y = cc.labels
+        if y is not None and len(y) and y.any():
+            # fit on normal, report AUC (cli.py:501-519, 563-569 analog)
+            model = models.fit(args.algorithm, X[y == 0], **params)
+            auc = models.auc_score(y, model.decision_function(X))
+            print(f"train AUC: {auc:.4f}")
+        else:
+            model = models.fit(args.algorithm, X, **params)
+            print("trained (unlabeled; no AUC)")
+        if args.model_out:
+            with open(args.model_out, "wb") as f:
+                pickle.dump({"model": model, "algorithm": args.algorithm,
+                             "feature_type": args.feature_type,
+                             "interval": cc.interval, "dim": cc.meta.dim}, f)
+            print(f"model -> {args.model_out}")
+    return 0
+
+
+def cmd_classify(args) -> int:
+    _ensure_ray()
+    from netml_ray import models
+    from netml_ray.api import CrawlCorpus
+
+    with open(args.model, "rb") as f:
+        art = pickle.load(f)
+    cc = CrawlCorpus(args.corpus, min_rows=args.min_rows)
+    cc.corpus2sessions(q_interval=args.q_interval)
+    cc.sessions2features(art["feature_type"])
+    scores = art["model"].decision_function(cc.features)
+    out = pd.DataFrame({"url": cc.keys, "session_id": cc.session_ids, "score": scores})
+    if args.out:
+        out.to_parquet(args.out)
+        print(f"scores -> {args.out}")
+    else:
+        for _, r in out.head(20).iterrows():  # per-flow report (cli.py:204-239)
+            print(f"{r['url']}\tsession={int(r['session_id'])}\tscore={r['score']:.4f}")
+    print(f"classified {len(out)} sessions")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="netml_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    l = sub.add_parser("learn", help="extract features and/or train a model")
+    l.add_argument("--corpus", required=True)
+    l.add_argument("--labels")
+    l.add_argument("--label-col", default="label_raw")
+    l.add_argument("--feature-type", default="IAT",
+                   choices=["IAT", "SIZE", "IAT_SIZE", "STATS", "SAMP_NUM", "SAMP_SIZE"])
+    l.add_argument("--fft", action="store_true")
+    l.add_argument("--header", action="store_true")
+    l.add_argument("--algorithm", default="PCA")
+    l.add_argument("--params", help="JSON dict of model hyperparameters")
+    l.add_argument("--q-interval", type=float, default=0.9)
+    l.add_argument("--min-rows", type=int, default=2)
+    l.add_argument("--action", choices=["extract", "train", "both"], default="both")
+    l.add_argument("--features-out")
+    l.add_argument("--model-out")
+    l.set_defaults(func=cmd_learn)
+
+    c = sub.add_parser("classify", help="score a corpus with a trained model")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--model", required=True)
+    c.add_argument("--out")
+    c.add_argument("--q-interval", type=float, default=0.9)
+    c.add_argument("--min-rows", type=int, default=2)
+    c.set_defaults(func=cmd_classify)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

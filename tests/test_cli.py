@@ -1,0 +1,65 @@
+"""CLI parity (reference tests/cli_tests/test_learn.py style):
+end-to-end learn/classify runs + arg-validation errors."""
+
+import os
+import pickle
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from netml_ray.cli import main
+from netml_ray.corpus import corpus_path
+
+
+@pytest.fixture(scope="module")
+def corpus_file():
+    return corpus_path(6000, seed=7, cache_dir="/tmp/netml_ray_test_corpus")
+
+
+def test_learn_unlabeled_end_to_end(ray_session, corpus_file, tmp_path, capsys):
+    fo = str(tmp_path / "feat.parquet")
+    mo = str(tmp_path / "model.pkl")
+    rc = main(["learn", "--corpus", corpus_file, "--feature-type", "STATS",
+               "--features-out", fo, "--model-out", mo])
+    assert rc == 0
+    t = pq.read_table(fo)
+    assert t.num_rows > 20
+    assert set(t.column_names) == {"url", "session_id", "features", "label"}
+    with open(mo, "rb") as f:
+        art = pickle.load(f)
+    assert art["feature_type"] == "STATS" and hasattr(art["model"], "decision_function")
+    out = capsys.readouterr().out
+    assert "trained (unlabeled" in out
+
+
+def test_learn_labeled_then_classify(ray_session, corpus_file, tmp_path, capsys):
+    # build a label CSV over the corpus urls
+    urls = pq.read_table(corpus_file, columns=["url"])["url"].to_pylist()
+    uniq = sorted(set(urls))
+    labels = pd.DataFrame({
+        "url": uniq,
+        "label_raw": ["BENIGN" if i % 4 else "BOT" for i in range(len(uniq))],
+    })
+    lp = str(tmp_path / "labels.csv")
+    labels.to_csv(lp, index=False)
+    mo = str(tmp_path / "model.pkl")
+    rc = main(["learn", "--corpus", corpus_file, "--labels", lp,
+               "--feature-type", "STATS", "--algorithm", "PCA",
+               "--params", '{"n_components": 3}', "--model-out", mo])
+    assert rc == 0
+    assert "train AUC:" in capsys.readouterr().out
+
+    so = str(tmp_path / "scores.parquet")
+    rc = main(["classify", "--corpus", corpus_file, "--model", mo, "--out", so])
+    assert rc == 0
+    sdf = pd.read_parquet(so)
+    assert len(sdf) > 20 and {"url", "session_id", "score"} <= set(sdf.columns)
+
+
+def test_cli_arg_validation(ray_session, corpus_file):
+    with pytest.raises(SystemExit):  # missing required --corpus
+        main(["learn"])
+    with pytest.raises(SystemExit):  # bad hyperparameter name
+        main(["learn", "--corpus", corpus_file, "--feature-type", "STATS",
+              "--params", '{"nope": 1}'])
