@@ -198,6 +198,58 @@ def minhash_lsh_duplicates(
     return partition_map(pairs, "id_a", _dedup_pairs_part)
 
 
+def minhash_dedup_keep(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    jaccard_threshold: float = 0.8,
+):
+    """Full near-dup dedup: LSH candidate pairs → connected components →
+    keep each cluster's minimum id.  Returns (keep_ids_ds, clusters_df).
+
+    Components are resolved with driver-side union-find over the
+    *verified pair list* — pairs ≪ docs after Jaccard verification
+    (ray_guide dedup note); at extreme scale swap in iterated min-label
+    propagation with the same pair Dataset.
+    """
+    import ray
+
+    pairs = minhash_lsh_duplicates(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, k=k, jaccard_threshold=jaccard_threshold,
+    ).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    drop_ref = ray.put(frozenset(drop))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = np.fromiter((int(v) not in d for v in t[id_col].to_pylist()),
+                           dtype=bool, count=t.num_rows)
+        return t.filter(pa.array(mask))
+
+    clusters = pd.DataFrame(
+        {"doc_id": list(parent), "cluster": [find(x) for x in parent]}
+    ).sort_values(["cluster", "doc_id"]).reset_index(drop=True)
+    return ds.map_batches(_keep, batch_format="pyarrow"), clusters
+
+
 class SimHasher:
     """64-bit SimHash over word features (Charikar '02)."""
 

@@ -199,6 +199,7 @@ def session_features(
     tiebreak: str | None = None,
     meta: FeatureMeta | None = None,
     num_partitions: int | None = None,
+    partition_on: str = "key",
 ):
     """Compute per-session feature vectors.
 
@@ -208,6 +209,11 @@ def session_features(
     is the as-of state timestamp downstream).  ``header=True`` prepends
     the categorical-counts + size-series header vector (reference
     parser.py:820-829; width ``len(langs) + width``).
+
+    ``partition_on="session"`` hash-partitions by (key, session_id)
+    instead of key — the skew-free path: a hot key's sessions spread
+    across partitions (sessions are bounded; keys are not), at the cost
+    of per-key feature locality downstream.
     """
     if feat_type not in FEAT_TYPES:
         raise ValueError(f"feat_type must be one of {FEAT_TYPES}")
@@ -215,11 +221,26 @@ def session_features(
         meta = compute_dims(sessions_ds, feat_type, key=key, q_interval=q_interval)
         meta.fft = fft
     sort_by = [key, SESSION, TS_SEC] + ([tiebreak] if tiebreak else [])
-    out = partition_map(
-        sessions_ds,
-        key,
-        _feature_fn(meta, key, size_col, header=header, lang_col=lang_col, langs=langs),
-        sort_by=sort_by,
-        num_partitions=num_partitions,
-    )
+    fn = _feature_fn(meta, key, size_col, header=header, lang_col=lang_col, langs=langs)
+
+    if partition_on == "session":
+        import pyarrow.compute as _pc
+
+        def _combo(t: pa.Table) -> pa.Table:
+            c = _pc.binary_join_element_wise(
+                _pc.cast(t[key], pa.string()),
+                _pc.cast(t[SESSION], pa.string()), "\x1f",
+            )
+            return t.append_column("__sesskey", c)
+
+        ds2 = sessions_ds.map_batches(_combo, batch_format="pyarrow")
+
+        def _fn2(t: pa.Table) -> pa.Table:
+            return fn(t.drop_columns(["__sesskey"]))
+
+        out = partition_map(ds2, "__sesskey", _fn2, sort_by=sort_by,
+                            num_partitions=num_partitions)
+    else:
+        out = partition_map(sessions_ds, key, fn, sort_by=sort_by,
+                            num_partitions=num_partitions)
     return out, meta
