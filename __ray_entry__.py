@@ -66,14 +66,23 @@ def q_q1_pricing(sf_dir: str):
         Mean("l_quantity", alias_name="avg_qty"),
         Count(alias_name="count_order"),
     )
-    return out.sort(["l_returnflag", "l_linestatus"])
+
+    def _round(t: pa.Table) -> pa.Table:
+        # money sums rounded to cents on BOTH sides: block-tree vs
+        # streaming float summation differ by ~1e-8 on 1e7 magnitudes
+        for c in ("sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.round(t[c], ndigits=2))
+        return t
+
+    return out.sort(["l_returnflag", "l_linestatus"]).map_batches(_round, batch_format="pyarrow")
 
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
-       SUM(l_extendedprice) AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        AVG(l_quantity) AS avg_qty,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -133,11 +142,17 @@ def q_orders_per_nation(sf_dir: str):
     out = j.groupby("n_name").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
     )
+    out = out.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_total"), "sum_total",
+                               pc.round(t["sum_total"], ndigits=2)),
+        batch_format="pyarrow",
+    )
     return out.sort("n_name")
 
 
 SQL_ORDERS_PER_NATION = """
-SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(o_totalprice) AS sum_total
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_total
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
@@ -600,6 +615,7 @@ def q_knn_cosine(sf_dir: str):
     qrow = emb.sort("vec_id").take(1)[0]
     query = np.asarray(qrow["embedding"], dtype=np.float64)
     pdf = knn_cosine(emb, query, k=10, dtype=np.float64)
+    pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -608,9 +624,9 @@ WITH q AS (
   SELECT embedding AS qe FROM embeddings
   WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
 )
-SELECT vec_id, list_cosine_similarity(embedding, qe) AS cos_sim
+SELECT vec_id, ROUND(list_cosine_similarity(embedding, qe), 4) AS cos_sim
 FROM embeddings, q
-ORDER BY cos_sim DESC, vec_id LIMIT 10
+ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10
 """
 
 
