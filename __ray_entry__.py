@@ -399,6 +399,26 @@ SELECT label, list(round(av, 9) ORDER BY idx) AS centroid FROM (
 """
 
 
+def q_tumbling_window_events(sf_dir: str):
+    """Tumbling 6h event-time windows per user (map-side partial agg +
+    tiny combine; SURVEY §2.10 streaming-window recast)."""
+    from netml_ray.windows import tumbling_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    return tumbling_window_agg(ev, "user_id", "ts", "value", window_sec=21600.0)
+
+
+SQL_TUMBLING = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 21600.0) AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(value) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM events GROUP BY user_id, window_id
+"""
+
+
 def q_session_stats_events(sf_dir: str):
     """netml STATS 12-vector analog per (user, session) over `value`
     (ref: parser.py:430-469), flattened to named columns for SQL parity."""
@@ -850,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_quantile_events": q_rolling_quantile_events,
         "embedding_centroids": q_embedding_centroids,
         "session_stats_events": q_session_stats_events,
+        "tumbling_window_events": q_tumbling_window_events,
         "asof_purchase_signup": q_asof_purchase_signup,
         "label_join_events": q_label_join_events,
         "time_normed_events": q_time_normed_events,
@@ -887,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_quantile_events": SQL_ROLLING_QUANTILE,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "session_stats_events": SQL_SESSION_STATS,
+        "tumbling_window_events": SQL_TUMBLING,
         "asof_purchase_signup": SQL_ASOF,
         "label_join_events": SQL_LABEL_JOIN,
         "time_normed_events": SQL_TIME_NORMED,

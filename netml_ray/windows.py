@@ -67,6 +67,56 @@ def add_rolling(
     return partition_map(ds, key, _fn, sort_by=sort_by, num_partitions=num_partitions)
 
 
+def tumbling_window_agg(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_sec: float = 3600.0,
+    origin: float = 0.0,
+):
+    """Tumbling event-time windows per key: count/sum/min/max of
+    ``value_col`` per ``(key, floor((ts - origin)/window))``.
+
+    The streaming-window shape from SURVEY §2.10 recast as batch:
+    window ids are a pure projection, so this is map-side partial
+    aggregation (one row per key×window per batch) + a tiny groupby —
+    no sessionization shuffle, no sort (ray_guide "Aggregation at
+    scale" pattern).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from netml_ray.sessionize import ts_seconds
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sec = ts_seconds(t, ts_col)
+        win = np.floor((sec - origin) / window_sec).astype(np.int64)
+        df = pd.DataFrame({key: t[key].to_numpy(zero_copy_only=False),
+                           "window_id": win,
+                           "v": t[value_col].to_numpy().astype(np.float64)})
+        g = df.groupby([key, "window_id"], sort=False)["v"]
+        out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    out = partial.groupby([key, "window_id"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("s", alias_name="value_sum"),
+        Min("mn", alias_name="value_min"),
+        Max("mx", alias_name="value_max"),
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("n_events"), "n_events",
+                         pa.array(t["n_events"].to_numpy().astype(np.int64)))
+        return t
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
 def add_rolling_quantile(
     ds,
     key: str,
