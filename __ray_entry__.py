@@ -419,6 +419,32 @@ FROM events GROUP BY user_id, window_id
 """
 
 
+def q_hopping_window_events(sf_dir: str):
+    """Hopping windows (6h window, 2h hop) per user — each event in 3
+    overlapping windows."""
+    from netml_ray.windows import hopping_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    return hopping_window_agg(ev, "user_id", "ts", "value",
+                              window_sec=21600.0, hop_sec=7200.0)
+
+
+SQL_HOPPING = """
+SELECT user_id, window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(value) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM (
+  SELECT user_id, value,
+         unnest(generate_series(
+             CAST(floor((epoch(ts) - 21600.0) / 7200.0) AS BIGINT) + 1,
+             CAST(floor(epoch(ts) / 7200.0) AS BIGINT))) AS window_id
+  FROM events
+) GROUP BY user_id, window_id
+"""
+
+
 def q_session_stats_events(sf_dir: str):
     """netml STATS 12-vector analog per (user, session) over `value`
     (ref: parser.py:430-469), flattened to named columns for SQL parity."""
@@ -871,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "session_stats_events": q_session_stats_events,
         "tumbling_window_events": q_tumbling_window_events,
+        "hopping_window_events": q_hopping_window_events,
         "asof_purchase_signup": q_asof_purchase_signup,
         "label_join_events": q_label_join_events,
         "time_normed_events": q_time_normed_events,
@@ -909,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "session_stats_events": SQL_SESSION_STATS,
         "tumbling_window_events": SQL_TUMBLING,
+        "hopping_window_events": SQL_HOPPING,
         "asof_purchase_signup": SQL_ASOF,
         "label_join_events": SQL_LABEL_JOIN,
         "time_normed_events": SQL_TIME_NORMED,

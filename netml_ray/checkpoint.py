@@ -112,13 +112,10 @@ def checkpointed_partition_map(
 
         ds = ds.map_batches(_skip, batch_format="pyarrow")
 
-    def _run(t: pa.Table) -> pa.Table:
+    def _write_pid(t: pa.Table, pid: int) -> int:
+        """fn + atomic write + success marker for ONE complete pid."""
         t0 = time.time()
-        if t.num_rows == 0:
-            return pa.table({"partition_id": pa.array([], type=pa.int64()),
-                             "rows": pa.array([], type=pa.int64())})
-        pid = int(t[PID][0].as_py())
-        t = t.drop_columns([PID])
+        n_in = t.num_rows
         if sort_by is not None:
             t = sort_partition(t, sort_by)
         out = fn(t)
@@ -132,7 +129,7 @@ def checkpointed_partition_map(
         rec = {
             "partition_id": pid,
             "rows": out.num_rows,
-            "input_rows": len(t),
+            "input_rows": n_in,
             "checksum": _table_checksum(out),
             "wall_s": round(time.time() - t0, 4),
             "input": input_desc,
@@ -143,8 +140,22 @@ def checkpointed_partition_map(
         with open(stmp, "w") as f:
             json.dump(rec, f)
         os.replace(stmp, _success_path(out_dir, pid))
-        return pa.table({"partition_id": pa.array([pid], type=pa.int64()),
-                         "rows": pa.array([out.num_rows], type=pa.int64())})
+        return out.num_rows
+
+    def _run(t: pa.Table) -> pa.Table:
+        # one map_groups call may carry several complete pids
+        if t.num_rows == 0:
+            return pa.table({"partition_id": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        pids = t[PID].to_numpy()
+        upids = np.unique(pids)
+        out_p, out_n = [], []
+        for pid in upids:
+            sl = t.filter(pa.array(pids == pid)).drop_columns([PID])
+            out_p.append(int(pid))
+            out_n.append(_write_pid(sl, int(pid)))
+        return pa.table({"partition_id": pa.array(out_p, type=pa.int64()),
+                         "rows": pa.array(out_n, type=pa.int64())})
 
     marker = ds.groupby(PID).map_groups(_run, batch_format="pyarrow")
     marker.materialize()  # drive execution of pending partitions

@@ -117,6 +117,58 @@ def tumbling_window_agg(
     return out.map_batches(_fin, batch_format="pyarrow")
 
 
+def hopping_window_agg(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_sec: float = 21600.0,
+    hop_sec: float = 7200.0,
+    origin: float = 0.0,
+):
+    """Hopping (sliding) event-time windows per key: each row lands in
+    ``window/hop`` overlapping windows ``[wid*hop, wid*hop + window)``;
+    aggregates per ``(key, wid)``.  Row→window expansion happens inside
+    map_batches (vectorized repeat), then the same partial-agg + tiny
+    combine as the tumbling case."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from netml_ray.sessionize import ts_seconds
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sec = ts_seconds(t, ts_col) - origin
+        lo = np.floor((sec - window_sec) / hop_sec).astype(np.int64) + 1
+        hi = np.floor(sec / hop_sec).astype(np.int64)
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, dtype=np.int64)
+        wid = np.repeat(lo, reps) + offs
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False)[idx],
+            "window_id": wid,
+            "v": t[value_col].to_numpy().astype(np.float64)[idx],
+        })
+        g = df.groupby([key, "window_id"], sort=False)["v"]
+        out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    out = partial.groupby([key, "window_id"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("s", alias_name="value_sum"),
+        Min("mn", alias_name="value_min"),
+        Max("mx", alias_name="value_max"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_events"), "n_events",
+                               pa.array(t["n_events"].to_numpy().astype(np.int64))),
+        batch_format="pyarrow",
+    )
+
+
 def add_rolling_quantile(
     ds,
     key: str,
