@@ -45,7 +45,15 @@ def _bind_params(cls, params: dict) -> dict:
     return params
 
 
+def _check_corpus(path: str) -> None:
+    import os
+
+    if not os.path.exists(path):
+        raise SystemExit(f"error: corpus path does not exist: {path}")
+
+
 def cmd_learn(args) -> int:
+    _check_corpus(args.corpus)
     _ensure_ray()
     from netml_ray import models
     from netml_ray.api import CrawlCorpus
@@ -98,6 +106,7 @@ def cmd_learn(args) -> int:
 
 
 def cmd_classify(args) -> int:
+    _check_corpus(args.corpus)
     _ensure_ray()
     from netml_ray import models
     from netml_ray.api import CrawlCorpus
