@@ -32,8 +32,10 @@ BENCH_QUERIES = [
     "q1_pricing",
     "sessionize_events",
     "rolling_events",
+    "tumbling_window_events",
     "asof_purchase_signup",
     "dedup_exact_docs",
+    "minhash_pairs",
     "knn_cosine",
 ]
 
