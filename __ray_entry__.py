@@ -702,10 +702,15 @@ def q_time_normed_events(sf_dir: str):
     """M7 analog (parser.py:1074): subtract the global first timestamp."""
     ev = _read(sf_dir, "events", ["event_id", "ts"])
     tmin = ev.min("ts")  # driver-side scalar aggregate
+    # convert with the SAME tz-naive epoch arithmetic as the per-batch
+    # path (naive .timestamp() would apply the process's local TZ offset)
+    if hasattr(tmin, "timestamp"):
+        base = np.datetime64(tmin, "us").astype(np.int64) / 1e6
+    else:
+        base = float(tmin) / 1e6
 
     def _f(t: pa.Table) -> pa.Table:
         sec = pc.cast(t["ts"], pa.int64()).to_numpy() / 1e6
-        base = tmin.timestamp() if hasattr(tmin, "timestamp") else float(tmin) / 1e6
         return pa.table({"event_id": t["event_id"],
                          "t_norm": pa.array(sec - base)})
 

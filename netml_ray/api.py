@@ -44,6 +44,8 @@ class CrawlCorpus:
         self.ts_col = ts_col
         self.num_partitions = num_partitions
         self.labels = None
+        self._label_map = None
+        self._default_label = 0
         self.df = None
 
     def _narrow(self):
@@ -78,11 +80,16 @@ class CrawlCorpus:
         )
         fdf = feats_ds.to_pandas().sort_values(
             [self.key, "start_sec"], kind="stable").reset_index(drop=True)
-        if self.labels is not None:
+        if self.labels is not None and self._label_map is not None:
             lab = self._label_map
             mask = fdf[self.key].isin(lab)
             fdf = fdf[mask].reset_index(drop=True)  # inner semantics
             self.labels = fdf[self.key].map(lab).to_numpy(dtype=int)
+        elif self.labels is not None:
+            # label_sessions(label=k) without a labels_df: every feature
+            # row gets the constant label (ref label_flows(label=0)),
+            # sized per FEATURE row, not per session row
+            self.labels = np.full(len(fdf), self._default_label, dtype=int)
         self.features = np.vstack(fdf["features"].to_numpy()) if len(fdf) else np.empty((0, 0))
         self.keys = fdf[self.key].tolist()
         self.session_ids = fdf[SESSION].to_numpy()
@@ -103,8 +110,8 @@ class CrawlCorpus:
             self.labels = np.empty(0, dtype=int)  # filled on features
         else:
             self._label_map = None
-            n = self.sessions.count()
-            self.labels = np.full(n, label, dtype=int)
+            self._default_label = label
+            self.labels = np.empty(0, dtype=int)  # filled on features
         self.label_sessions.__func__.tot_time = (time.time() - t0) / 60
         return self
 

@@ -48,6 +48,26 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
     return done
 
 
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def save_manifest(out_dir: str, manifest: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def load_manifest(out_dir: str) -> dict | None:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def save_scalars(out_dir: str, scalars: dict) -> None:
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "scalars.json.tmp")
@@ -62,6 +82,69 @@ def load_scalars(out_dir: str) -> dict | None:
         with open(p) as f:
             return json.load(f)
     return None
+
+
+def validate_or_init_manifest(
+    out_dir: str,
+    key: str,
+    num_partitions: int | None,
+    params: dict | None,
+) -> tuple[int, dict[int, dict]]:
+    """Validate (or write, on first run) the checkpoint manifest.
+
+    Returns ``(num_partitions, completed_partition_records)``.  A resume
+    that passes ``num_partitions=None`` adopts the manifest's value;
+    any other mismatch (num_partitions, partition-hash environment
+    fingerprint, key, run params) raises — partitions hashed or
+    produced under different settings cannot be mixed with new ones
+    without silently dropping / duplicating keys.
+    """
+    import polars as pl
+
+    os.makedirs(out_dir, exist_ok=True)
+    env_fp = f"polars={pl.__version__}"
+    manifest = load_manifest(out_dir)
+    done_recs = completed_partitions(out_dir)
+    if manifest is not None:
+        if num_partitions is None:
+            num_partitions = manifest["num_partitions"]
+        mismatches = []
+        if num_partitions != manifest["num_partitions"]:
+            mismatches.append(
+                f"num_partitions {manifest['num_partitions']} -> {num_partitions}")
+        if env_fp != manifest["env"]:
+            mismatches.append(f"env {manifest['env']} -> {env_fp}")
+        if key != manifest["key"]:
+            mismatches.append(f"key {manifest['key']!r} -> {key!r}")
+        if (params or {}) != manifest.get("params", {}):
+            mismatches.append(
+                f"params {manifest.get('params')} -> {params or {}}")
+        if mismatches:
+            raise ValueError(
+                f"checkpoint at {out_dir} is incompatible with this run "
+                f"({'; '.join(mismatches)}); delete the directory to start "
+                f"fresh or rerun with matching parameters"
+            )
+        stale_env = [p for p, r in done_recs.items() if r.get("env") != env_fp]
+        if stale_env:
+            raise ValueError(
+                f"completed partitions {sorted(stale_env)[:5]} under {out_dir} "
+                f"were written with a different environment fingerprint than "
+                f"{env_fp}; delete the directory to start fresh"
+            )
+    else:
+        if done_recs:
+            raise ValueError(
+                f"{out_dir} has completed partitions but no manifest.json "
+                f"(pre-manifest layout or partial delete); cannot verify "
+                f"partitioning compatibility — delete the directory"
+            )
+        if num_partitions is None:
+            num_partitions = default_num_partitions()
+        save_manifest(out_dir, {"num_partitions": num_partitions,
+                                "env": env_fp, "key": key,
+                                "params": params or {}})
+    return num_partitions, done_recs
 
 
 def _table_checksum(t: pa.Table) -> int:
@@ -83,6 +166,7 @@ def checkpointed_partition_map(
     num_partitions: int | None = None,
     sort_by=None,
     input_desc: str = "",
+    params: dict | None = None,
 ):
     """partition_map with per-partition atomic checkpoints.
 
@@ -90,24 +174,32 @@ def checkpointed_partition_map(
     the input *before* the shuffle, so a resume neither recomputes nor
     re-shuffles them.  Returns the directory path; read the combined
     output with ``read_checkpointed(out_dir)``.
+
+    A ``manifest.json`` written on first run pins ``num_partitions``,
+    the partition-hash environment fingerprint, the key, and the
+    caller's ``params``.  A resume validates all of them: partitions
+    hashed under a different num_partitions / polars version, or
+    produced by different run parameters, cannot be mixed with new
+    ones, so a mismatch raises instead of silently dropping /
+    duplicating keys.  A resume that passes ``num_partitions=None``
+    adopts the manifest's value (so resuming on a different-sized
+    cluster is safe by default).
     """
     import polars as pl
     import ray
 
-    if num_partitions is None:
-        num_partitions = default_num_partitions()
-    os.makedirs(out_dir, exist_ok=True)
-    done = set(completed_partitions(out_dir))
     env_fp = f"polars={pl.__version__}"
+    num_partitions, done_recs = validate_or_init_manifest(
+        out_dir, key, num_partitions, params)
+    done = set(done_recs)
 
     ds = add_pid(ds, key, num_partitions)
     if done:
-        done_ref = ray.put(frozenset(done))
+        done_ref = ray.put(np.fromiter(sorted(done), dtype=np.int64))
 
         def _skip(t: pa.Table) -> pa.Table:
             d = ray.get(done_ref)
-            mask = np.fromiter((p not in d for p in t[PID].to_numpy()), dtype=bool,
-                               count=t.num_rows)
+            mask = ~np.isin(t[PID].to_numpy(), d)
             return t.filter(pa.array(mask))
 
         ds = ds.map_batches(_skip, batch_format="pyarrow")

@@ -35,18 +35,33 @@ def broadcast_join(
     right_cols: list[str] | None = None,
     how: str = "left",
     suffix: str = "_r",
+    on_duplicate: str = "error",
 ):
     """Map-side hash join of a Dataset against a small table.
 
     ``small`` may be a pandas DataFrame, Arrow table, or small Dataset.
     The build side is shipped once via ``ray.put`` and read per task —
     not re-serialized per batch.  ``how`` ∈ {left, inner}.
+
+    The build side must be unique on ``key``: ``on_duplicate`` ∈
+    {"error" (default — raise, naming the key), "last", "first"}
+    controls what happens when it isn't (label_join uses "last" to
+    keep the reference's last-row-wins semantics, parser.py:900-902).
     """
     import ray
 
     sdf = _to_pandas_small(small)
     if right_cols is not None:
         sdf = sdf[[key] + [c for c in right_cols if c != key]]
+    if sdf[key].duplicated().any():
+        if on_duplicate == "error":
+            dups = sdf[key][sdf[key].duplicated()].unique()[:5]
+            raise ValueError(
+                f"broadcast_join build side has duplicate values in key "
+                f"{key!r} (e.g. {list(dups)}); pass on_duplicate='last' or "
+                f"'first' to dedup"
+            )
+        sdf = sdf.drop_duplicates(subset=[key], keep=on_duplicate)
     ref = ray.put(sdf)
 
     class _Join:
@@ -64,11 +79,10 @@ def broadcast_join(
             for c in self.small.columns:
                 name = c + suffix if c in t.column_names else c
                 vals = self.small[c].to_numpy()[np.where(matched, idx, 0)]
-                arr = pa.array(vals)
-                if not matched.all():
-                    arr = pa.array(
-                        [v if m else None for v, m in zip(vals.tolist(), matched)]
-                    )
+                if matched.all():
+                    arr = pa.array(vals)
+                else:
+                    arr = pa.array(vals, mask=~matched)
                 t = t.append_column(name, arr)
             return t
 
@@ -91,19 +105,20 @@ def label_join(ds, labels_df: pd.DataFrame, key: str, label_col: str = "label_ra
 
 
 def semi_join(ds, keys_iterable, key: str, *, anti: bool = False):
-    """Semi/anti join: broadcast the key set, filter inside map_batches."""
+    """Semi/anti join: broadcast the key set, filter inside map_batches
+    with a vectorized ``pc.is_in`` membership test."""
     import ray
 
-    ref = ray.put(frozenset(keys_iterable))
+    ref = ray.put(pa.array(sorted(set(keys_iterable))))
 
     class _Semi:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = np.fromiter(
-                (v in self.keys for v in t[key].to_pylist()), dtype=bool, count=t.num_rows
-            )
-            return t.filter(pa.array(~mask if anti else mask))
+            mask = pc.is_in(t[key], value_set=self.keys)
+            if anti:
+                mask = pc.invert(mask)
+            return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(_Semi, batch_format="pyarrow", concurrency=(1, 8))

@@ -319,9 +319,29 @@ def crawl_feature_pipeline(
     narrow = extract_narrow(corpus_path, extract_concurrency, materialize=bool(out_dir))
 
     if out_dir:
-        # resumable path: per-partition checkpointed shuffle
+        # resumable path: per-partition checkpointed shuffle.  ALL run
+        # parameters are pinned: scalars.json carries the ones the fused
+        # kernel reads (recomputed if any differ), and the full set —
+        # incl. fft and the corpus path — goes into the checkpoint
+        # manifest so a rerun with different parameters cannot silently
+        # mix stale completed partitions with new ones.
+        run_params = {"feat_type": feat_type, "gap": gap,
+                      "q_interval": q_interval, "min_rows": min_rows,
+                      "fft": fft, "corpus": corpus_path}
+        from netml_ray.checkpoint import validate_or_init_manifest
+
+        # fail fast on an incompatible checkpoint — BEFORE the (two-pass)
+        # scalar computation
+        num_partitions, _ = validate_or_init_manifest(
+            out_dir, "url", num_partitions, run_params)
         scalars = load_scalars(out_dir)
-        if scalars is None or scalars.get("feat_type") != feat_type:
+        if scalars is not None and any(
+            scalars.get(k) != run_params[k]
+            for k in ("feat_type", "gap", "q_interval", "min_rows")
+        ):
+            scalars = None  # stale scalars — recompute (a partition-level
+            # mismatch is caught by checkpointed_partition_map's manifest)
+        if scalars is None:
             scalars = compute_crawl_scalars(
                 narrow, gap=gap, q_interval=q_interval, min_rows=min_rows,
                 feat_type=feat_type, num_partitions=num_partitions,
@@ -331,7 +351,7 @@ def crawl_feature_pipeline(
         checkpointed_partition_map(
             narrow, "url", fn, out_dir,
             num_partitions=num_partitions, sort_by=["url", TS_SEC],
-            input_desc=corpus_path,
+            input_desc=corpus_path, params=run_params,
         )
         return read_checkpointed(out_dir), scalars
 

@@ -68,3 +68,14 @@ def test_corpus2pandas(ray_session, corpus_file):
     assert (df["time_normed"] >= 0).all()
     assert df["time_normed"].iloc[0] == 0.0
     assert {"url", "size", "ts_sec"} <= set(df.columns)
+
+
+def test_label_sessions_default_label(ray_session, corpus_file):
+    """label_sessions(label=k) WITHOUT a labels_df (reference
+    label_flows(label=0) analog): constant label per FEATURE row."""
+    cc = CrawlCorpus(corpus_file, min_rows=2, num_partitions=8)
+    cc.corpus2sessions(q_interval=0.9)
+    cc.label_sessions(label=3)
+    cc.sessions2features("STATS")
+    assert cc.labels.shape == (cc.features.shape[0],)
+    assert (cc.labels == 3).all()

@@ -53,3 +53,25 @@ def test_events_flagship_zero_leakage(ray_session):
     assert (out.loc[matched, "end_sec"] < out.loc[matched, TS_SEC]).all()
     # attached state session precedes the event's own session
     assert (out.loc[matched, "session_id_state"] < out.loc[matched, "session_id"]).all()
+
+
+def test_broadcast_join_duplicate_build_keys(ray_session):
+    """Duplicate build-side keys: clear error by default; explicit
+    keep-last/first dedup on request (ADVICE r1)."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from netml_ray.joins import broadcast_join
+
+    ds = rd.from_items([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    build = pd.DataFrame({"k": ["a", "a", "c"], "val": [10, 20, 30]})
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(ds, build, "k")
+    out = broadcast_join(ds, build, "k", on_duplicate="last").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out.loc[0, "val"] == 20  # last wins
+    assert pd.isna(out.loc[1, "val"])  # left join keeps unmatched
+    out2 = broadcast_join(ds, build, "k", how="inner",
+                          on_duplicate="first").to_pandas()
+    assert len(out2) == 1 and out2.loc[0, "val"] == 10

@@ -188,3 +188,46 @@ def test_resumable_crawl_pipeline(corpus_file, ray_session, tmp_path):
     a = df1.sort_values(key).reset_index(drop=True)
     b = df2.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_checkpoint_manifest_guard(corpus_file, ray_session, tmp_path):
+    """Resume under a different partitioning / params must fail loudly
+    (not silently mix incompatible hash partitionings)."""
+    import ray.data as rd
+
+    out_dir = str(tmp_path / "mguard")
+    ds = rd.read_parquet(corpus_file, columns=["url", "warc_ts"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["url"]})
+
+    checkpointed_partition_map(ds, "url", _fn, out_dir, num_partitions=4,
+                               params={"x": 1})
+    # same settings → fine; num_partitions=None adopts the manifest value
+    checkpointed_partition_map(ds, "url", _fn, out_dir, num_partitions=None,
+                               params={"x": 1})
+    with pytest.raises(ValueError, match="num_partitions"):
+        checkpointed_partition_map(ds, "url", _fn, out_dir, num_partitions=8,
+                                   params={"x": 1})
+    with pytest.raises(ValueError, match="params"):
+        checkpointed_partition_map(ds, "url", _fn, out_dir, num_partitions=4,
+                                   params={"x": 2})
+    # pre-manifest layout (partitions but no manifest) is rejected
+    os.remove(os.path.join(out_dir, "manifest.json"))
+    with pytest.raises(ValueError, match="manifest"):
+        checkpointed_partition_map(ds, "url", _fn, out_dir, num_partitions=4,
+                                   params={"x": 1})
+
+
+def test_resumable_pipeline_param_change_refused(corpus_file, ray_session, tmp_path):
+    """Changed fft / feat_type etc. must not silently reuse stale
+    completed partitions (ADVICE r1)."""
+    out_dir = str(tmp_path / "pguard")
+    crawl_feature_pipeline(corpus_file, feat_type="STATS",
+                           num_partitions=4, out_dir=out_dir)
+    with pytest.raises(ValueError, match="incompatible"):
+        crawl_feature_pipeline(corpus_file, feat_type="STATS", fft=True,
+                               num_partitions=4, out_dir=out_dir)
+    with pytest.raises(ValueError, match="incompatible"):
+        crawl_feature_pipeline(corpus_file, feat_type="IAT",
+                               num_partitions=4, out_dir=out_dir)
