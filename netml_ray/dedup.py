@@ -1,16 +1,20 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All run as Ray Data stages:
+All run as Ray Data stages, and all shuffle NARROW: document payloads
+never enter an all-to-all exchange —
 
-- exact: content hash in ``map_batches`` → ``groupby(hash)`` →
-  keep the min-id row per group (deterministic winner)
-- MinHash + LSH near-dup: shingle → minhash signature per doc (vectorized
-  numpy) → explode to (band, band_hash) rows → groupby band buckets →
-  candidate pairs → Jaccard verify → min-label union (connected
-  components via iterated label propagation) → keep cluster minimum
-- SimHash: 64-bit signature, duplicates = identical signature buckets
-- n-gram Jaccard: exact verify kernel used by the LSH path, also
-  exposed standalone for small candidate sets
+- exact: content hash in ``map_batches`` → one shuffle of
+  ``(hash, id)`` → vectorized sorted-run min-id per partition →
+  anti-filter the original rows against the (small) loser-id set
+- MinHash + LSH near-dup: shingle → minhash signature per doc
+  (vectorized numpy, stateful actor) → explode ``(id, band,
+  band_hash, signature)`` rows (fixed bytes/doc, independent of text
+  size) → band-bucket shuffle → per-bucket pairwise signature
+  agreement in ONE numpy broadcast compare → optional exact-Jaccard
+  re-verify shipping text for candidate ids only
+- SimHash: 64-bit signature; one ``(id, simhash)`` shuffle +
+  sorted-run reduction finds hamming-0 buckets
+- n-gram Jaccard: exact verify kernel, exposed standalone
 - embedding cosine near-dup: cosine-similarity buckets over an
   embedding column (see ``similarity.py`` for the ANN machinery)
 
@@ -44,15 +48,69 @@ def add_text_hash(ds, text_col: str = "text", out: str = "text_hash"):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact dedup: hash-partition by content hash, keep min-id per
-    group.  One shuffle of (hash, id, payload) rows."""
-    ds = add_text_hash(ds, text_col)
+def _run_starts(*cols: np.ndarray) -> np.ndarray:
+    """Boolean first-of-run mask for sorted parallel key arrays."""
+    n = len(cols[0])
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    change = np.zeros(n - 1, dtype=bool)
+    for c in cols:
+        change |= c[1:] != c[:-1]
+    return np.r_[True, change]
 
-    def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
 
-    return ds.groupby("text_hash").map_groups(_keep_first, batch_format="pandas")
+def dedup_exact(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Exact dedup, scale-safe: keep the min-id row per content hash.
+
+    Only ``(text_hash, id)`` travels through the shuffle — the payload
+    never moves.  Per partition, losers (every non-min id of a hash)
+    fall out of one vectorized sorted-run reduction; the original rows
+    are then anti-filtered against the loser ids — broadcast
+    (``ray.put`` + ``pc.is_in``) when the loser set is small, else a
+    co-partitioned anti join keyed by id (one payload shuffle, no
+    driver materialization).  Returns the surviving rows with a
+    ``text_hash`` column appended.
+    """
+    import ray
+
+    from netml_ray.partition import partition_map, partition_map2
+
+    hashed = add_text_hash(ds, text_col)
+    narrow = hashed.select_columns([id_col, "text_hash"])
+
+    def _losers(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("text_hash", "ascending"), (id_col, "ascending")])
+        first = _run_starts(t["text_hash"].to_numpy())
+        return t.filter(pa.array(~first)).select([id_col])
+
+    losers = partition_map(narrow, "text_hash", _losers,
+                           num_partitions=num_partitions).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return hashed
+    if n_losers <= broadcast_threshold:
+        drop_ref = ray.put(losers.to_pandas()[id_col].to_numpy())
+
+        def _anti(t: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            return t.filter(pa.array(~np.isin(t[id_col].to_numpy(), drop)))
+
+        return hashed.map_batches(_anti, batch_format="pyarrow")
+
+    def _anti_part(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        return lt.filter(
+            pa.array(~np.isin(lt[id_col].to_numpy(), rt[id_col].to_numpy()))
+        )
+
+    return partition_map2(hashed, losers, id_col, _anti_part,
+                          num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -114,20 +172,37 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     k: int = 3,
     jaccard_threshold: float = 0.8,
-    keep_text: bool = True,
+    verify: str = "signature",
+    max_bucket: int = 1024,
+    num_partitions: int | None = None,
 ):
-    """MinHash-LSH near-duplicate pairs.
+    """MinHash-LSH near-duplicate pairs, scale-safe.
 
-    Returns a Dataset of verified candidate pairs
-    ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard ≥ threshold.
-    Pipeline: minhash (actor pool) → explode band rows → groupby
-    (band, band_hash) → pairwise verify inside the (small) buckets.
+    Returns a Dataset of pairs ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b`` and jaccard ≥ threshold.  The shuffle carries ONLY
+    ``(id, band, band_hash, signature)`` — the text column never leaves
+    the signature stage, so shuffle bytes are a fixed
+    ``bands × (16 + 8·num_perm)`` per doc regardless of document size.
+
+    Verification (``verify``):
+
+    - ``"signature"`` (default): jaccard is the unbiased MinHash
+      estimate ``mean(sig_a == sig_b)``, computed as one vectorized
+      m×m×num_perm comparison per bucket — no per-pair Python, no
+      re-tokenization (Broder '97).
+    - ``"text"``: signature-estimated candidates are re-verified with
+      exact n-gram Jaccard in a second pass that ships text for the
+      candidate ids ONLY (candidates ≪ docs after banding).
+
+    Hot buckets (low-entropy shingles) are capped at ``max_bucket``
+    members — the cap is reported via a ``_capped`` marker row count in
+    worker logs, not silently dropped.
     """
     rows_per_band = num_perm // bands
     sig_ds = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "k": k, "text_col": text_col},
         batch_format="pyarrow", concurrency=(1, 8), batch_size=1024,
-    )
+    ).select_columns([id_col, "minhash"])
 
     def _explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -140,62 +215,132 @@ def minhash_lsh_duplicates(
             for c in range(rows_per_band):
                 h = h * np.uint64(1099511628211) + seg[:, c]
             band_hash[:, bi] = h.astype(np.int64)
-        ids = np.repeat(t[id_col].to_numpy(), bands)
-        texts = np.repeat(np.asarray(t[text_col].to_pylist(), dtype=object), bands)
-        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
         return pa.table(
             {
-                id_col: pa.array(ids),
-                text_col: pa.array(texts.tolist(), type=pa.string()),
-                "band": pa.array(band_ids),
+                id_col: pc.take(t[id_col], pa.array(rep)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
                 "band_hash": pa.array(band_hash.ravel()),
+                "minhash": pc.take(t["minhash"].combine_chunks(), pa.array(rep)),
             }
         )
 
     exploded = sig_ds.map_batches(_explode, batch_format="pyarrow")
 
-    # one hash partition holds MANY (band, band_hash) buckets — pair
-    # generation loops over buckets inside a single vectorized fn
-    # instead of per-bucket map_groups dispatch (thousands of tiny
-    # Python group calls otherwise dominate)
+    # one hash partition holds MANY (band, band_hash) buckets — per
+    # bucket, ALL pairwise signature agreements come from one numpy
+    # broadcast compare (no per-pair Python, no text)
     def _bucket_pairs_part(t: pa.Table) -> pa.Table:
         t = t.sort_by([("band", "ascending"), ("band_hash", "ascending"),
                        (id_col, "ascending")])
-        bands = t["band"].to_numpy()
+        bnd = t["band"].to_numpy()
         hashes = t["band_hash"].to_numpy()
         ids = t[id_col].to_numpy()
-        texts = np.asarray(t[text_col].to_pylist(), dtype=object)
-        change = np.r_[True, (bands[1:] != bands[:-1]) | (hashes[1:] != hashes[:-1])]
-        starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], len(bands)]
+        sigs = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(
+            t.num_rows, num_perm)
+        starts = np.flatnonzero(_run_starts(bnd, hashes))
+        ends = np.r_[starts[1:], len(bnd)]
         out_a, out_b, out_j = [], [], []
+        n_capped = 0
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            m = e - s
+            if m < 2:
                 continue
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    if ids[i] == ids[j]:
-                        continue
-                    jac = jaccard_ngrams(texts[i], texts[j], k)
-                    if jac >= jaccard_threshold:
-                        out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
-        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                         "id_b": pa.array(out_b, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+            if m > max_bucket:
+                n_capped += 1
+                e = s + max_bucket
+                m = max_bucket
+            bsig = sigs[s:e]
+            iu, ju = np.triu_indices(m, 1)
+            est = (bsig[iu] == bsig[ju]).mean(axis=1)
+            hit = est >= jaccard_threshold
+            if hit.any():
+                out_a.append(ids[s:e][iu[hit]])
+                out_b.append(ids[s:e][ju[hit]])
+                out_j.append(est[hit])
+        if n_capped:
+            print(f"minhash_lsh: capped {n_capped} hot buckets at "
+                  f"{max_bucket} members (raise max_bucket or bands)")
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                         "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                         "jaccard": pa.array(np.concatenate(out_j))})
 
     from netml_ray.partition import partition_map
 
-    pairs = partition_map(exploded, "band_hash", _bucket_pairs_part)
+    pairs = partition_map(exploded, "band_hash", _bucket_pairs_part,
+                          num_partitions=num_partitions)
 
     # dedup pairs found in multiple bands (same vectorized pattern)
     def _dedup_pairs_part(t: pa.Table) -> pa.Table:
         t = t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
-        a = t["id_a"].to_numpy()
-        b = t["id_b"].to_numpy()
-        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        first = _run_starts(t["id_a"].to_numpy(), t["id_b"].to_numpy())
         return t.filter(pa.array(first))
 
-    return partition_map(pairs, "id_a", _dedup_pairs_part)
+    pairs = partition_map(pairs, "id_a", _dedup_pairs_part,
+                          num_partitions=num_partitions)
+    if verify == "text":
+        pairs = verify_pairs_text(pairs, ds, text_col=text_col, id_col=id_col,
+                                  k=k, jaccard_threshold=jaccard_threshold)
+    return pairs
+
+
+def verify_pairs_text(pairs, ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      jaccard_threshold: float = 0.8):
+    """Re-verify candidate pairs with exact n-gram Jaccard, shipping
+    text for the CANDIDATE ids only (candidates ≪ docs after banding).
+
+    The candidate texts are broadcast once via ``ray.put`` and each
+    pair batch computes shingle sets per unique id once (not per
+    pair).  For candidate sets too large to broadcast, re-bucket the
+    input instead (more bands / higher threshold) — a candidate list
+    that large means the LSH parameters are wrong for the corpus.
+    """
+    import ray
+
+    pairs = pairs.materialize()
+    pdf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    cand_ids = np.unique(np.r_[pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()])
+    id_ref = ray.put(cand_ids)
+
+    def _filter_cand(t: pa.Table) -> pa.Table:
+        keep = np.isin(t[id_col].to_numpy(), ray.get(id_ref))
+        return t.filter(pa.array(keep)).select([id_col, text_col])
+
+    cand_docs = ds.map_batches(_filter_cand, batch_format="pyarrow").to_pandas()
+    text_ref = ray.put(dict(zip(cand_docs[id_col], cand_docs[text_col])))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        shingles: dict[int, frozenset] = {}
+
+        def _sh(i: int) -> frozenset:
+            s = shingles.get(i)
+            if s is None:
+                toks = texts[i].split()
+                if len(toks) < k:
+                    s = frozenset([tuple(toks)])
+                else:
+                    s = frozenset(zip(*[toks[j:] for j in range(k)]))
+                shingles[i] = s
+            return s
+
+        jac = np.fromiter(
+            (len(_sh(int(x)) & _sh(int(y))) / max(1, len(_sh(int(x)) | _sh(int(y))))
+             for x, y in zip(a, b)),
+            dtype=np.float64, count=len(a),
+        )
+        keep = jac >= jaccard_threshold
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep]),
+                         "jaccard": pa.array(jac[keep])})
+
+    return pairs.map_batches(_verify, batch_format="pyarrow")
 
 
 def minhash_dedup_keep(
@@ -235,14 +380,12 @@ def minhash_dedup_keep(
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
-    drop_ref = ray.put(frozenset(drop))
+    drop = np.fromiter((x for x in parent if find(x) != x), dtype=np.int64)
+    drop_ref = ray.put(drop)
 
     def _keep(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        mask = np.fromiter((int(v) not in d for v in t[id_col].to_pylist()),
-                           dtype=bool, count=t.num_rows)
-        return t.filter(pa.array(mask))
+        return t.filter(pa.array(~np.isin(t[id_col].to_numpy(), d)))
 
     clusters = pd.DataFrame(
         {"doc_id": list(parent), "cluster": [find(x) for x in parent]}
@@ -281,14 +424,27 @@ class SimHasher:
         return t.append_column("simhash", pa.array(sigs))
 
 
-def simhash_duplicates(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """Docs sharing an identical 64-bit simhash (hamming-0 buckets)."""
+def simhash_duplicates(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                       num_partitions: int | None = None):
+    """Docs sharing an identical 64-bit simhash (hamming-0 buckets).
+
+    Scale-safe: only ``(id, simhash)`` is shuffled (hash-partitioned by
+    simhash), and duplicate runs fall out of one vectorized sorted-run
+    reduction per partition — no per-bucket Python dispatch, no text
+    movement.
+    """
+    from netml_ray.partition import partition_map
+
     sig = ds.map_batches(SimHasher, fn_constructor_kwargs={"text_col": text_col},
-                         batch_format="pyarrow", concurrency=(1, 8))
+                         batch_format="pyarrow", concurrency=(1, 8),
+                         ).select_columns([id_col, "simhash"])
 
-    def _groups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.head(0)[[id_col, "simhash"]]
-        return g.sort_values(id_col)[[id_col, "simhash"]]
+    def _dups(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("simhash", "ascending"), (id_col, "ascending")])
+        s = t["simhash"].to_numpy()
+        first = _run_starts(s)
+        run_id = np.cumsum(first) - 1
+        counts = np.bincount(run_id, minlength=run_id[-1] + 1 if len(run_id) else 0)
+        return t.filter(pa.array(counts[run_id] >= 2))
 
-    return sig.groupby("simhash").map_groups(_groups, batch_format="pandas")
+    return partition_map(sig, "simhash", _dups, num_partitions=num_partitions)

@@ -84,3 +84,87 @@ def test_minhash_jaccard_estimate():
     assert abs(est - true) < 0.2
     # identical text → identical signature
     assert (mh.signature(a) == mh.signature(a)).all()
+
+
+def _planted_docs():
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas().head(150)
+    pert = docs.head(40).copy()
+    pert["doc_id"] += 1_000_000
+    pert["text"] += " extra"
+    return pd.concat([docs, pert], ignore_index=True)
+
+
+def test_minhash_pairs_signature_vs_text_verify(ray_session):
+    """The scale-safe signature estimate and the exact text re-verify
+    agree on the planted near-dups; shuffle carries no text column."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import minhash_lsh_duplicates
+
+    alld = _planted_docs()
+    ds = rd.from_pandas(alld)
+    sig_pairs = minhash_lsh_duplicates(ds, jaccard_threshold=0.5).to_pandas()
+    txt_pairs = minhash_lsh_duplicates(ds, jaccard_threshold=0.5,
+                                       verify="text").to_pandas()
+    planted = {(int(i), int(i) + 1_000_000) for i in alld["doc_id"].head(40)}
+    sig_found = set(zip(sig_pairs["id_a"], sig_pairs["id_b"]))
+    txt_found = set(zip(txt_pairs["id_a"], txt_pairs["id_b"]))
+    assert planted <= sig_found
+    assert planted <= txt_found
+    # text verify yields exact n-gram jaccard, always >= threshold
+    assert (txt_pairs["jaccard"] >= 0.5).all()
+    # estimates are unbiased: planted pairs (true J ~ 0.97) estimate high
+    m = sig_pairs.set_index(["id_a", "id_b"])["jaccard"]
+    assert all(m.get(p, 0) > 0.7 for p in planted)
+
+
+def test_dedup_exact_distributed_anti_join_path(ray_session):
+    """broadcast_threshold=0 forces the co-partitioned anti join; result
+    must equal the broadcast path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import dedup_exact
+
+    docs = _planted_docs()
+    dup = docs.head(30).copy()
+    dup["doc_id"] += 5_000_000  # exact copies
+    alld = pd.concat([docs, dup], ignore_index=True)
+    ds = rd.from_pandas(alld)
+    a = sorted(dedup_exact(ds, "text", "doc_id").to_pandas()["doc_id"])
+    ds2 = rd.from_pandas(alld)
+    b = sorted(dedup_exact(ds2, "text", "doc_id",
+                           broadcast_threshold=0).to_pandas()["doc_id"])
+    assert a == b
+    assert set(dup["doc_id"]).isdisjoint(a)  # exact copies dropped
+    # duckdb ground truth: min doc_id per text
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT MIN(doc_id) FROM alld GROUP BY text ORDER BY 1"
+    ).fetchnumpy()["min(doc_id)"]
+    assert a == sorted(exp.tolist())
+
+
+def test_simhash_duplicates_planted(ray_session):
+    """Exact copies share a simhash and appear in the dup buckets."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import simhash_duplicates
+
+    docs = _planted_docs().head(150)
+    dup = docs.head(25).copy()
+    dup["doc_id"] += 7_000_000
+    alld = pd.concat([docs, dup], ignore_index=True)
+    out = simhash_duplicates(rd.from_pandas(alld)).to_pandas()
+    got = set(out["doc_id"])
+    for i in docs["doc_id"].head(25):
+        assert int(i) in got and int(i) + 7_000_000 in got
+    # every returned simhash value appears at least twice
+    assert (out["simhash"].value_counts() >= 2).all()
