@@ -27,6 +27,7 @@ passes; they move only per-session aggregates, not rows.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -175,6 +176,36 @@ def compute_crawl_scalars(
             "feat_type": feat_type, "width": FEAT_WIDTH[feat_type](dim)}
 
 
+def _feature_matrix(meta: FeatureMeta, seg: np.ndarray, tsf2: np.ndarray,
+                    sz2: np.ndarray, fft: bool) -> np.ndarray:
+    """Per-session feature matrix over final-session segment codes
+    (same kernels as session_features; shared by the cold fused pass
+    and the hot-key session pass)."""
+    ft = meta.feat_type
+    if ft == "IAT":
+        offsets, values = kernels.iat_lists(seg, tsf2)
+        mat = kernels.pad_truncate(offsets, values, meta.width)
+    elif ft == "SIZE":
+        offsets, values = kernels.size_lists(seg, sz2)
+        mat = kernels.pad_truncate(offsets, values, meta.width)
+    elif ft == "IAT_SIZE":
+        offsets, values = kernels.iat_size_lists(seg, tsf2, sz2)
+        mat = kernels.pad_truncate(offsets, values, meta.width)
+    elif ft == "STATS":
+        mat = kernels.stats_matrix(seg, tsf2, sz2)
+    elif ft == "SAMP_NUM":
+        offsets, values = kernels.samp_lists(seg, tsf2, None, meta.rate)
+        mat = kernels.pad_truncate(offsets, values, meta.width)
+    elif ft == "SAMP_SIZE":
+        offsets, values = kernels.samp_lists(seg, tsf2, sz2, meta.rate)
+        mat = kernels.pad_truncate(offsets, values, meta.width)
+    else:  # pragma: no cover
+        raise ValueError(ft)
+    if fft:
+        mat = kernels.fft_real(mat, mat.shape[1])
+    return mat
+
+
 def _fused_fn(key: str, scalars: dict, fft: bool = False):
     """Phase-2 kernel: sessionize → features → as-of attach, all local
     to one key-complete sorted partition."""
@@ -209,28 +240,7 @@ def _fused_fn(key: str, scalars: dict, fft: bool = False):
             })
 
         # feature matrix per session (same kernels as session_features)
-        ft = meta.feat_type
-        if ft == "IAT":
-            offsets, values = kernels.iat_lists(seg, tsf2)
-            mat = kernels.pad_truncate(offsets, values, meta.width)
-        elif ft == "SIZE":
-            offsets, values = kernels.size_lists(seg, sz2)
-            mat = kernels.pad_truncate(offsets, values, meta.width)
-        elif ft == "IAT_SIZE":
-            offsets, values = kernels.iat_size_lists(seg, tsf2, sz2)
-            mat = kernels.pad_truncate(offsets, values, meta.width)
-        elif ft == "STATS":
-            mat = kernels.stats_matrix(seg, tsf2, sz2)
-        elif ft == "SAMP_NUM":
-            offsets, values = kernels.samp_lists(seg, tsf2, None, meta.rate)
-            mat = kernels.pad_truncate(offsets, values, meta.width)
-        elif ft == "SAMP_SIZE":
-            offsets, values = kernels.samp_lists(seg, tsf2, sz2, meta.rate)
-            mat = kernels.pad_truncate(offsets, values, meta.width)
-        else:  # pragma: no cover
-            raise ValueError(ft)
-        if fft:
-            mat = kernels.fft_real(mat, mat.shape[1])
+        mat = _feature_matrix(meta, seg, tsf2, sz2, fft)
 
         # backward as-of: latest session (by end time) with end_sec <= ts,
         # per key — vectorized searchsorted over each key's session run
@@ -290,6 +300,231 @@ def _fused_fn(key: str, scalars: dict, fft: bool = False):
     return _fn
 
 
+G3KEY = "__g3key"
+
+
+def _crawl_hot_cold(
+    narrow,
+    hot: set,
+    *,
+    gap: float,
+    q_interval: float,
+    min_rows: int,
+    feat_type: str,
+    fft: bool,
+    num_partitions: int | None,
+    chunk: float,
+):
+    """Flagship with explicit hot-key (skew) handling.
+
+    Cold keys run the ordinary single-shuffle fused plan.  Hot keys —
+    whose full run cannot live in one hash partition at 10^12-row
+    scale — take a salted plan that never co-locates a whole key:
+
+      1. shuffle by (key, time-chunk); local G3 gap cut per chunk
+      2. tiny per-chunk session summaries → vectorized boundary merge
+         (exact G3 incl. netml discards) on the driver
+      3. shuffle surviving rows by (key, G3-session) — far finer grain
+         than key — G4 interval split + per-session features run with
+         the SAME kernels as the fused path, one task per group of
+         complete G3 sessions
+      4. per-key session state (end, ordinal, feature vector; sessions
+         ≪ rows) broadcast once; the as-of attach streams over the hot
+         rows with zero further shuffles
+
+    The irreducible caveat: one G3 session is the reference's
+    sequential G4 unit, so a single *session* too large for one task
+    would need a state-relay over time chunks — G3 sessions are
+    gap-bounded, making that pathology far rarer than a hot key.
+
+    Global scalars (interval / dim / rate quantiles) are computed over
+    the union of cold and hot per-session aggregates, so results are
+    bit-equal to the unsalted plan (pinned by tests).
+    """
+    import ray
+    import ray.data as rd
+
+    from netml_ray.partition import aligned_map, partition_sorted
+    from netml_ray.salted import (
+        LSID,
+        SALT,
+        global_session_summary,
+        merge_chunk_summaries,
+        salt_and_cut,
+        split_hot,
+    )
+
+    key = "url"
+    cold, hotds = split_hot(narrow, key, hot)
+    parts, pid_counts = partition_sorted(cold, key, sort_by=[key, TS_SEC],
+                                         num_partitions=num_partitions)
+    salted, chunk_summ = salt_and_cut(hotds, key, gap=gap, chunk=chunk,
+                                      num_partitions=num_partitions)
+    summ = merge_chunk_summaries(chunk_summ, key, gap=gap, min_rows=min_rows,
+                                 netml=True)
+    gsum = global_session_summary(summ, key)
+
+    # interval = q-quantile over ALL kept G3 session durations
+    cold_dur = aligned_map(parts, _g3_durations_fn(key, gap, min_rows), pid_counts)
+    kept = gsum[gsum["_keep"]]
+    hot_dur = (kept["last_ts"] - kept["first_ts"]).to_numpy().astype(np.float64)
+    dur_ds = cold_dur.union(rd.from_arrow(pa.table({"duration": pa.array(hot_dur)})))
+    interval = exact_quantiles(dur_ds, "duration", [q_interval])[0]
+
+    # assign global G3 ids to hot rows (broadcast tiny chunk mapping)
+    mapping = summ[[key, SALT, LSID, "_gsid", "_keep"]]
+    map_ref = ray.put(mapping)
+
+    class _AssignG3:
+        def __init__(self):
+            self.map = ray.get(map_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pa.table({key: t[key], SALT: t[SALT], LSID: t[LSID]}).to_pandas()
+            m = df.merge(self.map, on=[key, SALT, LSID], how="left")
+            gs = m["_gsid"].fillna(-1).to_numpy().astype(np.int64)
+            g3k = (df[key].astype(str) + "\x1f" + pd.Series(gs).astype(str)).to_numpy()
+            t = t.append_column(G3KEY, pa.array(g3k, type=pa.string()))
+            keep = m["_keep"].fillna(False).to_numpy().astype(bool)
+            return t.filter(pa.array(keep))
+
+    hot_sess = salted.map_batches(_AssignG3, batch_format="pyarrow",
+                                  concurrency=(1, 8)).materialize()
+
+    from netml_ray.partition import partition_map
+
+    def _hot_stats(t: pa.Table) -> pa.Table:
+        seg = _key_codes(t, G3KEY)
+        tsf = t[TS_SEC].to_numpy()
+        keep2, sub = kernels.interval_split(seg, tsf, interval, min_rows=min_rows)
+        fseg = kernels.encode_keys(seg, sub)[keep2]
+        tsf2 = tsf[keep2]
+        starts = kernels.segment_starts(fseg)
+        ends = np.r_[starts[1:], len(fseg)]
+        return pa.table({
+            "n": pa.array((ends - starts).astype(np.float64)),
+            "duration": pa.array(tsf2[ends - 1] - tsf2[starts] if len(starts) else np.empty(0)),
+        })
+
+    hot_stats = partition_map(hot_sess, G3KEY, _hot_stats,
+                              sort_by=[G3KEY, TS_SEC],
+                              num_partitions=num_partitions)
+    cold_stats = aligned_map(
+        parts, _session_scalar_stats_fn(key, gap, min_rows, interval), pid_counts)
+    stats_ds = cold_stats.union(hot_stats)
+    need_rate = feat_type in ("SAMP_NUM", "SAMP_SIZE")
+    specs = {"n": [q_interval]}
+    if need_rate:
+        specs["duration"] = [0.3]
+    from netml_ray.sessionize import exact_quantiles_multi
+
+    qres = exact_quantiles_multi(stats_ds, specs)
+    dim = int(np.floor(qres["n"][0]))
+    rate = qres["duration"][0] if need_rate else 0.0
+    scalars = {"interval": interval, "dim": dim, "rate": rate,
+               "gap": gap, "q_interval": q_interval, "min_rows": min_rows,
+               "feat_type": feat_type, "width": FEAT_WIDTH[feat_type](dim)}
+    width = scalars["width"]
+    meta = FeatureMeta(feat_type, dim, width, rate, fft)
+
+    # hot per-session state: features keyed by (key, G3 session)
+    def _hot_feats(t: pa.Table) -> pa.Table:
+        seg = _key_codes(t, G3KEY)
+        tsf = t[TS_SEC].to_numpy()
+        sz = t["size"].to_numpy().astype(np.float64)
+        keep2, sub = kernels.interval_split(seg, tsf, interval, min_rows=min_rows)
+        fseg = kernels.encode_keys(seg, sub)[keep2]
+        tsf2 = tsf[keep2]
+        sz2 = sz[keep2]
+        starts = kernels.segment_starts(fseg)
+        ends = np.r_[starts[1:], len(fseg)]
+        if len(starts) == 0:
+            return pa.table({
+                key: pa.array([], type=pa.string()),
+                "start_sec": pa.array([], type=pa.float64()),
+                "end_sec": pa.array([], type=pa.float64()),
+                "features": pa.array([], type=pa.list_(pa.float64())),
+            })
+        mat = _feature_matrix(meta, fseg, tsf2, sz2, fft)
+        t2 = t.filter(pa.array(keep2))
+        feats = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(starts) + 1, dtype=np.int64) * width),
+            pa.array(mat.ravel()),
+        )
+        return pa.table({
+            key: pc.take(t2[key], pa.array(starts)),
+            "start_sec": pa.array(tsf2[starts]),
+            "end_sec": pa.array(tsf2[ends - 1]),
+            "features": feats,
+        })
+
+    hot_state = partition_map(hot_sess, G3KEY, _hot_feats,
+                              sort_by=[G3KEY, TS_SEC],
+                              num_partitions=num_partitions).to_pandas()
+    hot_state = hot_state.sort_values([key, "start_sec"],
+                                      kind="stable").reset_index(drop=True)
+    hot_state["ord"] = hot_state.groupby(key).cumcount()
+    states = {}
+    for u, g in hot_state.groupby(key, sort=False):
+        states[u] = (
+            g["end_sec"].to_numpy().astype(np.float64),
+            g["ord"].to_numpy().astype(np.int64),
+            np.vstack(g["features"].to_numpy()) if len(g) else np.empty((0, width)),
+        )
+    state_ref = ray.put(states)
+
+    class _Attach:
+        """Backward as-of over hot rows: per-key session state was
+        broadcast (sessions ≪ rows), so this streams with no shuffle."""
+
+        def __init__(self):
+            self.states = ray.get(state_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            tsf = t[TS_SEC].to_numpy()
+            state_ts = np.full(n, np.nan)
+            sess_id = np.zeros(n, dtype=np.int64)
+            nomatch = np.ones(n, dtype=bool)
+            feat = np.zeros((n, width))
+            enc = pc.dictionary_encode(t[key].combine_chunks())
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy()
+            for ci, u in enumerate(enc.dictionary.to_pylist()):
+                st = self.states.get(u)
+                if st is None:
+                    continue
+                ii = np.flatnonzero(codes == ci)
+                ends, ords, mat = st
+                pos = np.searchsorted(ends, tsf[ii], side="right") - 1
+                ok = pos >= 0
+                io = ii[ok]
+                po = pos[ok]
+                nomatch[io] = False
+                state_ts[io] = ends[po]
+                sess_id[io] = ords[po]
+                feat[io] = mat[po]
+            feat_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * width),
+                pa.array(feat.ravel()),
+            )
+            if nomatch.any():
+                feat_col = pc.take(feat_col, pa.array(np.arange(n), mask=nomatch))
+            return pa.table({
+                "url": t[key],
+                "warc_ts": t["warc_ts"],
+                "state_ts": pa.array(state_ts, mask=nomatch),
+                "session_id": pa.array(sess_id, mask=nomatch),
+                "features": feat_col,
+            })
+
+    hot_joined = salted.map_batches(_Attach, batch_format="pyarrow",
+                                    concurrency=(1, 8))
+    cold_joined = aligned_map(parts, _fused_fn(key, scalars, fft), pid_counts)
+    return cold_joined.union(hot_joined), scalars
+
+
 def crawl_feature_pipeline(
     corpus_path: str,
     *,
@@ -301,12 +536,19 @@ def crawl_feature_pipeline(
     extract_concurrency=None,
     num_partitions: int | None = None,
     out_dir: str | None = None,
+    hot_threshold: int | None = None,
+    hot_chunk: float | None = None,
 ):
     """Flagship pipeline (see module docstring).
 
     Returns ``(joined_ds, scalars)``.  With ``out_dir`` the fused phase
     is checkpointed per partition and a rerun resumes (scalars are also
     persisted and skipped on resume).
+
+    ``hot_threshold`` (rows per key) triggers explicit skew handling:
+    keys above it take the salted two-phase plan (``_crawl_hot_cold``)
+    instead of landing whole in one hash partition; results are
+    identical (pinned by tests).  Not yet combined with ``out_dir``.
     """
     from netml_ray.checkpoint import (
         checkpointed_partition_map,
@@ -316,7 +558,27 @@ def crawl_feature_pipeline(
     )
     from netml_ray.partition import aligned_map, partition_sorted
 
-    narrow = extract_narrow(corpus_path, extract_concurrency, materialize=bool(out_dir))
+    if out_dir and hot_threshold is not None:
+        raise ValueError("hot_threshold is not yet supported with out_dir "
+                         "(checkpointed path) — run the fast path for skewed "
+                         "corpora or checkpoint without salting")
+
+    narrow = extract_narrow(
+        corpus_path, extract_concurrency,
+        materialize=bool(out_dir) or hot_threshold is not None,
+    )
+
+    if hot_threshold is not None:
+        from netml_ray.salted import hot_keys
+
+        hot = hot_keys(narrow, "url", hot_threshold)
+        if hot:
+            chunk = hot_chunk if hot_chunk is not None else max(3600.0, 200.0 * gap)
+            return _crawl_hot_cold(
+                narrow, hot, gap=gap, q_interval=q_interval, min_rows=min_rows,
+                feat_type=feat_type, fft=fft, num_partitions=num_partitions,
+                chunk=chunk,
+            )
 
     if out_dir:
         # resumable path: per-partition checkpointed shuffle.  ALL run

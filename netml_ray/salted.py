@@ -62,6 +62,145 @@ def hot_keys(ds, key: str, threshold: int) -> set:
     return out
 
 
+def split_hot(ds, key: str, hot: set):
+    """Split a dataset into (cold, hot) by membership of ``key`` in the
+    broadcast ``hot`` set (vectorized ``pc.is_in``)."""
+    import ray
+
+    hot_ref = ray.put(pa.array(sorted(hot)))
+
+    def _split(want_hot: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.is_in(t[key], value_set=ray.get(hot_ref)), False)
+            return t.filter(mask if want_hot else pc.invert(mask))
+
+        return _f
+
+    return (ds.map_batches(_split(False), batch_format="pyarrow"),
+            ds.map_batches(_split(True), batch_format="pyarrow"))
+
+
+def salt_and_cut(hotds, key: str, *, gap: float, chunk: float,
+                 tiebreak: str | None = None,
+                 num_partitions: int | None = None):
+    """Phase B+C front half: salt hot rows by time chunk, gap-cut each
+    (key, chunk) locally, and aggregate per-(key, salt, local-sid)
+    summaries (first/last ts, n — tiny: sessions ≪ rows).
+
+    Returns ``(salted_rows_ds, summary_df)``; rows carry ``__salt``,
+    ``__lsid`` and ``__saltkey``; the summary is a pandas frame sorted
+    by (key, salt, lsid) ready for ``merge_chunk_summaries``.
+    """
+
+    def _add_salt(t: pa.Table) -> pa.Table:
+        salt = np.floor(t[TS_SEC].to_numpy() / chunk).astype(np.int64)
+        t = t.append_column(SALT, pa.array(salt))
+        combo = pc.binary_join_element_wise(
+            pc.cast(t[key], pa.string()), pc.cast(t[SALT], pa.string()), "\x1f"
+        )
+        return t.append_column("__saltkey", combo)
+
+    hotds = hotds.map_batches(_add_salt, batch_format="pyarrow")
+    sort_by = ["__saltkey", TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _local_cut(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, "__saltkey")
+        tsf = t[TS_SEC].to_numpy()
+        _, lsid = kernels.gap_sessionize(codes, tsf, gap, netml=False)
+        return t.append_column(LSID, pa.array(lsid))
+
+    salted = partition_map(hotds, "__saltkey", _local_cut, sort_by=sort_by,
+                           num_partitions=num_partitions).materialize()
+
+    def _summ(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(key, "ascending"), (SALT, "ascending"), (LSID, "ascending"),
+                       (TS_SEC, "ascending")])
+        codes = _key_codes(t, key)
+        seg = kernels.encode_keys(codes, t[SALT].to_numpy(), t[LSID].to_numpy())
+        starts = kernels.segment_starts(seg)
+        ends = np.r_[starts[1:], len(seg)]
+        tsf = t[TS_SEC].to_numpy()
+        return pa.table({
+            key: pc.take(t[key], pa.array(starts)),
+            SALT: pa.array(t[SALT].to_numpy()[starts]),
+            LSID: pa.array(t[LSID].to_numpy()[starts]),
+            "first_ts": pa.array(tsf[starts]),
+            "last_ts": pa.array(tsf[ends - 1]),
+            "n": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    summ = (
+        salted.map_batches(_summ, batch_format="pyarrow")
+        .groupby([key, SALT, LSID])
+        .aggregate(Min("first_ts", alias_name="first_ts"),
+                   Max("last_ts", alias_name="last_ts"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values([key, SALT, LSID], kind="stable")
+        .reset_index(drop=True)
+    )
+    return salted, summ
+
+
+def merge_chunk_summaries(summ: pd.DataFrame, key: str, *, gap: float,
+                          min_rows: int, netml: bool) -> pd.DataFrame:
+    """Stitch per-chunk local sessions into global G3 sessions
+    (vectorized — no iterrows): sessions merge across a chunk edge iff
+    the boundary gap ≤ gap; netml keep rules (pre-size filter,
+    trailing-session discard, post min-rows) applied on merged counts.
+
+    Adds ``_gsid`` (global session ordinal per key) and ``_keep``;
+    the per-global-session aggregate view is available via
+    ``global_session_summary``.
+    """
+    n = len(summ)
+    if n == 0:
+        summ = summ.copy()
+        summ["_gsid"] = np.zeros(0, dtype=np.int64)
+        summ["_keep"] = np.zeros(0, dtype=bool)
+        return summ
+    k = summ[key].to_numpy()
+    ft = summ["first_ts"].to_numpy()
+    lt = summ["last_ts"].to_numpy()
+    new_key = np.r_[True, k[1:] != k[:-1]]
+    prev_last = np.r_[0.0, lt[:-1]]
+    cut = new_key | (ft - prev_last > gap)
+    gs = np.cumsum(cut) - 1
+    key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+    gsid = gs - gs[key_start]
+    summ = summ.copy()
+    summ["_gsid"] = gsid
+
+    keep = np.ones(n, dtype=bool)
+    if netml:
+        cnt = summ["n"].to_numpy()
+        # per-(key, gsid) merged counts + per-key totals / max gsid
+        sess_count = np.zeros(gs[-1] + 1, dtype=np.int64)
+        np.add.at(sess_count, gs, cnt)
+        kcodes = np.cumsum(new_key) - 1
+        key_total = np.zeros(kcodes[-1] + 1, dtype=np.int64)
+        np.add.at(key_total, kcodes, cnt)
+        key_max_gsid = np.zeros(kcodes[-1] + 1, dtype=np.int64)
+        np.maximum.at(key_max_gsid, kcodes, gsid)
+        keep &= key_total[kcodes] >= max(2, min_rows)      # pre-size filter
+        split_key = key_max_gsid > 0
+        keep &= ~(split_key[kcodes] & (gsid == key_max_gsid[kcodes]))  # trailing
+        keep &= sess_count[gs] >= min_rows                 # post min-rows
+    summ["_keep"] = keep
+    return summ
+
+
+def global_session_summary(summ: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Per-(key, _gsid) aggregate of a merged chunk summary: first/last
+    ts, total rows, keep flag (uniform within a global session)."""
+    g = summ.groupby([key, "_gsid"], sort=True)
+    out = g.agg(first_ts=("first_ts", "min"), last_ts=("last_ts", "max"),
+                n=("n", "sum"), _keep=("_keep", "all")).reset_index()
+    return out
+
+
 def sessionize_salted(
     ds,
     key: str = "url",
@@ -95,109 +234,15 @@ def sessionize_salted(
         return f(ds, key=key, ts_col=ts_col, gap=gap, tiebreak=tiebreak,
                  num_partitions=num_partitions, **({"min_rows": min_rows} if netml else {}))
 
-    hot_ref = ray.put(frozenset(hot))
-
-    def _split(want_hot: bool):
-        def _f(t: pa.Table) -> pa.Table:
-            hs = ray.get(hot_ref)
-            mask = np.fromiter((v in hs for v in t[key].to_pylist()),
-                               dtype=bool, count=t.num_rows)
-            return t.filter(pa.array(mask if want_hot else ~mask))
-
-        return _f
-
-    cold = ds.map_batches(_split(False), batch_format="pyarrow")
-    hotds = ds.map_batches(_split(True), batch_format="pyarrow")
+    cold, hotds = split_hot(ds, key, hot)
 
     f = _netml if netml else _simple
     cold_out = f(cold, key=key, ts_col=ts_col, gap=gap, tiebreak=tiebreak,
                  num_partitions=num_partitions, **({"min_rows": min_rows} if netml else {}))
 
-    # ---- hot path: salt by time chunk -------------------------------------
-    def _add_salt(t: pa.Table) -> pa.Table:
-        salt = np.floor(t[TS_SEC].to_numpy() / chunk).astype(np.int64)
-        t = t.append_column(SALT, pa.array(salt))
-        combo = pc.binary_join_element_wise(
-            pc.cast(t[key], pa.string()), pc.cast(t[SALT], pa.string()), "\x1f"
-        )
-        return t.append_column("__saltkey", combo)
-
-    hotds = hotds.map_batches(_add_salt, batch_format="pyarrow")
-    sort_by = ["__saltkey", TS_SEC] + ([tiebreak] if tiebreak else [])
-
-    def _local_cut(t: pa.Table) -> pa.Table:
-        codes = _key_codes(t, "__saltkey")
-        tsf = t[TS_SEC].to_numpy()
-        _, lsid = kernels.gap_sessionize(codes, tsf, gap, netml=False)
-        return t.append_column(LSID, pa.array(lsid))
-
-    salted = partition_map(hotds, "__saltkey", _local_cut, sort_by=sort_by,
-                           num_partitions=num_partitions).materialize()
-
-    # ---- tiny summary pass + driver merge ---------------------------------
-    def _summ(t: pa.Table) -> pa.Table:
-        t = t.sort_by([(key, "ascending"), (SALT, "ascending"), (LSID, "ascending"),
-                       (TS_SEC, "ascending")])
-        codes = _key_codes(t, key)
-        seg = kernels.encode_keys(codes, t[SALT].to_numpy(), t[LSID].to_numpy())
-        starts = kernels.segment_starts(seg)
-        ends = np.r_[starts[1:], len(seg)]
-        tsf = t[TS_SEC].to_numpy()
-        return pa.table({
-            key: pc.take(t[key], pa.array(starts)),
-            SALT: pa.array(t[SALT].to_numpy()[starts]),
-            LSID: pa.array(t[LSID].to_numpy()[starts]),
-            "first_ts": pa.array(tsf[starts]),
-            "last_ts": pa.array(tsf[ends - 1]),
-            "n": pa.array((ends - starts).astype(np.int64)),
-        })
-
-    from ray.data.aggregate import Max, Min, Sum
-
-    summ = (
-        salted.map_batches(_summ, batch_format="pyarrow")
-        .groupby([key, SALT, LSID])
-        .aggregate(Min("first_ts", alias_name="first_ts"),
-                   Max("last_ts", alias_name="last_ts"),
-                   Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values([key, SALT, LSID], kind="stable")
-        .reset_index(drop=True)
-    )
-
-    gsid = np.empty(len(summ), dtype=np.int64)
-    gcount: dict[tuple, dict[int, int]] = {}
-    prev_key = None
-    prev_last = None
-    cur = -1
-    for i, r in summ.iterrows():
-        k = r[key]
-        if k != prev_key:
-            prev_key, cur = k, 0
-        elif r["first_ts"] - prev_last > gap:
-            cur += 1
-        gsid[i] = cur
-        prev_last = r["last_ts"]
-        gcount.setdefault(k, {})
-        gcount[k][cur] = gcount[k].get(cur, 0) + int(r["n"])
-    summ["_gsid"] = gsid
-
-    keep = np.ones(len(summ), dtype=bool)
-    if netml:
-        for k, counts in gcount.items():
-            mx = max(counts)
-            total = sum(counts.values())
-            kmask = summ[key].to_numpy() == k
-            g = summ.loc[kmask, "_gsid"].to_numpy()
-            ok = np.ones(len(g), dtype=bool)
-            if total < max(2, min_rows):
-                ok[:] = False
-            if mx > 0:
-                ok &= g != mx  # trailing-session discard
-            cnt = np.array([counts[x] for x in g])
-            ok &= cnt >= min_rows
-            keep[kmask] = ok
-    summ["_keep"] = keep
+    salted, summ = salt_and_cut(hotds, key, gap=gap, chunk=chunk,
+                                tiebreak=tiebreak, num_partitions=num_partitions)
+    summ = merge_chunk_summaries(summ, key, gap=gap, min_rows=min_rows, netml=netml)
 
     mapping = summ[[key, SALT, LSID, "_gsid", "_keep"]]
     map_ref = ray.put(mapping)

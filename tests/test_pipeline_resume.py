@@ -231,3 +231,52 @@ def test_resumable_pipeline_param_change_refused(corpus_file, ray_session, tmp_p
     with pytest.raises(ValueError, match="incompatible"):
         crawl_feature_pipeline(corpus_file, feat_type="IAT",
                                num_partitions=4, out_dir=out_dir)
+
+
+def test_hot_salted_flagship_equals_unsalted(corpus_file, ray_session):
+    """Fused flagship with hot-key salting (the 20%-hot planted url
+    takes the chunked G3-merge + per-G3-session G4 path) must equal the
+    plain fused plan row-for-row."""
+    plain, s_plain = crawl_feature_pipeline(corpus_file, feat_type="STATS",
+                                            num_partitions=8)
+    # threshold low enough that the planted hot url (and only it)
+    # qualifies; small chunk so the hot key really spans many chunks
+    salted, s_salt = crawl_feature_pipeline(
+        corpus_file, feat_type="STATS", num_partitions=8,
+        hot_threshold=300, hot_chunk=900.0)
+    assert s_plain == s_salt
+
+    key = ["url", "warc_ts"]
+    a = plain.to_pandas().sort_values(key).reset_index(drop=True)
+    b = salted.to_pandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == 4000
+    assert (a["url"] == b["url"]).all()
+    np.testing.assert_array_equal(a["state_ts"].isna(), b["state_ts"].isna())
+    ok = a["state_ts"].notna()
+    np.testing.assert_allclose(a.loc[ok, "state_ts"], b.loc[ok, "state_ts"],
+                               rtol=0, atol=0)
+    assert (a.loc[ok, "session_id"].astype(int).to_numpy()
+            == b.loc[ok, "session_id"].astype(int).to_numpy()).all()
+    fa = np.vstack(a.loc[ok, "features"].to_numpy())
+    fb = np.vstack(b.loc[ok, "features"].to_numpy())
+    np.testing.assert_allclose(fa, fb, rtol=0, atol=0)
+
+
+def test_hot_salted_flagship_iat_and_samp(corpus_file, ray_session):
+    """Same equivalence for a list-shaped and a rate-dependent feature
+    type (exercises dim and rate scalars through the hot union)."""
+    for ft in ("IAT", "SAMP_NUM"):
+        plain, sp = crawl_feature_pipeline(corpus_file, feat_type=ft,
+                                           num_partitions=8)
+        salted, ss = crawl_feature_pipeline(
+            corpus_file, feat_type=ft, num_partitions=8,
+            hot_threshold=300, hot_chunk=900.0)
+        assert sp == ss, ft
+        key = ["url", "warc_ts"]
+        a = plain.to_pandas().sort_values(key).reset_index(drop=True)
+        b = salted.to_pandas().sort_values(key).reset_index(drop=True)
+        np.testing.assert_array_equal(a["state_ts"].isna(), b["state_ts"].isna())
+        ok = a["state_ts"].notna()
+        fa = np.vstack(a.loc[ok, "features"].to_numpy())
+        fb = np.vstack(b.loc[ok, "features"].to_numpy())
+        np.testing.assert_allclose(fa, fb, rtol=0, atol=0, err_msg=ft)
