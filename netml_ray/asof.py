@@ -34,19 +34,23 @@ def _num_or_ts(col: pa.ChunkedArray) -> np.ndarray:
 
 
 def asof_match_indices(
-    lkeys: list, lts: np.ndarray, rkeys: list, rts: np.ndarray, strict: bool
+    lkeys, lts: np.ndarray, rkeys, rts: np.ndarray, strict: bool
 ) -> np.ndarray:
     """Per-key backward as-of match: for each left row, the index of the
     last right row with rts ≤ (or <) lts and equal key; -1 = no match.
-    Both sides must be sorted by (key, ts).  Python work is per key
-    *segment*, numpy per row."""
+    Both sides must be sorted by (key, ts).  ``lkeys``/``rkeys`` are
+    numpy arrays (dictionary codes in the hot path; any comparable
+    values work).  Python work is per key *segment*, numpy per row."""
+    lkeys = np.asarray(lkeys)
+    rkeys = np.asarray(rkeys)
     n = len(lts)
     out = np.full(n, -1, dtype=np.int64)
-    # right segments by key
-    r_starts = segment_starts_from_list(rkeys)
+    if n == 0 or len(rts) == 0:
+        return out
+    r_starts = segment_starts(rkeys)
     r_ends = np.r_[r_starts[1:], len(rkeys)]
     rmap = {rkeys[s]: (s, e) for s, e in zip(r_starts, r_ends)}
-    l_starts = segment_starts_from_list(lkeys)
+    l_starts = segment_starts(lkeys)
     l_ends = np.r_[l_starts[1:], n]
     side = "left" if strict else "right"
     for s, e in zip(l_starts, l_ends):
@@ -58,20 +62,6 @@ def asof_match_indices(
         idx = np.where(pos >= 0, pos + rs, -1)
         out[s:e] = idx
     return out
-
-
-def segment_starts_from_list(keys: list) -> np.ndarray:
-    n = len(keys)
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
-    starts = [0]
-    prev = keys[0]
-    for i in range(1, n):
-        k = keys[i]
-        if k != prev:
-            starts.append(i)
-            prev = k
-    return np.array(starts, dtype=np.int64)
 
 
 def asof_join(
@@ -94,8 +84,18 @@ def asof_join(
     """
 
     def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        lkeys = lt[key].to_pylist()
-        rkeys = rt[key].to_pylist()
+        # ONE dictionary encode over both key columns → int codes whose
+        # equality matches string equality across sides; all downstream
+        # work is numpy (no to_pylist, no per-row Python)
+        nl = lt.num_rows
+        combo = pa.chunked_array(
+            list(lt[key].chunks) + list(rt[key].chunks), type=lt[key].type
+        )
+        enc = pc.dictionary_encode(combo)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        lkeys, rkeys = codes[:nl], codes[nl:]
         ltsv = _num_or_ts(lt[left_ts]).astype(np.float64)
         rtsv = _num_or_ts(rt[right_ts]).astype(np.float64)
         idx = asof_match_indices(lkeys, ltsv, rkeys, rtsv, strict)

@@ -34,6 +34,231 @@ def extract_text_one(html_bytes: bytes) -> str:
     return " ".join(s.split())
 
 
+# --- vectorized extraction fast path ---------------------------------------
+#
+# Arrow/RE2 kernels reproduce extract_text_one EXACTLY for rows that
+# pass two cheap vectorized guards; everything else falls back to the
+# per-row Python reference implementation.  Guards (each is a semantic
+# gap between the C kernels and the Python spec):
+#
+#   1. entity guard — every '&' must start one of the literal entities
+#      below (count('&') == Σ count(entity)).  html.unescape knows the
+#      full HTML5 table incl. numeric refs and semicolon-less forms
+#      ("&ltx" → "<x"); the vectorized path only does literal
+#      single-pass replaces.  Replacing "&amp;" LAST and relying on
+#      replace_substring's no-rescan single pass matches unescape's
+#      no-rescan scan ("&amp;lt;" → "&lt;", "&amp;amp;" → "&amp;").
+#   2. whitespace guard — RE2 "\\s" is ASCII-only while Python
+#      str.split() uses the full Unicode definition; rows containing
+#      any of the difference set (NBSP, NEL, \x1c-\x1f, Zs/Zl/Zp) take
+#      the fallback.
+#
+# Equivalence is pinned by an adversarial hypothesis property test
+# (tests/test_property.py) over a grammar that includes every guard's
+# failure mode.
+
+_SAFE_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&")]
+# Python-whitespace chars that RE2's ASCII \s does NOT match
+_WS_DANGER = ("[\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029"
+              "\u202f\u205f\u3000]")
+
+
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 32]] = True  # ASCII \s — the guarded subset
+
+_ENTITY_EDITS = [  # (pattern bytes, replacement byte) — &amp; LAST (see above)
+    (b"&lt;", 0x3C), (b"&gt;", 0x3E), (b"&quot;", 0x22), (b"&amp;", 0x26),
+]
+
+
+# Slice size for the byte pipeline: each slice's working set (data +
+# masks + intermediates, ~10 arrays) must stay L2-resident.  This VM's
+# DRAM streaming is ~40 ns/elem vs ~0.4 ns cache-resident, so chunking
+# is worth ~10x; on normal hardware it is neutral-to-positive.
+_EXTRACT_SLICE_BYTES = 96 * 1024
+
+
+def _extract_vectorized(col) -> pa.Array | None:
+    """Numpy byte-level fast path over a binary column; returns a
+    string array, or None if the whole batch must fall back (invalid
+    utf-8 / nulls).  Runs the vectorized pass chain per cache-sized
+    slice of docs, then stitches the slices."""
+    try:
+        pc.cast(col, pa.string())  # utf-8 validation only
+    except pa.ArrowInvalid:
+        return None
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        return None
+    n_docs = len(col)
+    if n_docs == 0:
+        return pa.array([], type=pa.string())
+    off_all = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n_docs + 1].astype(np.int64)
+    data_all = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+        off_all[0] : off_all[-1]]
+    off_all = off_all - off_all[0]
+
+    # doc-aligned slice boundaries ≈ _EXTRACT_SLICE_BYTES apart
+    cuts = [0]
+    while cuts[-1] < n_docs:
+        nxt = int(np.searchsorted(
+            off_all, off_all[cuts[-1]] + _EXTRACT_SLICE_BYTES, side="left"))
+        cuts.append(max(nxt, cuts[-1] + 1))
+    cuts[-1] = n_docs
+
+    parts_bytes: list[np.ndarray] = []
+    parts_off: list[np.ndarray] = []
+    unsafe_idx: list[np.ndarray] = []
+    total_bytes = 0
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        off = off_all[a : b + 1] - off_all[a]
+        data = data_all[off_all[a] : off_all[b]]
+        out3, off3, unsafe = _extract_chunk(data, off)
+        parts_bytes.append(out3)
+        parts_off.append(off3[1:] + total_bytes)
+        total_bytes += len(out3)
+        if unsafe.any():
+            unsafe_idx.append(np.flatnonzero(unsafe) + a)
+    out = np.concatenate(parts_bytes) if parts_bytes else np.zeros(0, np.uint8)
+    offs = np.concatenate([[0]] + parts_off).astype(np.int32)
+    arr = pa.Array.from_buffers(
+        pa.utf8(), n_docs,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(out.tobytes())],
+    )
+    if not unsafe_idx:
+        return arr
+    # per-row reference fallback for the unsafe minority
+    texts = arr.to_pylist()
+    for i in np.concatenate(unsafe_idx):
+        texts[i] = extract_text_one(col[int(i)].as_py())
+    return pa.array(texts, type=pa.string())
+
+
+def _extract_chunk(data: np.ndarray, off: np.ndarray):
+    """One cache-resident slice of the extraction pipeline.  Returns
+    ``(out_bytes, out_offsets, unsafe_doc_mask)``."""
+    n_docs = len(off) - 1
+
+    # ---- pass 1: tag spans (regex <[^>]*> as positional set ops) ----
+    # stoppers = '>' positions ∪ doc boundaries; each '<' matches up to
+    # its first stopper.  '<'s sharing a stopper form a group; exactly
+    # the first of each '>'-stopper group is a regex match (later ones
+    # are inside it), and a boundary stopper means no match — these two
+    # rules reproduce leftmost non-overlapping matching exactly.
+    if len(data):
+        lt = np.flatnonzero(data == 0x3C)
+        gt = np.flatnonzero(data == 0x3E)
+        stop_pos = np.concatenate([gt, off[1:]])
+        stop_isgt = np.concatenate(
+            [np.ones(len(gt), dtype=bool), np.zeros(n_docs, dtype=bool)])
+        order = np.lexsort((stop_isgt, stop_pos))  # boundary before same-pos '>'
+        stop_pos = stop_pos[order]
+        stop_isgt = stop_isgt[order]
+        # first stopper strictly AFTER p ('>' at p impossible; a doc
+        # boundary at p belongs to the PREVIOUS doc, so side="right")
+        j = np.searchsorted(stop_pos, lt, side="right")
+        ok = np.r_[True, j[1:] != j[:-1]] & stop_isgt[j] if len(lt) else np.zeros(0, bool)
+        mstart = lt[ok]
+        mend = stop_pos[j[ok]]
+        cover = np.zeros(len(data) + 1, dtype=np.int32)
+        cover[mstart] += 1
+        cover[mend + 1] -= 1
+        keep = ~(np.cumsum(cover[:-1]) > 0)
+        keep[mstart] = True
+        buf = data.copy()
+        buf[mstart] = 0x20
+        out1 = buf[keep]
+        off1 = np.concatenate([[0], np.cumsum(keep)])[off]
+    else:
+        out1 = data
+        off1 = off
+
+    # ---- pass 2: entity decode + entity guard ----
+    amp = np.flatnonzero(out1 == 0x26)
+    unsafe = np.zeros(n_docs, dtype=bool)
+    if len(amp):
+        n1 = len(out1)
+        pad = np.concatenate([out1, np.zeros(8, dtype=np.uint8)])
+        doc_end = off1[np.searchsorted(off1, amp, side="right")]
+        keep = np.ones(n1, dtype=bool)
+        buf = out1.copy()
+        matched = np.zeros(len(amp), dtype=bool)
+        for pat, rep in _ENTITY_EDITS:
+            L = len(pat)
+            cond = (amp + L) <= doc_end
+            for k in range(1, L):
+                cond &= pad[amp + k] == pat[k]
+            cond &= ~matched
+            matched |= cond
+            pos = amp[cond]
+            if len(pos):
+                buf[pos] = rep
+                keep[(pos[:, None] + np.arange(1, L)[None, :]).ravel()] = False
+        bad = amp[~matched]
+        if len(bad):
+            unsafe[np.searchsorted(off1, bad, side="right") - 1] = True
+        out2 = buf[keep]
+        off2 = np.concatenate([[0], np.cumsum(keep)])[off1]
+    else:
+        out2 = out1
+        off2 = off1
+
+    # ---- pass 3: whitespace guard (Python-ws chars outside ASCII \s,
+    # detected at the utf-8 byte level) ----
+    if len(out2):
+        pad = np.concatenate([out2, np.zeros(3, dtype=np.uint8)])
+        bads = [np.flatnonzero((out2 >= 0x1C) & (out2 <= 0x1F))]
+        c2 = np.flatnonzero(out2 == 0xC2)   # U+0085 NEL, U+00A0 NBSP
+        bads.append(c2[(pad[c2 + 1] == 0x85) | (pad[c2 + 1] == 0xA0)])
+        e1 = np.flatnonzero(out2 == 0xE1)   # U+1680
+        bads.append(e1[(pad[e1 + 1] == 0x9A) & (pad[e1 + 2] == 0x80)])
+        e2 = np.flatnonzero(out2 == 0xE2)   # U+2000-200A, 2028, 2029, 202F, 205F
+        nx1, nx2 = pad[e2 + 1], pad[e2 + 2]
+        bads.append(e2[((nx1 == 0x80) & (((nx2 >= 0x80) & (nx2 <= 0x8A))
+                                         | (nx2 == 0xA8) | (nx2 == 0xA9)
+                                         | (nx2 == 0xAF)))
+                       | ((nx1 == 0x81) & (nx2 == 0x9F))])
+        e3 = np.flatnonzero(out2 == 0xE3)   # U+3000
+        bads.append(e3[(pad[e3 + 1] == 0x80) & (pad[e3 + 2] == 0x80)])
+        danger = np.concatenate(bads)
+        if len(danger):
+            unsafe[np.unique(np.searchsorted(off2, danger, side="right") - 1)] = True
+
+    # ---- pass 4: whitespace collapse + trim (" ".join(s.split())) ----
+    n2 = len(out2)
+    if n2:
+        isws = _WS_LUT[out2]
+        prev_ws = np.concatenate([[False], isws[:-1]])
+        starts_clip = off2[:-1][off2[:-1] < n2]
+        prev_ws[starts_clip] = False  # runs restart at each doc start
+        rs = np.flatnonzero(isws & ~prev_ws)  # run starts
+        # leading run: starts at its doc's first byte
+        leading = rs == off2[np.searchsorted(off2, rs, side="right") - 1]
+        # trailing run: no non-ws byte before its doc's end
+        nonws = np.flatnonzero(~isws)
+        if len(nonws):
+            nn = np.searchsorted(nonws, rs)
+            next_nonws = np.where(nn < len(nonws),
+                                  nonws[np.minimum(nn, len(nonws) - 1)], n2)
+        else:  # slice is all whitespace
+            next_nonws = np.full(len(rs), n2, dtype=np.int64)
+        trailing = next_nonws >= off2[np.searchsorted(off2, rs, side="right")]
+        keep = ~isws
+        good = rs[~leading & ~trailing]
+        keep[good] = True
+        buf = out2.copy()
+        buf[good] = 0x20
+        out3 = buf[keep]
+        off3 = np.concatenate([[0], np.cumsum(keep)])[off2]
+    else:
+        out3 = out2
+        off3 = off2
+
+    return out3, off3, unsafe
+
+
 class ExtractText:
     """Actor-pool stage: html binary column → text string column.
 
@@ -46,21 +271,36 @@ class ExtractText:
     recast of the reference's per-packet ``len(pkt)``, parser.py:394),
     and drops ``html`` so the wide binary column never travels further
     down the pipeline.
+
+    ``vectorized=True`` switches to the numpy byte-level pass chain
+    above (byte-identical — pinned by a hypothesis property test).
+    MEASURED default is the per-row C-regex path: this environment's
+    DRAM streaming runs ~40 ns/elem vs ~0.4 ns cache-resident (a
+    ~100x-throttled memory bus shared by all 32 workers), so per-doc
+    processing that stays in L1 beats any whole-buffer vectorization
+    here (per-row ≈ 30 ns/byte vs numpy ≈ 37, Arrow RE2 ≈ 33, polars
+    ≈ 33).  On hardware with ordinary memory bandwidth the vectorized
+    path is the one to enable.
     """
 
-    def __init__(self, html_col: str = "html", out_col: str = "text", drop_html: bool = True):
+    def __init__(self, html_col: str = "html", out_col: str = "text",
+                 drop_html: bool = True, vectorized: bool = False):
         self.html_col = html_col
         self.out_col = out_col
         self.drop_html = drop_html
+        self.vectorized = vectorized
         self.tag_re = re.compile(r"<[^>]*>")  # compiled once per actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
         col = t[self.html_col]
         sizes = pc.binary_length(col)
-        texts = [extract_text_one(v) for v in col.to_pylist()]
+        arr = _extract_vectorized(col) if self.vectorized else None
+        if arr is None:  # per-row reference path (or invalid utf-8)
+            arr = pa.array([extract_text_one(v) for v in col.to_pylist()],
+                           type=pa.string())
         if self.out_col in t.column_names:
             t = t.drop_columns([self.out_col])
-        t = t.append_column(self.out_col, pa.array(texts, type=pa.string()))
+        t = t.append_column(self.out_col, arr)
         t = t.append_column("size", pc.cast(sizes, pa.int64()))
         if self.drop_html:
             t = t.drop_columns([self.html_col])

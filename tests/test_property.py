@@ -119,3 +119,46 @@ def test_prop_asof_indices(seed):
                 # both pick the last eligible row; compare by (key, ts)
                 assert rdf.loc[g, "t"] == rdf.loc[e, "t"]
                 assert rdf.loc[g, "k"] == rdf.loc[e, "k"]
+
+
+# --- extraction fast-path parity --------------------------------------------
+
+_NASTY_ATOMS = [
+    "hello", "a&b", "&amp;", "&lt;", "&gt;", "&quot;", "&amp;lt;",
+    "&amp;amp;", "&ltx", "&lt", "&#60;", "&#x3C;", "&nbsp;", "&unknown;",
+    "&&", "&", "<p>", "</p>", "<b class='x'>", "<", ">", "x<y>z",
+    "café", " ", " ", "\x1c", "\x85", "　", "\t", "\n",
+    "  ", "", "tag>", "<notclosed", ";", "&amp", "&gt", "&quo;", "q&a;",
+]
+
+
+@given(st.lists(st.sampled_from(_NASTY_ATOMS), min_size=0, max_size=30),
+       st.integers(0, 3))
+def test_prop_extract_vectorized_parity(atoms, joiner):
+    """The Arrow fast path (+fallback guards) is byte-identical to the
+    per-row reference spec on adversarial entity / whitespace / tag
+    soup."""
+    import pyarrow as pa
+
+    from netml_ray.textops import _extract_vectorized, extract_text_one
+
+    sep = ["", " ", "\n", " "][joiner]
+    doc = sep.join(atoms)
+    docs = [doc.encode("utf-8"), b"", ("<html>" + doc + "</html>").encode("utf-8")]
+    col = pa.chunked_array([pa.array(docs, type=pa.binary())])
+    got = _extract_vectorized(col)
+    assert got is not None
+    exp = [extract_text_one(d) for d in docs]
+    assert got.to_pylist() == exp
+
+
+def test_extract_invalid_utf8_fallback():
+    import pyarrow as pa
+
+    from netml_ray.textops import ExtractText, extract_text_one
+
+    docs = [b"ok <b>text</b>", b"\xff\xfe broken <i>tag</i>", b"a&amp;b"]
+    t = pa.table({"html": pa.array(docs, type=pa.binary())})
+    out = ExtractText()(t)
+    assert out["text"].to_pylist() == [extract_text_one(d) for d in docs]
+    assert out["size"].to_pylist() == [len(d) for d in docs]
