@@ -822,12 +822,18 @@ def q_lang_id_docs(sf_dir: str):
 
 
 def q_knn_cosine_ivf(sf_dir: str):
+    """ANN via the materialized IVF index: built once per sf_dir
+    (cached under /tmp), query reads only nprobe bucket partitions."""
+    import hashlib as _hl
+
     from netml_ray.similarity import knn_cosine_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrow = emb.sort("vec_id").take(1)[0]
     query = np.asarray(qrow["embedding"], dtype=np.float64)
-    pdf = knn_cosine_ivf(emb, query, k=10)
+    idx_dir = "/tmp/netml_ray_ivf_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
+    pdf = knn_cosine_ivf(emb, query, k=10, n_centroids=8, nprobe=6,
+                         index_dir=idx_dir)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 

@@ -12,9 +12,10 @@ Division of labor mirrors the reference and SURVEY §2.4 T2/T3:
 
 This container has no sklearn/torch, so the models here are pure-numpy
 reimplementations of the *math* (PCA reconstruction error, Gaussian
-KDE log-likelihood, spherical GMM via EM); sklearn-backed algorithms
-(OCSVM, IsolationForest) surface as ``MissingDependencyError``
-placeholders, mirroring the reference's guarded-import pattern
+KDE log-likelihood, spherical GMM via EM, Isolation Forest per
+Liu et al. '08); the remaining sklearn/torch-backed algorithms (OCSVM,
+Autoencoder) surface as ``MissingDependencyError`` placeholders,
+mirroring the reference's guarded-import pattern
 (src/netml/ndm/ae.py:5-14, utils/tool.py:17-18).
 """
 
@@ -117,6 +118,95 @@ class GMMDetector:
         return -(m + np.log(np.exp(logp - m[:, None]).sum(axis=1)))
 
 
+def _harmonic(n: np.ndarray | float) -> np.ndarray | float:
+    return np.log(n) + 0.5772156649015329  # H(n) ≈ ln n + Euler-Mascheroni
+
+
+def _avg_path_len(n):
+    """c(n): average BST unsuccessful-search path length (Liu et al.
+    2008, eq. 1) — the normalizer in the iForest anomaly score."""
+    n = np.asarray(n, dtype=np.float64)
+    out = np.zeros_like(n)
+    m2 = n > 2
+    out[m2] = 2.0 * _harmonic(n[m2] - 1.0) - 2.0 * (n[m2] - 1.0) / n[m2]
+    out[n == 2] = 1.0
+    return out
+
+
+class IFDetector:
+    """Isolation Forest, pure numpy (Liu/Ting/Zhou ICDM'08 — the public
+    algorithm behind the reference's sklearn/pyod-backed IF,
+    src/netml/ndm/iforest.py:42-70).  Anomaly score = 2^(-E[h(x)]/c(ψ))
+    with pyod's invert_order convention folded in: HIGHER = more
+    anomalous, matching this module's other detectors.
+
+    Trees are stored as flat node arrays; scoring routes every row
+    down every tree with one vectorized gather per depth level.
+    """
+
+    def __init__(self, n_estimators: int = 100, max_samples: int = 256,
+                 random_state: int = 42):
+        self.n_estimators = n_estimators
+        self.max_samples = max_samples
+        self.seed = random_state
+
+    def fit(self, X: np.ndarray) -> "IFDetector":
+        rng = np.random.default_rng(self.seed)
+        n, d = X.shape
+        psi = min(self.max_samples, n)
+        self.psi_ = psi
+        depth_cap = int(np.ceil(np.log2(max(psi, 2))))
+        self.trees_ = []
+        for _ in range(self.n_estimators):
+            idx = rng.choice(n, size=psi, replace=False)
+            feat, thr, left, right, leaf_n, depth = [], [], [], [], [], []
+
+            def _grow(rows: np.ndarray, dep: int) -> int:
+                node = len(feat)
+                feat.append(-1); thr.append(0.0); left.append(-1)
+                right.append(-1); leaf_n.append(len(rows)); depth.append(dep)
+                if dep >= depth_cap or len(rows) <= 1:
+                    return node
+                sub = X[rows]
+                spread = sub.max(axis=0) - sub.min(axis=0)
+                nz = np.flatnonzero(spread > 0)
+                if not len(nz):
+                    return node
+                f = int(rng.choice(nz))
+                lo, hi = sub[:, f].min(), sub[:, f].max()
+                t = float(rng.uniform(lo, hi))
+                go_left = sub[:, f] < t
+                feat[node] = f
+                thr[node] = t
+                left[node] = _grow(rows[go_left], dep + 1)
+                right[node] = _grow(rows[~go_left], dep + 1)
+                return node
+
+            _grow(idx, 0)
+            self.trees_.append((
+                np.array(feat, dtype=np.int64), np.array(thr),
+                np.array(left, dtype=np.int64), np.array(right, dtype=np.int64),
+                np.array(leaf_n, dtype=np.int64), np.array(depth, dtype=np.int64),
+            ))
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        m = len(X)
+        path = np.zeros(m, dtype=np.float64)
+        for feat, thr, left, right, leaf_n, depth in self.trees_:
+            node = np.zeros(m, dtype=np.int64)
+            active = feat[node] >= 0
+            while active.any():
+                f = feat[node[active]]
+                go_left = X[active, f] < thr[node[active]]
+                nxt = np.where(go_left, left[node[active]], right[node[active]])
+                node[active] = nxt
+                active = feat[node] >= 0
+            path += depth[node] + _avg_path_len(leaf_n[node])
+        eh = path / self.n_estimators
+        return np.power(2.0, -eh / max(_avg_path_len(np.array([self.psi_]))[0], 1e-9)) * 1.0
+
+
 def _missing(name: str):
     class _Missing:
         def __init__(self, *a, **k):
@@ -129,7 +219,6 @@ def _missing(name: str):
 
 
 OCSVM = _missing("OCSVM")
-IsolationForest = _missing("IsolationForest")
 Autoencoder = _missing("Autoencoder (torch)")
 
 ALGORITHMS = {
@@ -137,7 +226,7 @@ ALGORITHMS = {
     "KDE": KDEDetector,
     "GMM": GMMDetector,
     "OCSVM": OCSVM,
-    "IF": IsolationForest,
+    "IF": IFDetector,
     "AE": Autoencoder,
 }
 

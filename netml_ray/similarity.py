@@ -92,6 +92,152 @@ def train_ivf_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, s
     return cent
 
 
+def hash_sample(ds, *, id_col: str, fraction: float, limit: int):
+    """Deterministic unbiased sample: keep rows whose Knuth-hashed id
+    falls below ``fraction`` — independent of block order/partitioning
+    (unlike ``ds.limit(n)``, which is first-N biased)."""
+    thresh = int(fraction * (1 << 32))
+
+    def _f(t: pa.Table) -> pa.Table:
+        h = (t[id_col].to_numpy().astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(_f, batch_format="pyarrow").limit(limit)
+
+
+class IVFIndex:
+    """Materialized IVF index: vectors written ONCE to parquet
+    partitioned by coarse-quantizer bucket; a query probes only the
+    ``nprobe`` nearest buckets, so read bytes scale with
+    ``nprobe / n_centroids`` of the corpus instead of a full scan.
+
+    Layout::
+
+        index_dir/
+          meta.json           # n_centroids, dim, cols, n_rows
+          centroids.npy
+          bucket=<b>/*.parquet
+
+    Build is one assignment pass + one hash shuffle by bucket (writes
+    happen inside the partition tasks — nothing is driver-collected).
+    """
+
+    def __init__(self, index_dir: str, centroids: np.ndarray, meta: dict):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.meta = meta
+
+    # -- construction --------------------------------------------------
+    @staticmethod
+    def build(
+        ds,
+        index_dir: str,
+        *,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_rows: int = 10_000,
+        seed: int = 0,
+        num_partitions: int | None = None,
+    ) -> "IVFIndex":
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+        import ray
+
+        from netml_ray.partition import partition_map
+
+        n = ds.count()
+        frac = min(1.0, 2.0 * sample_rows / max(n, 1))
+        sample_df = hash_sample(ds, id_col=id_col, fraction=frac,
+                                limit=sample_rows).to_pandas()
+        sample = np.stack(sample_df[vec_col].to_numpy()).astype(np.float32)
+        cent = train_ivf_centroids(sample, n_centroids, seed=seed)
+        cref = ray.put(cent)
+
+        class _Assign:
+            def __init__(self):
+                self.cent = ray.get(cref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                m = _normalize(_mat(t[vec_col]))
+                a = (np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+                     if len(m) else np.empty(0, dtype=np.int64))
+                return t.append_column("bucket", pa.array(a))
+
+        bucketed = ds.map_batches(_Assign, batch_format="pyarrow",
+                                  concurrency=(1, 8))
+        os.makedirs(index_dir, exist_ok=True)
+
+        def _write(t: pa.Table) -> pa.Table:
+            t = t.sort_by([("bucket", "ascending"), (id_col, "ascending")])
+            b = t["bucket"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]]) if len(b) else []
+            ends = np.r_[starts[1:], len(b)] if len(b) else []
+            written = []
+            for s, e in zip(starts, ends):
+                bid = int(b[s])
+                bdir = os.path.join(index_dir, f"bucket={bid}")
+                os.makedirs(bdir, exist_ok=True)
+                part = t.slice(s, e - s).drop_columns(["bucket"])
+                tmp = os.path.join(bdir, f".part-{os.getpid()}-{s}.tmp")
+                pq.write_table(part, tmp)
+                os.replace(tmp, os.path.join(bdir, f"part-{os.getpid()}-{s}.parquet"))
+                written.append((bid, e - s))
+            return pa.table({
+                "bucket": pa.array([w[0] for w in written], type=pa.int64()),
+                "rows": pa.array([w[1] for w in written], type=pa.int64()),
+            })
+
+        marker = partition_map(bucketed, "bucket", _write,
+                               num_partitions=num_partitions)
+        marker.materialize()
+        np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        meta = {"n_centroids": int(len(cent)), "dim": int(cent.shape[1]),
+                "id_col": id_col, "vec_col": vec_col, "n_rows": int(n)}
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return IVFIndex(index_dir, cent, meta)
+
+    @staticmethod
+    def load(index_dir: str) -> "IVFIndex":
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        cent = np.load(os.path.join(index_dir, "centroids.npy"))
+        return IVFIndex(index_dir, cent, meta)
+
+    # -- query ---------------------------------------------------------
+    def query(self, query: np.ndarray, *, k: int = 10, nprobe: int = 4):
+        """Approximate top-k: reads ONLY the probed bucket partitions."""
+        import os
+
+        import ray.data as rd
+
+        import glob
+
+        q = np.asarray(query, dtype=np.float32)
+        q = q / (np.linalg.norm(q) or 1.0)
+        probe = np.argsort(-(self.centroids @ q))[:nprobe]
+        files = [
+            f
+            for b in probe
+            for f in sorted(glob.glob(
+                os.path.join(self.index_dir, f"bucket={int(b)}", "*.parquet")))
+        ]
+        if not files:
+            import pandas as pd
+
+            return pd.DataFrame({self.meta["id_col"]: [], "cos_sim": []})
+        sub = rd.read_parquet(files)
+        return knn_cosine(sub, q, k=k, id_col=self.meta["id_col"],
+                          vec_col=self.meta["vec_col"])
+
+
 def knn_cosine_ivf(
     ds,
     query: np.ndarray,
@@ -103,44 +249,28 @@ def knn_cosine_ivf(
     nprobe: int = 4,
     sample_rows: int = 10_000,
     seed: int = 0,
+    index_dir: str | None = None,
 ):
-    """IVF-bucketed approximate top-k: probe only the ``nprobe`` buckets
-    whose centroid is nearest the query."""
-    import ray
+    """IVF approximate top-k via the materialized index.
 
-    sample_df = ds.limit(sample_rows).to_pandas()
-    sample = np.stack(sample_df[vec_col].to_numpy()).astype(np.float32)
-    cent = train_ivf_centroids(sample, n_centroids, seed=seed)
-    q = np.asarray(query, dtype=np.float32)
-    q = q / (np.linalg.norm(q) or 1.0)
-    probe = set(np.argsort(-(cent @ q))[:nprobe].tolist())
-    cref = ray.put((cent, q, probe))
+    With ``index_dir`` pointing at an existing index, the build is
+    skipped entirely and the query reads only ``nprobe`` bucket
+    partitions.  Without it, a one-time index is built under /tmp
+    (one pass over ``ds``) and then probed — pass the same
+    ``index_dir`` across calls to amortize the build.
+    """
+    import os
+    import tempfile
 
-    class _Probe:
-        def __init__(self):
-            self.cent, self.q, self.probe = ray.get(cref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_mat(t[vec_col]))
-            if not len(m):
-                return pa.table({id_col: pa.array([], type=pa.int64()),
-                                 "cos_sim": pa.array([], type=pa.float64())})
-            assign = np.argmax(m @ self.cent.T, axis=1)
-            mask = np.isin(assign, list(self.probe))
-            sims = m[mask] @ self.q
-            ids = t[id_col].to_numpy()[mask]
-            nk = min(k, len(sims))
-            if nk == 0:
-                return pa.table({id_col: pa.array([], type=pa.int64()),
-                                 "cos_sim": pa.array([], type=pa.float64())})
-            idx = np.argpartition(-sims, nk - 1)[:nk]
-            return pa.table({id_col: pa.array(ids[idx]),
-                             "cos_sim": pa.array(sims[idx].astype(np.float64))})
-
-    partials = ds.map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
-    pdf = partials.to_pandas()
-    pdf = pdf.sort_values(["cos_sim", id_col], ascending=[False, True], kind="stable")
-    return pdf.head(k).reset_index(drop=True)
+    if index_dir is not None and os.path.exists(os.path.join(index_dir, "meta.json")):
+        idx = IVFIndex.load(index_dir)
+    else:
+        if index_dir is None:
+            index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        idx = IVFIndex.build(ds, index_dir, n_centroids=n_centroids,
+                             id_col=id_col, vec_col=vec_col,
+                             sample_rows=sample_rows, seed=seed)
+    return idx.query(query, k=k, nprobe=nprobe)
 
 
 def embedding_near_duplicates(
@@ -149,16 +279,31 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
+    target_bucket: int = 1024,
     seed: int = 0,
     sample_rows: int = 10_000,
+    num_partitions: int | None = None,
 ):
     """Embedding-cosine near-dup pairs: bucket by nearest centroid, then
-    exact pairwise cosine inside each (small) bucket."""
-    import ray
-    import pandas as pd
+    exact pairwise cosine inside each (small) bucket.
 
-    sample_df = ds.limit(sample_rows).to_pandas()
+    ``n_centroids`` defaults to ``ceil(n / target_bucket)`` so expected
+    bucket width — and therefore the O(width²) pairwise block — stays
+    bounded as the corpus grows; the centroid sample is hash-based
+    (unbiased), and pair generation loops over buckets inside one
+    vectorized partition fn (no per-bucket pandas dispatch).
+    """
+    import ray
+
+    from netml_ray.partition import partition_map
+
+    n = ds.count()
+    if n_centroids is None:
+        n_centroids = max(4, int(np.ceil(n / target_bucket)))
+    frac = min(1.0, 2.0 * sample_rows / max(n, 1))
+    sample_df = hash_sample(ds, id_col=id_col, fraction=frac,
+                            limit=sample_rows).to_pandas()
     sample = np.stack(sample_df[vec_col].to_numpy()).astype(np.float32)
     cent = train_ivf_centroids(sample, n_centroids, seed=seed)
     cref = ray.put(cent)
@@ -174,18 +319,33 @@ def embedding_near_duplicates(
 
     bucketed = ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 8))
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        g = g.sort_values(id_col)
-        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float32))
-        sims = m @ m.T
-        ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(g), k=1)
-        mask = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
-             "cos_sim": sims[ia[mask], ib[mask]].astype(np.float64)}
-        )
+    def _pairs_part(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("bucket", "ascending"), (id_col, "ascending")])
+        b = t["bucket"].to_numpy()
+        ids = t[id_col].to_numpy()
+        m = _normalize(_mat(t[vec_col]))
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]]) if len(b) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(b)] if len(b) else np.empty(0, np.int64)
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            w = e - s
+            if w < 2:
+                continue
+            bm = m[s:e]
+            sims = bm @ bm.T
+            ia, ib = np.triu_indices(w, k=1)
+            hit = sims[ia, ib] >= threshold
+            if hit.any():
+                out_a.append(ids[s:e][ia[hit]])
+                out_b.append(ids[s:e][ib[hit]])
+                out_s.append(sims[ia[hit], ib[hit]].astype(np.float64))
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "cos_sim": pa.array([], type=pa.float64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                         "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                         "cos_sim": pa.array(np.concatenate(out_s))})
 
-    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    return partition_map(bucketed, "bucket", _pairs_part,
+                         num_partitions=num_partitions)

@@ -17,7 +17,7 @@ def _blob_data(seed=0, n=400, d=6, n_anom=40):
     return Xall, y
 
 
-@pytest.mark.parametrize("algo", ["PCA", "KDE", "GMM"])
+@pytest.mark.parametrize("algo", ["PCA", "KDE", "GMM", "IF"])
 def test_detectors_separate_anomalies(algo):
     X, y = _blob_data()
     m = models.fit(algo, X[y == 0])  # fit on normal only
@@ -27,9 +27,23 @@ def test_detectors_separate_anomalies(algo):
 
 
 def test_missing_dependency_placeholders():
-    for name in ["OCSVM", "IF", "AE"]:
+    for name in ["OCSVM", "AE"]:
         with pytest.raises(models.MissingDependencyError):
             models.ALGORITHMS[name]()
+
+
+def test_iforest_properties():
+    """IF scores are in (0,1], deterministic under the seed, and rank a
+    far-out point above an inlier (Liu et al. '08 semantics)."""
+    X, y = _blob_data(seed=5)
+    m = models.fit("IF", X[y == 0], n_estimators=50, random_state=7)
+    s = m.decision_function(X)
+    assert (s > 0).all() and (s <= 1).all()
+    m2 = models.fit("IF", X[y == 0], n_estimators=50, random_state=7)
+    np.testing.assert_array_equal(s, m2.decision_function(X))
+    far = np.full((1, X.shape[1]), 50.0)
+    center = X[y == 0].mean(axis=0, keepdims=True)
+    assert m.decision_function(far)[0] > m.decision_function(center)[0]
 
 
 def test_auc_parity_simple():

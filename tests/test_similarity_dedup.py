@@ -44,13 +44,35 @@ def test_knn_exact_matches_numpy(ray_session):
     assert (np.diff(got["cos_sim"].to_numpy()) <= 1e-12).all()  # sorted desc
 
 
-def test_knn_ivf_recall(ray_session):
+def test_knn_ivf_recall(ray_session, tmp_path):
+    """Materialized IVF index: recall@10 >= 0.9 vs exact (VERDICT r1
+    criterion), probe reads only nprobe bucket partitions, index
+    reusable via load()."""
+    import glob
+    import os
+
+    from netml_ray.similarity import IVFIndex
+
     ids, m = _emb_np()
     q = m[np.argmin(ids)]
     exact = set(knn_cosine(_emb_ds(), q, k=10, dtype=np.float64)["vec_id"])
-    approx = set(knn_cosine_ivf(_emb_ds(), q, k=10, n_centroids=8, nprobe=4)["vec_id"])
+    idx_dir = str(tmp_path / "ivf")
+    approx = set(knn_cosine_ivf(_emb_ds(), q, k=10, n_centroids=8, nprobe=6,
+                                index_dir=idx_dir)["vec_id"])
     recall = len(exact & approx) / 10
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
+    # the index is a real materialized layout: every bucket partitioned
+    buckets = glob.glob(os.path.join(idx_dir, "bucket=*"))
+    assert len(buckets) == 8
+    assert os.path.exists(os.path.join(idx_dir, "centroids.npy"))
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_table(b).num_rows for b in buckets)
+    assert total == len(ids)  # every vector indexed exactly once
+    # reload without ds: same result, reads only probed buckets
+    idx = IVFIndex.load(idx_dir)
+    again = set(idx.query(q, k=10, nprobe=6)["vec_id"])
+    assert again == approx
 
 
 def test_embedding_near_duplicates_finds_planted(ray_session):
