@@ -787,8 +787,13 @@ def q_anomaly_scores(sf_dir: str):
     return scored.select_columns(["url", "warc_ts", "score"])
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs over documents ∪ perturbed copies
-    (deterministic planted near-dups)."""
+    """MinHash-LSH planted-recall gate: every ≥10-token document must be
+    paired with its perturbed (+1M id, '+ extra' text) copy — a
+    deterministic ground truth the DuckDB oracle states exactly.  A
+    single missed planted pair (true J ≥ 0.67, est-J threshold 0.3,
+    16 bands) fails the row/hash check.  The full near-dup pair list
+    (incl. intra-corpus pairs + jaccard estimates) is pinned separately
+    by pytest (tests/test_similarity_dedup.py)."""
     import pandas as pd
     import ray.data as rd
 
@@ -799,21 +804,75 @@ def q_minhash_pairs(sf_dir: str):
     pert["doc_id"] = pert["doc_id"] + 1_000_000
     pert["text"] = pert["text"] + " extra"
     both = rd.from_pandas(pd.concat([docs, pert], ignore_index=True))
-    pairs = minhash_lsh_duplicates(both, jaccard_threshold=0.5)
-    return pairs.sort(["id_a", "id_b"])
+    pairs = minhash_lsh_duplicates(both, jaccard_threshold=0.3)
+    eligible = set(docs.loc[
+        docs["text"].str.split().str.len() >= 10, "doc_id"].astype(int))
+    elig_arr = np.fromiter(eligible, dtype=np.int64) if eligible else np.empty(0, np.int64)
+
+    def _planted(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        keep = (b - a == 1_000_000) & np.isin(a, elig_arr)
+        return t.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return pairs.map_batches(_planted, batch_format="pyarrow").sort("id_a")
+
+
+SQL_MINHASH_PLANTED = r"""
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM documents
+WHERE CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 10
+ORDER BY id_a
+"""
 
 
 def q_simhash_docs(sf_dir: str):
-    import ray.data as rd
-
-    from netml_ray.dedup import SimHasher
+    """SimHash determinism invariant, SQL-checkable: every exact-text
+    duplicate group must collapse to exactly ONE simhash value — the
+    oracle states n_distinct_simhash = 1 per text group.  Raw 64-bit
+    signatures (not SQL-expressible) are exercised by
+    simhash_duplicates' planted-copy pytest."""
+    from netml_ray.dedup import SimHasher, add_text_hash
+    from netml_ray.partition import partition_map
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
-    return out.select_columns(["doc_id", "simhash"])
+    sig = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    sig = add_text_hash(sig, "text").select_columns(
+        ["doc_id", "simhash", "text_hash"])
+
+    def _groups(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("text_hash", "ascending"), ("simhash", "ascending"),
+                       ("doc_id", "ascending")])
+        h = t["text_hash"].to_numpy()
+        s = t["simhash"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        first = np.flatnonzero(np.r_[True, h[1:] != h[:-1]]) if len(h) else np.empty(0, np.int64)
+        ends = np.r_[first[1:], len(h)] if len(h) else np.empty(0, np.int64)
+        new_sim = np.r_[True, (h[1:] != h[:-1]) | (s[1:] != s[:-1])] if len(h) else np.empty(0, bool)
+        csim = np.cumsum(new_sim)
+        n_sim = csim[ends - 1] - csim[first] + 1 if len(first) else np.empty(0, np.int64)
+        return pa.table({
+            "first_doc": pa.array(d[first]),
+            "n_docs": pa.array((ends - first).astype(np.int64)),
+            "n_distinct_simhash": pa.array(n_sim.astype(np.int64)),
+        })
+
+    return partition_map(sig, "text_hash", _groups, num_partitions=P).sort("first_doc")
+
+
+SQL_SIMHASH_GROUPS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT) AS n_distinct_simhash
+FROM documents GROUP BY text ORDER BY first_doc
+"""
 
 
 def q_lang_id_docs(sf_dir: str):
+    """Heuristic language id; the DuckDB oracle reimplements the exact
+    heuristic (CJK codepoint check + stopword-marker voting with
+    first-max-wins tie-break) with list_filter/regexp kernels."""
     from netml_ray.textops import LangId
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -821,9 +880,44 @@ def q_lang_id_docs(sf_dir: str):
     return out.select_columns(["doc_id", "pred_lang"])
 
 
+def _sql_markers(words: set) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def _build_lang_sql() -> str:
+    from netml_ray.textops import _LANG_MARKERS
+
+    counts = ",\n    ".join(
+        f"len(list_filter(words, w -> w IN ({_sql_markers(m)}))) AS n_{lang}"
+        for lang, m in _LANG_MARKERS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_matches(substr(text, 1, 200), '[一-鿿]') AS cjk,
+    regexp_extract_all(substr(lower(text), 1, 1000), '[a-zà-ÿäöüß]+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, cjk,
+    {counts}
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+       WHEN n_fr >= n_es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM c
+"""
+
+
 def q_knn_cosine_ivf(sf_dir: str):
     """ANN via the materialized IVF index: built once per sf_dir
-    (cached under /tmp), query reads only nprobe bucket partitions."""
+    (cached under /tmp), query reads only nprobe bucket partitions.
+    Oracle = the EXACT top-10 SQL — recall@10 is deterministically 1.0
+    on this table at nprobe=6/8 (verified at sf 0.001/0.01/0.1), so
+    any index/probe regression fails the hash check."""
     import hashlib as _hl
 
     from netml_ray.similarity import knn_cosine_ivf
@@ -833,7 +927,8 @@ def q_knn_cosine_ivf(sf_dir: str):
     query = np.asarray(qrow["embedding"], dtype=np.float64)
     idx_dir = "/tmp/netml_ray_ivf_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
     pdf = knn_cosine_ivf(emb, query, k=10, n_centroids=8, nprobe=6,
-                         index_dir=idx_dir)
+                         index_dir=idx_dir, dtype=np.float64)
+    pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -860,9 +955,51 @@ def q_crawl_flagship(sf_dir: str):
 
 
 def q_events_flagship(sf_dir: str):
+    """Events flagship (sessionize → per-session state → strict as-of):
+    every stage is SQL-expressible (window cumsum + GROUP BY + DuckDB
+    ASOF with strict inequality), so this carries a full oracle.
+    s_mean is rounded to 9 dp on BOTH sides (float sum-order hedge)."""
     from netml_ray.pipeline import events_session_pipeline
 
-    return events_session_pipeline(sf_dir, num_partitions=P)
+    ds = events_session_pipeline(sf_dir, num_partitions=P)
+
+    def _round(t: pa.Table) -> pa.Table:
+        col = t["s_mean"]
+        vals = np.round(col.to_numpy(zero_copy_only=False).astype(np.float64), 9)
+        mask = pc.is_null(col.combine_chunks()).to_numpy(zero_copy_only=False)
+        return t.set_column(t.column_names.index("s_mean"), "s_mean",
+                            pa.array(vals, mask=mask))
+
+    return ds.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_EVENTS_FLAGSHIP = f"""
+WITH e AS (
+  SELECT event_id, user_id, value, epoch(ts) AS ts_sec,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {EVENT_GAP} THEN 1 ELSE 0 END AS cut
+  FROM events
+), s AS (
+  SELECT event_id, user_id, value, ts_sec,
+         SUM(cut) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), st AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS s_n,
+         round(AVG(value), 9) AS s_mean,
+         MIN(value) AS s_min, MAX(value) AS s_max,
+         MAX(ts_sec) AS end_sec
+  FROM s GROUP BY user_id, sid
+)
+SELECT s.event_id, s.user_id, s.ts_sec, s.value,
+       CAST(s.sid AS BIGINT) AS session_id,
+       st.end_sec,
+       CAST(st.sid AS BIGINT) AS session_id_state,
+       st.s_n, st.s_mean, st.s_min, st.s_max
+FROM s ASOF LEFT JOIN st
+  ON s.user_id = st.user_id AND s.ts_sec > st.end_sec
+"""
 
 
 def q_netml_two_stage_events(sf_dir: str):
@@ -958,4 +1095,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": SQL_QUALITY,
         "fingerprint_docs": SQL_FINGERPRINT,
         "knn_cosine": SQL_KNN,
+        "knn_cosine_ivf": SQL_KNN,
+        "minhash_pairs": SQL_MINHASH_PLANTED,
+        "simhash_docs": SQL_SIMHASH_GROUPS,
+        "lang_id_docs": _build_lang_sql(),
+        "events_flagship": SQL_EVENTS_FLAGSHIP,
     }

@@ -212,7 +212,8 @@ class IVFIndex:
         return IVFIndex(index_dir, cent, meta)
 
     # -- query ---------------------------------------------------------
-    def query(self, query: np.ndarray, *, k: int = 10, nprobe: int = 4):
+    def query(self, query: np.ndarray, *, k: int = 10, nprobe: int = 4,
+              dtype=np.float32):
         """Approximate top-k: reads ONLY the probed bucket partitions."""
         import os
 
@@ -234,8 +235,8 @@ class IVFIndex:
 
             return pd.DataFrame({self.meta["id_col"]: [], "cos_sim": []})
         sub = rd.read_parquet(files)
-        return knn_cosine(sub, q, k=k, id_col=self.meta["id_col"],
-                          vec_col=self.meta["vec_col"])
+        return knn_cosine(sub, query, k=k, id_col=self.meta["id_col"],
+                          vec_col=self.meta["vec_col"], dtype=dtype)
 
 
 def knn_cosine_ivf(
@@ -250,6 +251,7 @@ def knn_cosine_ivf(
     sample_rows: int = 10_000,
     seed: int = 0,
     index_dir: str | None = None,
+    dtype=np.float32,
 ):
     """IVF approximate top-k via the materialized index.
 
@@ -270,7 +272,7 @@ def knn_cosine_ivf(
         idx = IVFIndex.build(ds, index_dir, n_centroids=n_centroids,
                              id_col=id_col, vec_col=vec_col,
                              sample_rows=sample_rows, seed=seed)
-    return idx.query(query, k=k, nprobe=nprobe)
+    return idx.query(query, k=k, nprobe=nprobe, dtype=dtype)
 
 
 def embedding_near_duplicates(
