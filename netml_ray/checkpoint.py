@@ -157,6 +157,104 @@ def _table_checksum(t: pa.Table) -> int:
     return int(np.bitwise_xor.reduce(h))
 
 
+def _write_partition(t: pa.Table, pid: int, fn, out_dir: str, env_fp: str,
+                     input_desc: str, sort_by=None) -> int:
+    """fn + atomic write + success marker for ONE complete pid."""
+    import time
+
+    t0 = time.time()
+    n_in = t.num_rows
+    if sort_by is not None:
+        t = sort_partition(t, sort_by)
+    out = fn(t)
+    if PID in out.column_names:
+        out = out.drop_columns([PID])
+    pdir = os.path.join(out_dir, f"part={pid}")
+    os.makedirs(pdir, exist_ok=True)
+    tmp = os.path.join(pdir, f".data.parquet.tmp.{os.getpid()}")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(pdir, "data.parquet"))
+    rec = {
+        "partition_id": pid,
+        "rows": out.num_rows,
+        "input_rows": n_in,
+        "checksum": _table_checksum(out),
+        "wall_s": round(time.time() - t0, 4),
+        "input": input_desc,
+        "env": env_fp,
+        "ts": time.time(),
+    }
+    stmp = os.path.join(pdir, f"._SUCCESS.tmp.{os.getpid()}")
+    with open(stmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(stmp, _success_path(out_dir, pid))
+    return out.num_rows
+
+
+def checkpointed_write_from_parts(parts, fn, out_dir: str, *,
+                                  input_desc: str = ""):
+    """Checkpointed writes over an ALREADY-shuffled ``partition_sorted``
+    result: no second shuffle — each block holds one-or-more complete
+    sorted partitions (verified against the self-describing
+    ``__pidrows`` column, as in ``aligned_map``), and each is written
+    atomically with its lineage record.  Callers must have validated /
+    initialized the manifest first (``validate_or_init_manifest``) and
+    pre-filtered completed pids out of the input."""
+    import polars as pl
+
+    from netml_ray.partition import PIDROWS
+
+    env_fp = f"polars={pl.__version__}"
+
+    def _run(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"partition_id": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        pids = t[PID].to_numpy()
+        expected = t[PIDROWS].to_numpy()
+        upids, first_idx, counts = np.unique(pids, return_index=True,
+                                             return_counts=True)
+        bad = counts != expected[first_idx]
+        if bad.any():
+            p = int(upids[np.flatnonzero(bad)[0]])
+            raise RuntimeError(
+                f"partition {p} split across blocks: raise "
+                "DataContext.target_max_block_size or use more partitions"
+            )
+        out_p, out_n = [], []
+        for pid in upids:
+            sl = t.filter(pa.array(pids == pid)).drop_columns([PID, PIDROWS])
+            out_p.append(int(pid))
+            out_n.append(_write_partition(sl, int(pid), fn, out_dir, env_fp,
+                                          input_desc))
+        return pa.table({"partition_id": pa.array(out_p, type=pa.int64()),
+                         "rows": pa.array(out_n, type=pa.int64())})
+
+    marker = parts.map_batches(_run, batch_format="pyarrow", batch_size=None)
+    marker.materialize()
+    return out_dir
+
+
+def filter_pids(ds, key: str, num_partitions: int, done: set):
+    """Drop rows whose partition id is already completed — BEFORE the
+    shuffle, so finished partitions are neither re-shuffled nor
+    recomputed on resume."""
+    import ray
+
+    from netml_ray.hashing import pid_for
+
+    if not done:
+        return ds
+    done_ref = ray.put(np.fromiter(sorted(done), dtype=np.int64))
+
+    def _skip(t: pa.Table) -> pa.Table:
+        d = ray.get(done_ref)
+        mask = ~np.isin(pid_for(t[key], num_partitions), d)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(_skip, batch_format="pyarrow")
+
+
 def checkpointed_partition_map(
     ds,
     key: str,
@@ -204,36 +302,6 @@ def checkpointed_partition_map(
 
         ds = ds.map_batches(_skip, batch_format="pyarrow")
 
-    def _write_pid(t: pa.Table, pid: int) -> int:
-        """fn + atomic write + success marker for ONE complete pid."""
-        t0 = time.time()
-        n_in = t.num_rows
-        if sort_by is not None:
-            t = sort_partition(t, sort_by)
-        out = fn(t)
-        if PID in out.column_names:
-            out = out.drop_columns([PID])
-        pdir = os.path.join(out_dir, f"part={pid}")
-        os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, f".data.parquet.tmp.{os.getpid()}")
-        pq.write_table(out, tmp)
-        os.replace(tmp, os.path.join(pdir, "data.parquet"))
-        rec = {
-            "partition_id": pid,
-            "rows": out.num_rows,
-            "input_rows": n_in,
-            "checksum": _table_checksum(out),
-            "wall_s": round(time.time() - t0, 4),
-            "input": input_desc,
-            "env": env_fp,
-            "ts": time.time(),
-        }
-        stmp = os.path.join(pdir, f"._SUCCESS.tmp.{os.getpid()}")
-        with open(stmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(stmp, _success_path(out_dir, pid))
-        return out.num_rows
-
     def _run(t: pa.Table) -> pa.Table:
         # one map_groups call may carry several complete pids
         if t.num_rows == 0:
@@ -245,7 +313,8 @@ def checkpointed_partition_map(
         for pid in upids:
             sl = t.filter(pa.array(pids == pid)).drop_columns([PID])
             out_p.append(int(pid))
-            out_n.append(_write_pid(sl, int(pid)))
+            out_n.append(_write_partition(sl, int(pid), fn, out_dir, env_fp,
+                                          input_desc, sort_by))
         return pa.table({"partition_id": pa.array(out_p, type=pa.int64()),
                          "rows": pa.array(out_n, type=pa.int64())})
 

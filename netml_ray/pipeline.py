@@ -550,12 +550,7 @@ def crawl_feature_pipeline(
     instead of landing whole in one hash partition; results are
     identical (pinned by tests).  Not yet combined with ``out_dir``.
     """
-    from netml_ray.checkpoint import (
-        checkpointed_partition_map,
-        load_scalars,
-        read_checkpointed,
-        save_scalars,
-    )
+    from netml_ray.checkpoint import load_scalars, read_checkpointed, save_scalars
     from netml_ray.partition import aligned_map, partition_sorted
 
     if out_dir and hot_threshold is not None:
@@ -581,40 +576,59 @@ def crawl_feature_pipeline(
             )
 
     if out_dir:
-        # resumable path: per-partition checkpointed shuffle.  ALL run
-        # parameters are pinned: scalars.json carries the ones the fused
-        # kernel reads (recomputed if any differ), and the full set —
-        # incl. fft and the corpus path — goes into the checkpoint
-        # manifest so a rerun with different parameters cannot silently
-        # mix stale completed partitions with new ones.
+        # resumable path — SAME single-shuffle plan as the fast path:
+        # completed pids are filtered out BEFORE the one sort-partition
+        # shuffle, the scalar passes run as shuffle-free aligned maps
+        # over the sorted partitions (skipped entirely on resume —
+        # scalars.json is written before any partition completes), and
+        # the fused pass writes each complete partition atomically with
+        # lineage.  ALL run parameters are pinned: scalars.json carries
+        # the ones the fused kernel reads (recomputed if any differ) and
+        # the full set — incl. fft and the corpus path — goes into the
+        # checkpoint manifest so a rerun with different parameters
+        # cannot silently mix stale completed partitions with new ones.
+        from netml_ray.checkpoint import (
+            checkpointed_write_from_parts,
+            completed_partitions,
+            filter_pids,
+            validate_or_init_manifest,
+        )
+
         run_params = {"feat_type": feat_type, "gap": gap,
                       "q_interval": q_interval, "min_rows": min_rows,
                       "fft": fft, "corpus": corpus_path}
-        from netml_ray.checkpoint import validate_or_init_manifest
-
-        # fail fast on an incompatible checkpoint — BEFORE the (two-pass)
-        # scalar computation
-        num_partitions, _ = validate_or_init_manifest(
+        num_partitions, done_recs = validate_or_init_manifest(
             out_dir, "url", num_partitions, run_params)
+        done = set(done_recs)
         scalars = load_scalars(out_dir)
         if scalars is not None and any(
             scalars.get(k) != run_params[k]
             for k in ("feat_type", "gap", "q_interval", "min_rows")
         ):
-            scalars = None  # stale scalars — recompute (a partition-level
-            # mismatch is caught by checkpointed_partition_map's manifest)
+            scalars = None  # stale scalars — recompute
+        if scalars is not None and len(done) >= num_partitions:
+            return read_checkpointed(out_dir), scalars  # fully complete
+        remaining = filter_pids(narrow, "url", num_partitions, done)
+        parts, pid_counts = partition_sorted(
+            remaining, "url", sort_by=["url", TS_SEC],
+            num_partitions=num_partitions)
         if scalars is None:
+            if done:
+                # scalars.json is written before the first partition
+                # completes; reaching here means it was deleted or the
+                # scalar-relevant params changed under existing output
+                raise ValueError(
+                    f"{out_dir} has completed partitions but no matching "
+                    f"scalars.json — delete the directory to start fresh")
             scalars = compute_crawl_scalars(
                 narrow, gap=gap, q_interval=q_interval, min_rows=min_rows,
-                feat_type=feat_type, num_partitions=num_partitions,
+                feat_type=feat_type, parts=parts, pid_counts=pid_counts,
             )
             save_scalars(out_dir, scalars)
-        fn = _fused_fn("url", scalars, fft)
-        checkpointed_partition_map(
-            narrow, "url", fn, out_dir,
-            num_partitions=num_partitions, sort_by=["url", TS_SEC],
-            input_desc=corpus_path, params=run_params,
-        )
+        if len(done) < num_partitions:
+            checkpointed_write_from_parts(
+                parts, _fused_fn("url", scalars, fft), out_dir,
+                input_desc=corpus_path)
         return read_checkpointed(out_dir), scalars
 
     # fast path: ONE shuffle (sort-partition), then every pass — the two

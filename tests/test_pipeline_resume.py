@@ -280,3 +280,36 @@ def test_hot_salted_flagship_iat_and_samp(corpus_file, ray_session):
         fa = np.vstack(a.loc[ok, "features"].to_numpy())
         fb = np.vstack(b.loc[ok, "features"].to_numpy())
         np.testing.assert_allclose(fa, fb, rtol=0, atol=0, err_msg=ft)
+
+
+def test_resumable_pipeline_partial_resume(corpus_file, ray_session, tmp_path):
+    """Delete a few completed partitions (stand-in for a mid-run kill):
+    a rerun recomputes ONLY those, leaves the rest untouched, and the
+    combined output equals the original run."""
+    out_dir = str(tmp_path / "partial")
+    j1, s1 = crawl_feature_pipeline(corpus_file, feat_type="STATS",
+                                    num_partitions=8, out_dir=out_dir)
+    df1 = j1.to_pandas()
+    done = completed_partitions(out_dir)
+    assert len(done) == 8  # every partition non-empty for this corpus
+    ts_before = {p: r["ts"] for p, r in done.items()}
+    for p in (1, 4, 6):
+        shutil.rmtree(os.path.join(out_dir, f"part={p}"))
+
+    j2, s2 = crawl_feature_pipeline(corpus_file, feat_type="STATS",
+                                    num_partitions=8, out_dir=out_dir)
+    assert s1 == s2
+    done2 = completed_partitions(out_dir)
+    assert set(done2) == set(range(8))
+    for p, rec in done2.items():
+        if p in (1, 4, 6):
+            assert rec["ts"] > ts_before[p]  # recomputed
+        else:
+            assert rec["ts"] == ts_before[p]  # untouched
+        # lineage checksums survive the round trip
+        assert rec["checksum"] == done[p]["checksum"]
+
+    key = ["url", "warc_ts"]
+    a = df1.sort_values(key).reset_index(drop=True)
+    b = j2.to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
