@@ -77,12 +77,13 @@ def gen_corpus(
     start_epoch: int = 1_600_000_000,
     avg_rows_per_url: int = 40,
     avg_tokens: int = 12,
+    hot_frac: float = 0.2,
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
     n_urls = max(4, n_rows // avg_rows_per_url)
 
-    # row budget: url 0 is hot (20%), 10% of urls are singletons
-    n_hot = n_rows // 5
+    # row budget: url 0 is hot (hot_frac of rows), 10% of urls singletons
+    n_hot = int(n_rows * hot_frac)
     n_single = max(1, n_urls // 10)
     remaining = n_rows - n_hot - n_single
     others = n_urls - 1 - n_single
@@ -149,19 +150,21 @@ def corpus_path(
     cache_dir: str = "/tmp/netml_ray_corpus",
     avg_tokens: int = 12,
     shards: int = 32,
+    hot_frac: float = 0.2,
 ) -> str:
     """Generate-once cached corpus as a DIRECTORY of parquet shards
     (deterministic by key).  Sharded layout + small row groups give the
     reader real parallelism — a single-file single-row-group corpus
     serializes the read stage."""
     os.makedirs(cache_dir, exist_ok=True)
+    suffix = "" if hot_frac == 0.2 else f"_h{int(hot_frac * 100)}"
     path = os.path.join(
-        cache_dir, f"corpus_v{GEN_VERSION}_n{n_rows}_s{seed}_t{avg_tokens}"
+        cache_dir, f"corpus_v{GEN_VERSION}_n{n_rows}_s{seed}_t{avg_tokens}{suffix}"
     )
     if not os.path.isdir(path):
         tmp = path + f".tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
-        tbl = gen_corpus(n_rows, seed, avg_tokens=avg_tokens)
+        tbl = gen_corpus(n_rows, seed, avg_tokens=avg_tokens, hot_frac=hot_frac)
         n = tbl.num_rows
         per = max(1, (n + shards - 1) // shards)
         for i in range(0, shards):

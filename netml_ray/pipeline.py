@@ -27,7 +27,6 @@ passes; they move only per-session aggregates, not rows.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -346,8 +345,6 @@ def _crawl_hot_cold(
 
     from netml_ray.partition import aligned_map, partition_sorted
     from netml_ray.salted import (
-        LSID,
-        SALT,
         global_session_summary,
         merge_chunk_summaries,
         salt_and_cut,
@@ -358,8 +355,11 @@ def _crawl_hot_cold(
     cold, hotds = split_hot(narrow, key, hot)
     parts, pid_counts = partition_sorted(cold, key, sort_by=[key, TS_SEC],
                                          num_partitions=num_partitions)
-    salted, chunk_summ = salt_and_cut(hotds, key, gap=gap, chunk=chunk,
-                                      num_partitions=num_partitions)
+    # chunk-local G3 cut over a NARROW (key, ts) projection — the only
+    # pass that shuffles by (key, time-chunk), and it carries no payload
+    _, chunk_summ = salt_and_cut(hotds.select_columns([key, TS_SEC]), key,
+                                 gap=gap, chunk=chunk,
+                                 num_partitions=num_partitions)
     summ = merge_chunk_summaries(chunk_summ, key, gap=gap, min_rows=min_rows,
                                  netml=True)
     gsum = global_session_summary(summ, key)
@@ -371,27 +371,51 @@ def _crawl_hot_cold(
     dur_ds = cold_dur.union(rd.from_arrow(pa.table({"duration": pa.array(hot_dur)})))
     interval = exact_quantiles(dur_ds, "duration", [q_interval])[0]
 
-    # assign global G3 ids to hot rows (broadcast tiny chunk mapping)
-    mapping = summ[[key, SALT, LSID, "_gsid", "_keep"]]
-    map_ref = ray.put(mapping)
+    # assign global G3 ids to hot rows via broadcast per-key session
+    # START boundaries (sessions partition each key's timeline, so
+    # gsid = searchsorted(first_ts, ts) — no join, no row mapping table)
+    bnd = {}
+    for u, g in gsum.groupby(key, sort=True):
+        g = g.sort_values("_gsid")
+        bnd[u] = (g["first_ts"].to_numpy().astype(np.float64),
+                  g["_keep"].to_numpy().astype(bool))
+    bnd_ref = ray.put(bnd)
 
     class _AssignG3:
         def __init__(self):
-            self.map = ray.get(map_ref)
+            self.bnd = ray.get(bnd_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            df = pa.table({key: t[key], SALT: t[SALT], LSID: t[LSID]}).to_pandas()
-            m = df.merge(self.map, on=[key, SALT, LSID], how="left")
-            gs = m["_gsid"].fillna(-1).to_numpy().astype(np.int64)
-            g3k = (df[key].astype(str) + "\x1f" + pd.Series(gs).astype(str)).to_numpy()
-            t = t.append_column(G3KEY, pa.array(g3k, type=pa.string()))
-            keep = m["_keep"].fillna(False).to_numpy().astype(bool)
-            return t.filter(pa.array(keep))
+            n = t.num_rows
+            tsf = t[TS_SEC].to_numpy()
+            enc = pc.dictionary_encode(t[key].combine_chunks())
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy()
+            g3 = np.zeros(n, dtype=np.int64)
+            keepm = np.zeros(n, dtype=bool)
+            for ci, u in enumerate(enc.dictionary.to_pylist()):
+                b = self.bnd.get(u)
+                if b is None:
+                    continue
+                ii = np.flatnonzero(codes == ci)
+                pos = np.searchsorted(b[0], tsf[ii], side="right") - 1
+                pos = np.maximum(pos, 0)
+                g3[ii] = pos
+                keepm[ii] = b[1][pos]
+            g3k = pc.binary_join_element_wise(
+                pc.cast(t[key], pa.string()),
+                pa.array(g3.astype(str), type=pa.string()), "\x1f")
+            t = t.append_column(G3KEY, g3k)
+            return t.filter(pa.array(keepm))
 
-    hot_sess = salted.map_batches(_AssignG3, batch_format="pyarrow",
-                                  concurrency=(1, 8)).materialize()
-
-    from netml_ray.partition import partition_map
+    hot_sess = hotds.map_batches(_AssignG3, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+    # ONE shuffle of the hot rows by (key, G3 session) — the stats and
+    # feature passes then run as shuffle-free aligned maps over it
+    hot_parts, hot_counts = partition_sorted(
+        hot_sess, G3KEY, sort_by=[G3KEY, TS_SEC],
+        num_partitions=num_partitions)
 
     def _hot_stats(t: pa.Table) -> pa.Table:
         seg = _key_codes(t, G3KEY)
@@ -406,9 +430,7 @@ def _crawl_hot_cold(
             "duration": pa.array(tsf2[ends - 1] - tsf2[starts] if len(starts) else np.empty(0)),
         })
 
-    hot_stats = partition_map(hot_sess, G3KEY, _hot_stats,
-                              sort_by=[G3KEY, TS_SEC],
-                              num_partitions=num_partitions)
+    hot_stats = aligned_map(hot_parts, _hot_stats, hot_counts)
     cold_stats = aligned_map(
         parts, _session_scalar_stats_fn(key, gap, min_rows, interval), pid_counts)
     stats_ds = cold_stats.union(hot_stats)
@@ -458,9 +480,7 @@ def _crawl_hot_cold(
             "features": feats,
         })
 
-    hot_state = partition_map(hot_sess, G3KEY, _hot_feats,
-                              sort_by=[G3KEY, TS_SEC],
-                              num_partitions=num_partitions).to_pandas()
+    hot_state = aligned_map(hot_parts, _hot_feats, hot_counts).to_pandas()
     hot_state = hot_state.sort_values([key, "start_sec"],
                                       kind="stable").reset_index(drop=True)
     hot_state["ord"] = hot_state.groupby(key).cumcount()
@@ -519,8 +539,8 @@ def _crawl_hot_cold(
                 "features": feat_col,
             })
 
-    hot_joined = salted.map_batches(_Attach, batch_format="pyarrow",
-                                    concurrency=(1, 8))
+    hot_joined = hotds.map_batches(_Attach, batch_format="pyarrow",
+                                   concurrency=(1, 8))
     cold_joined = aligned_map(parts, _fused_fn(key, scalars, fft), pid_counts)
     return cold_joined.union(hot_joined), scalars
 

@@ -46,11 +46,9 @@ def hot_keys(ds, key: str, threshold: int) -> set:
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
-        import collections
-
-        c = collections.Counter(t[key].to_pylist())
-        return pa.table({key: pa.array(list(c.keys())),
-                         "n": pa.array(list(c.values()), type=pa.int64())})
+        vc = t[key].combine_chunks().value_counts()
+        return pa.table({key: vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(key).aggregate(
         Sum("n", alias_name="n")
