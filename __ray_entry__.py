@@ -605,6 +605,115 @@ FROM documents GROUP BY prefix ORDER BY prefix
 """
 
 
+def q_join_orders_customer(sf_dir: str):
+    """Large-large equi-join: co-partitioned hash join (one shuffle
+    over the union), full joined rows out."""
+    from netml_ray.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    j = hash_join(orders, cust, "o_custkey", how="inner", num_partitions=P)
+    return j.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"])
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_range_join_clicks(sf_dir: str):
+    """Interval join: every purchase paired with each click by the same
+    user in the preceding hour (searchsorted window per key — the
+    range-join custom operator over one co-partition shuffle)."""
+    from netml_ray.joins import range_join
+    from netml_ray.sessionize import with_ts_sec
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = with_ts_sec(ev, "ts")
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts_sec"]).map_batches(
+        lambda t: t.rename_columns(["purchase_id", "user_id", "ts_sec"]),
+        batch_format="pyarrow")
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts_sec"]).map_batches(
+        lambda t: t.rename_columns(["click_id", "user_id", "click_sec"]),
+        batch_format="pyarrow")
+    out = range_join(purchases, clicks, "user_id",
+                     left_ts="ts_sec", right_ts="click_sec",
+                     lo=-3600.0, hi=0.0, num_partitions=P)
+    return out.select_columns(["purchase_id", "user_id", "click_id"])
+
+
+SQL_RANGE_JOIN_CLICKS = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND epoch(c.ts) >= epoch(p.ts) - 3600 AND epoch(c.ts) <= epoch(p.ts)
+"""
+
+
+def q_gopher_quality_docs(sf_dir: str):
+    """Gopher-style quality filter signals + verdict (Rae et al. '21)."""
+    from netml_ray.textops import gopher_quality_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda t: gopher_quality_batch(t),
+                           batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "mean_word_len",
+                               "symbol_ratio", "has_stop_word", "gopher_keep"])
+
+
+SQL_GOPHER = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CASE WHEN len(words) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+              / len(words) END AS mean_word_len,
+    CAST(n_sym AS DOUBLE) / greatest(len(words), 1) AS symbol_ratio,
+    len(list_filter(words, w -> w IN
+        ('the','be','to','of','and','that','have','with'))) > 0 AS has_stop_word
+  FROM t
+)
+SELECT doc_id, n_words, round(mean_word_len, 9) AS mean_word_len,
+       round(symbol_ratio, 9) AS symbol_ratio, has_stop_word,
+       (n_words >= 5 AND n_words <= 100000 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND has_stop_word) AS gopher_keep
+FROM c
+"""
+
+
+def q_top_tokens_docs(sf_dir: str):
+    """Global top-20 token histogram (vocabulary heavy hitters): map-side
+    partial counts → tiny groupby sum → top-k."""
+    from netml_ray.textops import top_tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_tokens(docs, k=20)
+
+
+SQL_TOP_TOKENS = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
 def q_token_count_docs(sf_dir: str):
     from netml_ray.textops import token_count_batch
 
@@ -1050,6 +1159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_join_events": q_label_join_events,
         "time_normed_events": q_time_normed_events,
         "session_type_counts": q_session_type_counts,
+        "join_orders_customer": q_join_orders_customer,
+        "range_join_clicks": q_range_join_clicks,
+        "gopher_quality_docs": q_gopher_quality_docs,
+        "top_tokens_docs": q_top_tokens_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_prefix_docs": q_dedup_prefix_docs,
         "token_count_docs": q_token_count_docs,
@@ -1089,6 +1202,10 @@ def oracle_sql() -> dict[str, str]:
         "label_join_events": SQL_LABEL_JOIN,
         "time_normed_events": SQL_TIME_NORMED,
         "session_type_counts": SQL_SESSION_TYPE_COUNTS,
+        "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
+        "range_join_clicks": SQL_RANGE_JOIN_CLICKS,
+        "gopher_quality_docs": SQL_GOPHER,
+        "top_tokens_docs": SQL_TOP_TOKENS,
         "dedup_exact_docs": SQL_DEDUP_EXACT,
         "dedup_prefix_docs": SQL_DEDUP_PREFIX,
         "token_count_docs": SQL_TOKEN_COUNT,

@@ -104,6 +104,114 @@ def label_join(ds, labels_df: pd.DataFrame, key: str, label_col: str = "label_ra
     return broadcast_join(ds, norm, key, how="inner")
 
 
+def hash_join(
+    left,
+    right,
+    key: str,
+    *,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+):
+    """Large-large equi-join: co-partition both sides by ``hash(key)``
+    (ONE shuffle over the union, the same exchange the as-of join
+    uses) and merge each partition pair with a vectorized pandas merge.
+    ``how`` ∈ {inner, left}.  For small build sides prefer
+    ``broadcast_join`` (no shuffle at all).
+    """
+    import pandas as pd
+
+    from netml_ray.partition import partition_map2
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r} not supported (inner|left)")
+
+    def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ldf = lt.to_pandas()
+        rdf = rt.to_pandas()
+        out = ldf.merge(rdf, on=key, how=how, suffixes=("", suffix))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partition_map2(left, right, key, _fn,
+                          num_partitions=num_partitions)
+
+
+def range_join(
+    left,
+    right,
+    key: str,
+    *,
+    left_ts: str,
+    right_ts: str,
+    lo: float = 0.0,
+    hi: float = 0.0,
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+):
+    """Interval (range) join: for every left row, all right rows of the
+    same key with ``right_ts ∈ [left_ts + lo, left_ts + hi]``.
+
+    Co-partition by key, sort each side by (key, ts), then per left
+    segment ONE pair of ``searchsorted`` calls yields each row's match
+    window; matches materialize via two vectorized ``take`` gathers
+    (output-proportional — no per-pair Python).  Inner semantics:
+    left rows with no in-range right row are dropped.
+    """
+    from netml_ray.kernels import segment_starts
+    from netml_ray.partition import partition_map2
+
+    def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        nl = lt.num_rows
+        out_schema_right = [c for c in rt.column_names if c != key]
+        if nl == 0 or rt.num_rows == 0:
+            cols = {c: lt[c] for c in lt.column_names}
+            for c in out_schema_right:
+                name = c + suffix if c in lt.column_names else c
+                cols[name] = pa.nulls(0, type=rt.schema.field(c).type)
+            return pa.table(cols).slice(0, 0)
+        combo = pa.chunked_array(
+            list(lt[key].chunks) + list(rt[key].chunks), type=lt[key].type)
+        enc = pc.dictionary_encode(combo)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        lcodes, rcodes = codes[:nl], codes[nl:]
+        ltsv = lt[left_ts].to_numpy().astype(np.float64)
+        rtsv = rt[right_ts].to_numpy().astype(np.float64)
+        r_starts = segment_starts(rcodes)
+        r_ends = np.r_[r_starts[1:], len(rcodes)]
+        rmap = {rcodes[s]: (s, e) for s, e in zip(r_starts, r_ends)}
+        l_starts = segment_starts(lcodes)
+        l_ends = np.r_[l_starts[1:], nl]
+        win_lo = np.zeros(nl, dtype=np.int64)
+        win_hi = np.zeros(nl, dtype=np.int64)
+        for s, e in zip(l_starts, l_ends):
+            seg = rmap.get(lcodes[s])
+            if seg is None:
+                continue
+            rs, re_ = seg
+            win_lo[s:e] = rs + np.searchsorted(rtsv[rs:re_], ltsv[s:e] + lo,
+                                               side="left")
+            win_hi[s:e] = rs + np.searchsorted(rtsv[rs:re_], ltsv[s:e] + hi,
+                                               side="right")
+        counts = np.maximum(win_hi - win_lo, 0)
+        l_idx = np.repeat(np.arange(nl), counts)
+        total = int(counts.sum())
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        r_idx = np.repeat(win_lo, counts) + (np.arange(total)
+                                             - np.repeat(offs[:-1], counts))
+        lsel = pc.take(lt, pa.array(l_idx))
+        cols = {c: lsel[c] for c in lsel.column_names}
+        for c in out_schema_right:
+            name = c + suffix if c in lt.column_names else c
+            cols[name] = pc.take(rt[c], pa.array(r_idx))
+        return pa.table(cols)
+
+    return partition_map2(
+        left, right, key, _fn, num_partitions=num_partitions,
+        sort_left=[key, left_ts], sort_right=[key, right_ts])
+
+
 def semi_join(ds, keys_iterable, key: str, *, anti: bool = False):
     """Semi/anti join: broadcast the key set, filter inside map_batches
     with a vectorized ``pc.is_in`` membership test."""

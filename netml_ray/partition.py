@@ -182,6 +182,12 @@ def partition_map2(
 
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
+    if not hasattr(lschema, "field") or not hasattr(rschema, "field"):
+        raise TypeError(
+            "partition_map2 needs Arrow-schema datasets; a pandas-block "
+            "dataset (e.g. from_pandas) should be created with "
+            "from_arrow(pa.Table.from_pandas(df)) instead"
+        )
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     # unified schema: left columns then right-only columns (null-padded)

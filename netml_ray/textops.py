@@ -391,6 +391,64 @@ def quality_score_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t
 
 
+def gopher_quality_batch(t: pa.Table, text_col: str = "text",
+                         *, min_words: int = 5, max_words: int = 100_000,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1) -> pa.Table:
+    """Gopher-style (Rae et al. '21, public) document quality filters:
+    word count bounds, mean word length, symbol-to-word ratio
+    (# and ... ellipsis), stop-token presence.  Emits the raw signals
+    plus a ``gopher_keep`` verdict — all SQL-expressible."""
+    texts = t[text_col].to_pylist()
+    n = len(texts)
+    n_words = np.empty(n, dtype=np.int64)
+    mean_len = np.empty(n, dtype=np.float64)
+    n_sym = np.empty(n, dtype=np.int64)
+    has_stop = np.empty(n, dtype=bool)
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    for i, s in enumerate(texts):
+        words = s.split()
+        n_words[i] = len(words)
+        mean_len[i] = (sum(len(w) for w in words) / len(words)) if words else 0.0
+        n_sym[i] = s.count("#") + s.count("...")
+        has_stop[i] = any(w in stops for w in words)
+    ratio = n_sym / np.maximum(n_words, 1)
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_len <= max_mean_word_len)
+            & (ratio <= max_symbol_ratio) & has_stop)
+    t = t.append_column("n_words", pa.array(n_words))
+    t = t.append_column("mean_word_len", pa.array(np.round(mean_len, 9)))
+    t = t.append_column("symbol_ratio", pa.array(np.round(ratio, 9)))
+    t = t.append_column("has_stop_word", pa.array(has_stop))
+    t = t.append_column("gopher_keep", pa.array(keep))
+    return t
+
+
+def top_tokens(ds, *, text_col: str = "text", k: int = 20):
+    """Global top-k token histogram (vocabulary heavy hitters):
+    per-batch PARTIAL token counts (one small table per batch — the
+    map-side combine that keeps the groupby exchange tiny) → groupby
+    sum → top-k.  Deterministic tie-break: (-count, token)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t[text_col].to_pylist():
+            c.update(s.split())
+        if not c:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        toks, ns = zip(*c.items())
+        return pa.table({"token": pa.array(list(toks), type=pa.string()),
+                         "n": pa.array(list(ns), type=pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic document fingerprint: sha1 of utf-8 bytes (exact
     dedup key) + a 64-bit rolling-hash style fingerprint."""
