@@ -10,13 +10,14 @@ Division of labor mirrors the reference and SURVEY §2.4 T2/T3:
   ``ray.put`` and applied per batch by an actor pool (analog
   cli.py:200-202)
 
-This container has no sklearn/torch, so the models here are pure-numpy
-reimplementations of the *math* (PCA reconstruction error, Gaussian
-KDE log-likelihood, spherical GMM via EM, Isolation Forest per
-Liu et al. '08); the remaining sklearn/torch-backed algorithms (OCSVM,
-Autoencoder) surface as ``MissingDependencyError`` placeholders,
-mirroring the reference's guarded-import pattern
-(src/netml/ndm/ae.py:5-14, utils/tool.py:17-18).
+This container has no sklearn/torch, so all SIX algorithms of the
+reference's registry are pure-numpy reimplementations of the public
+math: PCA reconstruction error, Gaussian KDE log-likelihood, spherical
+GMM via EM, Isolation Forest (Liu et al. '08), one-class SVM on Random
+Fourier Features (Schölkopf '01 + Rahimi-Recht '07), and an MLP
+autoencoder with hand-rolled Adam.  ``MissingDependencyError`` remains
+as the API for any future dependency-gated algorithm (reference
+pattern: utils/tool.py:17-18).
 """
 
 from __future__ import annotations
@@ -207,27 +208,143 @@ class IFDetector:
         return np.power(2.0, -eh / max(_avg_path_len(np.array([self.psi_]))[0], 1e-9)) * 1.0
 
 
-def _missing(name: str):
-    class _Missing:
-        def __init__(self, *a, **k):
-            raise MissingDependencyError(
-                f"{name} requires scikit-learn, which is not available in "
-                "this environment (reference analog: ManualDependencyError)"
-            )
+class OCSVMDetector:
+    """One-class SVM with an RBF kernel approximated by Random Fourier
+    Features (Rahimi & Recht NIPS'07 — public method), trained by
+    alternating subgradient descent on the standard OCSVM objective
+    (Schölkopf et al. '01):
 
-    return _Missing
+        min_w ½‖w‖² + 1/(νn) Σ max(0, ρ − ⟨w, φ(x)⟩) − ρ
+
+    with ρ re-set each epoch to the ν-quantile of scores (its optimality
+    condition).  Anomaly score = ρ − ⟨w, φ(x)⟩ — HIGHER = more
+    anomalous, the module convention (pyod's invert_order folded in;
+    reference analog src/netml/ndm/ocsvm.py — sklearn-backed there).
+    The RFF lift makes scoring a single matmul per batch — the
+    distributed-predict-friendly form of the kernel machine.
+    """
+
+    def __init__(self, nu: float = 0.5, gamma: str | float = "scale",
+                 n_features: int = 256, epochs: int = 60, lr: float = 0.05,
+                 random_state: int = 42):
+        self.nu = nu
+        self.gamma = gamma
+        self.D = n_features
+        self.epochs = epochs
+        self.lr = lr
+        self.seed = random_state
+
+    def _phi(self, X: np.ndarray) -> np.ndarray:
+        return np.sqrt(2.0 / self.D) * np.cos(X @ self.W_ + self.b_)
+
+    def fit(self, X: np.ndarray) -> "OCSVMDetector":
+        rng = np.random.default_rng(self.seed)
+        n, d = X.shape
+        self.mean_ = X.mean(axis=0)
+        self.std_ = X.std(axis=0) + 1e-9
+        Xs = (X - self.mean_) / self.std_
+        g = (1.0 / (d * max(Xs.var(), 1e-12))
+             if self.gamma == "scale" else float(self.gamma))
+        self.W_ = rng.normal(0.0, np.sqrt(2.0 * g), size=(d, self.D))
+        self.b_ = rng.uniform(0.0, 2.0 * np.pi, size=self.D)
+        Z = self._phi(Xs)
+        w = Z.mean(axis=0)  # warm start toward the data (w=0 is a
+        # stationary point of the subgradient with no violators)
+        for _ in range(self.epochs):
+            s = Z @ w
+            rho = float(np.quantile(s, self.nu))
+            viol = s <= rho
+            grad = w - (Z[viol].sum(axis=0) / (self.nu * n))
+            w -= self.lr * grad
+        self.w_ = w
+        self.rho_ = float(np.quantile(Z @ w, self.nu))
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        Xs = (X - self.mean_) / self.std_
+        return self.rho_ - self._phi(Xs) @ self.w_
 
 
-OCSVM = _missing("OCSVM")
-Autoencoder = _missing("Autoencoder (torch)")
+class AEDetector:
+    """Autoencoder novelty detector in pure numpy: d → h → z → h → d
+    MLP (ReLU hidden, linear output) trained with Adam on MSE over
+    standardized inputs; anomaly score = per-row reconstruction error
+    (reference analog src/netml/ndm/ae.py — torch-backed there; the
+    math is the standard public formulation)."""
+
+    def __init__(self, hidden: int | None = None, latent: int | None = None,
+                 epochs: int = 200, batch_size: int = 64, lr: float = 1e-3,
+                 random_state: int = 42):
+        self.hidden = hidden
+        self.latent = latent
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.lr = lr
+        self.seed = random_state
+
+    def fit(self, X: np.ndarray) -> "AEDetector":
+        rng = np.random.default_rng(self.seed)
+        n, d = X.shape
+        h = self.hidden or max(2, int(np.ceil(d * 0.75)))
+        z = self.latent or max(1, d // 2)
+        self.mean_ = X.mean(axis=0)
+        self.std_ = X.std(axis=0) + 1e-9
+        Xs = (X - self.mean_) / self.std_
+
+        def init(i, o):
+            return rng.normal(0, np.sqrt(2.0 / i), size=(i, o))
+
+        params = [init(d, h), np.zeros(h), init(h, z), np.zeros(z),
+                  init(z, h), np.zeros(h), init(h, d), np.zeros(d)]
+        m = [np.zeros_like(p) for p in params]
+        v = [np.zeros_like(p) for p in params]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        t = 0
+        for _ in range(self.epochs):
+            idx = rng.permutation(n)
+            for s in range(0, n, self.batch_size):
+                B = Xs[idx[s : s + self.batch_size]]
+                W1, c1, W2, c2, W3, c3, W4, c4 = params
+                a1 = np.maximum(B @ W1 + c1, 0)
+                a2 = np.maximum(a1 @ W2 + c2, 0)
+                a3 = np.maximum(a2 @ W3 + c3, 0)
+                out = a3 @ W4 + c4
+                g = 2.0 * (out - B) / len(B)
+                gW4 = a3.T @ g; gc4 = g.sum(0)
+                g3 = (g @ W4.T) * (a3 > 0)
+                gW3 = a2.T @ g3; gc3 = g3.sum(0)
+                g2 = (g3 @ W3.T) * (a2 > 0)
+                gW2 = a1.T @ g2; gc2 = g2.sum(0)
+                g1 = (g2 @ W2.T) * (a1 > 0)
+                gW1 = B.T @ g1; gc1 = g1.sum(0)
+                grads = [gW1, gc1, gW2, gc2, gW3, gc3, gW4, gc4]
+                t += 1
+                for i, (p, gr) in enumerate(zip(params, grads)):
+                    m[i] = b1 * m[i] + (1 - b1) * gr
+                    v[i] = b2 * v[i] + (1 - b2) * gr * gr
+                    mh = m[i] / (1 - b1 ** t)
+                    vh = v[i] / (1 - b2 ** t)
+                    p -= self.lr * mh / (np.sqrt(vh) + eps)
+        self.params_ = params
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        Xs = (X - self.mean_) / self.std_
+        W1, c1, W2, c2, W3, c3, W4, c4 = self.params_
+        a1 = np.maximum(Xs @ W1 + c1, 0)
+        a2 = np.maximum(a1 @ W2 + c2, 0)
+        a3 = np.maximum(a2 @ W3 + c3, 0)
+        out = a3 @ W4 + c4
+        return ((out - Xs) ** 2).mean(axis=1)
+
 
 ALGORITHMS = {
     "PCA": PCADetector,
     "KDE": KDEDetector,
     "GMM": GMMDetector,
-    "OCSVM": OCSVM,
+    "OCSVM": OCSVMDetector,
     "IF": IFDetector,
-    "AE": Autoencoder,
+    "AE": AEDetector,
 }
 
 
