@@ -31,5 +31,24 @@ from netml_ray.sessionize import (  # noqa: F401
     netml_session_pipeline,
 )
 from netml_ray.asof import asof_join  # noqa: F401
+from netml_ray.joins import (  # noqa: F401
+    broadcast_join,
+    hash_join,
+    label_join,
+    range_join,
+    semi_join,
+)
+from netml_ray.dedup import (  # noqa: F401
+    dedup_exact,
+    minhash_dedup_keep,
+    minhash_lsh_duplicates,
+    simhash_duplicates,
+)
+from netml_ray.similarity import (  # noqa: F401
+    IVFIndex,
+    embedding_near_duplicates,
+    knn_cosine,
+    knn_cosine_ivf,
+)
 
 __version__ = "0.1.0"
