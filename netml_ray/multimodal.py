@@ -1,12 +1,15 @@
 """Multimodal column stages: image / audio / video as opaque ``binary``
 columns with typed metadata.
 
-The container has no codec libraries, so the DECODE step itself is
-stubbed (clearly marked) behind ``set_decoder`` — either raise
-``NotImplementedError`` (default strict mode) or use the deterministic
-fake decoder for tests.  Everything Ray-side is real and tested: the
-schema convention, actor-pool stage shape, batch sizing for wide binary
-payloads, and the output layout.
+Decoding is REAL for the uncompressed public formats — binary PPM
+(Netpbm P6), 24-bit BMP, and RIFF/WAVE PCM-16 — implemented in pure
+numpy/struct (``decode_ppm`` / ``decode_bmp`` / ``decode_wav``, with
+matching encoders for deterministic test corpora).  Compressed codecs
+(jpeg/png/mp3/h264) genuinely need libraries absent from this
+container and raise ``NotImplementedError`` (clearly marked); inject a
+decoder via the ``decoder=`` constructor arg when those libs exist.
+Everything Ray-side — schema convention, actor-pool stage shape, batch
+sizing for wide binary payloads, output layout — is real and tested.
 
 Schema convention for a media column ``m``::
 
@@ -35,6 +38,137 @@ def _strict_decoder(payload: bytes, mime: str) -> np.ndarray:
         "this environment; inject one with set_decoder() or use "
         "fake_decoder for deterministic tests"
     )
+
+
+# ---------------------------------------------------------------------------
+# real decoders for the uncompressed public formats (pure numpy/struct;
+# specs: Netpbm PPM P6, Windows BITMAPINFOHEADER BMP, RIFF/WAVE PCM) —
+# compressed codecs (jpeg/png/mp3/h264) genuinely need libraries absent
+# from this container and still raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8.  Handles comment lines and
+    arbitrary whitespace in the header per the Netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval tokens (comments start '#')
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+    return arr.reshape(h, w, 3).copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (bottom-up rows,
+    BGR byte order, 4-byte row padding)."""
+    import struct
+
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                      2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = img[::-1, :, ::-1]  # bottom-up + BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + dib + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                         offset=data_off).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 PCM → RIFF/WAVE."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM-16 mono/stereo → (sample_rate, (n, ch) int16).
+    Walks the chunk list per the RIFF spec (fmt may not be first)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    rate = None
+    n_ch = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return rate, arr.reshape(-1, n_ch).copy()
+
+
+def builtin_decoder(payload: bytes, mime: str) -> np.ndarray:
+    """Magic-byte dispatch over the formats decodable WITHOUT codec
+    libraries; anything else (jpeg/png/...) raises — honestly — via
+    the strict stub."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return _strict_decoder(payload, mime)
 
 
 def fake_decoder(payload: bytes, mime: str) -> np.ndarray:
@@ -70,7 +204,7 @@ class MediaDecode:
     ):
         self.media_col = media_col
         self.mime_col = mime_col
-        self.decoder = decoder or _strict_decoder
+        self.decoder = decoder or builtin_decoder
         self.resize = resize
         self.drop_payload = drop_payload
 
@@ -117,6 +251,36 @@ class MediaDecode:
         return t
 
 
+class AudioDecode:
+    """Actor-pool stage: RIFF/WAVE PCM binary column → per-row audio
+    features ``[sample_rate, n_samples, duration_s, rms, peak, zcr]``
+    (FixedSizeList of 6) — decode is the REAL pure-numpy WAV parser
+    above, so no codec library is needed for PCM audio."""
+
+    def __init__(self, media_col: str = "audio", drop_payload: bool = True):
+        self.media_col = media_col
+        self.drop_payload = drop_payload
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.media_col].to_pylist()
+        feats = np.empty((len(payloads), 6), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            rate, x = decode_wav(p)
+            mono = x.astype(np.float64).mean(axis=1)
+            n = len(mono)
+            rms = float(np.sqrt((mono ** 2).mean())) if n else 0.0
+            peak = float(np.abs(mono).max()) if n else 0.0
+            zc = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean()) if n > 1 else 0.0
+            feats[i] = [rate, n, n / rate if rate else 0.0, rms, peak, zc]
+        t = t.append_column(
+            "audio_features",
+            pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()), 6),
+        )
+        if self.drop_payload:
+            t = t.drop_columns([self.media_col])
+        return t
+
+
 class FrameSample:
     """Video-style stage: sample every k-th frame index from a frames
     metadata column (decode itself stubbed as above)."""
@@ -137,16 +301,50 @@ class FrameSample:
         return t
 
 
-def media_corpus(n_rows: int, seed: int = 3) -> pa.Table:
-    """Deterministic fake media table for tests/bench plumbing."""
+def media_corpus(n_rows: int, seed: int = 3, real: bool = False) -> pa.Table:
+    """Deterministic media table for tests/bench plumbing.  With
+    ``real=True`` the payloads are genuine PPM/BMP images (alternating),
+    decodable by ``builtin_decoder`` without any codec library."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(16, 256)), dtype=np.uint8).tobytes()
-                for _ in range(n_rows)]
+    payloads = []
+    mimes = []
+    for i in range(n_rows):
+        if real:
+            h = int(rng.integers(4, 24))
+            w = int(rng.integers(4, 24))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if i % 2 == 0:
+                payloads.append(encode_ppm(img))
+                mimes.append("image/x-portable-pixmap")
+            else:
+                payloads.append(encode_bmp(img))
+                mimes.append("image/bmp")
+        else:
+            payloads.append(rng.integers(0, 256, size=int(rng.integers(16, 256)),
+                                         dtype=np.uint8).tobytes())
+            mimes.append("image/fake")
     return pa.table(
         {
             "media_id": pa.array(np.arange(n_rows, dtype=np.int64)),
             "image": pa.array(payloads, type=pa.binary()),
-            "image_mime": pa.array(["image/fake"] * n_rows, type=pa.string()),
+            "image_mime": pa.array(mimes, type=pa.string()),
             "n_frames": pa.array(rng.integers(1, 300, n_rows).astype(np.int64)),
         }
     )
+
+
+def audio_corpus(n_rows: int, seed: int = 4) -> pa.Table:
+    """Deterministic WAV (PCM-16) table — real RIFF payloads."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for _ in range(n_rows):
+        rate = int(rng.choice([8000, 16000]))
+        n = int(rng.integers(100, 2000))
+        freq = float(rng.uniform(50, 2000))
+        ts = np.arange(n) / rate
+        x = (10000 * np.sin(2 * np.pi * freq * ts)).astype(np.int16)
+        payloads.append(encode_wav(x, rate))
+    return pa.table({
+        "audio_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "audio": pa.array(payloads, type=pa.binary()),
+    })

@@ -104,3 +104,82 @@ def test_media_strict_mode_raises():
     md = MediaDecode()
     with pytest.raises(NotImplementedError):
         md(media_corpus(2))
+
+
+def test_real_codec_roundtrips():
+    """Pure-numpy PPM/BMP/WAV codecs: encode→decode is identity."""
+    from netml_ray.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (5, 7), (16, 3), (11, 11)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+    # PPM with a comment line in the header
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    p = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(p), img)
+    for rate in (8000, 44100):
+        x = rng.integers(-30000, 30000, size=777).astype(np.int16)
+        r2, y = decode_wav(encode_wav(x, rate))
+        assert r2 == rate
+        np.testing.assert_array_equal(y[:, 0], x)
+
+
+def test_media_decode_real_formats(ray_session):
+    """builtin_decoder handles real PPM/BMP payloads end-to-end through
+    the actor-pool stage — decode is no longer a stub."""
+    import ray.data as rd
+
+    from netml_ray.multimodal import decode_bmp, decode_ppm
+
+    t = media_corpus(60, real=True)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        MediaDecode, fn_constructor_kwargs={"resize": (8, 8)},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 60
+    # spot-check feature parity vs direct decode (+ the stage's resize)
+    raw = t["image"].to_pylist()
+    for i in (0, 1, 17):
+        img = decode_ppm(raw[i]) if raw[i][:2] == b"P6" else decode_bmp(raw[i])
+        img = MediaDecode._resize_nn(img, (8, 8))
+        f = out.loc[i, "media_features"]
+        assert f[0] == img.shape[0] and f[1] == img.shape[1]
+        np.testing.assert_allclose(f[2], img.astype(np.float64).mean())
+        np.testing.assert_array_equal(
+            np.asarray(out.loc[i, "pixels"], dtype=np.uint8), img.ravel())
+
+
+def test_audio_decode_stage(ray_session):
+    import ray.data as rd
+
+    from netml_ray.multimodal import AudioDecode, audio_corpus, decode_wav
+
+    t = audio_corpus(40)
+    out = rd.from_arrow(t).map_batches(
+        AudioDecode, batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas().sort_values("audio_id").reset_index(drop=True)
+    assert len(out) == 40 and "audio" not in out.columns
+    raw = t["audio"].to_pylist()
+    for i in (0, 13, 39):
+        rate, x = decode_wav(raw[i])
+        f = out.loc[i, "audio_features"]
+        assert f[0] == rate and f[1] == len(x)
+        np.testing.assert_allclose(
+            f[3], np.sqrt((x[:, 0].astype(np.float64) ** 2).mean()), rtol=1e-12)
+
+
+def test_media_unsupported_codec_raises():
+    from netml_ray.multimodal import builtin_decoder
+
+    with pytest.raises(NotImplementedError):
+        builtin_decoder(b"\x89PNG\r\n\x1a\n....", "image/png")
