@@ -584,9 +584,14 @@ def crawl_feature_pipeline(
     )
 
     if hot_threshold is not None:
-        from netml_ray.salted import hot_keys
+        from netml_ray.salted import hot_keys_sampled
 
-        hot = hot_keys(narrow, "url", hot_threshold)
+        # sampled detection: exact per-key counts would shuffle one
+        # group per key (billions at 10^12 rows); the sample keeps the
+        # count table at ~oversample/threshold of the input with a 2x
+        # safety margin on the hot cut (over-salting a warm key is
+        # mild overhead; missing a hot key is the expensive failure)
+        hot = hot_keys_sampled(narrow, "url", hot_threshold)
         if hot:
             chunk = hot_chunk if hot_chunk is not None else max(3600.0, 200.0 * gap)
             return _crawl_hot_cold(

@@ -60,6 +60,47 @@ def hot_keys(ds, key: str, threshold: int) -> set:
     return out
 
 
+def hot_keys_sampled(ds, key: str, threshold: int, *,
+                     oversample: float = 50.0, seed: int = 0) -> set:
+    """Scale path for hot-key detection: the exact ``hot_keys`` groupby
+    counts EVERY key (at 10^12 rows that is billions of groups through
+    a shuffle); here rows are hash-sampled at rate p = oversample /
+    threshold, so a key at the threshold yields ~``oversample``
+    expected sample hits and the per-key count table is ~p·n rows.
+    Keys whose scaled estimate exceeds threshold/2 are returned —
+    the deliberate 2x safety margin makes missing a truly hot key
+    (the expensive failure) vanishingly unlikely (Chernoff: p < 1e-9
+    at oversample=50), at the cost of salting a few borderline-warm
+    keys, which is only mild overhead.  Deterministic: the sample is
+    keyed on a hash of (key, row-position-independent content)."""
+    from ray.data.aggregate import Sum
+
+    p = min(1.0, oversample / max(threshold, 1))
+    if p >= 1.0:
+        return hot_keys(ds, key, threshold)
+    thresh32 = np.uint64(int(p * (1 << 32)))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # per-row hash over (key, ts) content → deterministic sample
+        import polars as pl
+
+        h = pl.from_arrow(t).hash_rows(seed=seed).to_numpy()
+        keep = (h % np.uint64(1 << 32)) < thresh32
+        sub = t.filter(pa.array(keep))
+        vc = sub[key].combine_chunks().value_counts()
+        return pa.table({key: vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(key).aggregate(
+        Sum("n", alias_name="n"))
+    out = set()
+    cut = (threshold / 2.0) * p
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        m = pc.greater(b["n"], pa.scalar(cut))
+        out.update(b.filter(m)[key].to_pylist())
+    return out
+
+
 def split_hot(ds, key: str, hot: set):
     """Split a dataset into (cold, hot) by membership of ``key`` in the
     broadcast ``hot`` set (vectorized ``pc.is_in``)."""

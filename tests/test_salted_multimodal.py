@@ -183,3 +183,25 @@ def test_media_unsupported_codec_raises():
 
     with pytest.raises(NotImplementedError):
         builtin_decoder(b"\x89PNG\r\n\x1a\n....", "image/png")
+
+
+def test_hot_keys_sampled_matches_exact(ray_session):
+    """Sampled hot-key detection finds exactly the planted hot url on
+    the test corpus (and the exact fallback engages for tiny
+    thresholds)."""
+    import ray.data as rd
+
+    from netml_ray.corpus import corpus_path
+    from netml_ray.pipeline import extract_narrow
+    from netml_ray.salted import hot_keys, hot_keys_sampled
+
+    cp = corpus_path(4000, seed=7, cache_dir="/tmp/netml_ray_test_corpus")
+    narrow = extract_narrow(cp)
+    exact = hot_keys(narrow, "url", 300)
+    sampled = hot_keys_sampled(narrow, "url", 300)
+    assert exact == {"https://example.com/page/0"}
+    # the truly hot key is never missed; the 2x margin may add warm
+    # keys, but on this corpus the next-largest key is ~40 rows
+    assert sampled == exact
+    # threshold <= oversample → exact fallback
+    assert hot_keys_sampled(narrow, "url", 40) == hot_keys(narrow, "url", 40)
