@@ -67,14 +67,22 @@ def extract_narrow(corpus_path: str, extract_concurrency=None, materialize: bool
 
     from netml_ray.textops import extract_text_batch
 
+    import os
+
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     # bound the task count: the default reader heuristic yields thousands
-    # of ~2.7k-row blocks for a sharded corpus, and per-task scheduling
-    # overhead then dominates the extract stage wall (a data-proportional
-    # driver-side cost).  ~64 blocks keeps tasks seconds-long.
+    # of ~2.7k-row blocks for a sharded corpus (per-task overhead then
+    # dominates), while overriding ABOVE the file count inserts a
+    # SplitBlocks re-chunk that pushes every html byte through an extra
+    # object-store hop (measured 24% slower on the read+extract leg).
+    # Rule: never exceed the file count; otherwise ~2 blocks/cpu.
+    target = max(64, 2 * ncpu)
+    if os.path.isdir(corpus_path):
+        nfiles = sum(1 for f in os.listdir(corpus_path) if f.endswith(".parquet"))
+        target = min(nfiles, target) if nfiles else target
     ds = rd.read_parquet(
         corpus_path, columns=["url", "warc_ts", "html"],
-        override_num_blocks=max(64, 2 * ncpu),
+        override_num_blocks=target,
     )
     if extract_concurrency is None:
         # default: stateless tasks with per-worker lazy extractor state —
