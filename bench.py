@@ -200,35 +200,39 @@ def run_child(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def _best_of(ncpu: int, reps: int) -> dict:
+def _best_of(ncpu: int, reps: int) -> tuple[dict, list]:
     """Best-of-N runs per parallelism level: single-node wall times have
-    ~2x run-to-run variance (page cache, /tmp writeback; worst on the
-    under-subscribed 8-cpu side — NOTES r1); the minimum is the stable
-    estimate of attainable throughput."""
+    ~2x run-to-run variance (shared-host memory-bandwidth swings; NOTES
+    r1/r2); the minimum is the stable estimate of attainable
+    throughput.  All rep times are reported for transparency."""
     runs = [run_child(ncpu) for _ in range(reps)]
-    return min(runs, key=lambda r: r["queries"]["crawl_flagship"])
+    best = min(runs, key=lambda r: r["queries"]["crawl_flagship"])
+    return best, [r["queries"]["crawl_flagship"] for r in runs]
 
 
 def main():
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo = _best_of(lo, reps=3)
-        r_hi = _best_of(hi, reps=2)
+        r_lo, reps_lo = _best_of(lo, reps=3)
+        r_hi, reps_hi = _best_of(hi, reps=2)
         tput_lo = r_lo["crawl_docs"] / r_lo["queries"]["crawl_flagship"]
         tput_hi = r_hi["crawl_docs"] / r_hi["queries"]["crawl_flagship"]
         eff = (tput_hi / tput_lo) / (hi / lo)
-        # suite-level efficiency as a secondary signal
-        eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(json.dumps({
             "metric": "scaling efficiency (crawl flagship docs/sec, num_cpus 8 vs 32)",
             "sec_8": r_lo["queries"]["crawl_flagship"],
             "sec_32": r_hi["queries"]["crawl_flagship"],
+            "reps_sec_8": reps_lo,
+            "reps_sec_32": reps_hi,
             "docs_per_sec_8": round(tput_lo, 1),
             "docs_per_sec_32": round(tput_hi, 1),
             "scaling_efficiency": round(eff, 3),
+            # the non-flagship suite queries run on FIXED sf0.1 inputs
+            # that do not scale with the job, so a suite-level
+            # efficiency is not meaningful; the flagship docs/sec
+            # efficiency above is the scaling criterion
             "suite_sec_8": r_lo["value"],
             "suite_sec_32": r_hi["value"],
-            "suite_scaling_efficiency": round(eff_total, 3),
             "sf": SF_DIR,
         }))
         return
