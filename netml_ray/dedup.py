@@ -343,6 +343,98 @@ def verify_pairs_text(pairs, ds, *, text_col: str = "text",
     return pairs.map_batches(_verify, batch_format="pyarrow")
 
 
+def connected_components(pairs, *, max_iters: int = 25,
+                         num_partitions: int | None = None):
+    """Distributed connected components over an edge Dataset
+    ``(id_a, id_b)`` by iterated min-label propagation — the at-scale
+    replacement for driver-side union-find when the verified pair list
+    itself is too large to collect.
+
+    Each round: every node takes the minimum label among itself and its
+    neighbors (two narrow (node, label) exchanges per round); stops
+    when a round changes nothing.  Rounds needed = graph diameter —
+    near-dup clusters are small/dense, so convergence is fast.
+    Returns a Dataset ``(doc_id, cluster)`` covering every node that
+    appears in ``pairs`` (cluster = component's min id).
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    from netml_ray.partition import partition_map
+
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+
+    # labels: every endpoint starts as its own label
+    def _nodes(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.r_[t["id_a"].to_numpy(), t["id_b"].to_numpy()])
+        return pa.table({"doc_id": pa.array(ids)})
+
+    def _dedup_nodes(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["doc_id"].to_numpy())
+        return pa.table({"doc_id": pa.array(ids),
+                         "cluster": pa.array(ids)})
+
+    labels = partition_map(
+        pairs.map_batches(_nodes, batch_format="pyarrow"),
+        "doc_id", _dedup_nodes, num_partitions=num_partitions).materialize()
+
+    prev_sum = labels.sum("cluster")
+    for _ in range(max_iters):
+        # propose: each edge sends each endpoint's label to the other
+        lab_a = _attach_labels(pairs, labels, "id_a", "lab_a", num_partitions)
+        both = _attach_labels(lab_a, labels, "id_b", "lab_b", num_partitions)
+
+        def _proposals(t: pa.Table) -> pa.Table:
+            la = t["lab_a"].to_numpy()
+            lb = t["lab_b"].to_numpy()
+            m = np.minimum(la, lb)
+            return pa.table({
+                "doc_id": pa.array(np.r_[t["id_a"].to_numpy(), t["id_b"].to_numpy()]),
+                "cluster": pa.array(np.r_[m, m]),
+            })
+
+        prop = both.map_batches(_proposals, batch_format="pyarrow")
+        new_labels = prop.union(labels).groupby("doc_id").aggregate(
+            Min("cluster", alias_name="cluster")).materialize()
+        # labels only ever DECREASE, so the global label sum strictly
+        # decreases iff anything changed — one cheap scalar aggregate
+        # instead of a co-partitioned table compare
+        new_sum = new_labels.sum("cluster")
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def _attach_labels(edges, labels, key_col: str, out_col: str,
+                   num_partitions):
+    """Co-partitioned join: edge rows pick up the label of ``key_col``."""
+    from netml_ray.partition import partition_map2
+
+    lab = labels.map_batches(
+        lambda t: pa.table({key_col: t["doc_id"], "__lab": t["cluster"]}),
+        batch_format="pyarrow")
+
+    def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lv = lt[key_col].to_numpy()
+        rk = rt[key_col].to_numpy()
+        rl = rt["__lab"].to_numpy()
+        order = np.argsort(rk, kind="stable")
+        pos = np.searchsorted(rk[order], lv)
+        pos = np.clip(pos, 0, max(len(rk) - 1, 0))
+        found = len(rk) > 0 and True
+        lab = rl[order][pos] if len(rk) else np.zeros(len(lv), dtype=np.int64)
+        ok = (rk[order][pos] == lv) if len(rk) else np.zeros(len(lv), bool)
+        # every edge endpoint has a label by construction
+        if not ok.all():
+            raise RuntimeError("edge endpoint missing from label table")
+        return lt.append_column(out_col, pa.array(lab))
+
+    return partition_map2(edges, lab, key_col, _fn,
+                          num_partitions=num_partitions)
+
+
 def minhash_dedup_keep(
     ds,
     *,
@@ -352,21 +444,38 @@ def minhash_dedup_keep(
     bands: int = 16,
     k: int = 3,
     jaccard_threshold: float = 0.8,
+    components: str = "driver",
 ):
     """Full near-dup dedup: LSH candidate pairs → connected components →
     keep each cluster's minimum id.  Returns (keep_ids_ds, clusters_df).
 
-    Components are resolved with driver-side union-find over the
-    *verified pair list* — pairs ≪ docs after Jaccard verification
-    (ray_guide dedup note); at extreme scale swap in iterated min-label
-    propagation with the same pair Dataset.
+    ``components="driver"`` (default): union-find over the collected
+    pair list — pairs ≪ docs after verification (ray_guide dedup note).
+    ``components="distributed"``: iterated min-label propagation over
+    the pair Dataset (``connected_components``) — the extreme-scale
+    path where even the pair list is too large to collect; results are
+    identical (pinned by tests).
     """
     import ray
 
-    pairs = minhash_lsh_duplicates(
+    pairs_ds = minhash_lsh_duplicates(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, k=k, jaccard_threshold=jaccard_threshold,
-    ).to_pandas()
+    )
+    if components == "distributed":
+        clusters = connected_components(pairs_ds).to_pandas()
+        clusters = clusters.sort_values(["cluster", "doc_id"]).reset_index(drop=True)
+        drop = clusters.loc[clusters["doc_id"] != clusters["cluster"],
+                            "doc_id"].to_numpy().astype(np.int64)
+        drop_ref = ray.put(drop)
+
+        def _keep_d(t: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            return t.filter(pa.array(~np.isin(t[id_col].to_numpy(), d)))
+
+        return ds.map_batches(_keep_d, batch_format="pyarrow"), clusters
+
+    pairs = pairs_ds.to_pandas()
 
     parent: dict[int, int] = {}
 

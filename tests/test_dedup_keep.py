@@ -59,3 +59,42 @@ def test_session_partitioned_features_equivalence(ray_session):
     assert len(da) == len(db)
     assert (da["url"] == db["url"]).all()
     np.testing.assert_allclose(np.vstack(da["features"]), np.vstack(db["features"]))
+
+
+def test_distributed_components_match_union_find(ray_session):
+    """connected_components (iterated min-label propagation) produces
+    the same clusters and keep set as driver union-find."""
+    import ray.data as rd
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).to_pandas().head(150)
+    dup1 = docs.head(40).copy()
+    dup1["doc_id"] += 1_000_000
+    dup1["text"] += " tail"
+    dup2 = docs.head(15).copy()
+    dup2["doc_id"] += 2_000_000
+    alld = pd.concat([docs, dup1, dup2], ignore_index=True)
+
+    kept_a, cl_a = minhash_dedup_keep(rd.from_pandas(alld), jaccard_threshold=0.5)
+    kept_b, cl_b = minhash_dedup_keep(rd.from_pandas(alld), jaccard_threshold=0.5,
+                                      components="distributed")
+    assert sorted(kept_a.to_pandas()["doc_id"]) == sorted(kept_b.to_pandas()["doc_id"])
+    a = cl_a.sort_values(["doc_id"]).reset_index(drop=True)
+    b = cl_b.sort_values(["doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["doc_id", "cluster"]], b[["doc_id", "cluster"]])
+
+
+def test_connected_components_chain(ray_session):
+    """A long chain (diameter > 1) converges to one component."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.dedup import connected_components
+
+    # chain 0-1-2-3-4 (diameter > 1) plus an isolated pair (100, 101)
+    edges = pa.table({"id_a": pa.array(list(range(4)) + [100], type=pa.int64()),
+                      "id_b": pa.array(list(range(1, 5)) + [101], type=pa.int64())})
+    out = connected_components(rd.from_arrow(edges), num_partitions=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert all(got[i] == 0 for i in range(5))
+    assert got[100] == 100 and got[101] == 100
