@@ -914,17 +914,31 @@ def q_minhash_pairs(sf_dir: str):
     pert["text"] = pert["text"] + " extra"
     both = rd.from_pandas(pd.concat([docs, pert], ignore_index=True))
     pairs = minhash_lsh_duplicates(both, jaccard_threshold=0.3)
-    eligible = set(docs.loc[
-        docs["text"].str.split().str.len() >= 10, "doc_id"].astype(int))
-    elig_arr = np.fromiter(eligible, dtype=np.int64) if eligible else np.empty(0, np.int64)
+    # the pair set is CLUSTER-EQUIVALENT (identical-signature groups are
+    # star-compressed), so the gate checks CONNECTIVITY: every eligible
+    # doc must land in the same connected component as its perturbed
+    # copy.  Pairs at sf scale are small → driver union-find.
+    eligible = docs.loc[docs["text"].str.split().str.len() >= 10,
+                        "doc_id"].to_numpy().astype(np.int64)
+    pdf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    parent: dict = {}
 
-    def _planted(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy()
-        b = t["id_b"].to_numpy()
-        keep = (b - a == 1_000_000) & np.isin(a, elig_arr)
-        return t.filter(pa.array(keep)).select(["id_a", "id_b"])
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
 
-    return pairs.map_batches(_planted, batch_format="pyarrow").sort("id_a")
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    connected = np.fromiter(
+        (find(int(i)) == find(int(i) + 1_000_000) for i in eligible),
+        dtype=bool, count=len(eligible))
+    out = np.sort(eligible[connected])
+    return pa.table({"id_a": pa.array(out),
+                     "id_b": pa.array(out + 1_000_000)})
 
 
 SQL_MINHASH_PLANTED = r"""

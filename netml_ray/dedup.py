@@ -179,10 +179,17 @@ def minhash_lsh_duplicates(
     """MinHash-LSH near-duplicate pairs, scale-safe.
 
     Returns a Dataset of pairs ``(id_a, id_b, jaccard)`` with
-    ``id_a < id_b`` and jaccard ≥ threshold.  The shuffle carries ONLY
-    ``(id, band, band_hash, signature)`` — the text column never leaves
-    the signature stage, so shuffle bytes are a fixed
-    ``bands × (16 + 8·num_perm)`` per doc regardless of document size.
+    ``id_a < id_b`` and jaccard ≥ threshold, CLUSTER-EQUIVALENT to the
+    full near-dup pair graph: within an identical-signature group
+    (exact-duplicate classes — a million copies of the same boilerplate
+    would otherwise emit O(g²) pairs) each member pairs with the group
+    min id, and cross-signature pairs connect group representatives;
+    connected components are identical to the full graph's because the
+    estimate between members depends only on their signatures.  The
+    shuffle carries ONLY ``(id, band, band_hash, signature)`` — the
+    text column never leaves the signature stage, so shuffle bytes are
+    a fixed ``bands × (16 + 8·num_perm)`` per doc regardless of
+    document size.
 
     Verification (``verify``):
 
@@ -246,21 +253,53 @@ def minhash_lsh_duplicates(
             m = e - s
             if m < 2:
                 continue
-            if m > max_bucket:
-                n_capped += 1
-                e = s + max_bucket
-                m = max_bucket
+            # identical-signature groups (exact/near-exact duplicate
+            # classes — e.g. a million empty documents) would emit
+            # O(g²) pairs; instead each group emits a STAR to its
+            # min id (est exactly 1.0) and contributes ONE
+            # representative to the cross-signature comparison.  The
+            # output's connected components equal the full pair
+            # graph's (est between members depends only on
+            # signatures), at O(g) instead of O(g²).
             bsig = sigs[s:e]
-            iu, ju = np.triu_indices(m, 1)
-            est = (bsig[iu] == bsig[ju]).mean(axis=1)
+            bids = ids[s:e]
+            uniq, inv = np.unique(bsig, axis=0, return_inverse=True)
+            order = np.argsort(inv, kind="stable")  # id-ascending in group
+            ginv = inv[order]
+            gids = bids[order]
+            gstart = np.flatnonzero(np.r_[True, ginv[1:] != ginv[:-1]])
+            counts = np.diff(np.r_[gstart, m])
+            reps = gids[gstart]
+            if (counts > 1).any():
+                rep_per_pos = np.repeat(reps, counts)
+                nonrep = np.ones(m, dtype=bool)
+                nonrep[gstart] = False
+                out_a.append(rep_per_pos[nonrep])
+                out_b.append(gids[nonrep])
+                out_j.append(np.ones(int(nonrep.sum())))
+            k = len(reps)
+            if k < 2:
+                continue
+            if k > max_bucket:
+                n_capped += 1
+                keep_k = np.sort(np.argsort(reps)[:max_bucket])
+                reps = reps[keep_k]
+                rep_sigs = bsig[order][gstart][keep_k]
+                k = max_bucket
+            else:
+                rep_sigs = bsig[order][gstart]
+            iu, ju = np.triu_indices(k, 1)
+            est = (rep_sigs[iu] == rep_sigs[ju]).mean(axis=1)
             hit = est >= jaccard_threshold
             if hit.any():
-                out_a.append(ids[s:e][iu[hit]])
-                out_b.append(ids[s:e][ju[hit]])
+                ra, rb = reps[iu[hit]], reps[ju[hit]]
+                out_a.append(np.minimum(ra, rb))
+                out_b.append(np.maximum(ra, rb))
                 out_j.append(est[hit])
         if n_capped:
             print(f"minhash_lsh: capped {n_capped} hot buckets at "
-                  f"{max_bucket} members (raise max_bucket or bands)")
+                  f"{max_bucket} distinct signatures (raise max_bucket "
+                  f"or bands)")
         if not out_a:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
                              "id_b": pa.array([], type=pa.int64()),

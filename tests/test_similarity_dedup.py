@@ -133,16 +133,33 @@ def test_minhash_pairs_signature_vs_text_verify(ray_session):
     sig_pairs = minhash_lsh_duplicates(ds, jaccard_threshold=0.5).to_pandas()
     txt_pairs = minhash_lsh_duplicates(ds, jaccard_threshold=0.5,
                                        verify="text").to_pandas()
-    planted = {(int(i), int(i) + 1_000_000) for i in alld["doc_id"].head(40)}
-    sig_found = set(zip(sig_pairs["id_a"], sig_pairs["id_b"]))
-    txt_found = set(zip(txt_pairs["id_a"], txt_pairs["id_b"]))
-    assert planted <= sig_found
-    assert planted <= txt_found
+    # the pair set is CLUSTER-EQUIVALENT (identical-signature groups
+    # star-compress to their min id), so the planted guarantee is
+    # CONNECTIVITY: every original doc shares a component with its
+    # perturbed copy
+    def components(pairs_df):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return find
+
+    for pairs_df in (sig_pairs, txt_pairs):
+        find = components(pairs_df)
+        for i in alld["doc_id"].head(40):
+            assert find(int(i)) == find(int(i) + 1_000_000), i
     # text verify yields exact n-gram jaccard, always >= threshold
     assert (txt_pairs["jaccard"] >= 0.5).all()
-    # estimates are unbiased: planted pairs (true J ~ 0.97) estimate high
-    m = sig_pairs.set_index(["id_a", "id_b"])["jaccard"]
-    assert all(m.get(p, 0) > 0.7 for p in planted)
+    # estimates: every emitted pair clears the threshold; star pairs 1.0
+    assert (sig_pairs["jaccard"] >= 0.5).all()
 
 
 def test_dedup_exact_distributed_anti_join_path(ray_session):
