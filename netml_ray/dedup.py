@@ -117,32 +117,56 @@ def dedup_exact(
 # shingles / MinHash / LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-    return out
+_MIX = (np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
+        np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5),
+        np.uint64(0x85EBCA77C2B2AE63))
+
+
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
 
 
 class MinHasher:
     """Stateful minhash stage: permutation parameters generated once per
-    actor in ``__init__`` (same seed everywhere → identical)."""
+    actor in ``__init__`` (same seed everywhere → identical), and a
+    per-actor token-hash cache so blake2b runs once per UNIQUE token —
+    shingle hashes are a vectorized mix of consecutive token hashes
+    (k ≤ 5), so the per-document hot path is a handful of cache-sized
+    numpy calls."""
 
     def __init__(self, num_perm: int = 64, k: int = 3, text_col: str = "text", seed: int = 1):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        if k > len(_MIX):
+            raise ValueError(f"k={k} > {len(_MIX)} (extend _MIX for wider shingles)")
         self.num_perm = num_perm
         self.k = k
         self.text_col = text_col
+        self._tok_cache: dict[str, int] = {}
+
+    def _shingles(self, text: str) -> np.ndarray:
+        toks = text.split()
+        if len(toks) < self.k:  # short doc: one gram = the whole text
+            return np.array([_token_hash(" ".join(toks))], dtype=np.uint64)
+        cache = self._tok_cache
+        if len(cache) > 2_000_000:  # bound actor memory
+            cache.clear()
+        th = np.empty(len(toks), dtype=np.uint64)
+        for j, w in enumerate(toks):
+            v = cache.get(w)
+            if v is None:
+                v = _token_hash(w)
+                cache[w] = v
+            th[j] = v
+        g = th[: len(toks) - self.k + 1] * _MIX[0]
+        for d in range(1, self.k):
+            g = g ^ (th[d : len(toks) - self.k + 1 + d] * _MIX[d])
+        return g
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k).astype(np.uint64)
+        h = self._shingles(text)
         # (a*h + b) mod p, rowwise min — vectorized over shingles×perms
         vals = (np.outer(h % _MERSENNE, self.a) + self.b) % _MERSENNE
         return vals.min(axis=0).astype(np.uint64)
@@ -205,10 +229,22 @@ def minhash_lsh_duplicates(
     members — the cap is reported via a ``_capped`` marker row count in
     worker logs, not silently dropped.
     """
+    import ray
+
     rows_per_band = num_perm // bands
+    # the signature stage is the cpu-heavy leg — make sure it can fan
+    # out (a driver-built Dataset arrives as ONE block, which would pin
+    # the whole stage to one task regardless of the actor pool size)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        nb = ds.num_blocks()
+    except Exception:
+        nb = None
+    if nb is not None and nb < ncpu:
+        ds = ds.repartition(2 * ncpu)
     sig_ds = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "k": k, "text_col": text_col},
-        batch_format="pyarrow", concurrency=(1, 8), batch_size=1024,
+        batch_format="pyarrow", concurrency=(1, ncpu), batch_size=1024,
     ).select_columns([id_col, "minhash"])
 
     def _explode(t: pa.Table) -> pa.Table:
@@ -249,10 +285,19 @@ def minhash_lsh_duplicates(
         ends = np.r_[starts[1:], len(bnd)]
         out_a, out_b, out_j = [], [], []
         n_capped = 0
-        for s, e in zip(starts, ends):
+        sizes = ends - starts
+        # fast path: 2-member buckets (the overwhelming majority) —
+        # ONE vectorized signature compare across all of them
+        two = starts[sizes == 2]
+        if len(two):
+            est2 = (sigs[two] == sigs[two + 1]).mean(axis=1)
+            hit = est2 >= jaccard_threshold
+            if hit.any():
+                out_a.append(ids[two][hit])      # ids ascend within bucket
+                out_b.append(ids[two + 1][hit])
+                out_j.append(est2[hit])
+        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
             m = e - s
-            if m < 2:
-                continue
             # identical-signature groups (exact/near-exact duplicate
             # classes — e.g. a million empty documents) would emit
             # O(g²) pairs; instead each group emits a STAR to its
