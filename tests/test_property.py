@@ -162,3 +162,66 @@ def test_extract_invalid_utf8_fallback():
     out = ExtractText()(t)
     assert out["text"].to_pylist() == [extract_text_one(d) for d in docs]
     assert out["size"].to_pylist() == [len(d) for d in docs]
+
+
+# --- salted boundary-merge core (no Ray needed) -----------------------------
+
+@given(st.integers(0, 5000), st.sampled_from([50.0, 200.0, 1000.0]),
+       st.booleans())
+def test_prop_chunk_merge_equals_direct_g3(seed, chunk, netml):
+    """merge_chunk_summaries over arbitrary time-chunked local cuts
+    must reproduce gap_sessionize's session boundaries and keep flags
+    exactly — the correctness core of the hot-key path."""
+    import pandas as pd
+
+    from netml_ray import kernels
+    from netml_ray.salted import global_session_summary, merge_chunk_summaries
+
+    rng = np.random.default_rng(seed)
+    gap = 100.0
+    rows = []
+    for key in ["a", "b"][: int(rng.integers(1, 3))]:
+        t = float(rng.uniform(0, 50))
+        for _ in range(int(rng.integers(1, 40))):
+            rows.append((key, t))
+            t += float(rng.choice([0.0, 10.0, 99.9, 100.0, 100.1, 500.0]))
+    df = pd.DataFrame(rows, columns=["key", "ts"]).sort_values(
+        ["key", "ts"], kind="stable").reset_index(drop=True)
+
+    # direct G3 over the full data
+    codes = pd.factorize(df["key"])[0].astype(np.int64)
+    tsv = df["ts"].to_numpy()
+    keep_d, ord_d = kernels.gap_sessionize(codes, tsv, gap, min_rows=2,
+                                           netml=netml)
+
+    # chunked local cuts → summaries → merge
+    salt = np.floor(tsv / chunk).astype(np.int64)
+    summ_rows = []
+    for (k, s), g in df.assign(salt=salt).groupby(["key", "salt"], sort=True):
+        gt = g["ts"].to_numpy()
+        c = np.zeros(len(gt), dtype=np.int64)
+        _, lsid = kernels.gap_sessionize(c, gt, gap, netml=False)
+        for sid in np.unique(lsid):
+            m = lsid == sid
+            summ_rows.append((k, s, int(sid), gt[m].min(), gt[m].max(),
+                              int(m.sum())))
+    summ = pd.DataFrame(summ_rows, columns=["key", "__salt", "__lsid",
+                                            "first_ts", "last_ts", "n"])
+    summ = summ.sort_values(["key", "__salt", "__lsid"],
+                            kind="stable").reset_index(drop=True)
+    merged = merge_chunk_summaries(summ, "key", gap=gap, min_rows=2,
+                                   netml=netml)
+    gsum = global_session_summary(merged, "key")
+
+    # row-level reconstruction: session of a row = searchsorted over its
+    # key's session start boundaries (what the flagship hot path does)
+    for key in df["key"].unique():
+        km = df["key"] == key
+        g = gsum[gsum["key"] == key].sort_values("_gsid")
+        tk = df.loc[km, "ts"].to_numpy()
+        pos = np.searchsorted(g["first_ts"].to_numpy(), tk, side="right") - 1
+        pos = np.maximum(pos, 0)
+        got_sid = g["_gsid"].to_numpy()[pos]
+        got_keep = g["_keep"].to_numpy()[pos]
+        np.testing.assert_array_equal(got_sid, ord_d[km.to_numpy()])
+        np.testing.assert_array_equal(got_keep, keep_d[km.to_numpy()])
