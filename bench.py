@@ -8,9 +8,15 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "crawl_docs_per_sec": ...}
 
-``--scaling``: runs the same suite twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports throughputs
-plus scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+``--scaling``: runs the same suite in fresh processes at num_cpus=8
+(best of 3) and num_cpus=32 (best of 2) on the same 4M-doc input and
+reports throughputs plus scaling efficiency (the sandbox stand-in for
+N vs 4N nodes).
+
+Env knobs: ``GRAFT_SF_DIR`` (input dir), ``RAY_GRAFT_CPUS``,
+``GRAFT_CRAWL_ROWS`` / ``GRAFT_CRAWL_TOKENS`` (flagship corpus size),
+``GRAFT_SCALING_ROWS`` (scaling corpus), ``GRAFT_SKIP_SKEW=1`` (skip
+the 50%-hot skew section).
 """
 
 from __future__ import annotations

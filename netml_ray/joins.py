@@ -117,7 +117,10 @@ def hash_join(
     (ONE shuffle over the union, the same exchange the as-of join
     uses) and merge each partition pair with a vectorized pandas merge.
     ``how`` ∈ {inner, left}.  For small build sides prefer
-    ``broadcast_join`` (no shuffle at all).
+    ``broadcast_join`` (no shuffle at all).  Columns are converted
+    through pandas per partition — fine for scalar columns; route
+    list/nested payloads through ``asof_join``/``range_join`` (pure
+    Arrow take) or project them out first.
     """
     import pandas as pd
 
