@@ -115,25 +115,88 @@ def hash_join(
 ):
     """Large-large equi-join: co-partition both sides by ``hash(key)``
     (ONE shuffle over the union, the same exchange the as-of join
-    uses) and merge each partition pair with a vectorized pandas merge.
-    ``how`` ∈ {inner, left}.  For small build sides prefer
-    ``broadcast_join`` (no shuffle at all).  Columns are converted
-    through pandas per partition — fine for scalar columns; route
-    list/nested payloads through ``asof_join``/``range_join`` (pure
-    Arrow take) or project them out first.
+    uses) and merge each partition pair Arrow-natively: ONE
+    dictionary-encode over the concatenated keys, a stable argsort of
+    the build side, two ``searchsorted`` calls per probe row, and
+    output materialized with vectorized ``pc.take`` gathers — no
+    pandas conversion, so list/nested payload columns pass through
+    zero-copy and unmatched left rows yield typed NULLs (no float64
+    upcast of int columns).  ``how`` ∈ {inner, left}.  NULL keys never
+    match (SQL semantics).  For small build sides prefer
+    ``broadcast_join`` (no shuffle at all).
     """
-    import pandas as pd
-
     from netml_ray.partition import partition_map2
 
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r} not supported (inner|left)")
 
     def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        ldf = lt.to_pandas()
-        rdf = rt.to_pandas()
-        out = ldf.merge(rdf, on=key, how=how, suffixes=("", suffix))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        nl, nr = lt.num_rows, rt.num_rows
+        rcols = [c for c in rt.column_names if c != key]
+
+        def _name(c: str) -> str:
+            return c + suffix if c in lt.column_names else c
+
+        if nl == 0 or (nr == 0 and how == "inner"):
+            cols = {c: pa.array([], type=lt.schema.field(c).type)
+                    for c in lt.column_names}
+            for c in rcols:
+                cols[_name(c)] = pa.array([], type=rt.schema.field(c).type)
+            return pa.table(cols)
+        if nr == 0:  # how == "left": all left rows, null right columns
+            cols = {c: lt[c] for c in lt.column_names}
+            for c in rcols:
+                cols[_name(c)] = pa.nulls(nl, type=rt.schema.field(c).type)
+            return pa.table(cols)
+
+        rkey = pc.cast(rt[key], lt[key].type)
+        combo = pa.chunked_array(
+            list(lt[key].chunks) + list(rkey.chunks), type=lt[key].type)
+        enc = pc.dictionary_encode(combo)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices
+        if idx.null_count:
+            # null keys never match: distinct sentinels per side
+            codes = np.asarray(idx.fill_null(-1)).astype(np.int64)
+            null_mask = np.asarray(pc.is_null(idx))
+            codes[:nl][null_mask[:nl]] = -1
+            codes[nl:][null_mask[nl:]] = -2
+        else:
+            codes = idx.to_numpy().astype(np.int64)
+        lcodes, rcodes = codes[:nl], codes[nl:]
+        rorder = np.argsort(rcodes, kind="stable")
+        rsorted = rcodes[rorder]
+        lo_i = np.searchsorted(rsorted, lcodes, side="left")
+        hi_i = np.searchsorted(rsorted, lcodes, side="right")
+        counts = hi_i - lo_i
+        rmask = None
+        if how == "inner":
+            out_counts = counts
+            total = int(counts.sum())
+            l_idx = np.repeat(np.arange(nl), counts)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            intra = np.arange(total) - np.repeat(offs[:-1], counts)
+            r_idx = rorder[np.repeat(lo_i, counts) + intra]
+        else:
+            out_counts = np.maximum(counts, 1)
+            total = int(out_counts.sum())
+            l_idx = np.repeat(np.arange(nl), out_counts)
+            offs = np.concatenate([[0], np.cumsum(out_counts)])
+            intra = np.arange(total) - np.repeat(offs[:-1], out_counts)
+            matched = np.repeat(counts > 0, out_counts)
+            r_idx = np.zeros(total, dtype=np.int64)
+            if matched.any():
+                r_idx[matched] = rorder[
+                    (np.repeat(lo_i, out_counts) + intra)[matched]]
+            if not matched.all():
+                rmask = ~matched
+        lsel = pc.take(lt, pa.array(l_idx))
+        cols = {c: lsel[c] for c in lsel.column_names}
+        ridx = pa.array(r_idx, mask=rmask) if rmask is not None else pa.array(r_idx)
+        for c in rcols:
+            cols[_name(c)] = pc.take(rt[c], ridx)
+        return pa.table(cols)
 
     return partition_map2(left, right, key, _fn,
                           num_partitions=num_partitions)

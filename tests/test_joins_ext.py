@@ -62,3 +62,47 @@ def test_range_join_matches_bruteforce(ray_session):
     e = exp.sort_values(key).reset_index(drop=True)[key]
     assert len(g) == len(e) and len(g) > 0
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_hash_join_list_payload_and_left_dtypes(ray_session):
+    """Arrow-native merge: list columns pass through and unmatched left
+    rows keep the right side's int64 type (typed NULLs, no float64
+    upcast — ADVICE r2)."""
+    left = pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64()),
+                     "v": pa.array([[1.0, 2.0], [3.0], [], [4.0, 5.0]],
+                                   type=pa.list_(pa.float64()))})
+    right = pa.table({"k": pa.array([1, 3], type=pa.int64()),
+                      "y": pa.array([10, 30], type=pa.int64()),
+                      "w": pa.array([["a"], ["b", "c"]],
+                                    type=pa.list_(pa.string()))})
+    import ray.data as rd
+
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                    how="left", num_partitions=4)
+    t = pa.concat_tables(
+        got.iter_batches(batch_format="pyarrow")).sort_by("k")
+    assert t["k"].to_pylist() == [1, 2, 3, 4]
+    # schema is uniform across partitions: int64 preserved, nulls where unmatched
+    assert t.schema.field("y").type == pa.int64()
+    assert t.schema.field("w").type == pa.list_(pa.string())
+    assert t["y"].to_pylist() == [10, None, 30, None]
+    assert t["v"].to_pylist() == [[1.0, 2.0], [3.0], [], [4.0, 5.0]]
+    assert t["w"].to_pylist() == [["a"], None, ["b", "c"], None]
+
+
+def test_hash_join_null_keys_never_match(ray_session):
+    """SQL semantics: NULL keys join nothing (inner drops them, left
+    emits them with null right columns)."""
+    left = pa.table({"k": pa.array([1, None, 2], type=pa.int64()),
+                     "x": pa.array([10, 20, 30], type=pa.int64())})
+    right = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                      "y": pa.array([100, 200], type=pa.int64())})
+    import ray.data as rd
+
+    inner = hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                      how="inner", num_partitions=4).to_pandas()
+    assert list(inner.sort_values("k")["y"]) == [100]
+    lj = hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                   how="left", num_partitions=4).to_pandas()
+    assert len(lj) == 3
+    assert lj["y"].notna().sum() == 1
