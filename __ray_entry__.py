@@ -23,6 +23,30 @@ P = 16  # partition count for keyed ops at sf0.01 test scale
 
 EVENT_GAP = 43200.0  # 12 h session gap over the events table
 
+# Oracle mode (VERDICT r2 #9): the driver hash-compares float aggregates
+# against DuckDB, whose streaming summation differs from our block-tree
+# summation in the last ulp, so a few queries round identically on BOTH
+# sides (the SQL text carries the same round()).  That hedge is for the
+# comparison only — set NETML_RAY_ORACLE_MODE=0 to get unrounded product
+# output (the SQL stays rounded, so CORRECTNESS runs need the default).
+import os as _os
+
+ORACLE_MODE = _os.environ.get("NETML_RAY_ORACLE_MODE", "1") != "0"
+
+
+def _hedge_round(arr: np.ndarray, nd: int) -> np.ndarray:
+    """Round only in oracle mode (float-sum-order comparison hedge)."""
+    return np.round(arr, nd) if ORACLE_MODE else arr
+
+
+def _hedge_round_cols(t: pa.Table, cols, nd: int) -> pa.Table:
+    if not ORACLE_MODE:
+        return t
+    for c in cols:
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.round(t[c], ndigits=nd))
+    return t
+
 
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data as rd
@@ -68,12 +92,8 @@ def q_q1_pricing(sf_dir: str):
     )
 
     def _round(t: pa.Table) -> pa.Table:
-        # money sums rounded to cents on BOTH sides: block-tree vs
-        # streaming float summation differ by ~1e-8 on 1e7 magnitudes
-        for c in ("sum_base_price", "sum_disc_price"):
-            t = t.set_column(t.column_names.index(c), c,
-                             pc.round(t[c], ndigits=2))
-        return t
+        # money sums rounded to cents (oracle-mode hedge; see ORACLE_MODE)
+        return _hedge_round_cols(t, ("sum_base_price", "sum_disc_price"), 2)
 
     return out.sort(["l_returnflag", "l_linestatus"]).map_batches(_round, batch_format="pyarrow")
 
@@ -142,11 +162,8 @@ def q_orders_per_nation(sf_dir: str):
     out = j.groupby("n_name").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
     )
-    out = out.map_batches(
-        lambda t: t.set_column(t.column_names.index("sum_total"), "sum_total",
-                               pc.round(t["sum_total"], ndigits=2)),
-        batch_format="pyarrow",
-    )
+    out = out.map_batches(lambda t: _hedge_round_cols(t, ("sum_total",), 2),
+                          batch_format="pyarrow")
     return out.sort("n_name")
 
 
@@ -380,7 +397,7 @@ def q_embedding_centroids(sf_dir: str):
             agg[lab] = (s if cur is None else cur[0] + s, n if cur is None else cur[1] + n)
     # round to 9 dp on BOTH sides: float sum order differs between the
     # map-side combine and DuckDB's streaming avg (last-ulp noise)
-    rows = sorted((lab, np.round(s / n, 9).tolist()) for lab, (s, n) in agg.items())
+    rows = sorted((lab, _hedge_round(s / n, 9).tolist()) for lab, (s, n) in agg.items())
     return pa.table({
         "label": pa.array([r[0] for r in rows], type=pa.int32()),
         "centroid": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
@@ -770,7 +787,8 @@ def q_knn_cosine(sf_dir: str):
     qrow = emb.sort("vec_id").take(1)[0]
     query = np.asarray(qrow["embedding"], dtype=np.float64)
     pdf = knn_cosine(emb, query, k=10, dtype=np.float64)
-    pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
+    if ORACLE_MODE:
+        pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -892,7 +910,9 @@ def q_anomaly_scores(sf_dir: str):
     )
     X = models.collect_features(feats, limit=20000)
     model = models.fit("PCA", X, n_components=3)
-    scored = models.score_dataset(feats, model, concurrency=(1, 4))
+    from netml_ray.partition import auto_concurrency
+
+    scored = models.score_dataset(feats, model, concurrency=auto_concurrency())
     return scored.select_columns(["url", "warc_ts", "score"])
 
 def q_minhash_pairs(sf_dir: str):
@@ -960,7 +980,10 @@ def q_simhash_docs(sf_dir: str):
     from netml_ray.partition import partition_map
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    sig = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    from netml_ray.partition import auto_concurrency
+
+    sig = docs.map_batches(SimHasher, batch_format="pyarrow",
+                           concurrency=auto_concurrency())
     sig = add_text_hash(sig, "text").select_columns(
         ["doc_id", "simhash", "text_hash"])
 
@@ -999,7 +1022,10 @@ def q_lang_id_docs(sf_dir: str):
     from netml_ray.textops import LangId
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    from netml_ray.partition import auto_concurrency
+
+    out = docs.map_batches(LangId, batch_format="pyarrow",
+                           concurrency=auto_concurrency())
     return out.select_columns(["doc_id", "pred_lang"])
 
 
@@ -1051,7 +1077,8 @@ def q_knn_cosine_ivf(sf_dir: str):
     idx_dir = "/tmp/netml_ray_ivf_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
     pdf = knn_cosine_ivf(emb, query, k=10, n_centroids=8, nprobe=6,
                          index_dir=idx_dir, dtype=np.float64)
-    pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
+    if ORACLE_MODE:
+        pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -1085,6 +1112,9 @@ def q_events_flagship(sf_dir: str):
     from netml_ray.pipeline import events_session_pipeline
 
     ds = events_session_pipeline(sf_dir, num_partitions=P)
+
+    if not ORACLE_MODE:
+        return ds
 
     def _round(t: pa.Table) -> pa.Table:
         col = t["s_mean"]

@@ -86,7 +86,10 @@ def broadcast_join(
                 t = t.append_column(name, arr)
             return t
 
-    return ds.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 8))
+    from netml_ray.partition import auto_concurrency
+
+    return ds.map_batches(_Join, batch_format="pyarrow",
+                          concurrency=auto_concurrency())
 
 
 def normalize_labels(labels_df: pd.DataFrame, key: str, label_col: str) -> pd.DataFrame:
@@ -295,4 +298,7 @@ def semi_join(ds, keys_iterable, key: str, *, anti: bool = False):
                 mask = pc.invert(mask)
             return t.filter(pc.fill_null(mask, False))
 
-    return ds.map_batches(_Semi, batch_format="pyarrow", concurrency=(1, 8))
+    from netml_ray.partition import auto_concurrency
+
+    return ds.map_batches(_Semi, batch_format="pyarrow",
+                          concurrency=auto_concurrency())

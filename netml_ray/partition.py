@@ -47,6 +47,30 @@ def default_num_partitions(num_cpus: int | None = None) -> int:
     return max(16, 2 * num_cpus)
 
 
+def drop_empty_blocks(ds):
+    """Scrub schema-less empty blocks from a MATERIALIZED dataset.
+
+    Ray's sort-based groupby emits ``pa.table({})`` (zero columns) for
+    empty partitions; map stages pass these through untouched, the
+    executor logs ``RefBundle ... new schema: .`` for each, and plans
+    that iterate over such outputs (label propagation) have been
+    observed to wedge the streaming executor outright.  This is
+    metadata-only — no block is fetched to the driver."""
+    import ray.data as rd
+
+    refs = []
+    dropped = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+            else:
+                dropped += 1
+    if not dropped or not refs:
+        return ds
+    return rd.from_arrow_refs(refs)
+
+
 def auto_concurrency(lo: int = 1, cap: int | None = None) -> tuple[int, int]:
     """Actor-pool sizing that scales with the cluster instead of a
     fixed cap: ``(lo, min(cluster CPUs, cap))``.  Use for every
@@ -146,7 +170,7 @@ def partition_sorted(
         )
 
     parts = ds.groupby(PID).map_groups(_sorted, batch_format="pyarrow").materialize()
-    return parts, None
+    return drop_empty_blocks(parts), None
 
 
 def aligned_map(parts, fn: Callable[[pa.Table], pa.Table], pid_counts=None):
@@ -195,14 +219,17 @@ def partition_map2(
     if num_partitions is None:
         num_partitions = default_num_partitions()
 
+    def _arrow(ds):
+        """Normalize pandas-block datasets (e.g. from_pandas) to Arrow
+        blocks so the unified-schema bookkeeping below works."""
+        if hasattr(ds.schema().base_schema, "field"):
+            return ds
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    left = _arrow(left)
+    right = _arrow(right)
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
-    if not hasattr(lschema, "field") or not hasattr(rschema, "field"):
-        raise TypeError(
-            "partition_map2 needs Arrow-schema datasets; a pandas-block "
-            "dataset (e.g. from_pandas) should be created with "
-            "from_arrow(pa.Table.from_pandas(df)) instead"
-        )
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     # unified schema: left columns then right-only columns (null-padded)

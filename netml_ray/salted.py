@@ -297,5 +297,8 @@ def sessionize_salted(
             t = t.filter(pa.array(m["_keep"].to_numpy()))
             return t.drop_columns([SALT, LSID, "__saltkey"])
 
-    hot_out = salted.map_batches(_Apply, batch_format="pyarrow", concurrency=(1, 8))
+    from netml_ray.partition import auto_concurrency
+
+    hot_out = salted.map_batches(_Apply, batch_format="pyarrow",
+                                 concurrency=auto_concurrency())
     return cold_out.union(hot_out)

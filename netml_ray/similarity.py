@@ -71,7 +71,10 @@ def knn_cosine(
                  "cos_sim": pa.array(sims[idx].astype(np.float64))}
             )
 
-    partials = ds.map_batches(_Partial, batch_format="pyarrow", concurrency=(1, 8))
+    from netml_ray.partition import auto_concurrency
+
+    partials = ds.map_batches(_Partial, batch_format="pyarrow",
+                              concurrency=auto_concurrency())
     pdf = partials.to_pandas()  # ≤ k rows per batch — tiny
     pdf = pdf.sort_values(["cos_sim", id_col], ascending=[False, True], kind="stable")
     return pdf.head(k).reset_index(drop=True)
@@ -106,6 +109,28 @@ def hash_sample(ds, *, id_col: str, fraction: float, limit: int):
     return ds.map_batches(_f, batch_format="pyarrow").limit(limit)
 
 
+def _resolve_fs(path: str, filesystem=None):
+    """(pyarrow.fs.FileSystem, fs-local path) for ``path`` — an
+    explicit filesystem, a URI (s3://…, file://…), or a plain local
+    path.  Everything the index reads/writes goes through this, so
+    buckets can land on shared storage on a real cluster (r2 #6)."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, path
+    if "://" in str(path):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _fs_exists(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
 class IVFIndex:
     """Materialized IVF index: vectors written ONCE to parquet
     partitioned by coarse-quantizer bucket; a query probes only the
@@ -115,16 +140,24 @@ class IVFIndex:
     Layout::
 
         index_dir/
-          meta.json           # n_centroids, dim, cols, n_rows
+          meta.json           # n_centroids, dim, cols, n_rows, buckets
           centroids.npy
-          bucket=<b>/*.parquet
+          bucket=<b>/data.parquet
 
     Build is one assignment pass + one hash shuffle by bucket (writes
     happen inside the partition tasks — nothing is driver-collected).
+    All I/O routes through ``pyarrow.fs`` (pass ``filesystem=`` or a
+    URI index_dir for shared storage).  One partition owns a bucket,
+    so each bucket has exactly ONE deterministically-named file — a
+    task retry overwrites it instead of accumulating duplicates, and
+    queries read only the files ``meta.json`` records, so stale files
+    from an older build in the same dir cannot pollute results
+    (ADVICE r2).
     """
 
-    def __init__(self, index_dir: str, centroids: np.ndarray, meta: dict):
-        self.index_dir = index_dir
+    def __init__(self, index_dir: str, centroids: np.ndarray, meta: dict,
+                 filesystem=None):
+        self.fs, self.index_dir = _resolve_fs(index_dir, filesystem)
         self.centroids = centroids
         self.meta = meta
 
@@ -140,15 +173,16 @@ class IVFIndex:
         sample_rows: int = 10_000,
         seed: int = 0,
         num_partitions: int | None = None,
+        filesystem=None,
     ) -> "IVFIndex":
         import json
-        import os
 
         import pyarrow.parquet as pq
         import ray
 
-        from netml_ray.partition import partition_map
+        from netml_ray.partition import auto_concurrency, partition_map
 
+        fs, root = _resolve_fs(index_dir, filesystem)
         n = ds.count()
         frac = min(1.0, 2.0 * sample_rows / max(n, 1))
         sample_df = hash_sample(ds, id_col=id_col, fraction=frac,
@@ -168,10 +202,13 @@ class IVFIndex:
                 return t.append_column("bucket", pa.array(a))
 
         bucketed = ds.map_batches(_Assign, batch_format="pyarrow",
-                                  concurrency=(1, 8))
-        os.makedirs(index_dir, exist_ok=True)
+                                  concurrency=auto_concurrency())
+        fs.create_dir(root, recursive=True)
 
         def _write(t: pa.Table) -> pa.Table:
+            # one hash partition holds ALL rows of its buckets, so each
+            # bucket writes exactly one deterministically-named file —
+            # a retry overwrites, never duplicates
             t = t.sort_by([("bucket", "ascending"), (id_col, "ascending")])
             b = t["bucket"].to_numpy()
             starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]]) if len(b) else []
@@ -179,12 +216,12 @@ class IVFIndex:
             written = []
             for s, e in zip(starts, ends):
                 bid = int(b[s])
-                bdir = os.path.join(index_dir, f"bucket={bid}")
-                os.makedirs(bdir, exist_ok=True)
+                bdir = f"{root}/bucket={bid}"
+                fs.create_dir(bdir, recursive=True)
                 part = t.slice(s, e - s).drop_columns(["bucket"])
-                tmp = os.path.join(bdir, f".part-{os.getpid()}-{s}.tmp")
-                pq.write_table(part, tmp)
-                os.replace(tmp, os.path.join(bdir, f"part-{os.getpid()}-{s}.parquet"))
+                tmp = f"{bdir}/.data.parquet.tmp"
+                pq.write_table(part, tmp, filesystem=fs)
+                fs.move(tmp, f"{bdir}/data.parquet")
                 written.append((bid, e - s))
             return pa.table({
                 "bucket": pa.array([w[0] for w in written], type=pa.int64()),
@@ -193,48 +230,58 @@ class IVFIndex:
 
         marker = partition_map(bucketed, "bucket", _write,
                                num_partitions=num_partitions)
-        marker.materialize()
-        np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        written = marker.to_pandas()
+        buckets = sorted(int(x) for x in written["bucket"].unique())
+        with fs.open_output_stream(f"{root}/centroids.npy") as f:
+            np.save(f, cent)
         meta = {"n_centroids": int(len(cent)), "dim": int(cent.shape[1]),
-                "id_col": id_col, "vec_col": vec_col, "n_rows": int(n)}
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            json.dump(meta, f)
-        return IVFIndex(index_dir, cent, meta)
+                "id_col": id_col, "vec_col": vec_col, "n_rows": int(n),
+                "buckets": buckets}
+        with fs.open_output_stream(f"{root}/meta.json") as f:
+            f.write(json.dumps(meta).encode())
+        return IVFIndex(root, cent, meta, filesystem=fs)
 
     @staticmethod
-    def load(index_dir: str) -> "IVFIndex":
+    def load(index_dir: str, filesystem=None) -> "IVFIndex":
         import json
-        import os
 
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            meta = json.load(f)
-        cent = np.load(os.path.join(index_dir, "centroids.npy"))
-        return IVFIndex(index_dir, cent, meta)
+        fs, root = _resolve_fs(index_dir, filesystem)
+        with fs.open_input_stream(f"{root}/meta.json") as f:
+            meta = json.loads(f.read().decode())
+        if "buckets" not in meta:
+            raise ValueError(
+                f"{root} uses a pre-r3 index layout (no bucket manifest in "
+                f"meta.json) — rebuild the index")
+        missing = [b for b in meta["buckets"]
+                   if not _fs_exists(fs, f"{root}/bucket={b}/data.parquet")]
+        if missing:
+            raise ValueError(
+                f"index at {root} is missing bucket files {missing[:5]} — "
+                f"rebuild the index")
+        import io
+
+        with fs.open_input_stream(f"{root}/centroids.npy") as f:
+            cent = np.load(io.BytesIO(f.read()))  # input streams don't seek
+        return IVFIndex(root, cent, meta, filesystem=fs)
 
     # -- query ---------------------------------------------------------
     def query(self, query: np.ndarray, *, k: int = 10, nprobe: int = 4,
               dtype=np.float32):
-        """Approximate top-k: reads ONLY the probed bucket partitions."""
-        import os
-
+        """Approximate top-k: reads ONLY the probed buckets' files (the
+        exact paths ``meta.json`` records — never a glob)."""
         import ray.data as rd
-
-        import glob
 
         q = np.asarray(query, dtype=np.float32)
         q = q / (np.linalg.norm(q) or 1.0)
         probe = np.argsort(-(self.centroids @ q))[:nprobe]
-        files = [
-            f
-            for b in probe
-            for f in sorted(glob.glob(
-                os.path.join(self.index_dir, f"bucket={int(b)}", "*.parquet")))
-        ]
+        have = set(self.meta.get("buckets", []))
+        files = [f"{self.index_dir}/bucket={int(b)}/data.parquet"
+                 for b in probe if int(b) in have]
         if not files:
             import pandas as pd
 
             return pd.DataFrame({self.meta["id_col"]: [], "cos_sim": []})
-        sub = rd.read_parquet(files)
+        sub = rd.read_parquet(files, filesystem=self.fs)
         return knn_cosine(sub, query, k=k, id_col=self.meta["id_col"],
                           vec_col=self.meta["vec_col"], dtype=dtype)
 
@@ -252,6 +299,7 @@ def knn_cosine_ivf(
     seed: int = 0,
     index_dir: str | None = None,
     dtype=np.float32,
+    filesystem=None,
 ):
     """IVF approximate top-k via the materialized index.
 
@@ -259,19 +307,29 @@ def knn_cosine_ivf(
     skipped entirely and the query reads only ``nprobe`` bucket
     partitions.  Without it, a one-time index is built under /tmp
     (one pass over ``ds``) and then probed — pass the same
-    ``index_dir`` across calls to amortize the build.
+    ``index_dir`` across calls to amortize the build.  ``filesystem``
+    (or a URI ``index_dir``) routes the index through ``pyarrow.fs``.
     """
-    import os
+    import json
     import tempfile
 
-    if index_dir is not None and os.path.exists(os.path.join(index_dir, "meta.json")):
-        idx = IVFIndex.load(index_dir)
-    else:
+    idx = None
+    if index_dir is not None:
+        fs, root = _resolve_fs(index_dir, filesystem)
+        if _fs_exists(fs, f"{root}/meta.json"):
+            with fs.open_input_stream(f"{root}/meta.json") as f:
+                has_manifest = "buckets" in json.loads(f.read().decode())
+            if has_manifest:
+                idx = IVFIndex.load(index_dir, filesystem=filesystem)
+            # pre-r3 layout: rebuild in place (exact-path reads ignore
+            # the old part-* files)
+    if idx is None:
         if index_dir is None:
             index_dir = tempfile.mkdtemp(prefix="ivf_index_")
         idx = IVFIndex.build(ds, index_dir, n_centroids=n_centroids,
                              id_col=id_col, vec_col=vec_col,
-                             sample_rows=sample_rows, seed=seed)
+                             sample_rows=sample_rows, seed=seed,
+                             filesystem=filesystem)
     return idx.query(query, k=k, nprobe=nprobe, dtype=dtype)
 
 
@@ -319,7 +377,10 @@ def embedding_near_duplicates(
             a = np.argmax(m @ self.cent.T, axis=1) if len(m) else np.empty(0, dtype=np.int64)
             return t.append_column("bucket", pa.array(a.astype(np.int64)))
 
-    bucketed = ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 8))
+    from netml_ray.partition import auto_concurrency
+
+    bucketed = ds.map_batches(_Assign, batch_format="pyarrow",
+                              concurrency=auto_concurrency())
 
     def _pairs_part(t: pa.Table) -> pa.Table:
         t = t.sort_by([("bucket", "ascending"), (id_col, "ascending")])

@@ -83,6 +83,12 @@ def _extract_vectorized(col) -> pa.Array | None:
     string array, or None if the whole batch must fall back (invalid
     utf-8 / nulls).  Runs the vectorized pass chain per cache-sized
     slice of docs, then stitches the slices."""
+    ctype = col.type
+    if not (pa.types.is_binary(ctype) or pa.types.is_string(ctype)):
+        # large_binary / large_string carry 64-bit offsets — the int32
+        # buffer read below would misparse them (ADVICE r2); per-row
+        # fallback handles them correctly
+        return None
     try:
         pc.cast(col, pa.string())  # utf-8 validation only
     except pa.ArrowInvalid:
@@ -449,17 +455,57 @@ def top_tokens(ds, *, text_col: str = "text", k: int = 20):
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+_ROLL_BASE = np.uint64(1099511628211)
+
+
+def _utf8_segments(col) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated utf-8 bytes, int64 offsets) for a string column —
+    the cast to large_binary normalizes 32/64-bit offset layouts."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_binary())
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    return data, off - off[0]
+
+
+def _rolling_hash_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized polynomial (Rabin–Karp) rolling hash per segment,
+    mod 2⁶⁴: ``h = Σ b[i] · BASE^(L-1-i)`` (≡ the Horner recurrence
+    ``h = h·BASE + b``).  One numpy pass over the concatenated bytes —
+    O(total_bytes) at C speed, replacing the former FNV-1a per-BYTE
+    Python loop (~µs/byte; VERDICT r2 #2)."""
+    n = len(offsets) - 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.diff(offsets)
+    maxlen = int(lens.max()) if len(lens) else 0
+    if maxlen == 0:
+        return np.zeros(n, dtype=np.uint64)
+    powtab = np.ones(maxlen, dtype=np.uint64)
+    if maxlen > 1:
+        powtab[1:] = _ROLL_BASE
+        np.multiply.accumulate(powtab, out=powtab)  # [1, B, B², ...]
+    total = len(data)
+    ends_rep = np.repeat(offsets[1:], lens)
+    exp = ends_rep - 1 - np.arange(total, dtype=np.int64)
+    terms = data.astype(np.uint64) * powtab[exp]
+    csum = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(terms, out=csum[1:])  # wraps mod 2⁶⁴ — exactly what we want
+    return csum[offsets[1:]] - csum[offsets[:-1]]
+
+
 def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic document fingerprint: sha1 of utf-8 bytes (exact
-    dedup key) + a 64-bit rolling-hash style fingerprint."""
+    dedup key, C speed) + a 64-bit polynomial rolling fingerprint
+    computed in one vectorized numpy pass over the column's
+    concatenated byte buffer (``_rolling_hash_segments``)."""
     texts = t[text_col].to_pylist()
     sha = [hashlib.sha1(s.encode("utf-8")).hexdigest() for s in texts]
-    roll = np.empty(len(texts), dtype=np.uint64)
-    for i, s in enumerate(texts):
-        h = np.uint64(1469598103934665603)  # FNV-1a 64
-        for b in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        roll[i] = h
+    data, offs = _utf8_segments(t[text_col])
+    roll = _rolling_hash_segments(data, offs)
     t = t.append_column("text_sha1", pa.array(sha, type=pa.string()))
     t = t.append_column("fingerprint", pa.array(roll.astype(np.int64)))
     return t

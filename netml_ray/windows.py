@@ -6,10 +6,50 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from netml_ray import kernels
 from netml_ray.partition import partition_map
 from netml_ray.sessionize import TS_SEC, _key_codes, with_ts_sec
+
+
+def _window_partial(col, win: np.ndarray, v: np.ndarray, key_name: str,
+                    idx: np.ndarray | None = None) -> pa.Table:
+    """Per-batch partial aggregate over (key, window_id): ONE
+    dictionary-encode + lexsort + reduceat — no pandas hop in the
+    per-batch inner loop (VERDICT r2 #5).  ``idx`` expands rows into
+    overlapping windows (hopping case) before grouping."""
+    ktype = col.type
+    enc = pc.dictionary_encode(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy()
+    if idx is not None:
+        codes = codes[idx]
+        v = v[idx]
+    if len(codes) == 0:
+        return pa.table({key_name: pa.array([], type=ktype),
+                         "window_id": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64()),
+                         "s": pa.array([], type=pa.float64()),
+                         "mn": pa.array([], type=pa.float64()),
+                         "mx": pa.array([], type=pa.float64())})
+    order = np.lexsort((win, codes))
+    c = codes[order]
+    w = win[order]
+    vv = v[order]
+    first = np.r_[True, (c[1:] != c[:-1]) | (w[1:] != w[:-1])]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.r_[starts, len(c)])
+    return pa.table({
+        key_name: pc.take(enc.dictionary, pa.array(c[starts])),
+        "window_id": pa.array(w[starts]),
+        "n": pa.array(counts.astype(np.int64)),
+        "s": pa.array(np.add.reduceat(vv, starts)),
+        "mn": pa.array(np.minimum.reduceat(vv, starts)),
+        "mx": pa.array(np.maximum.reduceat(vv, starts)),
+    })
 
 
 def add_lag_lead(
@@ -90,16 +130,10 @@ def tumbling_window_agg(
     from netml_ray.sessionize import ts_seconds
 
     def _partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         sec = ts_seconds(t, ts_col)
         win = np.floor((sec - origin) / window_sec).astype(np.int64)
-        df = pd.DataFrame({key: t[key].to_numpy(zero_copy_only=False),
-                           "window_id": win,
-                           "v": t[value_col].to_numpy().astype(np.float64)})
-        g = df.groupby([key, "window_id"], sort=False)["v"]
-        out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        v = t[value_col].to_numpy().astype(np.float64)
+        return _window_partial(t[key], win, v, key)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
     out = partial.groupby([key, "window_id"]).aggregate(
@@ -137,23 +171,18 @@ def hopping_window_agg(
     from netml_ray.sessionize import ts_seconds
 
     def _partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         sec = ts_seconds(t, ts_col) - origin
         lo = np.floor((sec - window_sec) / hop_sec).astype(np.int64) + 1
         hi = np.floor(sec / hop_sec).astype(np.int64)
         reps = (hi - lo + 1).astype(np.int64)
         idx = np.repeat(np.arange(t.num_rows), reps)
-        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, dtype=np.int64)
+        total = int(reps.sum())
+        # per-row window ordinal without a Python loop over rows
+        cum = np.concatenate([[0], np.cumsum(reps)])
+        offs = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], reps)
         wid = np.repeat(lo, reps) + offs
-        df = pd.DataFrame({
-            key: t[key].to_numpy(zero_copy_only=False)[idx],
-            "window_id": wid,
-            "v": t[value_col].to_numpy().astype(np.float64)[idx],
-        })
-        g = df.groupby([key, "window_id"], sort=False)["v"]
-        out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        v = t[value_col].to_numpy().astype(np.float64)
+        return _window_partial(t[key], wid, v, key, idx=idx)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
     out = partial.groupby([key, "window_id"]).aggregate(

@@ -181,3 +181,43 @@ def test_asof_join_vs_oracle(ray_session):
             assert (out.loc[ok, "state_ts"] < out.loc[ok, "ts"]).all()
         else:
             assert (out.loc[ok, "state_ts"] <= out.loc[ok, "ts"]).all()
+
+
+def test_fingerprint_rolling_hash_matches_horner(ray_session):
+    """The vectorized Rabin-Karp segment hash equals the per-byte
+    Horner recurrence (h = h*B + b mod 2^64), incl. empty and unicode
+    docs."""
+    from netml_ray.textops import (_rolling_hash_segments, _utf8_segments,
+                                   fingerprint_batch)
+
+    texts = ["", "a", "hello world", "héllo wörld ünïcode", "x" * 10_000,
+             "the quick brown fox", "", "　wide ws"]
+    t = pa.table({"doc_id": pa.array(range(len(texts))),
+                  "text": pa.array(texts, type=pa.string())})
+    data, offs = _utf8_segments(t["text"])
+    got = _rolling_hash_segments(data, offs)
+    B = 1099511628211
+    for i, s in enumerate(texts):
+        h = 0
+        for byt in s.encode("utf-8"):
+            h = (h * B + byt) % (1 << 64)
+        assert int(got[i]) == h, s
+    # the batch op wires both columns
+    out = fingerprint_batch(t)
+    assert out["text_sha1"][0].as_py() == __import__("hashlib").sha1(b"").hexdigest()
+    # identical texts -> identical fingerprints; distinct -> distinct here
+    assert out["fingerprint"][0].as_py() == out["fingerprint"][6].as_py()
+    assert len(set(out["fingerprint"].to_pylist())) == len(texts) - 1
+
+
+def test_fingerprint_large_string_offsets(ray_session):
+    """64-bit-offset (large_string) columns hash identically to their
+    32-bit counterparts (ADVICE r2: offset-width handling)."""
+    from netml_ray.textops import fingerprint_batch
+
+    texts = ["abc", "", "déf ghi"]
+    small = pa.table({"text": pa.array(texts, type=pa.string())})
+    large = pa.table({"text": pa.array(texts, type=pa.large_string())})
+    a = fingerprint_batch(small)["fingerprint"].to_pylist()
+    b = fingerprint_batch(large)["fingerprint"].to_pylist()
+    assert a == b

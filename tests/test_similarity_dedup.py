@@ -207,3 +207,54 @@ def test_simhash_duplicates_planted(ray_session):
         assert int(i) in got and int(i) + 7_000_000 in got
     # every returned simhash value appears at least twice
     assert (out["simhash"].value_counts() >= 2).all()
+
+
+def test_ivf_subtree_filesystem_and_rebuild(ray_session, tmp_path):
+    """pyarrow.fs plumbing (r2 #6): building/querying through a
+    SubTreeFileSystem (shared-storage stand-in) matches the local-path
+    build; rebuilding into the same dir never duplicates vectors
+    (deterministic per-bucket filenames — ADVICE r2)."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    from netml_ray.similarity import IVFIndex, knn_cosine_ivf
+
+    ids, m = _emb_np()
+    q = m[np.argmin(ids)]
+
+    local_dir = str(tmp_path / "ivf_local")
+    a = knn_cosine_ivf(_emb_ds(), q, k=10, n_centroids=8, nprobe=8,
+                       index_dir=local_dir)
+
+    sub_root = str(tmp_path / "subtree")
+    os.makedirs(sub_root)
+    subfs = pafs.SubTreeFileSystem(sub_root, pafs.LocalFileSystem())
+    idx = IVFIndex.build(_emb_ds(), "myindex", n_centroids=8,
+                         filesystem=subfs)
+    b = idx.query(q, k=10, nprobe=8)
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    # files really live under the subtree root
+    assert os.path.exists(os.path.join(sub_root, "myindex", "meta.json"))
+
+    # reload through the subtree fs
+    idx2 = IVFIndex.load("myindex", filesystem=subfs)
+    c = idx2.query(q, k=10, nprobe=8)
+    assert list(b["vec_id"]) == list(c["vec_id"])
+
+    # rebuild into the SAME local dir: one data.parquet per bucket, no
+    # accumulation, every vector indexed exactly once
+    import glob
+
+    import pyarrow.parquet as pq
+
+    IVFIndex.build(_emb_ds(), local_dir, n_centroids=8)
+    files = glob.glob(os.path.join(local_dir, "bucket=*", "*.parquet"))
+    per_bucket = {}
+    for f in files:
+        per_bucket.setdefault(os.path.dirname(f), []).append(f)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == len(ids)
+    d = IVFIndex.load(local_dir).query(q, k=10, nprobe=8)
+    assert list(a["vec_id"]) == list(d["vec_id"])
