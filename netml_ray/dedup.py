@@ -407,8 +407,10 @@ def _estimate_pairs_from_sigs(
     Candidates ≪ docs after banding, so the signature table is first
     narrowed to candidate ids — via a broadcast id set (map-side, no
     shuffle) when the candidate set is small, else a co-partitioned
-    semi join — and the surviving (tiny) signatures are attached to
-    each pair with two co-partitioned searchsorted joins.  Pairs with
+    semi join.  Tiering: when the candidate signatures themselves fit
+    a modest broadcast (≤256 MB) the estimate is ONE broadcast map
+    over the pairs; otherwise the signatures are attached with two
+    co-partitioned searchsorted joins.  Pairs with
     ``mean(sig_a == sig_b) ≥ threshold`` survive.
     """
     import ray
@@ -435,6 +437,41 @@ def _estimate_pairs_from_sigs(
 
         csigs = sig_ds.map_batches(_filter_sigs,
                                    batch_format="pyarrow").materialize()
+
+        if len(cand_ids) * num_perm * 8 <= 256 << 20:
+            # small-candidate fast tier: broadcast the candidate
+            # signatures once and estimate in a single map — skips two
+            # co-partitioned shuffles (the common case: pairs ≪ docs)
+            sids_l, smat_l = [], []
+            for b in csigs.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 16):
+                sids_l.append(b[id_col].to_numpy())
+                smat_l.append(np.asarray(
+                    b["minhash"].combine_chunks().flatten()).reshape(
+                        b.num_rows, num_perm))
+            sids = np.concatenate(sids_l)
+            smat = np.concatenate(smat_l)
+            order = np.argsort(sids)
+            sig_ref = ray.put((sids[order], np.ascontiguousarray(smat[order])))
+
+            def _est_bcast(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return empty
+                sids2, smat2 = ray.get(sig_ref)
+                a = t["id_a"].to_numpy()
+                b = t["id_b"].to_numpy()
+                ia = np.searchsorted(sids2, a)
+                ib = np.searchsorted(sids2, b)
+                if not ((sids2[ia] == a).all() and (sids2[ib] == b).all()):
+                    raise RuntimeError(
+                        "candidate id missing from signature table")
+                j = (smat2[ia] == smat2[ib]).mean(axis=1)
+                keep = j >= jaccard_threshold
+                return pa.table({"id_a": pa.array(a[keep]),
+                                 "id_b": pa.array(b[keep]),
+                                 "jaccard": pa.array(j[keep])})
+
+            return xs.map_batches(_est_bcast, batch_format="pyarrow")
     else:
         # co-partitioned semi join: candidate ids (narrow) against the
         # signature table — no driver materialization of the id set
