@@ -329,24 +329,31 @@ def _hot_g3_parts(hotds, key: str, *, gap: float, chunk: float,
     from netml_ray.salted import (
         global_session_summary,
         merge_chunk_summaries,
-        salt_and_cut,
+        salt_and_summarize,
     )
 
-    _, chunk_summ = salt_and_cut(hotds.select_columns([key, TS_SEC]), key,
-                                 gap=gap, chunk=chunk,
-                                 num_partitions=num_partitions)
+    chunk_summ = salt_and_summarize(hotds.select_columns([key, TS_SEC]), key,
+                                    gap=gap, chunk=chunk,
+                                    num_partitions=num_partitions)
     summ = merge_chunk_summaries(chunk_summ, key, gap=gap, min_rows=min_rows,
                                  netml=True)
     gsum = global_session_summary(summ, key)
 
-    # assign global G3 ids to hot rows via broadcast per-key session
+    # assign GLOBAL G3 ids to hot rows via broadcast per-key session
     # START boundaries (sessions partition each key's timeline, so
-    # gsid = searchsorted(first_ts, ts) — no join, no row mapping table)
+    # gsid = searchsorted(first_ts, ts) — no join, no row mapping
+    # table).  The G3 key is the session's ROW INDEX in gsum — a plain
+    # int64, so no per-row string building and the downstream shuffle
+    # hashes/sorts integers (measured ~2x faster than the former
+    # "url\\x1fgsid" string key at 750k hot rows)
+    gsum = gsum.sort_values([key, "_gsid"], kind="stable").reset_index(drop=True)
     bnd = {}
-    for u, g in gsum.groupby(key, sort=True):
-        g = g.sort_values("_gsid")
+    base = 0
+    for u, g in gsum.groupby(key, sort=False):
         bnd[u] = (g["first_ts"].to_numpy().astype(np.float64),
-                  g["_keep"].to_numpy().astype(bool))
+                  g["_keep"].to_numpy().astype(bool),
+                  base)
+        base += len(g)
     bnd_ref = ray.put(bnd)
 
     class _AssignG3:
@@ -369,12 +376,9 @@ def _hot_g3_parts(hotds, key: str, *, gap: float, chunk: float,
                 ii = np.flatnonzero(codes == ci)
                 pos = np.searchsorted(b[0], tsf[ii], side="right") - 1
                 pos = np.maximum(pos, 0)
-                g3[ii] = pos
+                g3[ii] = pos + b[2]
                 keepm[ii] = b[1][pos]
-            g3k = pc.binary_join_element_wise(
-                pc.cast(t[key], pa.string()),
-                pa.array(g3.astype(str), type=pa.string()), "\x1f")
-            t = t.append_column(G3KEY, g3k)
+            t = t.append_column(G3KEY, pa.array(g3))
             return t.filter(pa.array(keepm))
 
     hot_sess = hotds.map_batches(_AssignG3, batch_format="pyarrow",

@@ -183,6 +183,55 @@ def salt_and_cut(hotds, key: str, *, gap: float, chunk: float,
     return salted, summ
 
 
+def salt_and_summarize(hotds, key: str, *, gap: float, chunk: float,
+                       num_partitions: int | None = None) -> pd.DataFrame:
+    """Flagship front half (r2 #8 overhead cut): per-(key, salt,
+    local-sid) session summaries WITHOUT materializing the salted rows.
+
+    ``salt_and_cut`` shuffles the hot rows by (key, time-chunk),
+    materializes them, re-maps for summaries, and runs a summary
+    groupby — but the G3 boundary merge needs only the summaries
+    (sessions ≪ rows).  Here the chunk-local gap cut and the summary
+    aggregation fuse into ONE partition fn: each (key, chunk) group is
+    whole inside its ``partition_map`` partition, so the per-group
+    summaries are exact with no follow-up groupby, and only tiny
+    summary rows leave the pass."""
+
+    def _add_salt(t: pa.Table) -> pa.Table:
+        salt = np.floor(t[TS_SEC].to_numpy() / chunk).astype(np.int64)
+        t = t.append_column(SALT, pa.array(salt))
+        combo = pc.binary_join_element_wise(
+            pc.cast(t[key], pa.string()), pc.cast(t[SALT], pa.string()), "\x1f"
+        )
+        return t.append_column("__saltkey", combo)
+
+    hotds = hotds.map_batches(_add_salt, batch_format="pyarrow")
+
+    def _cut_summ(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, "__saltkey")
+        tsf = t[TS_SEC].to_numpy()
+        _, lsid = kernels.gap_sessionize(codes, tsf, gap, netml=False)
+        seg = kernels.encode_keys(codes, lsid)
+        starts = kernels.segment_starts(seg)
+        ends = np.r_[starts[1:], len(seg)]
+        return pa.table({
+            key: pc.take(t[key], pa.array(starts)),
+            SALT: pa.array(t[SALT].to_numpy()[starts]),
+            LSID: pa.array(lsid[starts]),
+            "first_ts": pa.array(tsf[starts]),
+            "last_ts": pa.array(tsf[ends - 1] if len(starts) else np.empty(0)),
+            "n": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    summ_ds = partition_map(hotds, "__saltkey", _cut_summ,
+                            sort_by=["__saltkey", TS_SEC],
+                            num_partitions=num_partitions)
+    summ = (summ_ds.to_pandas()
+            .sort_values([key, SALT, LSID], kind="stable")
+            .reset_index(drop=True))
+    return summ
+
+
 def merge_chunk_summaries(summ: pd.DataFrame, key: str, *, gap: float,
                           min_rows: int, netml: bool) -> pd.DataFrame:
     """Stitch per-chunk local sessions into global G3 sessions
