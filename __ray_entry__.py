@@ -643,6 +643,29 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_left_join_orders_customer(sf_dir: str):
+    """LEFT hash join against a FILTERED build side: unmatched orders
+    survive with a typed-NULL segment (exercises the Arrow-native
+    merge's null-fill path — no float64 upcast)."""
+    from netml_ray.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'").map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    j = hash_join(orders, cust, "o_custkey", how="left", num_partitions=P)
+    return j.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"])
+
+
+SQL_LEFT_JOIN_ORDERS_CUSTOMER = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+ON o_custkey = c_custkey
+"""
+
+
 def q_range_join_clicks(sf_dir: str):
     """Interval join: every purchase paired with each click by the same
     user in the preceding hour (searchsorted window per key — the
@@ -1204,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_normed_events": q_time_normed_events,
         "session_type_counts": q_session_type_counts,
         "join_orders_customer": q_join_orders_customer,
+        "left_join_orders_customer": q_left_join_orders_customer,
         "range_join_clicks": q_range_join_clicks,
         "gopher_quality_docs": q_gopher_quality_docs,
         "top_tokens_docs": q_top_tokens_docs,
@@ -1247,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "time_normed_events": SQL_TIME_NORMED,
         "session_type_counts": SQL_SESSION_TYPE_COUNTS,
         "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
+        "left_join_orders_customer": SQL_LEFT_JOIN_ORDERS_CUSTOMER,
         "range_join_clicks": SQL_RANGE_JOIN_CLICKS,
         "gopher_quality_docs": SQL_GOPHER,
         "top_tokens_docs": SQL_TOP_TOKENS,

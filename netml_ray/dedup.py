@@ -167,7 +167,11 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         h = self._shingles(text)
-        # (a*h + b) mod p, rowwise min — vectorized over shingles×perms
+        # (a*h + b) mod p per permutation, rowwise min.  NOTE: the
+        # product wraps mod 2^64 BEFORE the Mersenne mod (uint64
+        # arithmetic), so this is a deterministic mixing family, not a
+        # textbook universal hash — fine for MinHash banding, where
+        # only hash-family independence-in-practice matters.
         vals = (np.outer(h % _MERSENNE, self.a) + self.b) % _MERSENNE
         return vals.min(axis=0).astype(np.uint64)
 

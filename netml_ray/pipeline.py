@@ -590,6 +590,10 @@ def _crawl_hot_cold(
 
     key = "url"
     cold, hotds = split_hot(narrow, key, hot)
+    # hotds is consumed by THREE passes (chunk summaries, G3 assign,
+    # as-of attach) — materialize the narrow hot rows once instead of
+    # re-running the split filter per consumer
+    hotds = hotds.materialize()
     parts, pid_counts = partition_sorted(cold, key, sort_by=[key, TS_SEC],
                                          num_partitions=num_partitions)
     gsum, hot_parts, hot_counts = _hot_g3_parts(
@@ -726,6 +730,7 @@ def _crawl_hot_cold_checkpointed(
         return read_checkpointed(out_dir), scalars  # fully complete
 
     cold, hotds = split_hot(narrow, key, hot)
+    hotds = hotds.materialize()  # three consumers (see _crawl_hot_cold)
 
     if scalars is None or not have_state:
         if done:
