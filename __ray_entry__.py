@@ -993,6 +993,51 @@ ORDER BY id_a
 """
 
 
+def q_simhash_near_docs(sf_dir: str):
+    """SimHash hamming<=3 near-dup planted-recall gate: every document
+    is planted with an EXACT copy (+1M id) — hamming 0 by identity, so
+    perfect pigeonhole recall means every doc must land in the same
+    connected component as its copy; the DuckDB oracle states that
+    ground truth exactly.  Distance correctness and cluster-equivalence
+    vs the brute-force popcount graph are pinned by pytest."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import simhash_near_duplicates
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    copy = docs.copy()
+    copy["doc_id"] = copy["doc_id"] + 1_000_000
+    both = rd.from_pandas(pd.concat([docs, copy], ignore_index=True))
+    pairs = simhash_near_duplicates(both, max_hamming=3, num_partitions=P)
+    pdf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    connected = np.fromiter(
+        (find(int(i)) == find(int(i) + 1_000_000) for i in ids),
+        dtype=bool, count=len(ids))
+    out = np.sort(ids[connected])
+    return pa.table({"id_a": pa.array(out),
+                     "id_b": pa.array(out + 1_000_000)})
+
+
+SQL_SIMHASH_NEAR = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM documents ORDER BY id_a
+"""
+
+
 def q_simhash_docs(sf_dir: str):
     """SimHash determinism invariant, SQL-checkable: every exact-text
     duplicate group must collapse to exactly ONE simhash value — the
@@ -1241,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_scores": q_anomaly_scores,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_docs": q_simhash_near_docs,
         "lang_id_docs": q_lang_id_docs,
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "crawl_flagship": q_crawl_flagship,
@@ -1284,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_ivf": SQL_KNN,
         "minhash_pairs": SQL_MINHASH_PLANTED,
         "simhash_docs": SQL_SIMHASH_GROUPS,
+        "simhash_near_docs": SQL_SIMHASH_NEAR,
         "lang_id_docs": _build_lang_sql(),
         "events_flagship": SQL_EVENTS_FLAGSHIP,
     }

@@ -917,3 +917,153 @@ def simhash_duplicates(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return t.filter(pa.array(counts[run_id] >= 2))
 
     return partition_map(sig, "simhash", _dups, num_partitions=num_partitions)
+
+
+_POPLUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (uint8-view + LUT; numpy<2 has no
+    native bit_count ufunc)."""
+    u = np.ascontiguousarray(x.astype(np.uint64))
+    return _POPLUT[u.view(np.uint8)].reshape(len(u), 8).sum(
+        axis=1).astype(np.int64)
+
+
+def simhash_near_duplicates(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+    num_partitions: int | None = None,
+):
+    """Near-duplicate pairs with ``hamming(simhash_a, simhash_b) ≤
+    max_hamming``, scale-safe.
+
+    Pigeonhole LSH (Charikar '02 signatures; banding per the public
+    Manku/Jain/Sarma WWW'07 near-dup detection scheme): the 64-bit
+    simhash splits into ``max_hamming + 1`` contiguous bands — any
+    pair within hamming k must agree EXACTLY on at least one band
+    (pigeonhole), so bucketing by (band, band_bits) has perfect
+    recall.  The shuffle carries only ``(id, bkey, simhash)`` = 24 B
+    per band row; per bucket, identical-simhash groups star-compress
+    to their min id (hamming 0 — the cluster-equivalence argument of
+    ``minhash_lsh_duplicates``) and distinct-signature
+    representatives verify with ONE vectorized XOR-popcount block.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, deduped
+    across bands.  Hot buckets cap at ``max_bucket`` distinct
+    signatures (logged, not silent).
+    """
+    import ray
+
+    from netml_ray.partition import auto_concurrency, partition_map
+
+    nb = max_hamming + 1
+    if not 1 <= nb <= 64:
+        raise ValueError(f"max_hamming={max_hamming} out of range")
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    shifts = np.cumsum([0] + widths[:-1])
+
+    sig_ds = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=auto_concurrency(),
+    ).select_columns([id_col, "simhash"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = t["simhash"].to_numpy().astype(np.uint64)
+        bk = np.empty((n, nb), dtype=np.int64)
+        for i in range(nb):
+            bits = (s >> np.uint64(shifts[i])) & np.uint64((1 << widths[i]) - 1)
+            # bucket key encodes (band, band_bits) in one int64
+            bk[:, i] = (np.int64(i) << np.int64(48)) | bits.astype(np.int64)
+        rep = np.repeat(np.arange(n, dtype=np.int64), nb)
+        return pa.table({
+            id_col: pc.take(t[id_col], pa.array(rep)),
+            "bkey": pa.array(bk.ravel()),
+            "simhash": pa.array(np.repeat(t["simhash"].to_numpy(), nb)),
+        })
+
+    exploded = sig_ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("bkey", "ascending"), ("simhash", "ascending"),
+                       (id_col, "ascending")])
+        n = t.num_rows
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        bk = t["bkey"].to_numpy()
+        sh = t["simhash"].to_numpy()
+        ids = t[id_col].to_numpy()
+        out_a, out_b, out_h = [], [], []
+        bstart = _run_starts(bk)
+        gstart = _run_starts(bk, sh)
+        # stars within identical-simhash groups (hamming 0 by identity)
+        grun = np.cumsum(gstart) - 1
+        gfirst = np.flatnonzero(gstart)
+        rep_per_pos = ids[gfirst][grun]
+        nonrep = ~gstart
+        if nonrep.any():
+            out_a.append(rep_per_pos[nonrep])
+            out_b.append(ids[nonrep])
+            out_h.append(np.zeros(int(nonrep.sum()), dtype=np.int64))
+        # cross-signature candidates: reps only, verified by popcount
+        rep_ids = ids[gfirst]
+        rep_sigs = sh[gfirst]
+        brun = np.cumsum(bstart) - 1
+        rep_bucket = brun[gfirst]
+        kcounts = np.bincount(rep_bucket, minlength=brun[-1] + 1)
+        rstart = np.r_[0, np.cumsum(kcounts)]
+        two_b = np.flatnonzero(kcounts == 2)
+        if len(two_b):
+            i0 = rstart[two_b]
+            d = popcount64(rep_sigs[i0].astype(np.uint64)
+                           ^ rep_sigs[i0 + 1].astype(np.uint64))
+            hit = d <= max_hamming
+            if hit.any():
+                a, b = rep_ids[i0][hit], rep_ids[i0 + 1][hit]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_h.append(d[hit])
+        n_capped = 0
+        for bidx in np.flatnonzero(kcounts > 2):
+            s0, e0 = rstart[bidx], rstart[bidx + 1]
+            reps, sigs = rep_ids[s0:e0], rep_sigs[s0:e0]
+            m = e0 - s0
+            if m > max_bucket:
+                n_capped += 1
+                keep = np.argsort(reps)[:max_bucket]
+                keep = np.sort(keep)
+                reps, sigs = reps[keep], sigs[keep]
+                m = max_bucket
+            iu, ju = np.triu_indices(m, 1)
+            d = popcount64(sigs[iu].astype(np.uint64)
+                           ^ sigs[ju].astype(np.uint64))
+            hit = d <= max_hamming
+            if hit.any():
+                ra, rb = reps[iu[hit]], reps[ju[hit]]
+                out_a.append(np.minimum(ra, rb))
+                out_b.append(np.maximum(ra, rb))
+                out_h.append(d[hit])
+        if n_capped:
+            print(f"simhash_near: capped {n_capped} hot buckets at "
+                  f"{max_bucket} distinct signatures (raise max_bucket "
+                  f"or max_hamming bands)")
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "hamming": pa.array(np.concatenate(out_h).astype(np.int64)),
+        })
+
+    pairs = partition_map(exploded, "bkey", _bucket_pairs,
+                          num_partitions=num_partitions)
+    return partition_map(pairs, "id_a", _dedup_pairs_part,
+                         num_partitions=num_partitions)

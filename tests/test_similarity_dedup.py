@@ -258,3 +258,69 @@ def test_ivf_subtree_filesystem_and_rebuild(ray_session, tmp_path):
     assert total == len(ids)
     d = IVFIndex.load(local_dir).query(q, k=10, nprobe=8)
     assert list(a["vec_id"]) == list(d["vec_id"])
+
+
+def test_simhash_near_duplicates_vs_bruteforce(ray_session):
+    """Hamming<=k banding LSH: cluster-equivalence vs the exact
+    all-pairs popcount graph (perfect recall via pigeonhole), every
+    emitted pair's hamming verified, stars are true hamming-0."""
+    import ray.data as rd
+
+    from netml_ray.dedup import (SimHasher, popcount64,
+                                 simhash_near_duplicates)
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).to_pandas().head(250)
+    near = docs.head(60).copy()
+    near["doc_id"] += 1_000_000
+    # small textual perturbation -> small (usually) hamming distance
+    near["text"] = near["text"].str.replace(" the ", " thee ", n=1, regex=False)
+    exact = docs.head(30).copy()
+    exact["doc_id"] += 2_000_000
+    import pandas as pd
+
+    alld = pd.concat([docs, near, exact], ignore_index=True)
+
+    K = 3
+    got = simhash_near_duplicates(
+        rd.from_pandas(alld), max_hamming=K, num_partitions=8
+    ).to_pandas()
+
+    # brute force ground truth
+    sigs = np.fromiter((SimHasher.simhash64(s) for s in alld["text"]),
+                       dtype=np.int64, count=len(alld))
+    ids = alld["doc_id"].to_numpy()
+    iu, ju = np.triu_indices(len(ids), 1)
+    d = popcount64(sigs[iu].astype(np.uint64) ^ sigs[ju].astype(np.uint64))
+    hit = d <= K
+    bf = {(min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+          for i, j in zip(iu[hit], ju[hit])}
+    assert len(bf) > 30  # planted exacts guarantee pairs
+
+    sig_of = dict(zip(ids, sigs))
+    # every emitted pair: correct hamming, <= K
+    for _, r in got.iterrows():
+        dd = int(popcount64(np.array([sig_of[int(r["id_a"])]]).astype(np.uint64)
+                            ^ np.array([sig_of[int(r["id_b"])]]).astype(np.uint64))[0])
+        assert dd == int(r["hamming"]) and dd <= K
+
+    # connectivity equivalence: the op's pair graph connects exactly
+    # what the brute-force graph connects (star compression preserves
+    # components — members of an identical-sig group share distances)
+    def comps(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {int(i): find(int(i)) for i in ids}
+
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert comps(sorted(bf)) == comps(sorted(got_pairs))
