@@ -324,8 +324,20 @@ def q_rolling_events(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = add_rolling(ev, "user_id", "ts", "value", window=5, tiebreak="event_id", num_partitions=P)
+
+    def _round(t: pa.Table) -> pa.Table:
+        # std rounded to 9 dp on BOTH sides (oracle-mode hedge: our
+        # direct windowed sum-of-squares vs DuckDB's streaming
+        # aggregate differ in the last ulp)
+        if not ORACLE_MODE:
+            return t
+        v = np.round(t["roll_std"].to_numpy(zero_copy_only=False), 9)
+        return t.set_column(t.column_names.index("roll_std"), "roll_std",
+                            pa.array(v))
+
+    out = out.map_batches(_round, batch_format="pyarrow")
     return out.select_columns(["event_id", "user_id", "roll_count", "roll_sum", "roll_mean",
-                               "roll_min", "roll_max"])
+                               "roll_std", "roll_min", "roll_max"])
 
 
 SQL_ROLLING = """
@@ -333,6 +345,7 @@ SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS DOUBLE) AS roll_count,
        SUM(value) OVER w AS roll_sum,
        AVG(value) OVER w AS roll_mean,
+       round(COALESCE(stddev_pop(value) OVER w, 0), 9) AS roll_std,
        MIN(value) OVER w AS roll_min,
        MAX(value) OVER w AS roll_max
 FROM events

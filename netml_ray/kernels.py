@@ -548,4 +548,22 @@ def rolling_stats(
             dq_max.append(i)
             mn[i] = values[dq_min[0]]
             mx[i] = values[dq_max[0]]
-    return {"count": cnt, "sum": sm, "mean": mean, "min": mn, "max": mx}
+
+    # population std (SQL stddev_pop window parity), numerically
+    # stable: sum of squared deviations AROUND THE WINDOW MEAN via
+    # <= window shifted vectorized adds (the E[x^2]-mean^2 shortcut
+    # loses ~1e-5 absolute near var=0 when mean^2 >> var).
+    if window <= 64:
+        smdev = np.zeros(n)
+        for k in range(window):
+            idxk = idx - k
+            valid = idxk >= lo
+            d = values[idxk[valid]] - mean[valid]
+            smdev[valid] += d * d
+        var = smdev / cnt
+    else:  # large windows: cumsum shortcut, clamped
+        csq = np.r_[0.0, np.cumsum(values * values)]
+        var = np.maximum((csq[idx + 1] - csq[lo]) / cnt - mean * mean, 0.0)
+    std = np.sqrt(var)
+    return {"count": cnt, "sum": sm, "mean": mean, "min": mn, "max": mx,
+            "std": std}

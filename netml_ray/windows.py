@@ -91,8 +91,9 @@ def add_rolling(
     tiebreak: str | None = None,
     num_partitions: int | None = None,
 ):
-    """Append rolling count/sum/mean/min/max over the current + window-1
-    preceding rows per key (SQL ROWS BETWEEN n PRECEDING AND CURRENT ROW)."""
+    """Append rolling count/sum/mean/std/min/max over the current +
+    window-1 preceding rows per key (SQL ROWS BETWEEN n PRECEDING AND
+    CURRENT ROW; std is population — stddev_pop parity)."""
     ds = with_ts_sec(ds, ts_col)
     sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
 
@@ -100,7 +101,7 @@ def add_rolling(
         codes = _key_codes(t, key)
         v = t[value_col].to_numpy().astype(np.float64)
         r = kernels.rolling_stats(codes, v, window)
-        for name in ("count", "sum", "mean", "min", "max"):
+        for name in ("count", "sum", "mean", "std", "min", "max"):
             t = t.append_column(f"roll_{name}", pa.array(r[name]))
         return t
 
