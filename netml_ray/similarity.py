@@ -147,12 +147,18 @@ class IVFIndex:
     Build is one assignment pass + one hash shuffle by bucket (writes
     happen inside the partition tasks — nothing is driver-collected).
     All I/O routes through ``pyarrow.fs`` (pass ``filesystem=`` or a
-    URI index_dir for shared storage).  One partition owns a bucket,
-    so each bucket has exactly ONE deterministically-named file — a
-    task retry overwrites it instead of accumulating duplicates, and
-    queries read only the files ``meta.json`` records, so stale files
-    from an older build in the same dir cannot pollute results
-    (ADVICE r2).
+    URI index_dir for shared storage).  One partition owns a
+    (bucket, shard) group, so each group has exactly ONE
+    deterministically-named file — a task retry overwrites it instead
+    of accumulating duplicates, and queries read only the file LIST
+    ``meta.json`` records per bucket, so stale files from an older
+    build in the same dir cannot pollute results (ADVICE r2).
+
+    ``shards_per_bucket`` splits each bucket's rows by id-hash across
+    that many files/tasks — at 10^12-row scale a popular bucket exceeds
+    one task's memory and one sanely-sized parquet file; sharding keeps
+    both bounded without changing query results (the query reads every
+    shard of a probed bucket).
     """
 
     def __init__(self, index_dir: str, centroids: np.ndarray, meta: dict,
@@ -173,6 +179,7 @@ class IVFIndex:
         sample_rows: int = 10_000,
         seed: int = 0,
         num_partitions: int | None = None,
+        shards_per_bucket: int = 1,
         filesystem=None,
     ) -> "IVFIndex":
         import json
@@ -191,6 +198,8 @@ class IVFIndex:
         cent = train_ivf_centroids(sample, n_centroids, seed=seed)
         cref = ray.put(cent)
 
+        shards = max(1, int(shards_per_bucket))
+
         class _Assign:
             def __init__(self):
                 self.cent = ray.get(cref)
@@ -199,44 +208,56 @@ class IVFIndex:
                 m = _normalize(_mat(t[vec_col]))
                 a = (np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
                      if len(m) else np.empty(0, dtype=np.int64))
-                return t.append_column("bucket", pa.array(a))
+                t = t.append_column("bucket", pa.array(a))
+                # id-hash shard inside the bucket: the shuffle key is
+                # (bucket, shard) so no single task/file must hold a
+                # whole popular bucket
+                h = (t[id_col].to_numpy().astype(np.uint64)
+                     * np.uint64(2654435761)) >> np.uint64(17)
+                shard = (h % np.uint64(shards)).astype(np.int64)
+                return t.append_column(
+                    "_ivf_pkey", pa.array(a * shards + shard))
 
         bucketed = ds.map_batches(_Assign, batch_format="pyarrow",
                                   concurrency=auto_concurrency())
         fs.create_dir(root, recursive=True)
 
         def _write(t: pa.Table) -> pa.Table:
-            # one hash partition holds ALL rows of its buckets, so each
-            # bucket writes exactly one deterministically-named file —
-            # a retry overwrites, never duplicates
-            t = t.sort_by([("bucket", "ascending"), (id_col, "ascending")])
-            b = t["bucket"].to_numpy()
-            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]]) if len(b) else []
-            ends = np.r_[starts[1:], len(b)] if len(b) else []
+            # one hash partition holds ALL rows of its (bucket, shard)
+            # groups, so each group writes exactly one deterministically-
+            # named file — a retry overwrites, never duplicates
+            t = t.sort_by([("_ivf_pkey", "ascending"), (id_col, "ascending")])
+            pk = t["_ivf_pkey"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]]) if len(pk) else []
+            ends = np.r_[starts[1:], len(pk)] if len(pk) else []
             written = []
             for s, e in zip(starts, ends):
-                bid = int(b[s])
+                bid, sid = divmod(int(pk[s]), shards)
                 bdir = f"{root}/bucket={bid}"
                 fs.create_dir(bdir, recursive=True)
-                part = t.slice(s, e - s).drop_columns(["bucket"])
-                tmp = f"{bdir}/.data.parquet.tmp"
+                part = t.slice(s, e - s).drop_columns(["bucket", "_ivf_pkey"])
+                name = f"data-{sid:05d}.parquet"
+                tmp = f"{bdir}/.{name}.tmp"
                 pq.write_table(part, tmp, filesystem=fs)
-                fs.move(tmp, f"{bdir}/data.parquet")
-                written.append((bid, e - s))
+                fs.move(tmp, f"{bdir}/{name}")
+                written.append((bid, f"bucket={bid}/{name}", e - s))
             return pa.table({
                 "bucket": pa.array([w[0] for w in written], type=pa.int64()),
-                "rows": pa.array([w[1] for w in written], type=pa.int64()),
+                "file": pa.array([w[1] for w in written], type=pa.string()),
+                "rows": pa.array([w[2] for w in written], type=pa.int64()),
             })
 
-        marker = partition_map(bucketed, "bucket", _write,
+        marker = partition_map(bucketed, "_ivf_pkey", _write,
                                num_partitions=num_partitions)
         written = marker.to_pandas()
         buckets = sorted(int(x) for x in written["bucket"].unique())
+        files = {str(b): sorted(written.loc[written["bucket"] == b, "file"])
+                 for b in buckets}
         with fs.open_output_stream(f"{root}/centroids.npy") as f:
             np.save(f, cent)
         meta = {"n_centroids": int(len(cent)), "dim": int(cent.shape[1]),
                 "id_col": id_col, "vec_col": vec_col, "n_rows": int(n),
-                "buckets": buckets}
+                "buckets": buckets, "files": files}
         with fs.open_output_stream(f"{root}/meta.json") as f:
             f.write(json.dumps(meta).encode())
         return IVFIndex(root, cent, meta, filesystem=fs)
@@ -252,8 +273,11 @@ class IVFIndex:
             raise ValueError(
                 f"{root} uses a pre-r3 index layout (no bucket manifest in "
                 f"meta.json) — rebuild the index")
-        missing = [b for b in meta["buckets"]
-                   if not _fs_exists(fs, f"{root}/bucket={b}/data.parquet")]
+        if "files" not in meta:  # r3 layout: one data.parquet per bucket
+            meta["files"] = {str(b): [f"bucket={b}/data.parquet"]
+                             for b in meta["buckets"]}
+        missing = [p for ps in meta["files"].values() for p in ps
+                   if not _fs_exists(fs, f"{root}/{p}")]
         if missing:
             raise ValueError(
                 f"index at {root} is missing bucket files {missing[:5]} — "
@@ -268,15 +292,18 @@ class IVFIndex:
     def query(self, query: np.ndarray, *, k: int = 10, nprobe: int = 4,
               dtype=np.float32):
         """Approximate top-k: reads ONLY the probed buckets' files (the
-        exact paths ``meta.json`` records — never a glob)."""
+        exact path LISTS ``meta.json`` records — never a glob)."""
         import ray.data as rd
 
         q = np.asarray(query, dtype=np.float32)
         q = q / (np.linalg.norm(q) or 1.0)
         probe = np.argsort(-(self.centroids @ q))[:nprobe]
-        have = set(self.meta.get("buckets", []))
-        files = [f"{self.index_dir}/bucket={int(b)}/data.parquet"
-                 for b in probe if int(b) in have]
+        fmap = self.meta.get("files")
+        if fmap is None:  # index built pre-r4 and not via load()
+            fmap = {str(b): [f"bucket={b}/data.parquet"]
+                    for b in self.meta.get("buckets", [])}
+        files = [f"{self.index_dir}/{p}"
+                 for b in probe for p in fmap.get(str(int(b)), [])]
         if not files:
             import pandas as pd
 
@@ -299,6 +326,7 @@ def knn_cosine_ivf(
     seed: int = 0,
     index_dir: str | None = None,
     dtype=np.float32,
+    shards_per_bucket: int = 1,
     filesystem=None,
 ):
     """IVF approximate top-k via the materialized index.
@@ -329,6 +357,7 @@ def knn_cosine_ivf(
         idx = IVFIndex.build(ds, index_dir, n_centroids=n_centroids,
                              id_col=id_col, vec_col=vec_col,
                              sample_rows=sample_rows, seed=seed,
+                             shards_per_bucket=shards_per_bucket,
                              filesystem=filesystem)
     return idx.query(query, k=k, nprobe=nprobe, dtype=dtype)
 

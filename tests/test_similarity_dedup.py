@@ -260,6 +260,50 @@ def test_ivf_subtree_filesystem_and_rebuild(ray_session, tmp_path):
     assert list(a["vec_id"]) == list(d["vec_id"])
 
 
+def test_knn_ivf_sharded_buckets(ray_session, tmp_path):
+    """shards_per_bucket splits each bucket across several files (so a
+    popular bucket never exceeds one task/file at scale); the manifest
+    lists every shard file, load() validates them, and query results
+    are identical to the unsharded build."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from netml_ray.similarity import IVFIndex
+
+    ids, m = _emb_np()
+    q = m[np.argmin(ids)]
+
+    plain_dir = str(tmp_path / "ivf1")
+    IVFIndex.build(_emb_ds(), plain_dir, n_centroids=8)
+    a = IVFIndex.load(plain_dir).query(q, k=10, nprobe=8)
+
+    shard_dir = str(tmp_path / "ivf3")
+    idx = IVFIndex.build(_emb_ds(), shard_dir, n_centroids=8,
+                         shards_per_bucket=3)
+    # some bucket really is split into >1 file, and the manifest lists
+    # exactly the files on disk
+    files_on_disk = sorted(
+        os.path.relpath(f, shard_dir).replace(os.sep, "/")
+        for f in glob.glob(os.path.join(shard_dir, "bucket=*", "*.parquet")))
+    manifest = sorted(p for ps in idx.meta["files"].values() for p in ps)
+    assert manifest == files_on_disk
+    assert any(len(ps) > 1 for ps in idx.meta["files"].values())
+    total = sum(pq.read_table(os.path.join(shard_dir, p)).num_rows
+                for p in manifest)
+    assert total == len(ids)  # every vector indexed exactly once
+
+    b = IVFIndex.load(shard_dir).query(q, k=10, nprobe=8)
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert np.allclose(a["cos_sim"], b["cos_sim"])
+
+    # deleting one shard file is detected at load()
+    os.remove(os.path.join(shard_dir, manifest[0]))
+    with pytest.raises(ValueError, match="missing bucket files"):
+        IVFIndex.load(shard_dir)
+
+
 def test_simhash_near_duplicates_vs_bruteforce(ray_session):
     """Hamming<=k banding LSH: cluster-equivalence vs the exact
     all-pairs popcount graph (perfect recall via pigeonhole), every
