@@ -1163,6 +1163,127 @@ def q_knn_cosine_ivf(sf_dir: str):
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_ngram_jaccard_docs(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup planted-recall gate: every
+    doc with ≥ 4 distinct 3-grams is paired with its suffix-perturbed
+    copy (+1M id, ' extra' appended).  Appending one word keeps every
+    original gram (A ⊆ B, |B| ≤ |A|+1), so the EXACT Jaccard
+    |A|/|B| ≥ 4/5 = threshold whenever |A| ≥ 4 — the DuckDB oracle
+    states that eligibility precisely.  Blocking on the 8-codeunit
+    text prefix is invariant under the suffix edit, so each planted
+    pair always shares a block.  Pair-level Jaccard exactness vs the
+    jaccard_ngrams kernel is pinned by pytest."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import ngram_jaccard_duplicates
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    pert = docs.copy()
+    pert["doc_id"] = pert["doc_id"] + 1_000_000
+    pert["text"] = pert["text"] + " extra"
+    both = rd.from_pandas(pd.concat([docs, pert], ignore_index=True))
+    pairs = ngram_jaccard_duplicates(both, k=3, jaccard_threshold=0.8)
+    pdf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+
+    def _ngrams(s: str):
+        w = s.split()
+        if len(w) >= 3:
+            return frozenset(zip(w, w[1:], w[2:]))
+        return frozenset([tuple(w)])
+
+    eligible = docs.loc[[len(_ngrams(t)) >= 4 for t in docs["text"]],
+                        "doc_id"].to_numpy().astype(np.int64)
+    # intra-corpus near-dups also emit pairs — gate on CONNECTIVITY
+    # (driver union-find; pairs at sf scale are small)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    connected = np.fromiter(
+        (find(int(i)) == find(int(i) + 1_000_000) for i in eligible),
+        dtype=bool, count=len(eligible))
+    out = np.sort(eligible[connected])
+    return pa.table({"id_a": pa.array(out),
+                     "id_b": pa.array(out + 1_000_000)})
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           len(list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> w[i] || chr(31) || w[i+1] || chr(31) || w[i+2])))
+         ELSE 1 END AS ng
+  FROM toks
+)
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM grams WHERE ng >= 4 ORDER BY id_a
+"""
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup planted-recall gate: every vector is
+    planted with an EXACT copy (+1M id) — identical vectors always get
+    the same centroid bucket and cosine ≈ 1 ≥ 0.99, so perfect recall
+    means every vec_id connects to its copy; every corpus vector is
+    unit-norm so the oracle is simply all vec_ids.  Pair values and
+    the bounded-bucket scaling rule are pinned by pytest."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from netml_ray.similarity import embedding_near_duplicates
+
+    # stay in Arrow: a pandas round-trip would turn the embedding
+    # column into Ray's tensor extension type
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    copy = t.set_column(t.column_names.index("vec_id"), "vec_id",
+                        pc.add(t["vec_id"], 1_000_000))
+    both = rd.from_arrow(pa.concat_tables([t, copy]))
+    pairs = embedding_near_duplicates(both, threshold=0.99)
+    pdf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    connected = np.fromiter(
+        (find(int(i)) == find(int(i) + 1_000_000) for i in ids),
+        dtype=bool, count=len(ids))
+    out = np.sort(ids[connected])
+    return pa.table({"id_a": pa.array(out),
+                     "id_b": pa.array(out + 1_000_000)})
+
+
+SQL_EMBEDDING_NEAR = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+FROM embeddings ORDER BY id_a
+"""
+
+
 def q_crawl_flagship(sf_dir: str):
     """Flagship netml-recast pipeline over the deterministic synthetic
     crawl corpus (sized by sf); rows-only check — covered by allclose
@@ -1298,6 +1419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "anomaly_scores": q_anomaly_scores,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "embedding_near_dups": q_embedding_near_dups,
         "simhash_docs": q_simhash_docs,
         "simhash_near_docs": q_simhash_near_docs,
         "lang_id_docs": q_lang_id_docs,
@@ -1342,6 +1465,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": SQL_KNN,
         "knn_cosine_ivf": SQL_KNN,
         "minhash_pairs": SQL_MINHASH_PLANTED,
+        "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,
         "simhash_near_docs": SQL_SIMHASH_NEAR,
         "lang_id_docs": _build_lang_sql(),

@@ -1067,3 +1067,108 @@ def simhash_near_duplicates(
                           num_partitions=num_partitions)
     return partition_map(pairs, "id_a", _dedup_pairs_part,
                          num_partitions=num_partitions)
+
+
+def ngram_jaccard_duplicates(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.8,
+    block_col: str | None = None,
+    block_prefix: int = 8,
+    max_block: int = 4096,
+    num_partitions: int | None = None,
+):
+    """Exact word-``k``-gram Jaccard near-duplicate pairs within blocks.
+
+    Unlike MinHash-LSH (an estimate, optionally re-verified), this
+    computes the EXACT Jaccard for every within-block pair — the right
+    tool when a cheap blocking key (domain, title prefix, cluster id)
+    already bounds candidate sets, and cross-block pairs are excluded
+    by contract.  The blocking column is the documented partitioning
+    assumption: pairs in different blocks are never compared.  Pass
+    ``block_col`` to block on an existing column; otherwise the first
+    ``block_prefix`` codeunits of the text are used (invariant under
+    suffix edits).
+
+    Scale shape: ONE shuffle of ``(id, block, text)`` — text must
+    travel here because exact gram sets are built per block; use
+    MinHash-LSH when that is not affordable.  Per partition, gram sets
+    are built once per doc and within-block pairs are compared
+    set-wise; blocks wider than ``max_block`` docs are skipped with a
+    logged warning (bound the O(width²), never silently explode).
+
+    Gram semantics match ``jaccard_ngrams`` exactly: ``str.split()``
+    tokens, fewer than ``k`` tokens collapse to one whole-token-tuple
+    gram, and two gram-less docs are J=1.  Returns
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    import logging
+
+    from netml_ray.partition import partition_map
+
+    log = logging.getLogger("netml_ray.dedup")
+    bcol = block_col or "__jblock"
+    if block_col is None:
+        def _add_block(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                bcol, pc.utf8_slice_codeunits(
+                    pc.cast(t[text_col], pa.string()), 0, block_prefix))
+
+        ds = ds.map_batches(_add_block, batch_format="pyarrow")
+    narrow = ds.select_columns([id_col, bcol, text_col])
+
+    def _grams(s: str) -> frozenset:
+        w = s.split()
+        if len(w) >= k:
+            return frozenset(zip(*[w[i:] for i in range(k)]))
+        return frozenset([tuple(w)])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(bcol, "ascending"), (id_col, "ascending")])
+        ids = t[id_col].to_numpy()
+        texts = t[text_col].to_pylist()
+        b = t[bcol].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(starts, ends):
+            w = e - s
+            if w < 2:
+                continue
+            if w > max_block:
+                log.warning(
+                    "ngram_jaccard_duplicates: block %r has %d docs "
+                    "(> max_block=%d) — skipped; use a finer block key",
+                    b[s], w, max_block)
+                continue
+            gs = [_grams(texts[i]) for i in range(s, e)]
+            # empty-token docs: a gram set of {()} (whole-token tuple of
+            # nothing) compares equal to another empty doc -> J=1, and
+            # shares nothing with any non-empty doc -> J=0
+            for i in range(w - 1):
+                gi = gs[i]
+                for j in range(i + 1, w):
+                    inter = len(gi & gs[j])
+                    union = len(gi) + len(gs[j]) - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= jaccard_threshold:
+                        out_a.append(int(ids[s + i]))
+                        out_b.append(int(ids[s + j]))
+                        out_j.append(jac)
+        if not out_a:
+            return empty
+        a = np.asarray(out_a, dtype=np.int64)
+        bb = np.asarray(out_b, dtype=np.int64)
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "jaccard": pa.array(np.asarray(out_j))})
+
+    return partition_map(narrow, bcol, _pairs, num_partitions=num_partitions)

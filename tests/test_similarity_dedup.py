@@ -304,6 +304,51 @@ def test_knn_ivf_sharded_buckets(ray_session, tmp_path):
         IVFIndex.load(shard_dir)
 
 
+def test_ngram_jaccard_duplicates_vs_bruteforce(ray_session):
+    """Exact within-block word-k-gram Jaccard pairs: every emitted pair's
+    jaccard equals the scalar jaccard_ngrams kernel, and the pair SET
+    equals the brute-force within-block graph (exactness — no recall
+    slack, unlike the MinHash estimate)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import jaccard_ngrams, ngram_jaccard_duplicates
+
+    docs = _planted_docs()  # originals + 40 suffix-perturbed copies
+    exact = docs.head(20).copy()
+    exact["doc_id"] += 5_000_000  # identical texts -> J=1 pairs
+    alld = pd.concat([docs, exact], ignore_index=True)
+
+    K, THR, PFX = 3, 0.6, 8
+    got = ngram_jaccard_duplicates(
+        rd.from_pandas(alld), k=K, jaccard_threshold=THR,
+        block_prefix=PFX, num_partitions=8).to_pandas()
+
+    # brute force: same blocking (text prefix), exact kernel per pair
+    texts = dict(zip(alld["doc_id"].astype(int), alld["text"]))
+    blocks: dict = {}
+    for i, t in texts.items():
+        blocks.setdefault(t[:PFX], []).append(i)
+    bf = {}
+    for members in blocks.values():
+        members.sort()
+        for x in range(len(members) - 1):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                j = jaccard_ngrams(texts[a], texts[b], K)
+                if j >= THR:
+                    bf[(a, b)] = j
+
+    got_pairs = {(int(a), int(b)): j for a, b, j in
+                 zip(got["id_a"], got["id_b"], got["jaccard"])}
+    assert set(got_pairs) == set(bf)
+    for p, j in bf.items():
+        assert got_pairs[p] == pytest.approx(j, abs=1e-12)
+    # planted exact copies are J=1 pairs with their originals
+    for i in docs["doc_id"].head(20).astype(int):
+        assert got_pairs.get((i, i + 5_000_000)) == 1.0
+
+
 def test_simhash_near_duplicates_vs_bruteforce(ray_session):
     """Hamming<=k banding LSH: cluster-equivalence vs the exact
     all-pairs popcount graph (perfect recall via pigeonhole), every
