@@ -310,11 +310,15 @@ def minhash_lsh_duplicates(
         bstart = _run_starts(bnd, hashes)
         gstart = _run_starts(bnd, hashes, sh)
         # stars: within an identical-digest group each member pairs
-        # with the group's first (= min id; sorted) — est exactly 1.0
+        # with the group's first (= min id; sorted) — est exactly 1.0.
+        # Identical signatures ⟹ identical band hashes in EVERY band,
+        # so the group (and its pairs) recurs in all ``bands`` buckets;
+        # emitting from band 0 only yields each star pair exactly once
+        # — no downstream dedup shuffle needed for stars.
         grun = np.cumsum(gstart) - 1
         gfirst = np.flatnonzero(gstart)
         rep_per_pos = ids[gfirst][grun]
-        nonrep = ~gstart
+        nonrep = ~gstart & (bnd == 0)
         if nonrep.any():
             out_a.append(rep_per_pos[nonrep])
             out_b.append(ids[nonrep])
@@ -360,13 +364,11 @@ def minhash_lsh_duplicates(
 
     from netml_ray.partition import partition_map
 
+    # stars are unique by construction (band-0-only emission);
+    # cross-digest candidates can recur across bands and are deduped
+    # inside the estimate pass where the pairs are already driver- or
+    # co-partition-local — no standalone dedup shuffle
     cand = partition_map(exploded, "band_hash", _bucket_cands_part,
-                         num_partitions=num_partitions)
-
-    # dedup pairs found in multiple bands BEFORE estimating (the star
-    # flag is a pure function of the pair — digests are band-free —
-    # so keep-first is consistent)
-    cand = partition_map(cand, "id_a", _dedup_pairs_part,
                          num_partitions=num_partitions).materialize()
 
     def _mk_stars(t: pa.Table) -> pa.Table:
@@ -431,6 +433,13 @@ def _estimate_pairs_from_sigs(
 
     if 2 * n_x <= cand_id_broadcast:
         pdf = xs.select_columns(["id_a", "id_b"]).to_pandas()
+        # candidates recur when signatures agree on several bands —
+        # dedup here on the (already driver-resident) pair frame
+        # instead of paying a standalone pair shuffle upstream
+        pdf = pdf.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+        xs = rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+        if len(pdf) > (1 << 18):  # fan the single driver block back out
+            xs = xs.repartition(-(-len(pdf) // (1 << 17)))
         cand_ids = np.unique(np.r_[pdf["id_a"].to_numpy(),
                                    pdf["id_b"].to_numpy()])
         id_ref = ray.put(cand_ids)
@@ -492,11 +501,18 @@ def _estimate_pairs_from_sigs(
         csigs = partition_map2(sig_ds, ids_ds, id_col, _semi,
                                num_partitions=num_partitions).materialize()
 
-    def _attach(out_name: str, keyname: str):
+    def _attach(out_name: str, keyname: str, dedup_lt: bool = False):
         def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
             if lt.num_rows == 0:
                 return lt.append_column(
                     out_name, pa.nulls(0, type=rt.schema.field("__sig").type))
+            if dedup_lt:
+                # cross-band duplicate candidates co-locate here (the
+                # join partitions by id_a) — drop them before attaching
+                lt = lt.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+                first = _run_starts(lt["id_a"].to_numpy(),
+                                    lt["id_b"].to_numpy())
+                lt = lt.filter(pa.array(first))
             rk = rt[keyname].to_numpy()
             lk = lt[keyname].to_numpy()
             order = np.argsort(rk, kind="stable")
@@ -514,7 +530,8 @@ def _estimate_pairs_from_sigs(
 
     j1 = partition_map2(
         xs, csigs.map_batches(_rename("id_a"), batch_format="pyarrow"),
-        "id_a", _attach("__sig_a", "id_a"), num_partitions=num_partitions)
+        "id_a", _attach("__sig_a", "id_a", dedup_lt=True),
+        num_partitions=num_partitions)
     j2 = partition_map2(
         j1, csigs.map_batches(_rename("id_b"), batch_format="pyarrow"),
         "id_b", _attach("__sig_b", "id_b"), num_partitions=num_partitions)
