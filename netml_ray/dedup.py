@@ -551,10 +551,13 @@ def _estimate_pairs_from_sigs(
     return j2.map_batches(_est, batch_format="pyarrow")
 
 
-def _pair_shingle_jaccard(a: np.ndarray, b: np.ndarray, texts, k: int):
+def _pair_shingle_jaccard(a: np.ndarray, b: np.ndarray, texts, k: int,
+                          cache: dict | None = None):
     """Exact n-gram Jaccard per pair; shingle sets built once per
-    unique id in the batch, not per pair."""
-    shingles: dict[int, frozenset] = {}
+    unique id — in the per-call dict, or in a caller-owned ``cache``
+    that persists across batches (ids recur between candidate batches,
+    so an actor-held cache skips repeat tokenization)."""
+    shingles: dict[int, frozenset] = cache if cache is not None else {}
 
     def _sh(i: int) -> frozenset:
         s = shingles.get(i)
@@ -613,16 +616,31 @@ def verify_pairs_text(pairs, ds, *, text_col: str = "text",
     cand_docs = ds.map_batches(_filter_cand, batch_format="pyarrow").to_pandas()
     text_ref = ray.put(dict(zip(cand_docs[id_col], cand_docs[text_col])))
 
-    def _verify(t: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
-        a = t["id_a"].to_numpy()
-        b = t["id_b"].to_numpy()
-        jac = _pair_shingle_jaccard(a, b, texts, k)
-        keep = jac >= jaccard_threshold
-        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep]),
-                         "jaccard": pa.array(jac[keep])})
+    from netml_ray.partition import auto_concurrency
 
-    return pairs.map_batches(_verify, batch_format="pyarrow")
+    class _Verify:
+        """Stateful verify stage: the broadcast text dict is fetched
+        once per actor, and shingle sets persist across batches (ids
+        recur between candidate batches)."""
+
+        def __init__(self):
+            self.texts = ray.get(text_ref)
+            self.shingles: dict[int, frozenset] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(self.shingles) > 500_000:  # bound actor memory
+                self.shingles.clear()
+            a = t["id_a"].to_numpy()
+            b = t["id_b"].to_numpy()
+            jac = _pair_shingle_jaccard(a, b, self.texts, k,
+                                        cache=self.shingles)
+            keep = jac >= jaccard_threshold
+            return pa.table({"id_a": pa.array(a[keep]),
+                             "id_b": pa.array(b[keep]),
+                             "jaccard": pa.array(jac[keep])})
+
+    return pairs.map_batches(_Verify, batch_format="pyarrow",
+                             concurrency=auto_concurrency())
 
 
 def _verify_pairs_text_distributed(pairs, ds, *, text_col: str,
@@ -677,23 +695,38 @@ def _verify_pairs_text_distributed(pairs, ds, *, text_col: str,
         j1, ctexts.map_batches(_rename("id_b"), batch_format="pyarrow"),
         "id_b", _attach("__txt_b", "id_b"), num_partitions=num_partitions)
 
-    def _verify(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy()
-        b = t["id_b"].to_numpy()
-        # per-batch id→text map (texts already co-located with pairs)
-        texts = {}
-        ta = t["__txt_a"].to_pylist()
-        tb = t["__txt_b"].to_pylist()
-        for i, x in enumerate(a):
-            texts[int(x)] = ta[i]
-        for i, x in enumerate(b):
-            texts[int(x)] = tb[i]
-        jac = _pair_shingle_jaccard(a, b, texts, k)
-        keep = jac >= jaccard_threshold
-        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep]),
-                         "jaccard": pa.array(jac[keep])})
+    from netml_ray.partition import auto_concurrency
 
-    return j2.map_batches(_verify, batch_format="pyarrow")
+    class _Verify:
+        """Stateful verify stage: texts arrive attached per batch, but
+        ids recur across batches — a per-actor shingle cache (text per
+        id is constant) skips repeat tokenization (r3 queue #6)."""
+
+        def __init__(self):
+            self.shingles: dict[int, frozenset] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(self.shingles) > 500_000:  # bound actor memory
+                self.shingles.clear()
+            a = t["id_a"].to_numpy()
+            b = t["id_b"].to_numpy()
+            # per-batch id→text map (texts already co-located with pairs)
+            texts = {}
+            ta = t["__txt_a"].to_pylist()
+            tb = t["__txt_b"].to_pylist()
+            for i, x in enumerate(a):
+                texts[int(x)] = ta[i]
+            for i, x in enumerate(b):
+                texts[int(x)] = tb[i]
+            jac = _pair_shingle_jaccard(a, b, texts, k,
+                                        cache=self.shingles)
+            keep = jac >= jaccard_threshold
+            return pa.table({"id_a": pa.array(a[keep]),
+                             "id_b": pa.array(b[keep]),
+                             "jaccard": pa.array(jac[keep])})
+
+    return j2.map_batches(_Verify, batch_format="pyarrow",
+                          concurrency=auto_concurrency())
 
 
 def connected_components(pairs, *, max_iters: int = 50,
