@@ -84,6 +84,59 @@ def load_scalars(out_dir: str) -> dict | None:
     return None
 
 
+def save_hot_state(out_dir: str, tbl: pa.Table,
+                   rows_per_shard: int = 1 << 18) -> None:
+    """Persist the salted plan's per-session hot state as SHARDED
+    parquet under ``<out_dir>/hot_state/`` with a ``_manifest.json``
+    file list written LAST (atomic commit point): one giant file is a
+    write/read bottleneck at extreme hot-key counts, and a retry after
+    a mid-write kill must not see a torn state (r3 queue #5, same
+    manifest treatment as the IVF bucket shards)."""
+    d = os.path.join(out_dir, "hot_state")
+    os.makedirs(d, exist_ok=True)
+    files = []
+    n = tbl.num_rows
+    for i, start in enumerate(range(0, max(n, 1), rows_per_shard)):
+        name = f"state-{i:05d}.parquet"
+        tmp = os.path.join(d, f"{name}.tmp.{os.getpid()}")
+        pq.write_table(tbl.slice(start, rows_per_shard), tmp)
+        os.replace(tmp, os.path.join(d, name))
+        files.append(name)
+    tmp = os.path.join(d, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": files, "rows": n}, f)
+    os.replace(tmp, os.path.join(d, "_manifest.json"))
+
+
+def have_hot_state(out_dir: str) -> bool:
+    return (os.path.exists(os.path.join(out_dir, "hot_state",
+                                        "_manifest.json"))
+            or os.path.exists(os.path.join(out_dir, "hot_state.parquet")))
+
+
+def load_hot_state(out_dir: str) -> pa.Table | None:
+    """Read the sharded hot state back via its manifest (exactly the
+    listed files — stale shards from an aborted earlier build are
+    ignored); falls back to the legacy single-file layout."""
+    man_p = os.path.join(out_dir, "hot_state", "_manifest.json")
+    if os.path.exists(man_p):
+        with open(man_p) as f:
+            man = json.load(f)
+        d = os.path.join(out_dir, "hot_state")
+        parts = [pq.read_table(os.path.join(d, name))
+                 for name in man["files"]]
+        tbl = pa.concat_tables(parts)
+        if tbl.num_rows != man["rows"]:
+            raise ValueError(
+                f"hot_state shard rows {tbl.num_rows} != manifest "
+                f"{man['rows']} — delete {out_dir} to start fresh")
+        return tbl
+    legacy = os.path.join(out_dir, "hot_state.parquet")
+    if os.path.exists(legacy):
+        return pq.read_table(legacy)
+    return None
+
+
 def validate_or_init_manifest(
     out_dir: str,
     key: str,

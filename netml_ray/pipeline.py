@@ -684,14 +684,15 @@ def _crawl_hot_cold_checkpointed(
                            membership, so a resume filters completed
                            hot chunks out before the shuffle
       hot_meta.json        pinned hot-key set + chunk width
-      hot_state.parquet    per-session hot state (sessions ≪ rows),
-                           persisted before any partition completes —
-                           a resume broadcasts it without recomputing
-                           the salted G3 passes
+      hot_state/           per-session hot state (sessions ≪ rows),
+                           SHARDED parquet + _manifest.json (committed
+                           last), persisted before any partition
+                           completes — a resume broadcasts it without
+                           recomputing the salted G3 passes
       scalars.json         global scalars (union of cold + hot)
       complete.json        written after both sides finish
 
-    Invariant: ``scalars.json`` and ``hot_state.parquet`` are written
+    Invariant: ``scalars.json`` and the hot-state shards are written
     BEFORE the first partition completes, so any resume with completed
     partitions can load both; results are bit-equal to the unsalted
     fast path (pinned by tests).
@@ -699,15 +700,17 @@ def _crawl_hot_cold_checkpointed(
     import json
     import os
 
-    import pyarrow.parquet as pq
     import ray
 
     from netml_ray.checkpoint import (
         checkpointed_write_from_parts,
         completed_partitions,
         filter_pids,
+        have_hot_state,
+        load_hot_state,
         load_scalars,
         read_checkpointed,
+        save_hot_state,
         save_scalars,
     )
     from netml_ray.partition import partition_sorted
@@ -716,7 +719,6 @@ def _crawl_hot_cold_checkpointed(
     key = "url"
     P = num_partitions
     done = set(done_recs)
-    state_path = os.path.join(out_dir, "hot_state.parquet")
     complete_path = os.path.join(out_dir, "complete.json")
     scalars = load_scalars(out_dir)
     if scalars is not None and any(
@@ -725,7 +727,7 @@ def _crawl_hot_cold_checkpointed(
                      ("q_interval", q_interval), ("min_rows", min_rows))
     ):
         scalars = None  # stale scalars — recompute
-    have_state = os.path.exists(state_path)
+    have_state = have_hot_state(out_dir)
     if scalars is not None and have_state and os.path.exists(complete_path):
         return read_checkpointed(out_dir), scalars  # fully complete
 
@@ -736,7 +738,7 @@ def _crawl_hot_cold_checkpointed(
         if done:
             raise ValueError(
                 f"{out_dir} has completed partitions but no matching "
-                f"scalars.json / hot_state.parquet — delete the directory "
+                f"scalars.json / hot_state — delete the directory "
                 f"to start fresh")
         parts, pid_counts = partition_sorted(
             cold, key, sort_by=[key, TS_SEC], num_partitions=P)
@@ -756,16 +758,14 @@ def _crawl_hot_cold_checkpointed(
         st_tbl = pa.Table.from_pandas(
             hot_state[[key, "start_sec", "end_sec", "features", "ord"]],
             preserve_index=False)
-        tmp = state_path + f".tmp.{os.getpid()}"
-        pq.write_table(st_tbl, tmp)
-        os.replace(tmp, state_path)
+        save_hot_state(out_dir, st_tbl)
     else:
         width = scalars["width"]
         cold_done = {p for p in done if p < P}
         remaining = filter_pids(cold, key, P, cold_done)
         parts, pid_counts = partition_sorted(
             remaining, key, sort_by=[key, TS_SEC], num_partitions=P)
-        hot_state = pq.read_table(state_path).to_pandas()
+        hot_state = load_hot_state(out_dir).to_pandas()
 
     states = _states_dict(hot_state, key, width)
     state_ref = ray.put(states)

@@ -343,8 +343,8 @@ def test_checkpointed_salted_flagship(corpus_file, ray_session, tmp_path):
     done = completed_partitions(out_dir)
     # both sides present: cold fused pids < 8, hot attach pids >= 8
     assert any(p < 8 for p in done) and any(p >= 8 for p in done)
-    for f in ("hot_meta.json", "hot_state.parquet", "complete.json",
-              "scalars.json", "manifest.json"):
+    for f in ("hot_meta.json", os.path.join("hot_state", "_manifest.json"),
+              "complete.json", "scalars.json", "manifest.json"):
         assert os.path.exists(os.path.join(out_dir, f)), f
     ts_before = {p: r["ts"] for p, r in done.items()}
 
