@@ -1376,6 +1376,139 @@ def q_netml_two_stage_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Curation ops (netml_ray/curation.py): normalization, PII, repetition,
+# deterministic sampling, per-key caps, benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_docs(sf_dir: str):
+    from netml_ray.curation import normalize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda t: normalize_batch(t), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text_norm"])
+
+
+SQL_NORMALIZE = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
+def q_pii_scan_docs(sf_dir: str):
+    from netml_ray.curation import pii_scan_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda t: pii_scan_batch(t), batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "text_redacted"])
+
+
+SQL_PII = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\+?\d[\d().\- ]{7,}\d')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+     '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+     '\+?\d[\d().\- ]{7,}\d', '<PHONE>', 'g') AS text_redacted
+FROM documents
+"""
+
+
+def q_repetition_docs(sf_dir: str):
+    from netml_ray.curation import repetition_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda t: repetition_batch(t), batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_2grams", "dup_2gram_frac", "top_2gram_frac"])
+
+
+SQL_REPETITION = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w WHERE len(ws) >= 2),
+gc AS (SELECT doc_id, ws[i] || chr(31) || ws[i+1] AS gram, count(*) AS c FROM g GROUP BY 1, 2),
+s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tg, count(*) AS dg, max(c) AS topc FROM gc GROUP BY 1)
+SELECT d.doc_id, coalesce(s.tg, 0) AS n_2grams,
+       round(coalesce(1.0 - s.dg / s.tg, 0.0), 9) AS dup_2gram_frac,
+       round(coalesce(s.topc / s.tg, 0.0), 9) AS top_2gram_frac
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+def q_sample_docs(sf_dir: str):
+    from netml_ray.curation import hash_sample_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return docs.map_batches(lambda t: hash_sample_batch(t, pct=25),
+                            batch_format="pyarrow")
+
+
+SQL_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 25
+"""
+
+
+def q_cap_per_source_docs(sf_dir: str):
+    from netml_ray.curation import limit_per_key
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return limit_per_key(docs, "source", 5, order_by=["doc_id"])
+
+
+SQL_CAP_PER_SOURCE = """
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
+"""
+
+
+def q_decontaminate_docs(sf_dir: str):
+    from netml_ray.curation import collect_snippets, decontaminate_substring
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    snips = collect_snippets(docs)
+    out = decontaminate_substring(docs, snips)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
+SQL_DECONTAMINATE = """
+WITH bench AS (
+  SELECT substr(text, 8, 32) AS snip FROM documents
+  WHERE doc_id % 97 = 0 AND length(text) >= 40
+)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM bench b WHERE contains(d.text, b.snip)) AS contaminated
+FROM documents d
+"""
+
+
+def q_decontaminate_ngram_docs(sf_dir: str):
+    from netml_ray.curation import (collect_benchmark_gram_hashes,
+                                    decontaminate_ngrams)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = collect_benchmark_gram_hashes(docs, n=13)
+    out = decontaminate_ngrams(docs, bench, n=13)
+    return out.select_columns(["doc_id", "contaminated_13g"])
+
+
+SQL_DECONTAMINATE_NGRAM = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id, unnest(range(1, len(ws) - 11)) AS i, ws FROM w WHERE len(ws) >= 13),
+grams AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram FROM g),
+bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bg USING (gram))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated_13g
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
@@ -1416,6 +1549,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "knn_cosine": q_knn_cosine,
+        "normalize_docs": q_normalize_docs,
+        "pii_scan_docs": q_pii_scan_docs,
+        "repetition_docs": q_repetition_docs,
+        "sample_docs": q_sample_docs,
+        "cap_per_source_docs": q_cap_per_source_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         # rows-only (non-SQL-expressible)
         "anomaly_scores": q_anomaly_scores,
         "minhash_pairs": q_minhash_pairs,
@@ -1463,6 +1603,13 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": SQL_QUALITY,
         "fingerprint_docs": SQL_FINGERPRINT,
         "knn_cosine": SQL_KNN,
+        "normalize_docs": SQL_NORMALIZE,
+        "pii_scan_docs": SQL_PII,
+        "repetition_docs": SQL_REPETITION,
+        "sample_docs": SQL_SAMPLE,
+        "cap_per_source_docs": SQL_CAP_PER_SOURCE,
+        "decontaminate_docs": SQL_DECONTAMINATE,
+        "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "knn_cosine_ivf": SQL_KNN,
         "minhash_pairs": SQL_MINHASH_PLANTED,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,

@@ -1,0 +1,321 @@
+"""Training-data curation operators: normalization, PII scan/redaction,
+repetition signals, deterministic sampling, per-key caps, benchmark
+decontamination.
+
+These extend the reference's per-record transform family (netml's
+parser/feature map stages, SURVEY §2 M-ops) with the curation stages a
+web-scale LLM training-data pipeline needs.  All hot paths are
+vectorized: Arrow compute kernels (RE2 regexes — the same engine DuckDB
+uses, so oracle parity is exact) or numpy passes over the column's
+concatenated utf-8 buffer (``textops._rolling_hash_segments``).
+
+Scale notes per op are in each docstring; the common theme is that
+every op here is a *narrow* ``map_batches`` stage — no shuffle — except
+``limit_per_key`` (one hash-partition shuffle, the same primitive the
+sessionizer uses) and the decontamination builders, whose benchmark
+side is small by construction (a fixed eval set) and is broadcast via
+``ray.put`` once, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from netml_ray.textops import _rolling_hash_segments, _utf8_segments
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_batch(t: pa.Table, text_col: str = "text",
+                    out_col: str = "text_norm") -> pa.Table:
+    """Lowercase → collapse whitespace runs to one space → trim.
+
+    Three Arrow kernels, zero Python per row.  SQL-parity:
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` (both sides
+    are RE2)."""
+    col = t[text_col]
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " "))
+    return t.append_column(out_col, norm)
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement token) — applied in this order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d().\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scan_batch(t: pa.Table, text_col: str = "text",
+                   *, redact: bool = True) -> pa.Table:
+    """Count PII pattern hits per document and (optionally) emit a
+    redacted text column.
+
+    Counts are over the ORIGINAL text; redaction applies the patterns
+    sequentially in ``PII_PATTERNS`` order (email before ipv4 before
+    ssn before phone, so dotted quads don't get half-eaten by the
+    phone pattern).  Pure ``pc.count_substring_regex`` /
+    ``pc.replace_substring_regex`` — RE2 on both the Ray and DuckDB
+    side, so semantics (leftmost, non-overlapping) agree exactly."""
+    col = t[text_col]
+    for name, pat, _tok in PII_PATTERNS:
+        t = t.append_column(
+            f"n_{name}", pc.count_substring_regex(col, pat).cast(pa.int64()))
+    if redact:
+        red = col
+        for _name, pat, tok in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, tok)
+        t = t.append_column("text_redacted", red)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Word segmentation + n-gram hashing (shared by repetition + decontam)
+# ---------------------------------------------------------------------------
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _word_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    """``(word_hash, row_id)`` for every whitespace token of a string
+    column, in document order — one vectorized pass.
+
+    Tokenization parity with the SQL oracle:
+    ``regexp_split_to_array(trim(text), '\\s+')`` — an all-whitespace
+    (or empty) document yields ONE empty token, which downstream n-gram
+    logic neutralizes via its n-1 pair counts."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
+    nwords = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    nwords = np.asarray(nwords, dtype=np.int64)
+    flat = pc.list_flatten(words)
+    data, offs = _utf8_segments(flat)
+    wh = _rolling_hash_segments(data, offs)
+    rowid = np.repeat(np.arange(len(nwords), dtype=np.int64), nwords)
+    return wh, rowid
+
+
+def _ngram_hashes(wh: np.ndarray, rowid: np.ndarray, n: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Combined hash for every WITHIN-ROW run of ``n`` consecutive word
+    hashes: ``h = ((w0·M + w1)·M + w2)…`` mod 2⁶⁴.  Returns
+    ``(gram_hash, gram_row)``; collision probability at 64 bits is
+    negligible against exact-string oracles at any test scale."""
+    total = len(wh)
+    if total < n:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    m = total - n + 1
+    gh = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        gh = gh * _MIX + wh[k:k + m]
+    valid = rowid[:m] == rowid[n - 1:]
+    return gh[valid], rowid[:m][valid]
+
+
+def repetition_batch(t: pa.Table, text_col: str = "text",
+                     *, n: int = 2, round_to: int | None = 9) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. '21 §A1.1, public):
+    per document, the fraction of duplicate word-``n``-grams
+    (``1 − distinct/total``) and the fraction taken by the single most
+    frequent ``n``-gram.  High values flag boilerplate / spam.
+
+    Fully vectorized: word hashes from the concatenated utf-8 buffer,
+    n-gram combine, one ``lexsort`` + run-length pass per batch — no
+    per-row Python.  A doc with < n+1 words (or empty text) scores 0.
+    """
+    nrows = t.num_rows
+    wh, rowid = _word_hashes(t[text_col])
+    gh, grow = _ngram_hashes(wh, rowid, n)
+    total = np.bincount(grow, minlength=nrows).astype(np.int64)
+    distinct = np.zeros(nrows, dtype=np.int64)
+    top = np.zeros(nrows, dtype=np.int64)
+    if len(gh):
+        order = np.lexsort((gh, grow))
+        gs, rs = gh[order], grow[order]
+        newrun = np.ones(len(gs), dtype=bool)
+        newrun[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+        run_row = rs[newrun]
+        distinct = np.bincount(run_row, minlength=nrows).astype(np.int64)
+        run_ids = np.cumsum(newrun) - 1
+        run_len = np.bincount(run_ids).astype(np.int64)
+        np.maximum.at(top, run_row, run_len)
+    denom = np.maximum(total, 1).astype(np.float64)
+    dup = np.where(total > 0, 1.0 - distinct / denom, 0.0)
+    topf = np.where(total > 0, top / denom, 0.0)
+    if round_to is not None:
+        dup = np.round(dup, round_to)
+        topf = np.round(topf, round_to)
+    t = t.append_column(f"n_{n}grams", pa.array(total))
+    t = t.append_column(f"dup_{n}gram_frac", pa.array(dup))
+    t = t.append_column(f"top_{n}gram_frac", pa.array(topf))
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_sample_batch(t: pa.Table, id_col: str = "doc_id", *,
+                      pct: int = 25,
+                      mult: int = 2654435761) -> pa.Table:
+    """Deterministic multiplicative-hash sample: keep rows where
+    ``(id·mult mod 2³²) mod 100 < pct`` (Knuth's multiplicative hash).
+
+    Reproducible (same ids → same sample on every run / any cluster
+    size), streaming (no shuffle, no RNG state), SQL-expressible.
+    The multiply is taken in uint64 (wraps mod 2⁶⁴); the SQL-oracle
+    int64 form agrees for ids < 2³¹."""
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.uint64)
+    bucket = (ids * np.uint64(mult)) % np.uint64(1 << 32) % np.uint64(100)
+    return t.filter(pa.array(bucket < np.uint64(pct)))
+
+
+# ---------------------------------------------------------------------------
+# Per-key cap (e.g. max N docs per domain)
+# ---------------------------------------------------------------------------
+
+
+def limit_per_key(ds, key: str, n: int, *, order_by: list[str],
+                  num_partitions: int | None = None):
+    """Keep the first ``n`` rows of each key ordered by ``order_by`` —
+    the "cap documents per domain" curation op.
+
+    ONE hash-partition shuffle (the sessionizer's primitive): every key
+    lands whole in one partition, the partition fn sorts once and ranks
+    all keys with a single vectorized run-length pass.  Skewed keys
+    cost O(rows in key) numpy work, not O(rows) Python."""
+    from netml_ray.partition import partition_map
+
+    def _cap(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        if m == 0:
+            return t
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            neq = pc.not_equal(arr.slice(1, m - 1), arr.slice(0, m - 1))
+            starts[1:] = neq.to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(starts)
+        start_rep = np.repeat(sidx, np.diff(np.append(sidx, m)))
+        rank = np.arange(m, dtype=np.int64) - start_rep
+        return t.filter(pa.array(rank < n))
+
+    return partition_map(ds, key, _cap, sort_by=[key] + list(order_by),
+                         num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def collect_snippets(docs, *, id_col: str = "doc_id",
+                     text_col: str = "text", every: int = 97,
+                     start: int = 7, length: int = 32) -> list[str]:
+    """Deterministic stand-in benchmark side: a fixed substring of every
+    ``every``-th document (by id).  In production this is the external
+    eval-set snippet list — small by nature, hence collected to the
+    driver and broadcast (same contract as the label CSV join,
+    joins.py:30)."""
+
+    def _cut(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        lens = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False)
+        keep = (ids % every == 0) & (np.asarray(lens) >= start + length + 1)
+        sub = pc.utf8_slice_codeunits(t[text_col], start, start + length)
+        return pa.table({"snippet": sub.filter(pa.array(keep))})
+
+    rows = docs.map_batches(_cut, batch_format="pyarrow").take_all()
+    return sorted({r["snippet"] for r in rows})
+
+
+def decontaminate_substring(ds, snippets: list[str],
+                            text_col: str = "text",
+                            out_col: str = "contaminated"):
+    """Mark documents containing ANY benchmark snippet as an exact
+    substring.
+
+    The snippet list is ``ray.put`` once and read by every task (never
+    re-shipped per batch); the scan is one ``pc.match_substring``
+    Arrow kernel per snippet — O(|snippets|) kernel launches, each a
+    C-speed pass.  Fine for real eval sets (10³–10⁵ snippets); beyond
+    that an Aho–Corasick automaton in an actor pool is the swap-in."""
+    import ray
+
+    ref = ray.put(list(snippets))
+
+    def _mark(t: pa.Table) -> pa.Table:
+        snips = ray.get(ref)
+        mask = np.zeros(t.num_rows, dtype=bool)
+        col = t[text_col]
+        for s in snips:
+            hit = pc.match_substring(col, s).to_numpy(zero_copy_only=False)
+            mask |= np.asarray(hit, dtype=bool)
+        return t.append_column(out_col, pa.array(mask))
+
+    return ds.map_batches(_mark, batch_format="pyarrow")
+
+
+def collect_benchmark_gram_hashes(docs, *, id_col: str = "doc_id",
+                                  text_col: str = "text", every: int = 97,
+                                  n: int = 13) -> np.ndarray:
+    """Sorted uint64 hash set of every word-``n``-gram of the benchmark
+    docs (ids ≡ 0 mod ``every``) — map-side partial sets per batch, one
+    tiny driver union.  Production analog: hash the eval set once,
+    broadcast the (small) sorted array."""
+
+    def _grams(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        sel = t.filter(pa.array(ids % every == 0))
+        wh, rowid = _word_hashes(sel[text_col])
+        gh, _ = _ngram_hashes(wh, rowid, n)
+        return pa.table({"g": pa.array(np.unique(gh))})
+
+    parts = docs.map_batches(_grams, batch_format="pyarrow").take_all()
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
+
+
+def decontaminate_ngrams(ds, gram_hashes: np.ndarray, *,
+                         text_col: str = "text", n: int = 13,
+                         out_col: str = "contaminated_13g"):
+    """Mark documents sharing ANY word-``n``-gram with the benchmark
+    set (the standard 13-gram training-set decontamination rule, e.g.
+    GPT-3 App. C / PaLM — public).  Per batch: vectorized gram hashing
+    + one ``np.searchsorted`` membership probe against the broadcast
+    sorted array; per-row verdict via a bincount of hit rows."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(gram_hashes, dtype=np.uint64)))
+
+    def _mark(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        wh, rowid = _word_hashes(t[text_col])
+        gh, grow = _ngram_hashes(wh, rowid, n)
+        out = np.zeros(t.num_rows, dtype=bool)
+        if len(gh) and len(bench):
+            pos = np.searchsorted(bench, gh)
+            pos[pos == len(bench)] = len(bench) - 1
+            hits = bench[pos] == gh
+            out = np.bincount(grow[hits], minlength=t.num_rows) > 0
+        return t.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(_mark, batch_format="pyarrow")

@@ -1,0 +1,136 @@
+"""Curation ops: PII redaction on planted PII, repetition vs a
+brute-force reference, per-key caps, deterministic sampling, and
+benchmark decontamination with planted contamination."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from netml_ray.curation import (
+    collect_benchmark_gram_hashes,
+    collect_snippets,
+    decontaminate_ngrams,
+    decontaminate_substring,
+    hash_sample_batch,
+    limit_per_key,
+    normalize_batch,
+    pii_scan_batch,
+    repetition_batch,
+)
+
+
+def test_normalize_batch():
+    t = pa.table({"text": ["  A\t\tB  c ", "", "x", " \n "]})
+    out = normalize_batch(t)["text_norm"].to_pylist()
+    assert out == ["a b c", "", "x", ""]
+
+
+def test_pii_redaction_planted():
+    t = pa.table({"text": [
+        "email me: jane.doe+spam@sub.example.co.uk thanks",
+        "server at 192.168.001.1 then call +44 20 7946 0958",
+        "ssn is 123-45-6789; backup 987-65-4321",
+        "no pii here at all",
+    ]})
+    out = pii_scan_batch(t)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_ssn"].to_pylist() == [0, 0, 2, 0]
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "email me: <EMAIL> thanks"
+    assert "<IP>" in red[1] and "<PHONE>" in red[1]
+    assert red[2] == "ssn is <SSN>; backup <SSN>"
+    assert red[3] == "no pii here at all"
+
+
+def _brute_repetition(text: str, n: int = 2):
+    words = text.strip().split()
+    grams = [tuple(words[i:i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return 0, 0.0, 0.0
+    total = len(grams)
+    from collections import Counter
+
+    c = Counter(grams)
+    return total, 1.0 - len(c) / total, max(c.values()) / total
+
+
+def test_repetition_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = [" ".join(rng.choice(vocab, size=k)) for k in
+             rng.integers(0, 30, size=200)] + ["", "solo", "x y x y x y"]
+    t = pa.table({"text": texts})
+    out = repetition_batch(t, round_to=None)
+    for i, s in enumerate(texts):
+        tg, dup, top = _brute_repetition(s)
+        assert out["n_2grams"][i].as_py() == tg
+        assert out["dup_2gram_frac"][i].as_py() == pytest.approx(dup)
+        assert out["top_2gram_frac"][i].as_py() == pytest.approx(top)
+
+
+def test_hash_sample_deterministic_and_partition_invariant():
+    ids = np.arange(1000, dtype=np.int64)
+    t = pa.table({"doc_id": ids})
+    a = hash_sample_batch(t, pct=10)["doc_id"].to_pylist()
+    # per-batch application over any split yields the same set
+    b = (hash_sample_batch(t.slice(0, 300), pct=10)["doc_id"].to_pylist()
+         + hash_sample_batch(t.slice(300), pct=10)["doc_id"].to_pylist())
+    assert a == b
+    assert 50 < len(a) < 200  # ~10%
+
+
+def test_limit_per_key(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.choice([f"s{i}" for i in range(40)], size=n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n),
+    })
+    ds = rd.from_pandas(df).map_batches(lambda t: t, batch_format="pyarrow")
+    got = limit_per_key(ds, "k", 7, order_by=["id"]).to_pandas()
+    exp = df.sort_values(["k", "id"]).groupby("k").head(7)
+    got = got.sort_values(["k", "id"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "id", "v"]], exp[["k", "id", "v"]])
+
+
+def test_decontaminate_planted(ray_session):
+    import ray.data as rd
+
+    bench_text = " ".join(f"w{i}" for i in range(40))  # doc_id 0 → benchmark
+    copier = "intro words " + bench_text + " trailing"  # contains 13-grams AND substring
+    clean = " ".join(f"z{i}" for i in range(40))
+    texts = [bench_text, copier, clean, "short"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": texts})
+    ds = rd.from_arrow(t)
+
+    snips = collect_snippets(ds, every=97)  # only doc 0 qualifies
+    assert len(snips) == 1 and snips[0] == bench_text[7:39]
+    got = decontaminate_substring(ds, snips).to_pandas().sort_values("doc_id")
+    assert got["contaminated"].tolist() == [True, True, False, False]
+
+    bench = collect_benchmark_gram_hashes(ds, every=97, n=13)
+    assert len(bench) == 40 - 12
+    got = decontaminate_ngrams(ds, bench, n=13).to_pandas().sort_values("doc_id")
+    assert got["contaminated_13g"].tolist() == [True, True, False, False]
+
+
+def test_decontaminate_ngram_no_false_positive_on_shared_words(ray_session):
+    import ray.data as rd
+
+    # shares 12-word (but not 13-word) runs with the benchmark doc
+    bench_text = " ".join(f"w{i}" for i in range(26))
+    partial = " ".join(f"w{i}" for i in range(12)) + " DIFFERENT " + \
+        " ".join(f"w{i}" for i in range(14, 26))
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": [bench_text, partial]})
+    ds = rd.from_arrow(t)
+    bench = collect_benchmark_gram_hashes(ds, every=97, n=13)
+    got = decontaminate_ngrams(ds, bench, n=13).to_pandas().sort_values("doc_id")
+    assert got["contaminated_13g"].tolist() == [True, False]
