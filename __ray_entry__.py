@@ -1497,6 +1497,80 @@ def q_decontaminate_ngram_docs(sf_dir: str):
     return out.select_columns(["doc_id", "contaminated_13g"])
 
 
+def q_curate_corpus_docs(sf_dir: str):
+    """End-to-end corpus curation flagship: ONE fused narrow pass
+    (normalize → Gopher quality → repetition → lang filter → PII
+    redact), broadcast decontamination, ONE (hash,id) dedup shuffle,
+    final count/digest pass.  Oracle-backed end to end."""
+    from netml_ray.curation import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return curate_corpus(docs)
+
+
+SQL_CURATE = r"""
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+gt AS (
+  SELECT doc_id,
+    CASE WHEN trim(norm) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(norm), '\s+') END AS words,
+    (length(norm) - length(replace(norm, '#', '')))
+      + (length(norm) - length(replace(norm, '...', ''))) / 3 AS n_sym
+  FROM base
+),
+gq AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+    CASE WHEN len(words) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+              / len(words) END AS mwl,
+    CAST(n_sym AS DOUBLE) / greatest(len(words), 1) AS sym_ratio,
+    len(list_filter(words, w -> w IN
+        ('the','be','to','of','and','that','have','with'))) > 0 AS has_stop
+  FROM gt
+),
+rg AS (SELECT doc_id, unnest(range(1, len(words))) AS i, words AS ws
+       FROM gt WHERE len(words) >= 2),
+rgc AS (SELECT doc_id, ws[i] || chr(31) || ws[i+1] AS gram, count(*) AS c
+        FROM rg GROUP BY 1, 2),
+rs AS (SELECT doc_id, sum(c) AS tg, count(*) AS dg, max(c) AS topc
+       FROM rgc GROUP BY 1),
+bench AS (SELECT substr(text, 8, 32) AS snip FROM documents
+          WHERE doc_id % 97 = 0 AND length(text) >= 40),
+filt AS (
+  SELECT b.doc_id, b.lang, b.source, b.norm
+  FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)
+  WHERE b.lang = 'en'
+    AND gq.n_words >= 5 AND gq.n_words <= 100000 AND gq.mwl <= 10.0
+    AND gq.sym_ratio <= 0.1 AND gq.has_stop
+    AND coalesce(1.0 - rs.dg / rs.tg, 0.0) <= 0.06
+    AND coalesce(rs.topc / rs.tg, 0.0) <= 0.12
+    AND NOT EXISTS (SELECT 1 FROM bench WHERE contains(b.text, snip))
+),
+red AS (
+  SELECT doc_id, lang, source,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(norm,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+       '\+?\d[\d().\- ]{7,}\d', '<PHONE>', 'g') AS clean
+  FROM filt
+),
+ded AS (SELECT * FROM red
+        QUALIFY row_number() OVER (PARTITION BY clean ORDER BY doc_id) = 1)
+SELECT doc_id, lang, source,
+  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+  CASE WHEN trim(clean) = '' THEN 0
+       ELSE CAST(len(regexp_split_to_array(trim(clean), '\s+')) AS BIGINT)
+  END AS n_tokens,
+  md5(clean) AS clean_md5
+FROM ded
+"""
+
+
 SQL_DECONTAMINATE_NGRAM = r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
 g AS (SELECT doc_id, unnest(range(1, len(ws) - 11)) AS i, ws FROM w WHERE len(ws) >= 13),
@@ -1556,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_docs": q_cap_per_source_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
+        "curate_corpus_docs": q_curate_corpus_docs,
         # rows-only (non-SQL-expressible)
         "anomaly_scores": q_anomaly_scores,
         "minhash_pairs": q_minhash_pairs,
@@ -1610,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source_docs": SQL_CAP_PER_SOURCE,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
+        "curate_corpus_docs": SQL_CURATE,
         "knn_cosine_ivf": SQL_KNN,
         "minhash_pairs": SQL_MINHASH_PLANTED,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,

@@ -294,6 +294,86 @@ def collect_benchmark_gram_hashes(docs, *, id_col: str = "doc_id",
     return np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
 
 
+def curate_corpus(docs, *, lang: str = "en",
+                  max_dup_2gram: float = 0.06,
+                  max_top_2gram: float = 0.12,
+                  snippet_every: int = 97,
+                  text_col: str = "text",
+                  id_col: str = "doc_id",
+                  num_partitions: int | None = None):
+    """End-to-end web-corpus curation — the canonical 100-TB pipeline,
+    chaining the whole op family in the scale-correct order:
+
+      1. ONE fused narrow pass (no shuffle): normalize → Gopher quality
+         signals → repetition signals → language + quality +
+         repetition filter → PII redaction.  Dropped rows never reach
+         a shuffle; the original html/text column is carried only as
+         far as the decontamination scan needs it.
+      2. Benchmark decontamination (broadcast snippet list — eval sets
+         are small by nature) — contaminated docs dropped.
+      3. Exact dedup on the REDACTED text (min-id survives) — the only
+         shuffle in the plan, and it ships ``(hash, id)`` not payloads.
+      4. Final narrow pass: token/char counts + md5 content digest.
+
+    Returns a Dataset of
+    ``(doc_id, lang, source, n_chars_clean, n_tokens, clean_md5)``.
+    Fully SQL-expressible → oracle-backed end to end
+    (``curate_corpus_docs`` in ``__ray_entry__``)."""
+    import hashlib
+
+    from netml_ray.dedup import dedup_exact
+    from netml_ray.textops import gopher_quality_batch
+
+    def _pass1(t: pa.Table) -> pa.Table:
+        t = normalize_batch(t, text_col, "norm")
+        t = gopher_quality_batch(t, "norm")
+        t = repetition_batch(t, "norm", round_to=None)
+        keep = (
+            np.asarray(t["gopher_keep"].to_numpy(zero_copy_only=False), bool)
+            & (t["dup_2gram_frac"].to_numpy() <= max_dup_2gram)
+            & (t["top_2gram_frac"].to_numpy() <= max_top_2gram)
+            & np.asarray(pc.equal(t["lang"], lang).to_numpy(
+                zero_copy_only=False), bool)
+        )
+        sel = t.filter(pa.array(keep))
+        red = sel["norm"]
+        for _name, pat, tok in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, tok)
+        return pa.table({
+            id_col: sel[id_col], "lang": sel["lang"],
+            "source": sel["source"], text_col: sel[text_col],
+            "text_clean": red,
+        })
+
+    snips = collect_snippets(docs, id_col=id_col, text_col=text_col,
+                             every=snippet_every)
+    kept = docs.map_batches(_pass1, batch_format="pyarrow")
+    kept = decontaminate_substring(kept, snips, text_col=text_col)
+    kept = kept.map_batches(
+        lambda t: t.filter(pc.invert(t["contaminated"]))
+        .drop_columns(["contaminated", text_col]),
+        batch_format="pyarrow")
+    kept = dedup_exact(kept, "text_clean", id_col,
+                       num_partitions=num_partitions)
+
+    def _final(t: pa.Table) -> pa.Table:
+        clean = t["text_clean"]
+        n_chars = pc.utf8_length(clean).cast(pa.int64())
+        trimmed = pc.utf8_trim_whitespace(clean)
+        n_tok = pc.list_value_length(
+            pc.split_pattern_regex(trimmed, r"\s+")).cast(pa.int64())
+        empty = pc.equal(trimmed, "")
+        n_tok = pc.if_else(empty, pa.scalar(0, type=pa.int64()), n_tok)
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in clean.to_pylist()], type=pa.string())
+        return pa.table({
+            "doc_id": t[id_col], "lang": t["lang"], "source": t["source"],
+            "n_chars_clean": n_chars, "n_tokens": n_tok, "clean_md5": md5,
+        })
+
+    return kept.map_batches(_final, batch_format="pyarrow")
+
+
 def decontaminate_ngrams(ds, gram_hashes: np.ndarray, *,
                          text_col: str = "text", n: int = 13,
                          out_col: str = "contaminated_13g"):

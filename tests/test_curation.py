@@ -121,6 +121,45 @@ def test_decontaminate_planted(ray_session):
     assert got["contaminated_13g"].tolist() == [True, True, False, False]
 
 
+def test_curate_corpus_planted(ray_session):
+    """Each curation stage proves itself on a planted document."""
+    import ray.data as rd
+
+    from netml_ray.curation import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "with many other friendly animals that have fun today")
+    # ids 10..15: none ≡ 0 (mod 97), so the benchmark side is empty
+    texts = {
+        10: good,                                   # survives
+        11: good + "  ",                            # exact dup after normalize → dropped (min id wins)
+        12: "the be to of and " + "spam ham " * 40,  # repetitive → dropped
+        13: good.replace("fox", "renard"),          # survives (distinct)
+        14: "kurz",                                 # too few words → dropped
+        15: "I sent mail to a@b.com today " + good,  # survives, PII-redacted
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[k] for k in sorted(texts)],
+        "lang": ["en", "en", "en", "en", "en", "en"],
+        "source": ["s"] * 6,
+    })
+    out = curate_corpus(rd.from_arrow(t), max_dup_2gram=0.5,
+                        max_top_2gram=0.5).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [10, 13, 15]
+    # PII redacted before digesting: doc 15's digest differs from its
+    # normalized-but-unredacted text
+    import hashlib
+
+    clean15 = out.loc[out.doc_id == 15, "clean_md5"].iloc[0]
+    norm15 = "i sent mail to a@b.com today " + good
+    assert clean15 != hashlib.md5(norm15.encode()).hexdigest()
+    assert clean15 == hashlib.md5(
+        ("i sent mail to <EMAIL> today " + good).encode()).hexdigest()
+    assert (out["n_tokens"] > 10).all()
+
+
 def test_decontaminate_ngram_no_false_positive_on_shared_words(ray_session):
     import ray.data as rd
 
