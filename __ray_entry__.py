@@ -1500,8 +1500,9 @@ def q_decontaminate_ngram_docs(sf_dir: str):
 def q_curate_corpus_docs(sf_dir: str):
     """End-to-end corpus curation flagship: ONE fused narrow pass
     (normalize → Gopher quality → repetition → lang filter → PII
-    redact), broadcast decontamination, ONE (hash,id) dedup shuffle,
-    final count/digest pass.  Oracle-backed end to end."""
+    redact), 13-gram benchmark decontamination (broadcast sorted hash
+    array), ONE (hash,id) dedup shuffle, final count/digest pass.
+    Oracle-backed end to end."""
     from netml_ray.curation import curate_corpus
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
@@ -1538,8 +1539,13 @@ rgc AS (SELECT doc_id, ws[i] || chr(31) || ws[i+1] AS gram, count(*) AS c
         FROM rg GROUP BY 1, 2),
 rs AS (SELECT doc_id, sum(c) AS tg, count(*) AS dg, max(c) AS topc
        FROM rgc GROUP BY 1),
-bench AS (SELECT substr(text, 8, 32) AS snip FROM documents
-          WHERE doc_id % 97 = 0 AND length(text) >= 40),
+aw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+       FROM documents),
+ag AS (SELECT doc_id, unnest(range(1, len(ws) - 11)) AS i, ws
+       FROM aw WHERE len(ws) >= 13),
+agr AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram FROM ag),
+bg AS (SELECT DISTINCT gram FROM agr WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT agr.doc_id FROM agr JOIN bg USING (gram)),
 filt AS (
   SELECT b.doc_id, b.lang, b.source, b.norm
   FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)
@@ -1548,7 +1554,7 @@ filt AS (
     AND gq.sym_ratio <= 0.1 AND gq.has_stop
     AND coalesce(1.0 - rs.dg / rs.tg, 0.0) <= 0.06
     AND coalesce(rs.topc / rs.tg, 0.0) <= 0.12
-    AND NOT EXISTS (SELECT 1 FROM bench WHERE contains(b.text, snip))
+    AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = b.doc_id)
 ),
 red AS (
   SELECT doc_id, lang, source,

@@ -200,6 +200,28 @@ def run_suite() -> dict:
         _consume(j, "skew_salted")
         skew["skew_hot50_salted_sec"] = round(time.time() - t0, 3)
 
+    # curation throughput: the end-to-end curate_corpus chain over a
+    # synthetic documents table at volume (planted dups/PII/junk/
+    # contamination so every stage does real work)
+    curation = {}
+    if os.environ.get("GRAFT_SKIP_CURATION") != "1":
+        from netml_ray.corpus import documents_path
+        from netml_ray.curation import curate_corpus
+
+        cur_rows = int(os.environ.get("GRAFT_CURATION_ROWS", "500000"))
+        dp = documents_path(cur_rows, seed=13)
+        docs = rd.read_parquet(
+            dp, columns=["doc_id", "text", "lang", "source"])
+        t0 = time.time()
+        kept = _consume(curate_corpus(docs), "curation")
+        curation = {
+            "curation_sec": round(time.time() - t0, 3),
+            "curation_docs": cur_rows,
+            "curation_docs_kept": kept,
+        }
+        curation["curation_docs_per_sec"] = round(
+            cur_rows / max(curation["curation_sec"], 1e-9), 1)
+
     crawl_docs = crawl_rows
     result = {
         "metric": "headline pipelines wall time (crawl flagship + operator suite)",
@@ -213,6 +235,7 @@ def run_suite() -> dict:
         "crawl_docs_per_sec": round(crawl_docs / max(times["crawl_flagship"], 1e-9), 1),
         "flagship_reps": flagship_reps,
         **skew,
+        **curation,
     }
     ray.shutdown()
     return result
@@ -229,6 +252,7 @@ def run_child(ncpu: int) -> dict:
         # the skew section is measured separately (suite run), not here
         env["GRAFT_CRAWL_ROWS"] = str(SCALING_ROWS)
         env["GRAFT_SKIP_SKEW"] = "1"
+        env["GRAFT_SKIP_CURATION"] = "1"
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                          capture_output=True, text=True, check=True).stdout
     return json.loads(out.strip().splitlines()[-1])

@@ -176,3 +176,77 @@ def corpus_path(
                            row_group_size=16384)
         os.replace(tmp, path)  # atomic
     return path
+
+
+# ---------------------------------------------------------------------------
+# Synthetic documents table (curation-bench volume)
+# ---------------------------------------------------------------------------
+
+_DOC_STOPS = ["the", "and", "of", "to", "that", "with", "have", "be"]
+
+
+def gen_documents(n_rows: int, seed: int = 13, *,
+                  avg_words: int = 60) -> pa.Table:
+    """Documents-shaped table ``(doc_id, text, lang, source, n_chars)``
+    at bench volume — deterministic, with every curation stage given
+    real work: ~5% exact near-duplicates (trailing-whitespace copies),
+    ~1% planted PII, ~20% short/repetitive junk, benchmark docs at
+    ``doc_id ≡ 0 (mod 97)`` whose snippets contaminate ~1% more."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(2000)] + _DOC_STOPS * 120)
+    # texts: 8-word phrases drawn from a precomputed pool, joined per doc
+    pool = np.array([" ".join(rng.choice(vocab, size=8)) for _ in range(4096)])
+    n_phr = np.maximum(1, rng.poisson(avg_words / 8, size=n_rows))
+    picks = rng.integers(0, len(pool), size=int(n_phr.sum()))
+    bounds = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_phr, out=bounds[1:])
+    # unique per-doc preamble: keeps substring-mode benchmark snippets
+    # (chars 7..39) doc-specific despite the pooled phrase bodies
+    texts = [f"id{i} u{(i * 2654435761) % 999983} "
+             + " ".join(pool[picks[bounds[i]:bounds[i + 1]]])
+             for i in range(n_rows)]
+    junk = rng.random(n_rows) < 0.2
+    for i in np.flatnonzero(junk):
+        texts[i] = ("spam ham " * 30) if (i % 2) else "tiny doc"
+    pii = rng.random(n_rows) < 0.01
+    for i in np.flatnonzero(pii):
+        texts[i] += " contact bob@example.com or 10.1.2.3"
+    dup_src = rng.integers(0, n_rows, size=n_rows)
+    dup = (rng.random(n_rows) < 0.05) & (dup_src < np.arange(n_rows))
+    for i in np.flatnonzero(dup):
+        texts[i] = texts[dup_src[i]] + "  "
+    lang = rng.choice(np.array(_LANGS), size=n_rows,
+                      p=[0.6, 0.1, 0.1, 0.1, 0.1])
+    source = np.char.add("src", rng.integers(0, 50, size=n_rows).astype(str))
+    n_chars = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                          count=n_rows)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(lang.tolist(), type=pa.string()),
+        "source": pa.array(source.tolist(), type=pa.string()),
+        "n_chars": pa.array(n_chars),
+    })
+
+
+def documents_path(n_rows: int, seed: int = 13,
+                   cache_dir: str = "/tmp/netml_ray_corpus",
+                   shards: int = 32) -> str:
+    """Generate-once cached documents table (sharded parquet dir)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"documents_v{GEN_VERSION}_n{n_rows}_s{seed}")
+    if not os.path.isdir(path):
+        tmp = path + f".tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        tbl = gen_documents(n_rows, seed)
+        n = tbl.num_rows
+        per = max(1, (n + shards - 1) // shards)
+        for i in range(0, shards):
+            lo = i * per
+            if lo >= n:
+                break
+            part = tbl.slice(lo, min(per, n - lo))
+            pq.write_table(part, os.path.join(tmp, f"shard_{i:04d}.parquet"),
+                           row_group_size=16384)
+        os.replace(tmp, path)  # atomic
+    return path

@@ -88,22 +88,17 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
 def _word_hashes(col) -> tuple[np.ndarray, np.ndarray]:
     """``(word_hash, row_id)`` for every whitespace token of a string
-    column, in document order — one vectorized pass.
+    column, in document order — dictionary-encode once, hash the
+    (small) dictionary, gather by code.
 
     Tokenization parity with the SQL oracle:
     ``regexp_split_to_array(trim(text), '\\s+')`` — an all-whitespace
     (or empty) document yields ONE empty token, which downstream n-gram
     logic neutralizes via its n-1 pair counts."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
-    nwords = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-    nwords = np.asarray(nwords, dtype=np.int64)
-    flat = pc.list_flatten(words)
-    data, offs = _utf8_segments(flat)
-    wh = _rolling_hash_segments(data, offs)
-    rowid = np.repeat(np.arange(len(nwords), dtype=np.int64), nwords)
-    return wh, rowid
+    from netml_ray.textops import Tokenized
+
+    tok = Tokenized(col)
+    return tok.word_hashes(), tok.rowid
 
 
 def _ngram_hashes(wh: np.ndarray, rowid: np.ndarray, n: int
@@ -124,19 +119,36 @@ def _ngram_hashes(wh: np.ndarray, rowid: np.ndarray, n: int
 
 
 def repetition_batch(t: pa.Table, text_col: str = "text",
-                     *, n: int = 2, round_to: int | None = 9) -> pa.Table:
+                     *, n: int = 2, round_to: int | None = 9,
+                     tok=None) -> pa.Table:
     """Gopher-style repetition signals (Rae et al. '21 §A1.1, public):
     per document, the fraction of duplicate word-``n``-grams
     (``1 − distinct/total``) and the fraction taken by the single most
     frequent ``n``-gram.  High values flag boilerplate / spam.
 
-    Fully vectorized: word hashes from the concatenated utf-8 buffer,
-    n-gram combine, one ``lexsort`` + run-length pass per batch — no
-    per-row Python.  A doc with < n+1 words (or empty text) scores 0.
+    Fully vectorized: dictionary-encoded words, n-gram combine, one
+    ``lexsort`` + run-length pass per batch — no per-row Python.  For
+    ``n=2`` grams are EXACT packed code pairs (no hashing at all); a
+    doc with < n+1 words (or empty text) scores 0.  Pass ``tok`` to
+    reuse a tokenization computed for other signals on the batch.
     """
+    from netml_ray.textops import Tokenized
+
     nrows = t.num_rows
-    wh, rowid = _word_hashes(t[text_col])
-    gh, grow = _ngram_hashes(wh, rowid, n)
+    if tok is None:
+        tok = Tokenized(t[text_col])
+    rowid = tok.rowid
+    if n == 2:
+        c = tok.codes
+        if len(c) >= 2:
+            gh = (c[:-1] << np.int64(32)) | c[1:]
+            valid = rowid[:-1] == rowid[1:]
+            gh, grow = gh[valid], rowid[:-1][valid]
+        else:
+            gh = np.empty(0, dtype=np.int64)
+            grow = np.empty(0, dtype=np.int64)
+    else:
+        gh, grow = _ngram_hashes(tok.word_hashes(), rowid, n)
     total = np.bincount(grow, minlength=nrows).astype(np.int64)
     distinct = np.zeros(nrows, dtype=np.int64)
     top = np.zeros(nrows, dtype=np.int64)
@@ -298,6 +310,7 @@ def curate_corpus(docs, *, lang: str = "en",
                   max_dup_2gram: float = 0.06,
                   max_top_2gram: float = 0.12,
                   snippet_every: int = 97,
+                  decontam: str = "ngram",
                   text_col: str = "text",
                   id_col: str = "doc_id",
                   num_partitions: int | None = None):
@@ -309,8 +322,13 @@ def curate_corpus(docs, *, lang: str = "en",
          repetition filter → PII redaction.  Dropped rows never reach
          a shuffle; the original html/text column is carried only as
          far as the decontamination scan needs it.
-      2. Benchmark decontamination (broadcast snippet list — eval sets
-         are small by nature) — contaminated docs dropped.
+      2. Benchmark decontamination — contaminated docs dropped.
+         ``decontam="ngram"`` (default, the scale path): the GPT-3-style
+         13-gram rule — O(corpus words) per batch regardless of
+         benchmark size, one broadcast sorted hash array.
+         ``decontam="substring"``: exact snippet containment — one
+         ``match_substring`` kernel per snippet, viable only while the
+         snippet list is small.
       3. Exact dedup on the REDACTED text (min-id survives) — the only
          shuffle in the plan, and it ships ``(hash, id)`` not payloads.
       4. Final narrow pass: token/char counts + md5 content digest.
@@ -324,31 +342,54 @@ def curate_corpus(docs, *, lang: str = "en",
     from netml_ray.dedup import dedup_exact
     from netml_ray.textops import gopher_quality_batch
 
+    from netml_ray.textops import Tokenized, gopher_quality_batch
+
+    pass1_schema = pa.schema([
+        (id_col, pa.int64()), ("lang", pa.string()),
+        ("source", pa.string()), (text_col, pa.string()),
+        ("text_clean", pa.string()),
+    ])
+
     def _pass1(t: pa.Table) -> pa.Table:
+        # language filter first — it is one equality kernel and cuts
+        # every later signal's input
+        t = t.filter(pc.equal(t["lang"], lang))
+        if t.num_rows == 0:
+            return pass1_schema.empty_table()
         t = normalize_batch(t, text_col, "norm")
-        t = gopher_quality_batch(t, "norm")
-        t = repetition_batch(t, "norm", round_to=None)
+        # ONE tokenization (dictionary-encoded) feeds both Gopher and
+        # repetition; norm is single-spaced so the plain split applies
+        tok = Tokenized(t["norm"], pattern=" ")
+        t = gopher_quality_batch(t, "norm", tok=tok)
+        t = repetition_batch(t, "norm", round_to=None, tok=tok)
         keep = (
             np.asarray(t["gopher_keep"].to_numpy(zero_copy_only=False), bool)
             & (t["dup_2gram_frac"].to_numpy() <= max_dup_2gram)
             & (t["top_2gram_frac"].to_numpy() <= max_top_2gram)
-            & np.asarray(pc.equal(t["lang"], lang).to_numpy(
-                zero_copy_only=False), bool)
         )
         sel = t.filter(pa.array(keep))
         red = sel["norm"]
-        for _name, pat, tok in PII_PATTERNS:
-            red = pc.replace_substring_regex(red, pat, tok)
+        for _name, pat, token in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, token)
         return pa.table({
             id_col: sel[id_col], "lang": sel["lang"],
             "source": sel["source"], text_col: sel[text_col],
             "text_clean": red,
-        })
+        }).cast(pass1_schema)
 
-    snips = collect_snippets(docs, id_col=id_col, text_col=text_col,
-                             every=snippet_every)
     kept = docs.map_batches(_pass1, batch_format="pyarrow")
-    kept = decontaminate_substring(kept, snips, text_col=text_col)
+    if decontam == "ngram":
+        bench = collect_benchmark_gram_hashes(
+            docs, id_col=id_col, text_col=text_col, every=snippet_every,
+            n=13)
+        kept = decontaminate_ngrams(kept, bench, text_col=text_col, n=13,
+                                    out_col="contaminated")
+    elif decontam == "substring":
+        snips = collect_snippets(docs, id_col=id_col, text_col=text_col,
+                                 every=snippet_every)
+        kept = decontaminate_substring(kept, snips, text_col=text_col)
+    else:
+        raise ValueError(f"unknown decontam mode {decontam!r}")
     kept = kept.map_batches(
         lambda t: t.filter(pc.invert(t["contaminated"]))
         .drop_columns(["contaminated", text_col]),

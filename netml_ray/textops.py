@@ -370,25 +370,31 @@ class LangId:
 
 
 def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count + BPE-ish token count per row (vectorized
-    where Arrow kernels allow)."""
-    texts = t[text_col].to_pylist()
-    ws = np.fromiter((len(s.split()) for s in texts), dtype=np.int64, count=len(texts))
-    bpe = np.fromiter((len(_BPE_RE.findall(s)) for s in texts), dtype=np.int64, count=len(texts))
-    t = t.append_column("n_tokens", pa.array(ws))
-    t = t.append_column("n_bpe_tokens", pa.array(bpe))
+    """Whitespace token count + BPE-ish token count per row — pure
+    Arrow regex-count kernels (RE2), no Python per row.  ``\\w`` is
+    RE2's ASCII class, matching the SQL oracle's semantics."""
+    col = t[text_col]
+    ws = pc.count_substring_regex(col, r"\S+").cast(pa.int64())
+    bpe = pc.count_substring_regex(col, r"\w+|[^\w\s]").cast(pa.int64())
+    t = t.append_column("n_tokens", ws)
+    t = t.append_column("n_bpe_tokens", bpe)
     return t
 
 
 def quality_score_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
-    """Length / punctuation / digit / uppercase / stopword ratios —
-    the classic web-text quality heuristics, all SQL-expressible."""
-    texts = t[text_col].to_pylist()
-    n = len(texts)
-    length = np.fromiter((len(s) for s in texts), dtype=np.int64, count=n)
-    punct = np.fromiter((len(_PUNCT_RE.findall(s)) for s in texts), dtype=np.int64, count=n)
-    digit = np.fromiter((sum(c.isdigit() for c in s) for s in texts), dtype=np.int64, count=n)
-    upper = np.fromiter((sum(c.isupper() for c in s) for s in texts), dtype=np.int64, count=n)
+    """Length / punctuation / digit / uppercase ratios — the classic
+    web-text quality heuristics, all SQL-expressible.  Vectorized
+    count kernels over the ASCII classes the oracle uses
+    (``[!-~]``-range punctuation, ``[0-9]``, ``[A-Z]``)."""
+    col = t[text_col]
+    length = np.asarray(pc.utf8_length(col).cast(pa.int64()).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    punct = pc.count_substring_regex(col, r"[!-/:-@\[-`{-~]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    digit = pc.count_substring_regex(col, r"[0-9]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    upper = pc.count_substring_regex(col, r"[A-Z]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
     denom = np.maximum(length, 1).astype(np.float64)
     t = t.append_column("n_chars_calc", pa.array(length))
     t = t.append_column("punct_ratio", pa.array(punct / denom))
@@ -397,27 +403,98 @@ def quality_score_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t
 
 
+_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+class Tokenized:
+    """Shared per-batch tokenization: whitespace words, dictionary-
+    encoded.  Expensive per-WORD work (hashing, length, membership)
+    happens once on the (small) dictionary and is broadcast to words
+    by an int32-code gather — the pass-count over the big arrays stays
+    minimal, which is what matters on bandwidth-bound hosts.
+
+    ``n_words`` is 0 for whitespace-only/empty rows (``str.split``
+    semantics) even though ``codes`` carries their single empty token
+    (``regexp_split_to_array`` semantics) — both consumers get their
+    native convention."""
+
+    __slots__ = ("n_words", "codes", "rowid", "dictionary", "offsets")
+
+    def __init__(self, col, *, pattern: str | None = None):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(col)
+        if pattern is None:
+            words = pc.split_pattern_regex(trimmed, r"\s+")
+        else:
+            # fast path for already-normalized text (single-space runs)
+            words = pc.split_pattern(trimmed, pattern)
+        raw_n = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(pc.list_flatten(words))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        self.codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        self.dictionary = enc.dictionary
+        self.offsets = np.zeros(len(raw_n) + 1, dtype=np.int64)
+        np.cumsum(raw_n, out=self.offsets[1:])
+        self.rowid = np.repeat(np.arange(len(raw_n), dtype=np.int64), raw_n)
+        empty = np.asarray(pc.equal(trimmed, "").to_numpy(
+            zero_copy_only=False), dtype=bool)
+        self.n_words = np.where(empty, 0, raw_n)
+
+    def word_hashes(self) -> np.ndarray:
+        """Per-word 64-bit rolling hash (byte-identical to hashing each
+        word directly): hash the dictionary once, gather by code."""
+        data, offs = _utf8_segments(self.dictionary)
+        return _rolling_hash_segments(data, offs)[self.codes]
+
+    def word_lengths(self) -> np.ndarray:
+        """Per-word codepoint length via the dictionary."""
+        dl = pc.utf8_length(self.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return dl[self.codes]
+
+    def segment_sum(self, per_word: np.ndarray) -> np.ndarray:
+        c = np.zeros(len(per_word) + 1, dtype=per_word.dtype)
+        np.cumsum(per_word, out=c[1:])
+        return c[self.offsets[1:]] - c[self.offsets[:-1]]
+
+    def rows_with_any(self, word_mask: np.ndarray) -> np.ndarray:
+        n_rows = len(self.n_words)
+        return np.bincount(self.rowid[word_mask], minlength=n_rows) > 0
+
+
 def gopher_quality_batch(t: pa.Table, text_col: str = "text",
                          *, min_words: int = 5, max_words: int = 100_000,
                          max_mean_word_len: float = 10.0,
-                         max_symbol_ratio: float = 0.1) -> pa.Table:
+                         max_symbol_ratio: float = 0.1,
+                         tok: "Tokenized | None" = None) -> pa.Table:
     """Gopher-style (Rae et al. '21, public) document quality filters:
     word count bounds, mean word length, symbol-to-word ratio
     (# and ... ellipsis), stop-token presence.  Emits the raw signals
-    plus a ``gopher_keep`` verdict — all SQL-expressible."""
-    texts = t[text_col].to_pylist()
-    n = len(texts)
-    n_words = np.empty(n, dtype=np.int64)
-    mean_len = np.empty(n, dtype=np.float64)
-    n_sym = np.empty(n, dtype=np.int64)
-    has_stop = np.empty(n, dtype=bool)
-    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
-    for i, s in enumerate(texts):
-        words = s.split()
-        n_words[i] = len(words)
-        mean_len[i] = (sum(len(w) for w in words) / len(words)) if words else 0.0
-        n_sym[i] = s.count("#") + s.count("...")
-        has_stop[i] = any(w in stops for w in words)
+    plus a ``gopher_keep`` verdict — all SQL-expressible.
+
+    Vectorized via the shared ``Tokenized`` structure (pass ``tok`` to
+    reuse a tokenization computed for other signals in the same
+    batch): word counts/lengths from dictionary gathers, stop-token
+    presence by EXACT token equality (``pc.is_in`` on the dictionary),
+    symbol counts from two substring-count kernels."""
+    col = t[text_col]
+    if tok is None:
+        tok = Tokenized(col)
+    n_words = tok.n_words
+    word_chars = tok.segment_sum(tok.word_lengths())
+    mean_len = np.where(n_words > 0,
+                        word_chars / np.maximum(n_words, 1), 0.0)
+    n_sym = (pc.count_substring(col, "#").to_numpy(zero_copy_only=False)
+             + pc.count_substring(col, "...").to_numpy(
+                 zero_copy_only=False)).astype(np.int64)
+    stop_dict = np.asarray(pc.is_in(
+        tok.dictionary, value_set=pa.array(_STOPS)).to_numpy(
+        zero_copy_only=False), dtype=bool)
+    has_stop = tok.rows_with_any(stop_dict[tok.codes])
     ratio = n_sym / np.maximum(n_words, 1)
     keep = ((n_words >= min_words) & (n_words <= max_words)
             & (mean_len <= max_mean_word_len)
