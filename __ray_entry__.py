@@ -1454,6 +1454,58 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 25
 """
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    from netml_ray.curation import weighted_sample_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    w = {"src0": 100, "src1": 50, "src2": 10}
+    return docs.map_batches(
+        lambda t: weighted_sample_batch(t, weights=w, default_pct=25),
+        batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+  CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+              WHEN 'src2' THEN 10 ELSE 25 END
+"""
+
+
+def q_full_join_orders_customer(sf_dir: str):
+    """Full-outer large-large equi-join: orders (1/3 sample) ⟗
+    customer (even keys) — both sides contribute unmatched rows."""
+    from netml_ray.joins import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _lprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["o_orderkey"].to_numpy() % 3 == 0))
+        return pa.table({"custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_totalprice": t["o_totalprice"]})
+
+    def _rprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["c_custkey"].to_numpy() % 2 == 0))
+        return pa.table({"custkey": t["c_custkey"],
+                         "c_acctbal": t["c_acctbal"]})
+
+    left = orders.map_batches(_lprep, batch_format="pyarrow")
+    right = cust.map_batches(_rprep, batch_format="pyarrow")
+    return hash_join(left, right, "custkey", how="full")
+
+
+SQL_FULL_JOIN = """
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+       o.o_orderkey, o.o_totalprice, c.c_acctbal
+FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+FULL JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_cap_per_source_docs(sf_dir: str):
     from netml_ray.curation import limit_per_key
 
@@ -1634,6 +1686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q_repetition_docs,
         "sample_docs": q_sample_docs,
         "cap_per_source_docs": q_cap_per_source_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "full_join_orders_customer": q_full_join_orders_customer,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
@@ -1689,6 +1743,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": SQL_REPETITION,
         "sample_docs": SQL_SAMPLE,
         "cap_per_source_docs": SQL_CAP_PER_SOURCE,
+        "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+        "full_join_orders_customer": SQL_FULL_JOIN,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,

@@ -195,6 +195,31 @@ def hash_sample_batch(t: pa.Table, id_col: str = "doc_id", *,
     return t.filter(pa.array(bucket < np.uint64(pct)))
 
 
+def weighted_sample_batch(t: pa.Table, key_col: str = "source",
+                          id_col: str = "doc_id", *,
+                          weights: dict[str, int],
+                          default_pct: int = 0,
+                          mult: int = 2654435761) -> pa.Table:
+    """Data mixing: per-key deterministic sampling rates (e.g. keep
+    100% of wikipedia, 25% of common-crawl, 5% of forums).  Same
+    multiplicative-hash bucket as ``hash_sample_batch``, with the
+    keep threshold looked up per key — dictionary-encode the key
+    column once, map the (small) dictionary through ``weights``,
+    gather by code.  Shuffle-free, partition-invariant, reproducible.
+    """
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.uint64)
+    bucket = (ids * np.uint64(mult)) % np.uint64(1 << 32) % np.uint64(100)
+    col = t[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    pct = np.array([weights.get(v, default_pct)
+                    for v in enc.dictionary.to_pylist()], dtype=np.uint64)
+    thresh = pct[enc.indices.to_numpy(zero_copy_only=False)]
+    return t.filter(pa.array(bucket < thresh))
+
+
 # ---------------------------------------------------------------------------
 # Per-key cap (e.g. max N docs per domain)
 # ---------------------------------------------------------------------------

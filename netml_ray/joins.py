@@ -124,14 +124,17 @@ def hash_join(
     output materialized with vectorized ``pc.take`` gathers — no
     pandas conversion, so list/nested payload columns pass through
     zero-copy and unmatched left rows yield typed NULLs (no float64
-    upcast of int columns).  ``how`` ∈ {inner, left}.  NULL keys never
-    match (SQL semantics).  For small build sides prefer
-    ``broadcast_join`` (no shuffle at all).
+    upcast of int columns).  ``how`` ∈ {inner, left, full}; ``full``
+    additionally emits unmatched build-side rows with the key column
+    coalesced from the right (SQL ``FULL JOIN … USING`` semantics) and
+    typed NULLs for the other left columns.  NULL keys never match
+    (SQL semantics).  For small build sides prefer ``broadcast_join``
+    (no shuffle at all).
     """
     from netml_ray.partition import partition_map2
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r} not supported (inner|left)")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how={how!r} not supported (inner|left|full)")
 
     def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         nl, nr = lt.num_rows, rt.num_rows
@@ -140,13 +143,27 @@ def hash_join(
         def _name(c: str) -> str:
             return c + suffix if c in lt.column_names else c
 
+        def _right_only() -> pa.Table:
+            """All right rows, null left columns, key coalesced."""
+            cols = {}
+            for c in lt.column_names:
+                if c == key:
+                    cols[c] = pc.cast(rt[key], lt.schema.field(c).type)
+                else:
+                    cols[c] = pa.nulls(nr, type=lt.schema.field(c).type)
+            for c in rcols:
+                cols[_name(c)] = rt[c]
+            return pa.table(cols)
+
+        if nl == 0 and how == "full" and nr > 0:
+            return _right_only()
         if nl == 0 or (nr == 0 and how == "inner"):
             cols = {c: pa.array([], type=lt.schema.field(c).type)
                     for c in lt.column_names}
             for c in rcols:
                 cols[_name(c)] = pa.array([], type=rt.schema.field(c).type)
             return pa.table(cols)
-        if nr == 0:  # how == "left": all left rows, null right columns
+        if nr == 0:  # left/full: all left rows, null right columns
             cols = {c: lt[c] for c in lt.column_names}
             for c in rcols:
                 cols[_name(c)] = pa.nulls(nl, type=rt.schema.field(c).type)
@@ -199,7 +216,30 @@ def hash_join(
         ridx = pa.array(r_idx, mask=rmask) if rmask is not None else pa.array(r_idx)
         for c in rcols:
             cols[_name(c)] = pc.take(rt[c], ridx)
-        return pa.table(cols)
+        out = pa.table(cols)
+        if how == "full":
+            matched_r = np.zeros(nr, dtype=bool)
+            if rmask is not None:
+                hit = r_idx[~rmask]
+            else:
+                hit = r_idx
+            # null-key right rows (code -2) never match by construction
+            matched_r[hit] = True
+            un_r = np.flatnonzero(~matched_r)
+            if len(un_r):
+                sel = pa.array(un_r)
+                extra = {}
+                for c in lt.column_names:
+                    if c == key:
+                        extra[c] = pc.take(
+                            pc.cast(rt[key], lt.schema.field(c).type), sel)
+                    else:
+                        extra[c] = pa.nulls(
+                            len(un_r), type=lt.schema.field(c).type)
+                for c in rcols:
+                    extra[_name(c)] = pc.take(rt[c], sel)
+                out = pa.concat_tables([out, pa.table(extra)])
+        return out
 
     return partition_map2(left, right, key, _fn,
                           num_partitions=num_partitions)

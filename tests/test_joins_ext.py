@@ -106,3 +106,43 @@ def test_hash_join_null_keys_never_match(ray_session):
                    how="left", num_partitions=4).to_pandas()
     assert len(lj) == 3
     assert lj["y"].notna().sum() == 1
+
+
+def test_hash_join_full_outer_matches_pandas(ray_session):
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 300),
+                         "x": rng.normal(size=300)})
+    right = pd.DataFrame({"k": rng.integers(20, 70, 120),
+                          "y": rng.normal(size=120)})
+    got = hash_join(_mk(left), _mk(right), "k", how="full",
+                    num_partitions=8).to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+    key = ["k", "x", "y"]
+    g = got.sort_values(key).reset_index(drop=True)[key]
+    e = exp.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+    # both sides must contribute unmatched rows
+    assert got["x"].isna().any() and got["y"].isna().any()
+    # key column is coalesced: never null for int keys
+    assert got["k"].notna().all()
+
+
+def test_weighted_sample_matches_per_key_rates(ray_session):
+    from netml_ray.curation import hash_sample_batch, weighted_sample_batch
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(4000), type=pa.int64()),
+        "source": pa.array((["a", "b", "c", "d"] * 1000)),
+    })
+    w = {"a": 100, "b": 50, "c": 0}
+    out = weighted_sample_batch(t, weights=w, default_pct=25)
+    df = out.to_pandas()
+    counts = df["source"].value_counts().to_dict()
+    assert counts.get("a") == 1000           # 100% kept
+    assert counts.get("c", 0) == 0           # 0% kept
+    assert 350 < counts.get("b", 0) < 650    # ~50%
+    assert 150 < counts.get("d", 0) < 350    # default 25%
+    # consistent with the single-rate sampler on a uniform weight map
+    uni = weighted_sample_batch(t, weights={}, default_pct=25)
+    flat = hash_sample_batch(t, pct=25)
+    assert uni["doc_id"].to_pylist() == flat["doc_id"].to_pylist()
