@@ -86,9 +86,29 @@ def crawl_rows_for(sf_dir: str) -> tuple[int, int]:
             int(os.environ.get("GRAFT_CRAWL_TOKENS", base[1])))
 
 
+class _EmptySchemaNoiseFilter:
+    """Ray's sort-based exchanges emit zero-column RefBundles for empty
+    partitions; streaming_executor_state.py warns once per bundle
+    (``… new schema: .``).  Our own empty blocks are schema-stamped
+    (pipeline empty-branch tables carry full schemas; materialized
+    boundaries run ``drop_empty_blocks``), so the remaining spam is
+    Ray-internal.  Drop ONLY that exact variant — real schema
+    divergences still log."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        m = record.getMessage()
+        return not ("RefBundle with a different schema" in m
+                    and "new schema: ." in m)
+
+
 def run_suite() -> dict:
+    import logging
+
     import ray
 
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaNoiseFilter())
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
