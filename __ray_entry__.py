@@ -1519,6 +1519,32 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """Word-window chunking (embedding/RAG prep): 40-word chunks,
+    10-word overlap — narrow flat-map, no shuffle."""
+    from netml_ray.curation import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, size=40, overlap=10)
+
+
+SQL_CHUNK = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+k AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(1, CAST(ceil((len(ws) - 10) / 30.0) AS BIGINT)))) AS chunk_id
+  FROM w
+)
+SELECT doc_id, chunk_id,
+       array_to_string(ws[chunk_id*30 + 1 : least(chunk_id*30 + 40, len(ws))], ' ') AS chunk_text,
+       CAST(least(chunk_id*30 + 40, len(ws)) - chunk_id*30 AS BIGINT) AS chunk_words
+FROM k
+"""
+
+
 def q_decontaminate_docs(sf_dir: str):
     from netml_ray.curation import collect_snippets, decontaminate_substring
 
@@ -1688,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_docs": q_cap_per_source_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "full_join_orders_customer": q_full_join_orders_customer,
+        "chunk_docs": q_chunk_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
@@ -1745,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source_docs": SQL_CAP_PER_SOURCE,
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "full_join_orders_customer": SQL_FULL_JOIN,
+        "chunk_docs": SQL_CHUNK,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,

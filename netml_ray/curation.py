@@ -257,6 +257,96 @@ def limit_per_key(ds, key: str, n: int, *, order_by: list[str],
 
 
 # ---------------------------------------------------------------------------
+# Document chunking (embedding / RAG prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_batch(t: pa.Table, text_col: str = "text", *,
+                size: int = 100, overlap: int = 20,
+                id_col: str = "doc_id") -> pa.Table:
+    """Split each document into word windows of ``size`` with
+    ``overlap`` words of context between consecutive chunks — the
+    standard embedding/RAG prep stage.
+
+    Emits ``(id, chunk_id, chunk_text, chunk_words)`` rows; chunk text
+    is the single-space join of the window's words (whitespace runs
+    normalized).  Fully vectorized: one tokenization, word byte
+    offsets by prefix sum, and ALL chunk texts materialized with a
+    single fancy-index gather over the normalized byte buffer — no
+    per-chunk Python.  Docs with no words emit no chunks."""
+    from netml_ray.textops import Tokenized, _utf8_segments
+
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        t[text_col], r"\s+", " "))
+    tok = Tokenized(norm, pattern=" ")
+    n = tok.n_words                                     # per row
+    nrows = len(n)
+    # chunk counts: ceil(max(n - overlap, ·)/step), min 1 for n > 0
+    k = np.zeros(nrows, dtype=np.int64)
+    pos = n > 0
+    k[pos] = np.maximum(1, -(-(n[pos] - overlap) // step))
+    total = int(k.sum())
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], type=t.schema.field(id_col).type),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+            "chunk_words": pa.array([], type=pa.int64()),
+        })
+    crow = np.repeat(np.arange(nrows), k)               # row per chunk
+    bounds = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(k, out=bounds[1:])
+    cid = np.arange(total) - np.repeat(bounds[:-1], k)  # chunk_id per chunk
+    w_start = cid * step                                # word window
+    w_end = np.minimum(w_start + size, n[crow])
+    # word byte-offsets within each row's normalized text: word i starts
+    # at prefix[i] (cumsum of len+1 across the row)
+    dlen = pc.binary_length(tok.dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    wlen = dlen[tok.codes]                              # bytes per word
+    pref = np.zeros(len(wlen) + 1, dtype=np.int64)
+    np.cumsum(wlen + 1, out=pref[1:])                   # +1 separators
+    row_word0 = tok.offsets[:-1]                        # first word index per row
+    local_start = pref[row_word0[crow] + w_start] - pref[row_word0[crow]]
+    local_end = pref[row_word0[crow] + w_end] - pref[row_word0[crow]] - 1
+    data, offs = _utf8_segments(norm)
+    g_start = offs[crow] + local_start
+    g_end = offs[crow] + local_end
+    clen = g_end - g_start
+    out_total = int(clen.sum())
+    out_offs = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(clen, out=out_offs[1:])
+    # one gather materializes every chunk's bytes
+    intra = np.arange(out_total) - np.repeat(out_offs[:-1], clen)
+    out_data = data[np.repeat(g_start, clen) + intra]
+    chunk_text = pa.Array.from_buffers(
+        pa.large_binary(), total,
+        [None, pa.py_buffer(out_offs), pa.py_buffer(out_data)],
+    ).cast(pa.large_utf8()).cast(pa.string())
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_col: ids.take(pa.array(crow)),
+        "chunk_id": pa.array(cid),
+        "chunk_text": chunk_text,
+        "chunk_words": pa.array(w_end - w_start),
+    })
+
+
+def chunk_documents(ds, text_col: str = "text", *, size: int = 100,
+                    overlap: int = 20, id_col: str = "doc_id"):
+    """Dataset-level chunking stage (narrow flat-map; no shuffle)."""
+    return ds.map_batches(
+        lambda t: chunk_batch(t, text_col, size=size, overlap=overlap,
+                              id_col=id_col),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 

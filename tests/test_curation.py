@@ -173,3 +173,37 @@ def test_decontaminate_ngram_no_false_positive_on_shared_words(ray_session):
     bench = collect_benchmark_gram_hashes(ds, every=97, n=13)
     got = decontaminate_ngrams(ds, bench, n=13).to_pandas().sort_values("doc_id")
     assert got["contaminated_13g"].tolist() == [True, False]
+
+
+def test_chunk_batch_matches_bruteforce():
+    from netml_ray.curation import chunk_batch
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(f"t{rng.integers(0, 50)}" for _ in range(k))
+             for k in rng.integers(0, 300, size=100)] + ["", "  ", "solo"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+                  "text": texts})
+    out = chunk_batch(t, size=64, overlap=16).to_pandas()
+
+    def ref(words, size=64, overlap=16):
+        step = size - overlap
+        n = len(words)
+        if n == 0:
+            return []
+        k = max(1, -(-(n - overlap) // step))
+        return [" ".join(words[i * step:min(i * step + size, n)])
+                for i in range(k)]
+
+    exp = [(i, k, c) for i, s in enumerate(texts)
+           for k, c in enumerate(ref(s.split()))]
+    got = list(zip(out.doc_id, out.chunk_id, out.chunk_text))
+    assert got == exp
+    assert (out.chunk_words == out.chunk_text.str.split().str.len()).all()
+
+
+def test_chunk_batch_rejects_bad_overlap():
+    from netml_ray.curation import chunk_batch
+
+    with pytest.raises(ValueError):
+        chunk_batch(pa.table({"doc_id": [1], "text": ["x"]}),
+                    size=10, overlap=10)
