@@ -1575,6 +1575,19 @@ def q_decontaminate_ngram_docs(sf_dir: str):
     return out.select_columns(["doc_id", "contaminated_13g"])
 
 
+def q_pack_docs(sf_dir: str):
+    """Sequence packing (rows-only: next-fit is sequential, not SQL):
+    token counts → per-partition token-budget bins."""
+    from netml_ray.curation import pack_sequences
+    from netml_ray.textops import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(
+        lambda t: token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+    return pack_sequences(toks, budget=512)
+
+
 def q_curate_corpus_docs(sf_dir: str):
     """End-to-end corpus curation flagship: ONE fused narrow pass
     (normalize → Gopher quality → repetition → lang filter → PII
@@ -1719,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
         # rows-only (non-SQL-expressible)
+        "pack_docs": q_pack_docs,
         "anomaly_scores": q_anomaly_scores,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,

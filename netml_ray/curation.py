@@ -347,6 +347,58 @@ def chunk_documents(ds, text_col: str = "text", *, size: int = 100,
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (LLM batch prep)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(ds, *, budget: int, token_col: str = "n_tokens",
+                   id_col: str = "doc_id",
+                   num_partitions: int | None = None):
+    """Pack documents into training sequences: assign each doc to a
+    bin so that a bin's total token count stays ≤ ``budget``
+    (deterministic next-fit in ``id_col`` order per partition) — the
+    standard packing stage before tokenized examples hit a trainer.
+
+    ONE hash-partition shuffle; inside a partition the packer walks
+    bin BOUNDARIES with ``searchsorted`` over the token cumsum —
+    O(#bins) binary searches, not O(#docs) Python.  A doc larger than
+    ``budget`` gets a bin of its own (callers can filter on
+    ``bin_tokens > budget``).  Bin ids are globally unique:
+    ``(partition_id << 40) | local_bin``.  Sequential semantics make
+    this non-SQL (rows-only driver check; pytest pins the packing)."""
+    from netml_ray.partition import PID, partition_map
+
+    def _pack(t: pa.Table) -> pa.Table:
+        pid = int(t[PID][0].as_py()) if t.num_rows else 0
+        t = t.drop_columns([PID])
+        toks = np.asarray(t[token_col].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        n = len(toks)
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(toks, out=csum[1:])
+        starts = []
+        i = 0
+        while i < n:
+            j = int(np.searchsorted(csum, csum[i] + budget, side="right")) - 1
+            j = max(j, i + 1)  # oversized doc → its own bin
+            starts.append(i)
+            i = j
+        starts.append(n)
+        bounds = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(bounds)
+        nbins = len(sizes)
+        local = np.repeat(np.arange(nbins, dtype=np.int64), sizes)
+        bin_id = (np.int64(pid) << np.int64(40)) | local
+        bin_tok = np.repeat(csum[bounds[1:]] - csum[bounds[:-1]], sizes)
+        t = t.append_column("bin_id", pa.array(bin_id))
+        t = t.append_column("bin_tokens", pa.array(bin_tok))
+        return t
+
+    return partition_map(ds, id_col, _pack, sort_by=[id_col],
+                         num_partitions=num_partitions, drop_pid=False)
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 

@@ -207,3 +207,38 @@ def test_chunk_batch_rejects_bad_overlap():
     with pytest.raises(ValueError):
         chunk_batch(pa.table({"doc_id": [1], "text": ["x"]}),
                     size=10, overlap=10)
+
+
+def test_pack_sequences_next_fit(ray_session):
+    import ray.data as rd
+
+    from netml_ray.curation import pack_sequences
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    toks = rng.integers(1, 300, size=n).astype(np.int64)
+    toks[::97] = 900  # oversized docs (> budget) get their own bin
+    t = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                  "n_tokens": pa.array(toks)})
+    budget = 512
+    out = pack_sequences(rd.from_arrow(t), budget=budget,
+                         num_partitions=8).to_pandas()
+    assert len(out) == n and out["doc_id"].is_unique
+    # bin token totals are consistent and within budget unless singleton
+    g = out.groupby("bin_id").agg(total=("n_tokens", "sum"),
+                                  count=("n_tokens", "count"),
+                                  rep=("bin_tokens", "first"))
+    assert (g.total == g.rep).all()
+    over = g[g.total > budget]
+    assert (over["count"] == 1).all()
+    # single-partition run equals the pure-python next-fit reference
+    out1 = pack_sequences(rd.from_arrow(t), budget=budget,
+                          num_partitions=1).to_pandas().sort_values("doc_id")
+    bins_ref, cur, tot = [], 0, 0
+    for x in toks:
+        if tot + x > budget and tot > 0:
+            cur += 1
+            tot = 0
+        bins_ref.append(cur)
+        tot += x
+    assert out1["bin_id"].tolist() == bins_ref
