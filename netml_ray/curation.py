@@ -19,6 +19,8 @@ side is small by construction (a fixed eval set) and is broadcast via
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -504,11 +506,33 @@ def curate_corpus(docs, *, lang: str = "en",
     ``(doc_id, lang, source, n_chars_clean, n_tokens, clean_md5)``.
     Fully SQL-expressible → oracle-backed end to end
     (``curate_corpus_docs`` in ``__ray_entry__``)."""
-    import hashlib
+    kept = docs.map_batches(
+        _pass1_factory(lang, max_dup_2gram, max_top_2gram, text_col, id_col),
+        batch_format="pyarrow")
+    if decontam == "ngram":
+        bench = collect_benchmark_gram_hashes(
+            docs, id_col=id_col, text_col=text_col, every=snippet_every,
+            n=13)
+        kept = decontaminate_ngrams(kept, bench, text_col=text_col, n=13,
+                                    out_col="contaminated")
+    elif decontam == "substring":
+        snips = collect_snippets(docs, id_col=id_col, text_col=text_col,
+                                 every=snippet_every)
+        kept = decontaminate_substring(kept, snips, text_col=text_col)
+    else:
+        raise ValueError(f"unknown decontam mode {decontam!r}")
+    kept = kept.map_batches(
+        lambda t: t.filter(pc.invert(t["contaminated"]))
+        .drop_columns(["contaminated", text_col]),
+        batch_format="pyarrow")
+    return _dedup_and_digest(kept, id_col, num_partitions)
 
-    from netml_ray.dedup import dedup_exact
-    from netml_ray.textops import gopher_quality_batch
 
+def _pass1_factory(lang: str, max_dup_2gram: float, max_top_2gram: float,
+                   text_col: str, id_col: str):
+    """The fused narrow curation pass (shared by the plain and the
+    checkpointed pipeline): lang filter → normalize → Gopher +
+    repetition (ONE shared tokenization) → filter → PII redact."""
     from netml_ray.textops import Tokenized, gopher_quality_batch
 
     pass1_schema = pa.schema([
@@ -544,23 +568,17 @@ def curate_corpus(docs, *, lang: str = "en",
             "text_clean": red,
         }).cast(pass1_schema)
 
-    kept = docs.map_batches(_pass1, batch_format="pyarrow")
-    if decontam == "ngram":
-        bench = collect_benchmark_gram_hashes(
-            docs, id_col=id_col, text_col=text_col, every=snippet_every,
-            n=13)
-        kept = decontaminate_ngrams(kept, bench, text_col=text_col, n=13,
-                                    out_col="contaminated")
-    elif decontam == "substring":
-        snips = collect_snippets(docs, id_col=id_col, text_col=text_col,
-                                 every=snippet_every)
-        kept = decontaminate_substring(kept, snips, text_col=text_col)
-    else:
-        raise ValueError(f"unknown decontam mode {decontam!r}")
-    kept = kept.map_batches(
-        lambda t: t.filter(pc.invert(t["contaminated"]))
-        .drop_columns(["contaminated", text_col]),
-        batch_format="pyarrow")
+    return _pass1
+
+
+def _dedup_and_digest(kept, id_col: str, num_partitions: int | None):
+    """Exact dedup on the redacted text (the chain's only shuffle —
+    and it ships (hash, id), not payloads) + the final count/digest
+    pass."""
+    import hashlib
+
+    from netml_ray.dedup import dedup_exact
+
     kept = dedup_exact(kept, "text_clean", id_col,
                        num_partitions=num_partitions)
 
@@ -582,6 +600,50 @@ def curate_corpus(docs, *, lang: str = "en",
     return kept.map_batches(_final, batch_format="pyarrow")
 
 
+def curate_corpus_checkpointed(docs, out_dir: str, *, lang: str = "en",
+                               max_dup_2gram: float = 0.06,
+                               max_top_2gram: float = 0.12,
+                               snippet_every: int = 97,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_partitions: int | None = None):
+    """Resumable curation (north_rule: a killed 100-TB run must not
+    start over): phase A — ALL narrow per-doc stages (lang/quality/
+    repetition filters, PII redaction, 13-gram decontamination) —
+    runs per hash(id) partition through ``checkpointed_partition_map``
+    with atomic per-partition commits; a resume recomputes only
+    unfinished partitions.  Phase B — the cheap global (hash, id)
+    dedup + digest — recomputes from the checkpointed phase-A output
+    every run (its cost is proportional to the SURVIVING rows'
+    narrow columns, not the corpus).  Output ≡ ``curate_corpus``."""
+    import ray
+
+    from netml_ray.checkpoint import (checkpointed_partition_map,
+                                      read_checkpointed)
+
+    bench = collect_benchmark_gram_hashes(
+        docs, id_col=id_col, text_col=text_col, every=snippet_every, n=13)
+    bench_ref = ray.put(np.sort(np.asarray(bench, dtype=np.uint64)))
+    pass1 = _pass1_factory(lang, max_dup_2gram, max_top_2gram,
+                           text_col, id_col)
+
+    def _fn_a(t: pa.Table) -> pa.Table:
+        t = pass1(t)
+        t = _ngram_mark(t, ray.get(bench_ref), text_col, 13, "contaminated")
+        return t.filter(pc.invert(t["contaminated"])).drop_columns(
+            ["contaminated", text_col])
+
+    phase_a = os.path.join(out_dir, "phaseA")
+    checkpointed_partition_map(
+        docs, id_col, _fn_a, phase_a, num_partitions=num_partitions,
+        input_desc="curate.phaseA",
+        params={"lang": lang, "max_dup_2gram": max_dup_2gram,
+                "max_top_2gram": max_top_2gram, "decontam": "13g",
+                "snippet_every": snippet_every})
+    return _dedup_and_digest(read_checkpointed(phase_a), id_col,
+                             num_partitions)
+
+
 def decontaminate_ngrams(ds, gram_hashes: np.ndarray, *,
                          text_col: str = "text", n: int = 13,
                          out_col: str = "contaminated_13g"):
@@ -595,15 +657,22 @@ def decontaminate_ngrams(ds, gram_hashes: np.ndarray, *,
     ref = ray.put(np.sort(np.asarray(gram_hashes, dtype=np.uint64)))
 
     def _mark(t: pa.Table) -> pa.Table:
-        bench = ray.get(ref)
-        wh, rowid = _word_hashes(t[text_col])
-        gh, grow = _ngram_hashes(wh, rowid, n)
-        out = np.zeros(t.num_rows, dtype=bool)
-        if len(gh) and len(bench):
-            pos = np.searchsorted(bench, gh)
-            pos[pos == len(bench)] = len(bench) - 1
-            hits = bench[pos] == gh
-            out = np.bincount(grow[hits], minlength=t.num_rows) > 0
-        return t.append_column(out_col, pa.array(out))
+        return _ngram_mark(t, ray.get(ref), text_col, n, out_col)
 
     return ds.map_batches(_mark, batch_format="pyarrow")
+
+
+def _ngram_mark(t: pa.Table, bench: np.ndarray, text_col: str, n: int,
+                out_col: str) -> pa.Table:
+    """Batch-level n-gram contamination marker against a SORTED
+    benchmark hash array (shared by the Dataset op and the
+    checkpointed curation partition fn)."""
+    wh, rowid = _word_hashes(t[text_col])
+    gh, grow = _ngram_hashes(wh, rowid, n)
+    out = np.zeros(t.num_rows, dtype=bool)
+    if len(gh) and len(bench):
+        pos = np.searchsorted(bench, gh)
+        pos[pos == len(bench)] = len(bench) - 1
+        hits = bench[pos] == gh
+        out = np.bincount(grow[hits], minlength=t.num_rows) > 0
+    return t.append_column(out_col, pa.array(out))

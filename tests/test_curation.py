@@ -242,3 +242,36 @@ def test_pack_sequences_next_fit(ray_session):
         bins_ref.append(cur)
         tot += x
     assert out1["bin_id"].tolist() == bins_ref
+
+
+def test_curate_checkpointed_resume(ray_session, tmp_path):
+    import glob
+    import shutil
+
+    import ray.data as rd
+
+    from netml_ray.corpus import gen_documents
+    from netml_ray.curation import curate_corpus, curate_corpus_checkpointed
+
+    t = gen_documents(3000, seed=5)
+
+    def _sorted(df):
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    plain = _sorted(curate_corpus(rd.from_arrow(t)).to_pandas())
+    out = str(tmp_path / "curate_ckpt")
+    got = _sorted(curate_corpus_checkpointed(rd.from_arrow(t), out).to_pandas())
+    pd.testing.assert_frame_equal(got, plain)
+
+    # kill-and-resume: delete a few phase-A partitions, rerun → identical
+    parts = sorted(glob.glob(f"{out}/phaseA/part=*"))
+    assert len(parts) >= 8
+    for p in parts[::5]:
+        shutil.rmtree(p)
+    got2 = _sorted(
+        curate_corpus_checkpointed(rd.from_arrow(t), out).to_pandas())
+    pd.testing.assert_frame_equal(got2, plain)
+
+    # changed params cannot silently mix with checkpointed partitions
+    with pytest.raises(Exception):
+        curate_corpus_checkpointed(rd.from_arrow(t), out, lang="de")
