@@ -347,7 +347,15 @@ _BPE_RE = re.compile(r"\w+|[^\w\s]")
 
 class LangId:
     """Heuristic language id: stopword-marker voting with a CJK
-    codepoint check; deterministic.  Rows-only correctness (no SQL)."""
+    codepoint check; deterministic.  Rows-only correctness (the SQL
+    oracle reimplements the heuristic; parity driver-checked).
+
+    Vectorized: lower → 1000-codepoint slice → split on the
+    letter-class complement (≡ ``findall`` of the class) →
+    dictionary-encode once; marker membership per language is a
+    ``pc.is_in`` over the (small) dictionary and votes are one
+    bincount per language.  ``_one`` is kept as the row-wise reference
+    (tests pin batch ≡ per-row)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -365,8 +373,37 @@ class LangId:
         return best
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = [self._one(s) for s in t[self.text_col].to_pylist()]
-        return t.append_column("pred_lang", pa.array(preds, type=pa.string()))
+        col = t[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nrows = len(col)
+        cjk = np.asarray(pc.match_substring_regex(
+            pc.utf8_slice_codeunits(col, 0, 200),
+            r"[一-鿿]").to_numpy(zero_copy_only=False), dtype=bool)
+        head = pc.utf8_slice_codeunits(pc.utf8_lower(col), 0, 1000)
+        words = pc.split_pattern_regex(head, r"[^a-zà-ÿäöüß]+")
+        raw_n = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(pc.list_flatten(words))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rowid = np.repeat(np.arange(nrows, dtype=np.int64), raw_n)
+        langs = list(_LANG_MARKERS)
+        votes = np.zeros((len(langs), nrows), dtype=np.int64)
+        for i, lang in enumerate(langs):
+            mask_dict = np.asarray(pc.is_in(
+                enc.dictionary,
+                value_set=pa.array(sorted(_LANG_MARKERS[lang]))).to_numpy(
+                zero_copy_only=False), dtype=bool)
+            hits = mask_dict[codes]
+            votes[i] = np.bincount(rowid[hits], minlength=nrows)
+        best = np.argmax(votes, axis=0)  # first max wins ties (= _one)
+        lang_arr = np.array(langs, dtype=object)
+        preds = lang_arr[best]
+        preds[cjk] = "zh"
+        return t.append_column(
+            "pred_lang", pa.array(preds.tolist(), type=pa.string()))
 
 
 def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:

@@ -275,3 +275,16 @@ def test_curate_checkpointed_resume(ray_session, tmp_path):
     # changed params cannot silently mix with checkpointed partitions
     with pytest.raises(Exception):
         curate_corpus_checkpointed(rd.from_arrow(t), out, lang="de")
+
+
+def test_langid_batch_equals_rowwise():
+    from netml_ray.textops import LangId
+
+    li = LangId()
+    texts = ["", "一", "x 一", "der the le el", "the der", "à÷ÿ",
+             "don't und nicht der die das", "一" * 300, " ", "THE AND",
+             "le chat et le chien", "el perro y la gata es una vida",
+             "x" * 1500 + " und der die das"]
+    t = pa.table({"text": texts})
+    got = li(t)["pred_lang"].to_pylist()
+    assert got == [li._one(s) for s in texts]
