@@ -1454,6 +1454,23 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 25
 """
 
 
+def q_group_quantiles_events(sf_dir: str):
+    """Exact per-group quantiles (one co-locating shuffle, vectorized
+    multi-group interpolation)."""
+    from netml_ray.windows import groupby_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return groupby_quantiles(ev, "event_type", "value", [0.5, 0.95])
+
+
+SQL_GROUP_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 9)  AS "q05_value",
+       round(quantile_cont(value, 0.95), 9) AS "q095_value"
+FROM events GROUP BY event_type
+"""
+
+
 def q_weighted_sample_docs(sf_dir: str):
     from netml_ray.curation import weighted_sample_batch
 
@@ -1728,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "full_join_orders_customer": q_full_join_orders_customer,
         "chunk_docs": q_chunk_docs,
+        "group_quantiles_events": q_group_quantiles_events,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
@@ -1787,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "full_join_orders_customer": SQL_FULL_JOIN,
         "chunk_docs": SQL_CHUNK,
+        "group_quantiles_events": SQL_GROUP_QUANTILES,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,

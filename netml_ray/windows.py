@@ -221,3 +221,54 @@ def add_rolling_quantile(
         return t.append_column("roll_q", pa.array(kernels.rolling_quantile(codes, v, window, q)))
 
     return partition_map(ds, key, _fn, sort_by=sort_by, num_partitions=num_partitions)
+
+
+def groupby_quantiles(ds, key: str, col: str, qs: list[float], *,
+                      round_to: int | None = 9,
+                      num_partitions: int | None = None):
+    """Exact per-group quantiles (linear interpolation — the
+    ``np.quantile`` / DuckDB ``quantile_cont`` rule): ONE hash
+    partition shuffle co-locates each key, a partition-local sort by
+    ``(key, col)`` orders every group, and all groups' quantiles come
+    out of a handful of vectorized gathers (no per-group dispatch).
+
+    Output: one row per key with ``q{q}_{col}`` columns."""
+
+    def _names(q: float) -> str:
+        return f"q{str(q).replace('.', '')}_{col}"
+
+    def _gq(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        out_cols: dict = {}
+        if m == 0:
+            out_cols[key] = karr
+            for q in qs:
+                out_cols[_names(q)] = pa.array([], type=pa.float64())
+            return pa.table(out_cols)
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            starts[1:] = np.asarray(pc.not_equal(
+                karr.slice(1, m - 1), karr.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        sidx = np.flatnonzero(starts)
+        counts = np.diff(np.append(sidx, m))
+        v = np.asarray(t[col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        out_cols[key] = karr.take(pa.array(sidx))
+        for q in qs:
+            pos = (counts - 1) * q
+            lo = pos.astype(np.int64)
+            frac = pos - lo
+            glo = sidx + lo
+            ghi = np.minimum(glo + 1, sidx + counts - 1)
+            vals = v[glo] + (v[ghi] - v[glo]) * frac
+            if round_to is not None:
+                vals = np.round(vals, round_to)
+            out_cols[_names(q)] = pa.array(vals)
+        return pa.table(out_cols)
+
+    return partition_map(ds, key, _gq, sort_by=[key, col],
+                         num_partitions=num_partitions)

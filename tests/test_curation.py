@@ -288,3 +288,26 @@ def test_langid_batch_equals_rowwise():
     t = pa.table({"text": texts})
     got = li(t)["pred_lang"].to_pylist()
     assert got == [li._one(s) for s in texts]
+
+
+def test_groupby_quantiles_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from netml_ray.windows import groupby_quantiles
+
+    rng = np.random.default_rng(9)
+    n = 8000
+    df = pd.DataFrame({"k": rng.choice(list("abcdefgh"), size=n),
+                       "v": rng.normal(size=n)})
+    got = groupby_quantiles(rd.from_pandas(df), "k", "v", [0.1, 0.5, 0.99],
+                            round_to=None, num_partitions=6).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    for q, col in [(0.1, "q01_v"), (0.5, "q05_v"), (0.99, "q099_v")]:
+        exp = df.groupby("k")["v"].apply(lambda s: np.quantile(s, q))
+        np.testing.assert_allclose(got[col].to_numpy(),
+                                   exp.sort_index().to_numpy(), rtol=1e-12)
+    # singleton groups: quantile == the single value
+    one = pd.DataFrame({"k": ["z"], "v": [3.25]})
+    g1 = groupby_quantiles(rd.from_pandas(one), "k", "v", [0.5],
+                           round_to=None).to_pandas()
+    assert g1["q05_v"].iloc[0] == 3.25
