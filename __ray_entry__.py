@@ -1423,7 +1423,9 @@ def q_repetition_docs(sf_dir: str):
     from netml_ray.curation import repetition_batch
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(lambda t: repetition_batch(t), batch_format="pyarrow")
+    rt = 9 if ORACLE_MODE else None
+    out = docs.map_batches(lambda t: repetition_batch(t, round_to=rt),
+                           batch_format="pyarrow")
     return out.select_columns(
         ["doc_id", "n_2grams", "dup_2gram_frac", "top_2gram_frac"])
 
@@ -1460,7 +1462,8 @@ def q_group_quantiles_events(sf_dir: str):
     from netml_ray.windows import groupby_quantiles
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
-    return groupby_quantiles(ev, "event_type", "value", [0.5, 0.95])
+    return groupby_quantiles(ev, "event_type", "value", [0.5, 0.95],
+                             round_to=9 if ORACLE_MODE else None)
 
 
 SQL_GROUP_QUANTILES = """

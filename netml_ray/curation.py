@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from netml_ray.textops import _rolling_hash_segments, _utf8_segments
 
 # ---------------------------------------------------------------------------
 # Text normalization
