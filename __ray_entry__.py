@@ -1474,6 +1474,22 @@ FROM events GROUP BY event_type
 """
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact per-key COUNT(DISTINCT): map-side unique-pair combine →
+    one narrow shuffle of unique pairs.  (HLL approx variant:
+    `sketches.approx_distinct`, pytest-bounded error.)"""
+    from netml_ray.sketches import count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return count_distinct(ev, "event_type", "user_id")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+FROM events GROUP BY event_type
+"""
+
+
 def q_weighted_sample_docs(sf_dir: str):
     from netml_ray.curation import weighted_sample_batch
 
@@ -1749,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_orders_customer": q_full_join_orders_customer,
         "chunk_docs": q_chunk_docs,
         "group_quantiles_events": q_group_quantiles_events,
+        "distinct_users_per_type": q_distinct_users_per_type,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
@@ -1809,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         "full_join_orders_customer": SQL_FULL_JOIN,
         "chunk_docs": SQL_CHUNK,
         "group_quantiles_events": SQL_GROUP_QUANTILES,
+        "distinct_users_per_type": SQL_DISTINCT_USERS,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,

@@ -1,0 +1,175 @@
+"""Cardinality estimation: exact per-key distinct counts (the
+oracle-able baseline) and a HyperLogLog sketch (the 100-TB path).
+
+Reference analog: the reference counts distinct protocol/flag values
+per flow eagerly in memory (parser.py header stats); at corpus scale
+an exact global distinct is a full shuffle of unique values, while the
+HLL sketch is a fixed 2^p-byte register array per batch merged on the
+driver (Flajolet et al. '07, public).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from netml_ray.partition import partition_map
+
+_SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
+
+
+def _hash64(col) -> np.ndarray:
+    """64-bit hash of an Arrow column: integers via splitmix64 finalizer,
+    strings via the dictionary rolling hash (hash the unique values
+    once, gather by code)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        x = np.asarray(col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                       ).astype(np.uint64)
+    else:
+        from netml_ray.textops import _rolling_hash_segments, _utf8_segments
+
+        enc = col.cast(pa.string()).dictionary_encode()
+        data, offs = _utf8_segments(enc.dictionary)
+        dh = _rolling_hash_segments(data, offs)
+        x = dh[enc.indices.to_numpy(zero_copy_only=False)]
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * _SPLITMIX_1
+    x = (x ^ (x >> np.uint64(27))) * _SPLITMIX_2
+    return x ^ (x >> np.uint64(31))
+
+
+# ---------------------------------------------------------------------------
+# Exact per-key distinct count
+# ---------------------------------------------------------------------------
+
+
+def count_distinct(ds, key: str, col: str, *,
+                   out_col: str | None = None,
+                   num_partitions: int | None = None):
+    """Exact ``COUNT(DISTINCT col)`` per ``key``.
+
+    Map-side combine first: each batch reduces to its UNIQUE
+    ``(key, col)`` pairs (one lexsort run-length pass), so the single
+    hash shuffle carries unique pairs, not rows.  The partition fn then
+    counts distinct values per key with the same run-length pass."""
+    out_name = out_col or f"n_distinct_{col}"
+
+    def _codes(col_arr) -> np.ndarray:
+        """Exact per-batch identity codes (no collision risk)."""
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        enc = col_arr.dictionary_encode()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        t = t.select([key, col])
+        if t.num_rows == 0:
+            return t
+        kh = _codes(t[key])
+        vh = _codes(t[col])
+        order = np.lexsort((vh, kh))
+        ks, vs = kh[order], vh[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        return t.take(pa.array(order[first]))
+
+    uniq = ds.map_batches(_uniq, batch_format="pyarrow")
+
+    def _count(t: pa.Table) -> pa.Table:
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({key: karr,
+                             out_name: pa.array([], type=pa.int64())})
+        ke = karr.dictionary_encode()
+        kh = ke.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vcol = t[col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        vh = vcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vh, kh))
+        ks, vs = kh[order], vh[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        kfirst = np.ones(len(ks), dtype=bool)
+        kfirst[1:] = ks[1:] != ks[:-1]
+        # distinct pairs per key: run-length over the deduped pairs
+        sel = order[kfirst]
+        kidx = np.cumsum(kfirst) - 1
+        counts = np.bincount(kidx[first], minlength=int(kfirst.sum()))
+        return pa.table({key: karr.take(pa.array(sel)),
+                         out_name: pa.array(counts.astype(np.int64))})
+
+    return partition_map(uniq, key, _count, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (approximate global distinct)
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_partials(ds, col: str, *, p: int = 12):
+    """Per-batch HLL register partials: each batch reduces to one
+    fixed 2^p-byte register row — the exchange is O(batches), not
+    O(rows).  Returns a Dataset of register rows."""
+    m = 1 << p
+
+    def _regs(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        if t.num_rows:
+            h = _hash64(t[col])
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = h << np.uint64(p)
+            # rank = leading zeros of the remaining 64-p bits + 1
+            rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+            nz = rest != 0
+            if nz.any():
+                bits = 63 - np.floor(np.log2(rest[nz].astype(np.float64))
+                                     ).astype(np.int64)
+                # float rounding guard at the 2^63 boundary
+                bits = np.clip(bits, 0, 64 - p)
+                rank[nz] = (bits + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          type=pa.binary())})
+
+    return ds.map_batches(_regs, batch_format="pyarrow")
+
+
+def hll_estimate(partials, *, p: int = 12) -> float:
+    """Merge register partials (elementwise max) and estimate, with the
+    small-range linear-counting correction (Flajolet '07)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for b in partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 10):
+        for r in b["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(r, dtype=np.uint8))
+    est = _hll_alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(
+        np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, *, p: int = 12) -> float:
+    """Approximate global ``COUNT(DISTINCT col)`` — standard error
+    ≈ 1.04/√(2^p) (~1.6% at p=12)."""
+    return hll_estimate(hll_partials(ds, col, p=p), p=p)
