@@ -225,3 +225,51 @@ def test_prop_chunk_merge_equals_direct_g3(seed, chunk, netml):
         got_keep = g["_keep"].to_numpy()[pos]
         np.testing.assert_array_equal(got_sid, ord_d[km.to_numpy()])
         np.testing.assert_array_equal(got_keep, keep_d[km.to_numpy()])
+
+
+# ---------------------------------------------------------------------------
+# Tokenized (shared dictionary tokenization) — the core under gopher,
+# repetition, n-gram decontamination, LangId and fingerprint word hashing
+# ---------------------------------------------------------------------------
+
+_TOK_ALPHABET = list("ab Z0.#…é中\t\n")
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(_TOK_ALPHABET), max_size=24),
+                min_size=0, max_size=20))
+def test_tokenized_matches_python_split(texts):
+    import pyarrow as pa
+
+    from netml_ray.textops import Tokenized
+
+    tok = Tokenized(pa.array(texts, type=pa.string()))
+    # n_words ≡ str.split() count (ASCII-ws corpus alphabet)
+    assert tok.n_words.tolist() == [len(s.split()) for s in texts]
+    # words in order ≡ regexp_split_to_array(trim, \s+) semantics
+    flat_words = [tok.dictionary[c].as_py() for c in tok.codes]
+    exp = []
+    for i, s in enumerate(texts):
+        ws = __import__("re").split(r"\s+", s.strip())
+        exp.extend(ws if ws != [] else [""])
+    assert flat_words == exp
+    # word lengths via dictionary gather ≡ per-word codepoint length
+    assert tok.word_lengths().tolist() == [len(w) for w in flat_words]
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(_TOK_ALPHABET), max_size=24),
+                min_size=1, max_size=12))
+def test_tokenized_word_hashes_match_direct(texts):
+    import numpy as np
+    import pyarrow as pa
+
+    from netml_ray.textops import (Tokenized, _rolling_hash_segments,
+                                   _utf8_segments)
+
+    tok = Tokenized(pa.array(texts, type=pa.string()))
+    got = tok.word_hashes()
+    # reference: hash every word column directly (no dictionary)
+    flat_words = [tok.dictionary[c].as_py() for c in tok.codes]
+    if flat_words:
+        data, offs = _utf8_segments(pa.array(flat_words, type=pa.string()))
+        exp = _rolling_hash_segments(data, offs)
+        assert np.array_equal(got, exp)
