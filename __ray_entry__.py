@@ -1704,6 +1704,27 @@ FROM ded
 """
 
 
+def q_curate_mixed_docs(sf_dir: str):
+    """Curation flagship + data mixing: per-source keep rates and a
+    per-source cap applied on the digested (payload-free) stream."""
+    from netml_ray.curation import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return curate_corpus(docs,
+                         mix_weights={"src0": 100, "src1": 50, "src2": 10},
+                         mix_default_pct=60, max_per_source=6)
+
+
+SQL_CURATE_MIXED = f"""
+WITH curated AS ({SQL_CURATE})
+SELECT * FROM curated
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+  CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+              WHEN 'src2' THEN 10 ELSE 60 END
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 6
+"""
+
+
 SQL_DECONTAMINATE_NGRAM = r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
 g AS (SELECT doc_id, unnest(range(1, len(ws) - 11)) AS i, ws FROM w WHERE len(ws) >= 13),
@@ -1769,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
+        "curate_mixed_docs": q_curate_mixed_docs,
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
         "anomaly_scores": q_anomaly_scores,
@@ -1830,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,
+        "curate_mixed_docs": SQL_CURATE_MIXED,
         "knn_cosine_ivf": SQL_KNN,
         "minhash_pairs": SQL_MINHASH_PLANTED,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,

@@ -479,6 +479,9 @@ def curate_corpus(docs, *, lang: str = "en",
                   max_top_2gram: float = 0.12,
                   snippet_every: int = 97,
                   decontam: str = "ngram",
+                  mix_weights: dict | None = None,
+                  mix_default_pct: int = 25,
+                  max_per_source: int | None = None,
                   text_col: str = "text",
                   id_col: str = "doc_id",
                   num_partitions: int | None = None):
@@ -498,8 +501,12 @@ def curate_corpus(docs, *, lang: str = "en",
          ``match_substring`` kernel per snippet, viable only while the
          snippet list is small.
       3. Exact dedup on the REDACTED text (min-id survives) — the only
-         shuffle in the plan, and it ships ``(hash, id)`` not payloads.
+         payload-free shuffle in the plan (``(hash, id)`` travels).
       4. Final narrow pass: token/char counts + md5 content digest.
+      5. Optional data mixing on the digested (payload-free) stream:
+         ``mix_weights`` keeps each source at its deterministic rate
+         (shuffle-free), ``max_per_source`` caps docs per source (one
+         narrow shuffle of the digest rows).
 
     Returns a Dataset of
     ``(doc_id, lang, source, n_chars_clean, n_tokens, clean_md5)``.
@@ -524,7 +531,19 @@ def curate_corpus(docs, *, lang: str = "en",
         lambda t: t.filter(pc.invert(t["contaminated"]))
         .drop_columns(["contaminated", text_col]),
         batch_format="pyarrow")
-    return _dedup_and_digest(kept, id_col, num_partitions)
+    out = _dedup_and_digest(kept, id_col, num_partitions)
+    if mix_weights is not None:
+        w = dict(mix_weights)
+        out = out.map_batches(
+            lambda t: weighted_sample_batch(t, "source", "doc_id",
+                                            weights=w,
+                                            default_pct=mix_default_pct),
+            batch_format="pyarrow")
+    if max_per_source is not None:
+        out = limit_per_key(out, "source", max_per_source,
+                            order_by=["doc_id"],
+                            num_partitions=num_partitions)
+    return out
 
 
 def _pass1_factory(lang: str, max_dup_2gram: float, max_top_2gram: float,
