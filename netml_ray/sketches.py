@@ -173,3 +173,74 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> float:
     """Approximate global ``COUNT(DISTINCT col)`` — standard error
     ≈ 1.04/√(2^p) (~1.6% at p=12)."""
     return hll_estimate(hll_partials(ds, col, p=p), p=p)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies in fixed memory)
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)
+
+
+def _cms_rows(h: np.ndarray, w: int) -> np.ndarray:
+    """(d, n) bucket indices: one cheap rehash per row from the same
+    64-bit value hash."""
+    d = len(_CMS_SEEDS)
+    out = np.empty((d, len(h)), dtype=np.int64)
+    for i, s in enumerate(_CMS_SEEDS):
+        x = (h ^ s) * _SPLITMIX_1
+        x ^= x >> np.uint64(29)
+        out[i] = (x % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def cms_partials(ds, col: str, *, width: int = 2048):
+    """Per-batch Count-Min partials (Cormode-Muthukrishnan '05):
+    each batch reduces to a fixed d×width int64 table — the exchange
+    is O(batches · 64 KB), independent of cardinality."""
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        d = len(_CMS_SEEDS)
+        table = np.zeros((d, width), dtype=np.int64)
+        if t.num_rows:
+            h = _hash64(t[col])
+            rows = _cms_rows(h, width)
+            for i in range(d):
+                np.add.at(table[i], rows[i], 1)
+        return pa.table({"cms": pa.array([table.tobytes()],
+                                         type=pa.binary())})
+
+    return ds.map_batches(_sketch, batch_format="pyarrow")
+
+
+def cms_merge(partials, *, width: int = 2048) -> np.ndarray:
+    """Sum-merge partial tables (sketch linearity)."""
+    d = len(_CMS_SEEDS)
+    table = np.zeros((d, width), dtype=np.int64)
+    for b in partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 10):
+        for r in b["cms"].to_pylist():
+            table += np.frombuffer(r, dtype=np.int64).reshape(d, width)
+    return table
+
+
+def cms_query(table: np.ndarray, keys, *, width: int | None = None
+              ) -> np.ndarray:
+    """Estimated frequency per key: min over the d rows.  Never
+    underestimates; overestimates by ≤ e/width·N with prob ≥ 1−e^-d."""
+    w = width or table.shape[1]
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(keys)
+    h = _hash64(keys)
+    rows = _cms_rows(h, w)
+    ests = np.stack([table[i][rows[i]] for i in range(table.shape[0])])
+    return ests.min(axis=0)
+
+
+def approx_counts(ds, col: str, keys, *, width: int = 2048) -> np.ndarray:
+    """Approximate ``count(*) GROUP BY col`` lookups for ``keys`` in
+    fixed memory."""
+    return cms_query(cms_merge(cms_partials(ds, col, width=width),
+                               width=width), keys)

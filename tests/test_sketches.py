@@ -46,3 +46,24 @@ def test_hll_strings_and_merge_invariance(ray_session):
     e2 = approx_distinct(rd.from_arrow(t).repartition(16), "v")
     assert e1 == e2  # register max-merge is partition-invariant
     assert abs(e1 - 30000) / 30000 < 0.05
+
+
+def test_count_min_bounds(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sketches import approx_counts
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: key i appears ~ n/(i+1) times
+    keys = np.repeat(np.arange(200), (4000 / (np.arange(200) + 1)).astype(int))
+    rng.shuffle(keys)
+    t = pa.table({"k": pa.array(keys, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+    probe = np.arange(50, dtype=np.int64)
+    est = approx_counts(ds, "k", pa.array(probe), width=2048)
+    true = np.array([(keys == k).sum() for k in probe])
+    assert (est >= true).all()                    # never underestimates
+    n = len(keys)
+    assert (est - true <= np.e / 2048 * n + 1).all()  # CM error bound
+    # heavy hitters are near-exact at this width
+    assert est[0] == true[0]
