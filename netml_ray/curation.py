@@ -482,6 +482,7 @@ def curate_corpus(docs, *, lang: str = "en",
                   mix_weights: dict | None = None,
                   mix_default_pct: int = 25,
                   max_per_source: int | None = None,
+                  bench_grams: np.ndarray | None = None,
                   text_col: str = "text",
                   id_col: str = "doc_id",
                   num_partitions: int | None = None):
@@ -516,9 +517,13 @@ def curate_corpus(docs, *, lang: str = "en",
         _pass1_factory(lang, max_dup_2gram, max_top_2gram, text_col, id_col),
         batch_format="pyarrow")
     if decontam == "ngram":
-        bench = collect_benchmark_gram_hashes(
-            docs, id_col=id_col, text_col=text_col, every=snippet_every,
-            n=13)
+        # production semantics: the benchmark/eval set is FIXED and
+        # external — pass its precomputed gram hashes via bench_grams;
+        # the default derives a deterministic stand-in from the corpus
+        bench = bench_grams if bench_grams is not None else \
+            collect_benchmark_gram_hashes(
+                docs, id_col=id_col, text_col=text_col,
+                every=snippet_every, n=13)
         kept = decontaminate_ngrams(kept, bench, text_col=text_col, n=13,
                                     out_col="contaminated")
     elif decontam == "substring":
@@ -603,8 +608,11 @@ def _dedup_and_digest(kept, id_col: str, num_partitions: int | None):
     # re-executes for each consumer (measured 2x wall).  What lands in
     # the object store is only the SURVIVING rows' narrow columns —
     # the checkpointed variant is the swap-in when even that exceeds
-    # store+spill capacity.
-    kept = drop_empty_blocks(kept.materialize())
+    # store+spill capacity.  Hash BEFORE the materialize so both
+    # consumers reuse the column instead of re-digesting the text.
+    from netml_ray.dedup import add_text_hash
+
+    kept = drop_empty_blocks(add_text_hash(kept, "text_clean").materialize())
     kept = dedup_exact(kept, "text_clean", id_col,
                        num_partitions=num_partitions)
 

@@ -66,6 +66,7 @@ def dedup_exact(
     *,
     num_partitions: int | None = None,
     broadcast_threshold: int = 2_000_000,
+    narrow_collect_threshold: int | None = 4_000_000,
 ):
     """Exact dedup, scale-safe: keep the min-id row per content hash.
 
@@ -82,8 +83,46 @@ def dedup_exact(
 
     from netml_ray.partition import partition_map, partition_map2
 
-    hashed = add_text_hash(ds, text_col)
+    try:
+        has_hash = "text_hash" in (ds.schema().names or [])
+    except Exception:
+        has_hash = False
+    # reuse a caller-precomputed (e.g. pre-materialize) hash column so a
+    # materialized input isn't re-hashed once per consumer
+    hashed = ds if has_hash else add_text_hash(ds, text_col)
     narrow = hashed.select_columns([id_col, "text_hash"])
+
+    # small-input fast path (same pattern as sessionize.exact_quantiles):
+    # below the threshold the narrow (hash, id) side streams to the
+    # driver (16 B/row) and the loser set falls out of ONE lexsort —
+    # no shuffle at all, which on modest inputs is otherwise pure
+    # fixed overhead.  NOTE: counting a LAZY dataset executes it; pass
+    # narrow_collect_threshold=None (or materialize first) if the
+    # upstream chain is expensive.
+    n_rows = ds.count() if narrow_collect_threshold else None
+    if n_rows is not None and n_rows <= narrow_collect_threshold:
+        ids_l, hs_l = [], []
+        for b in narrow.iter_batches(batch_format="pyarrow",
+                                     batch_size=1 << 16):
+            ids_l.append(np.asarray(b[id_col].to_numpy(
+                zero_copy_only=False)))
+            hs_l.append(np.asarray(b["text_hash"].to_numpy(
+                zero_copy_only=False)))
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        hs = np.concatenate(hs_l) if hs_l else np.empty(0, np.int64)
+        order = np.lexsort((ids, hs))
+        first = _run_starts(hs[order])
+        loser_ids = ids[order][~first]
+        if not len(loser_ids):
+            return hashed
+        drop_ref = ray.put(loser_ids)
+
+        def _anti_fast(t: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            return t.filter(
+                pa.array(~np.isin(t[id_col].to_numpy(), drop)))
+
+        return hashed.map_batches(_anti_fast, batch_format="pyarrow")
 
     def _losers(t: pa.Table) -> pa.Table:
         t = t.sort_by([("text_hash", "ascending"), (id_col, "ascending")])

@@ -176,10 +176,15 @@ def test_dedup_exact_distributed_anti_join_path(ray_session):
     alld = pd.concat([docs, dup], ignore_index=True)
     ds = rd.from_pandas(alld)
     a = sorted(dedup_exact(ds, "text", "doc_id").to_pandas()["doc_id"])
-    ds2 = rd.from_pandas(alld)
-    b = sorted(dedup_exact(ds2, "text", "doc_id",
+    # force the shuffle + broadcast-anti path (fast path off)
+    b = sorted(dedup_exact(rd.from_pandas(alld), "text", "doc_id",
+                           narrow_collect_threshold=None)
+               .to_pandas()["doc_id"])
+    # force the co-partitioned anti join (both fast paths off)
+    c = sorted(dedup_exact(rd.from_pandas(alld), "text", "doc_id",
+                           narrow_collect_threshold=None,
                            broadcast_threshold=0).to_pandas()["doc_id"])
-    assert a == b
+    assert a == b == c
     assert set(dup["doc_id"]).isdisjoint(a)  # exact copies dropped
     # duckdb ground truth: min doc_id per text
     import duckdb
