@@ -243,6 +243,7 @@ def minhash_lsh_duplicates(
     max_bucket: int = 1024,
     num_partitions: int | None = None,
     cand_id_broadcast: int = 20_000_000,
+    bucket_collect_threshold: int = 2_000_000,
 ):
     """MinHash-LSH near-duplicate pairs, scale-safe.
 
@@ -406,9 +407,27 @@ def minhash_lsh_duplicates(
     # stars are unique by construction (band-0-only emission);
     # cross-digest candidates can recur across bands and are deduped
     # inside the estimate pass where the pairs are already driver- or
-    # co-partition-local — no standalone dedup shuffle
-    cand = partition_map(exploded, "band_hash", _bucket_cands_part,
-                         num_partitions=num_partitions).materialize()
+    # co-partition-local — no standalone dedup shuffle.
+    # Small-corpus fast path (same pattern as dedup_exact): below ~2M
+    # band rows (32 B each) the exploded narrow table streams to the
+    # driver and the bucket fn — a pure pa.Table→pa.Table kernel —
+    # runs once locally, skipping the groupby shuffle that at this
+    # size is pure fixed overhead.
+    import ray.data as rd
+
+    n_docs = sig_ds.count()
+    if n_docs * bands <= bucket_collect_threshold:
+        parts = [b for b in exploded.iter_batches(batch_format="pyarrow",
+                                                  batch_size=1 << 18)]
+        whole = (pa.concat_tables(parts) if parts else
+                 pa.table({id_col: pa.array([], type=pa.int64()),
+                           "band": pa.array([], type=pa.int64()),
+                           "band_hash": pa.array([], type=pa.int64()),
+                           "sig_hash": pa.array([], type=pa.int64())}))
+        cand = rd.from_arrow(_bucket_cands_part(whole))
+    else:
+        cand = partition_map(exploded, "band_hash", _bucket_cands_part,
+                             num_partitions=num_partitions).materialize()
 
     def _mk_stars(t: pa.Table) -> pa.Table:
         t2 = t.filter(t["star"])

@@ -418,3 +418,23 @@ def test_simhash_near_duplicates_vs_bruteforce(ray_session):
 
     got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
     assert comps(sorted(bf)) == comps(sorted(got_pairs))
+
+
+def test_minhash_bucket_paths_agree(ray_session):
+    """Driver fast path (small corpora) vs forced groupby-shuffle
+    bucket pass: identical pair sets."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import minhash_lsh_duplicates
+
+    docs = _planted_docs()
+    a = minhash_lsh_duplicates(rd.from_pandas(docs), jaccard_threshold=0.5
+                               ).to_pandas()
+    b = minhash_lsh_duplicates(rd.from_pandas(docs), jaccard_threshold=0.5,
+                               bucket_collect_threshold=0).to_pandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
