@@ -839,6 +839,36 @@ ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10
 """
 
 
+def q_knn_cosine_batch(sf_dir: str):
+    """Batched multi-query exact top-k: one corpus pass, one
+    (batch × Q) matmul per block, O(Q·k) partial rows per batch."""
+    from netml_ray.similarity import knn_cosine_batch
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.sort("vec_id").take(2)
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    pdf = knn_cosine_batch(emb, queries, k=10, dtype=np.float64)
+    if ORACLE_MODE:
+        pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_KNN_BATCH = """
+WITH qs AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+         embedding AS qe
+  FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2)
+)
+SELECT query_id, vec_id,
+       ROUND(list_cosine_similarity(embedding, qe), 4) AS cos_sim
+FROM embeddings, qs
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) <= 10
+"""
+
+
 def q_label_join_events(sf_dir: str):
     """J1-style broadcast inner join (dict-lookup analog,
     parser.py:905-918): attach each user's market segment."""
@@ -1777,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "knn_cosine": q_knn_cosine,
+        "knn_cosine_batch": q_knn_cosine_batch,
         "normalize_docs": q_normalize_docs,
         "pii_scan_docs": q_pii_scan_docs,
         "repetition_docs": q_repetition_docs,
@@ -1839,6 +1870,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": SQL_QUALITY,
         "fingerprint_docs": SQL_FINGERPRINT,
         "knn_cosine": SQL_KNN,
+        "knn_cosine_batch": SQL_KNN_BATCH,
         "normalize_docs": SQL_NORMALIZE,
         "pii_scan_docs": SQL_PII,
         "repetition_docs": SQL_REPETITION,

@@ -80,6 +80,68 @@ def knn_cosine(
     return pdf.head(k).reset_index(drop=True)
 
 
+def knn_cosine_batch(
+    ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dtype=np.float32,
+):
+    """Exact top-k for a BATCH of queries (Q×d) in one corpus pass.
+
+    The normalized query matrix is broadcast once (``ray.put``); every
+    corpus batch computes one (batch×Q) matmul and emits its per-query
+    top-k partials — O(Q·k) rows per batch through the exchange, not
+    O(Q·batch).  Returns a pandas DataFrame
+    ``(query_id, vec_id, cos_sim)`` with k rows per query, sorted by
+    ``(query_id, -cos_sim, vec_id)``."""
+    import ray
+
+    qm = np.asarray(queries, dtype=dtype)
+    if qm.ndim != 2:
+        raise ValueError("queries must be a 2-D (Q, d) matrix")
+    qm = _normalize(qm)
+    qref = ray.put(qm)
+    nq = len(qm)
+
+    class _Partial:
+        def __init__(self):
+            self.qt = ray.get(qref).T  # (d, Q)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_mat(t[vec_col]).astype(dtype))
+            sims = m @ self.qt                      # (batch, Q)
+            nk = min(k, len(m))
+            if nk == 0:
+                return pa.table({
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "cos_sim": pa.array([], type=pa.float64())})
+            idx = np.argpartition(-sims, nk - 1, axis=0)[:nk]  # (nk, Q)
+            ids = t[id_col].to_numpy()
+            qid = np.repeat(np.arange(nq, dtype=np.int64), nk)
+            flat = idx.T.ravel()                    # per query, its nk rows
+            return pa.table({
+                "query_id": pa.array(qid),
+                id_col: pa.array(ids[flat]),
+                "cos_sim": pa.array(
+                    sims[flat, np.repeat(np.arange(nq), nk)].astype(
+                        np.float64)),
+            })
+
+    from netml_ray.partition import auto_concurrency
+
+    partials = ds.map_batches(_Partial, batch_format="pyarrow",
+                              concurrency=auto_concurrency())
+    pdf = partials.to_pandas()  # ≤ Q·k rows per batch — small
+    pdf = pdf.sort_values(["query_id", "cos_sim", id_col],
+                          ascending=[True, False, True], kind="stable")
+    return (pdf.groupby("query_id", sort=True).head(k)
+            .reset_index(drop=True))
+
+
 def train_ivf_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 0) -> np.ndarray:
     """Plain Lloyd's k-means on a driver-side sample (deterministic)."""
     rng = np.random.default_rng(seed)

@@ -438,3 +438,20 @@ def test_minhash_bucket_paths_agree(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_knn_cosine_batch_matches_single(ray_session):
+    """Batched multi-query top-k equals per-query exact results."""
+    from netml_ray.similarity import knn_cosine, knn_cosine_batch
+
+    ids, m = _emb_np()
+    order = np.argsort(ids)
+    queries = m[order[:4]]
+    got = knn_cosine_batch(_emb_ds(), queries, k=10, dtype=np.float64)
+    assert len(got) == 40
+    for qi in range(4):
+        sub = got[got["query_id"] == qi]
+        single = knn_cosine(_emb_ds(), queries[qi], k=10, dtype=np.float64)
+        assert sub["vec_id"].tolist() == single["vec_id"].tolist()
+        np.testing.assert_allclose(sub["cos_sim"].to_numpy(),
+                                   single["cos_sim"].to_numpy(), rtol=1e-12)
