@@ -128,6 +128,44 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the web-corpus curation flagship over a documents-shaped
+    parquet corpus (columns: doc_id, text, lang, source) and write the
+    digested keep-list as parquet.  ``--resume-dir`` switches to the
+    checkpointed plan (atomic per-partition commits; killed runs
+    resume)."""
+    _check_corpus(args.corpus)
+    _ensure_ray()
+    import ray.data as rd
+
+    from netml_ray.curation import curate_corpus, curate_corpus_checkpointed
+
+    docs = rd.read_parquet(args.corpus,
+                           columns=["doc_id", "text", "lang", "source"])
+    mix = json.loads(args.mix_weights) if args.mix_weights else None
+    if args.resume_dir:
+        if mix is not None or args.max_per_source is not None:
+            raise SystemExit(
+                "mixing/caps run on the digested output; re-run without "
+                "--resume-dir or apply them downstream")
+        out = curate_corpus_checkpointed(
+            docs, args.resume_dir, lang=args.lang,
+            max_dup_2gram=args.max_dup_2gram,
+            max_top_2gram=args.max_top_2gram)
+    else:
+        out = curate_corpus(
+            docs, lang=args.lang, max_dup_2gram=args.max_dup_2gram,
+            max_top_2gram=args.max_top_2gram, mix_weights=mix,
+            max_per_source=args.max_per_source)
+    out.write_parquet(args.out)
+    import glob
+
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(f"{args.out}/*.parquet"))
+    print(f"curated keep-list -> {args.out} ({n} docs kept)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="netml_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -156,6 +194,21 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--q-interval", type=float, default=0.9)
     c.add_argument("--min-rows", type=int, default=2)
     c.set_defaults(func=cmd_classify)
+
+    u = sub.add_parser("curate", help="curate a documents corpus "
+                       "(quality/repetition/lang filters, PII redaction, "
+                       "13-gram decontamination, exact dedup)")
+    u.add_argument("--corpus", required=True,
+                   help="parquet file/dir with doc_id,text,lang,source")
+    u.add_argument("--out", required=True, help="output parquet dir")
+    u.add_argument("--lang", default="en")
+    u.add_argument("--max-dup-2gram", type=float, default=0.06)
+    u.add_argument("--max-top-2gram", type=float, default=0.12)
+    u.add_argument("--mix-weights", help="JSON {source: keep_pct}")
+    u.add_argument("--max-per-source", type=int)
+    u.add_argument("--resume-dir",
+                   help="checkpoint dir: resumable phase-A partitions")
+    u.set_defaults(func=cmd_curate)
     return p
 
 

@@ -63,3 +63,34 @@ def test_cli_arg_validation(ray_session, corpus_file):
     with pytest.raises(SystemExit):  # bad hyperparameter name
         main(["learn", "--corpus", corpus_file, "--feature-type", "STATS",
               "--params", '{"nope": 1}'])
+
+
+def test_cli_curate(ray_session, tmp_path):
+    from netml_ray.cli import main
+    from netml_ray.corpus import documents_path
+
+    corpus = documents_path(5000, seed=13)
+    out = str(tmp_path / "kept")
+    rc = main(["curate", "--corpus", corpus, "--out", out])
+    assert rc == 0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{out}/*.parquet"))
+    assert 1000 < n < 4000  # ~45% kept
+
+    # resumable variant produces the identical keep-set
+    out2 = str(tmp_path / "kept2")
+    rc = main(["curate", "--corpus", corpus, "--out", out2,
+               "--resume-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    import pandas as pd
+
+    a = pd.concat([pq.read_table(f).to_pandas()
+                   for f in glob.glob(f"{out}/*.parquet")]).sort_values(
+        "doc_id").reset_index(drop=True)
+    b = pd.concat([pq.read_table(f).to_pandas()
+                   for f in glob.glob(f"{out2}/*.parquet")]).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
