@@ -311,3 +311,27 @@ def test_groupby_quantiles_vs_numpy(ray_session):
     g1 = groupby_quantiles(rd.from_pandas(one), "k", "v", [0.5],
                            round_to=None).to_pandas()
     assert g1["q05_v"].iloc[0] == 3.25
+
+
+def test_curation_ops_empty_batch_robust():
+    """Every curation batch op handles a zero-row batch (mid-stream
+    empty blocks are a fact of Ray plans) with stable schemas."""
+    from netml_ray.curation import (_ngram_mark, chunk_batch,
+                                    hash_sample_batch, normalize_batch,
+                                    pii_scan_batch, repetition_batch)
+    from netml_ray.textops import Tokenized, gopher_quality_batch
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    assert normalize_batch(t).num_rows == 0
+    assert pii_scan_batch(t).num_rows == 0
+    assert repetition_batch(t).num_rows == 0
+    assert gopher_quality_batch(t).num_rows == 0
+    assert hash_sample_batch(t).num_rows == 0
+    out = chunk_batch(t)
+    assert out.num_rows == 0 and out.column_names == [
+        "doc_id", "chunk_id", "chunk_text", "chunk_words"]
+    assert _ngram_mark(t, np.array([1], dtype=np.uint64),
+                       "text", 13, "c")["c"].to_pylist() == []
+    tok = Tokenized(t["text"])
+    assert len(tok.word_hashes()) == 0
