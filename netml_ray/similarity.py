@@ -374,6 +374,51 @@ class IVFIndex:
         return knn_cosine(sub, query, k=k, id_col=self.meta["id_col"],
                           vec_col=self.meta["vec_col"], dtype=dtype)
 
+    def query_batch(self, queries: np.ndarray, *, k: int = 10,
+                    nprobe: int = 4, dtype=np.float32):
+        """Batched approximate top-k: the UNION of all queries' probe
+        buckets is read ONCE; each query's candidates are filtered by
+        bucket assignment after the shared scan.  Read bytes scale
+        with |∪ probes| / n_centroids of the corpus, not Q·nprobe.
+
+        Returns ``(query_id, id, cos_sim)`` — k rows per query, same
+        per-query results as ``query`` (pinned by test)."""
+        import pandas as pd
+        import ray.data as rd
+
+        qm = np.asarray(queries)
+        if qm.ndim != 2:
+            raise ValueError("queries must be a 2-D (Q, d) matrix")
+        # probe selection in float32 (centroid precision); similarity
+        # itself sees the ORIGINAL-precision queries via dtype
+        q32 = _normalize(qm.astype(np.float32))
+        probes = np.argsort(-(q32 @ self.centroids.T), axis=1)[:, :nprobe]
+        union = np.unique(probes)
+        fmap = self.meta.get("files")
+        if fmap is None:
+            fmap = {str(b): [f"bucket={b}/data.parquet"]
+                    for b in self.meta.get("buckets", [])}
+        id_col = self.meta["id_col"]
+        outs = []
+        for b in union:
+            files = [f"{self.index_dir}/{p}" for p in fmap.get(str(int(b)), [])]
+            if not files:
+                continue
+            qids = np.flatnonzero((probes == b).any(axis=1))
+            sub = rd.read_parquet(files, filesystem=self.fs)
+            part = knn_cosine_batch(sub, qm[qids], k=k, id_col=id_col,
+                                    vec_col=self.meta["vec_col"],
+                                    dtype=dtype)
+            part["query_id"] = qids[part["query_id"].to_numpy()]
+            outs.append(part)
+        if not outs:
+            return pd.DataFrame({"query_id": [], id_col: [], "cos_sim": []})
+        pdf = pd.concat(outs, ignore_index=True)
+        pdf = pdf.sort_values(["query_id", "cos_sim", id_col],
+                              ascending=[True, False, True], kind="stable")
+        return (pdf.groupby("query_id", sort=True).head(k)
+                .reset_index(drop=True))
+
 
 def knn_cosine_ivf(
     ds,

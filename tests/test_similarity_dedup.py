@@ -455,3 +455,25 @@ def test_knn_cosine_batch_matches_single(ray_session):
         assert sub["vec_id"].tolist() == single["vec_id"].tolist()
         np.testing.assert_allclose(sub["cos_sim"].to_numpy(),
                                    single["cos_sim"].to_numpy(), rtol=1e-12)
+
+
+def test_ivf_query_batch_matches_single(ray_session, tmp_path):
+    """Batched IVF probe (shared bucket scan) equals per-query results."""
+    from netml_ray.similarity import IVFIndex, knn_cosine_ivf
+
+    ids, m = _emb_np()
+    order = np.argsort(ids)
+    queries = m[order[:3]]
+    idx_dir = str(tmp_path / "ivf_b")
+    # build once via the single-query entry
+    knn_cosine_ivf(_emb_ds(), queries[0], k=5, n_centroids=8, nprobe=5,
+                   index_dir=idx_dir)
+    idx = IVFIndex.load(idx_dir)
+    got = idx.query_batch(queries, k=5, nprobe=5, dtype=np.float64)
+    assert len(got) == 15
+    for qi in range(3):
+        single = idx.query(queries[qi], k=5, nprobe=5, dtype=np.float64)
+        sub = got[got["query_id"] == qi]
+        assert sub["vec_id"].tolist() == single["vec_id"].tolist()
+        np.testing.assert_allclose(sub["cos_sim"].to_numpy(),
+                                   single["cos_sim"].to_numpy(), rtol=1e-12)
