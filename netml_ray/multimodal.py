@@ -2,7 +2,8 @@
 columns with typed metadata.
 
 Decoding is REAL for the uncompressed public formats — binary PPM
-(Netpbm P6), 24-bit BMP, and RIFF/WAVE PCM-16 — implemented in pure
+(Netpbm P6), 24-bit BMP, uncompressed true-color TGA, and RIFF/WAVE
+PCM-16 — implemented in pure
 numpy/struct (``decode_ppm`` / ``decode_bmp`` / ``decode_wav``, with
 matching encoders for deterministic test corpora).  Compressed codecs
 (jpeg/png/mp3/h264) genuinely need libraries absent from this
@@ -160,6 +161,42 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, arr.reshape(-1, n_ch).copy()
 
 
+def encode_tga(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed true-color TGA (type 2,
+    24 bpp, bottom-up BGR — the spec's default origin)."""
+    import struct
+
+    h, w, _ = img.shape
+    header = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0,
+                         w, h, 24, 0)
+    return header + img[::-1, :, ::-1].astype(np.uint8).tobytes()
+
+
+def decode_tga(payload: bytes) -> np.ndarray:
+    """Uncompressed true-color TGA (type 2, 24 bpp) → (h, w, 3) uint8
+    RGB.  Honors the descriptor's top-origin bit (bit 5)."""
+    import struct
+
+    (idlen, cmap_type, img_type, _c1, _c2, _c3, _x0, _y0,
+     w, h, bpp, desc) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if img_type != 2 or cmap_type != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported TGA (type={img_type}, cmap={cmap_type}, bpp={bpp})")
+    off = 18 + idlen
+    bgr = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                        offset=off).reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    top_origin = bool(desc & 0x20)
+    return (rgb if top_origin else rgb[::-1]).copy()
+
+
+def _looks_like_tga(payload: bytes) -> bool:
+    """TGA has no magic; accept the exact shape we emit/decode
+    (no colormap, type 2, 24 bpp)."""
+    return (len(payload) > 18 and payload[1] == 0 and payload[2] == 2
+            and payload[16] == 24)
+
+
 def builtin_decoder(payload: bytes, mime: str) -> np.ndarray:
     """Magic-byte dispatch over the formats decodable WITHOUT codec
     libraries; anything else (jpeg/png/...) raises — honestly — via
@@ -168,6 +205,9 @@ def builtin_decoder(payload: bytes, mime: str) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if mime in ("image/x-tga", "image/tga") or (
+            mime.startswith("image/") and _looks_like_tga(payload)):
+        return decode_tga(payload)
     return _strict_decoder(payload, mime)
 
 

@@ -205,3 +205,37 @@ def test_hot_keys_sampled_matches_exact(ray_session):
     assert sampled == exact
     # threshold <= oversample → exact fallback
     assert hot_keys_sampled(narrow, "url", 40) == hot_keys(narrow, "url", 40)
+
+
+def test_tga_roundtrip_and_stage(ray_session):
+    """Real TGA codec: byte-exact roundtrip (both origins) and the
+    decode stage end-to-end on TGA payloads."""
+    import ray.data as rd
+
+    from netml_ray.multimodal import (MediaDecode, builtin_decoder,
+                                      decode_tga, encode_tga)
+
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(9, 13), (32, 32), (1, 1)]]
+    for img in imgs:
+        b = encode_tga(img)
+        assert np.array_equal(decode_tga(b), img)
+        assert np.array_equal(builtin_decoder(b, "image/x-tga"), img)
+    t = pa.table({
+        "media_id": pa.array(range(len(imgs)), type=pa.int64()),
+        "payload": pa.array([encode_tga(i) for i in imgs],
+                            type=pa.binary()),
+        "mime": pa.array(["image/x-tga"] * len(imgs)),
+        "width": pa.array([i.shape[1] for i in imgs], type=pa.int64()),
+        "height": pa.array([i.shape[0] for i in imgs], type=pa.int64()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        MediaDecode, fn_constructor_kwargs={
+            "media_col": "payload", "mime_col": "mime",
+            "decoder": builtin_decoder, "resize": (8, 8)},
+        batch_format="pyarrow", concurrency=1, batch_size=2,
+    ).to_pandas()
+    assert len(out) == len(imgs)
+    assert all(len(px) == 8 * 8 * 3 for px in out["pixels"])
+    assert "payload" not in out.columns
