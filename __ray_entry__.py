@@ -1504,6 +1504,44 @@ FROM events GROUP BY event_type
 """
 
 
+def q_pivot_user_type_events(sf_dir: str):
+    """Wide pivot: per-user value sums by event_type as columns —
+    map-side (key, cat) partials, one narrow shuffle of partials."""
+    from netml_ray.windows import pivot_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    cats = ["click", "view", "purchase", "signup", "error"]
+    out = pivot_agg(ev, "user_id", "event_type", "value",
+                    categories=cats, agg="sum")
+
+    def _micros(t: pa.Table) -> pa.Table:
+        # hash-exact compare: micro-unit BIGINTs, not rounded doubles
+        # (two correctly-rounded round(x, 9) implementations can differ
+        # by 1 ULP; an integer cast cannot)
+        if not ORACLE_MODE:
+            return t
+        for c in t.column_names:
+            if c != "user_id":
+                v = np.round(t[c].to_numpy(zero_copy_only=False)
+                             * 1e6).astype(np.int64)
+                t = t.set_column(t.schema.get_field_index(c),
+                                 c + "_micros", pa.array(v))
+        return t
+
+    return out.map_batches(_micros, batch_format="pyarrow")
+
+
+SQL_PIVOT_USER_TYPE = """
+SELECT user_id,
+  CAST(round(coalesce(SUM(CASE WHEN event_type = 'click' THEN value END), 0) * 1000000) AS BIGINT) AS sum_click_micros,
+  CAST(round(coalesce(SUM(CASE WHEN event_type = 'view' THEN value END), 0) * 1000000) AS BIGINT) AS sum_view_micros,
+  CAST(round(coalesce(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0) * 1000000) AS BIGINT) AS sum_purchase_micros,
+  CAST(round(coalesce(SUM(CASE WHEN event_type = 'signup' THEN value END), 0) * 1000000) AS BIGINT) AS sum_signup_micros,
+  CAST(round(coalesce(SUM(CASE WHEN event_type = 'error' THEN value END), 0) * 1000000) AS BIGINT) AS sum_error_micros
+FROM events GROUP BY user_id
+"""
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Exact per-key COUNT(DISTINCT): map-side unique-pair combine →
     one narrow shuffle of unique pairs.  (HLL approx variant:
@@ -1818,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "group_quantiles_events": q_group_quantiles_events,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "pivot_user_type_events": q_pivot_user_type_events,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
@@ -1881,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": SQL_CHUNK,
         "group_quantiles_events": SQL_GROUP_QUANTILES,
         "distinct_users_per_type": SQL_DISTINCT_USERS,
+        "pivot_user_type_events": SQL_PIVOT_USER_TYPE,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,

@@ -272,3 +272,99 @@ def groupby_quantiles(ds, key: str, col: str, qs: list[float], *,
 
     return partition_map(ds, key, _gq, sort_by=[key, col],
                          num_partitions=num_partitions)
+
+
+def pivot_agg(ds, key: str, cat_col: str, val_col: str, *,
+              categories: list[str], agg: str = "sum",
+              num_partitions: int | None = None):
+    """Wide categorical aggregation: one output row per ``key`` with a
+    ``{agg}_{category}`` column per listed category (the wide-feature
+    form of the reference's categorical counts, parser.py header
+    stats).
+
+    Map-side combine first: each batch reduces to per-(key, cat)
+    partials via ONE dictionary-encode + lexsort + reduceat, so the
+    single hash shuffle carries one row per (key, category) pair seen
+    in the batch — not per event.  ``agg`` ∈ {sum, count, mean}; mean
+    is derived from (sum, count) partials, so it is exact."""
+    if agg not in ("sum", "count", "mean"):
+        raise ValueError(f"agg={agg!r} not supported (sum|count|mean)")
+    cats = list(categories)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], type=t.schema.field(key).type),
+                          cat_col: pa.array([], type=pa.string()),
+                          "__s": pa.array([], type=pa.float64()),
+                          "__n": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        ke = karr.dictionary_encode()
+        kc = ke.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        carr = t[cat_col]
+        if isinstance(carr, pa.ChunkedArray):
+            carr = carr.combine_chunks()
+        ce = carr.dictionary_encode()
+        cc = ce.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.asarray(t[val_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        order = np.lexsort((cc, kc))
+        ks, cs, vs = kc[order], cc[order], v[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (cs[1:] != cs[:-1])
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(vs, starts)
+        counts = np.diff(np.append(starts, len(ks)))
+        sel = order[first]
+        return pa.table({
+            key: karr.take(pa.array(sel)),
+            cat_col: carr.take(pa.array(sel)).cast(pa.string()),
+            "__s": pa.array(sums),
+            "__n": pa.array(counts.astype(np.int64)),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _widen(t: pa.Table) -> pa.Table:
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        out_fields = [f"{agg}_{c}" for c in cats]
+        if t.num_rows == 0:
+            cols = {key: karr}
+            for f in out_fields:
+                cols[f] = pa.array([], type=pa.float64() if agg != "count"
+                                   else pa.int64())
+            return pa.table(cols)
+        ke = karr.dictionary_encode()
+        kc = ke.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(ke.dictionary)
+        cat_idx = {c: i for i, c in enumerate(cats)}
+        ci = np.array([cat_idx.get(c, -1)
+                       for c in t[cat_col].to_pylist()], dtype=np.int64)
+        keep = ci >= 0
+        sums = np.zeros((nk, len(cats)), dtype=np.float64)
+        counts = np.zeros((nk, len(cats)), dtype=np.int64)
+        np.add.at(sums, (kc[keep], ci[keep]),
+                  t["__s"].to_numpy()[keep])
+        np.add.at(counts, (kc[keep], ci[keep]),
+                  t["__n"].to_numpy()[keep])
+        ucodes, uidx = np.unique(kc, return_index=True)
+        first_pos = np.zeros(nk, dtype=np.int64)
+        first_pos[ucodes] = uidx
+        cols = {key: karr.take(pa.array(first_pos))}
+        for j, f in enumerate(out_fields):
+            if agg == "sum":
+                cols[f] = pa.array(sums[:, j])
+            elif agg == "count":
+                cols[f] = pa.array(counts[:, j])
+            else:  # mean: exact from (sum, count) partials
+                with np.errstate(invalid="ignore"):
+                    m = sums[:, j] / counts[:, j]
+                cols[f] = pa.array(np.where(counts[:, j] > 0, m, np.nan))
+        return pa.table(cols)
+
+    return partition_map(partials, key, _widen,
+                         num_partitions=num_partitions)

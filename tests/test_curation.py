@@ -335,3 +335,34 @@ def test_curation_ops_empty_batch_robust():
                        "text", 13, "c")["c"].to_pylist() == []
     tok = Tokenized(t["text"])
     assert len(tok.word_hashes()) == 0
+
+
+def test_pivot_agg_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from netml_ray.windows import pivot_agg
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, size=n),
+        "c": rng.choice(["a", "b", "c", "zzz"], size=n),
+        "v": rng.normal(size=n),
+    })
+    cats = ["a", "b", "c"]  # 'zzz' deliberately excluded
+    for agg in ("sum", "count", "mean"):
+        got = pivot_agg(rd.from_pandas(df), "k", "c", "v",
+                        categories=cats, agg=agg,
+                        num_partitions=6).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        piv = df[df.c.isin(cats)].pivot_table(
+            index="k", columns="c", values="v", aggfunc=agg, dropna=False)
+        piv = piv.reindex(columns=cats)
+        if agg in ("sum", "count"):
+            piv = piv.fillna(0)
+        exp = piv.reindex(sorted(df.k.unique())).reset_index()
+        for c in cats:
+            np.testing.assert_allclose(
+                got[f"{agg}_{c}"].to_numpy(dtype=np.float64),
+                exp[c].to_numpy(dtype=np.float64), rtol=1e-12,
+                equal_nan=True, err_msg=f"{agg}/{c}")
