@@ -1504,6 +1504,64 @@ FROM events GROUP BY event_type
 """
 
 
+def q_props_extract_events(sf_dir: str):
+    """Per-record extraction from the JSON-ish props column (M4
+    family): one RE2 extract kernel, no per-row Python."""
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+
+    def _extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_id": t["event_id"], "prop_k": k})
+
+    return ev.map_batches(_extract, batch_format="pyarrow")
+
+
+SQL_PROPS_EXTRACT = r"""
+SELECT event_id,
+       CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+def q_explode_embeddings(sf_dir: str):
+    """List-column explode (flat_map analog): (vec_id, dim, value) rows
+    from the embedding vectors — zero-copy offsets math, one take."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col)
+        rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        bounds = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        dim = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            bounds[:-1], lens)
+        ids = t["vec_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        val = pc.round(flat.cast(pa.float64()), ndigits=6) if ORACLE_MODE \
+            else flat.cast(pa.float64())
+        return pa.table({"vec_id": ids.take(pa.array(rep)),
+                         "dim": pa.array(dim), "value": val})
+
+    # only the first 200 vectors (keeps the compare set bounded)
+    return emb.filter(expr="vec_id < 200").map_batches(
+        _explode, batch_format="pyarrow")
+
+
+SQL_EXPLODE_EMB = """
+SELECT vec_id, CAST(u.idx - 1 AS BIGINT) AS dim,
+       round(CAST(embedding[u.idx] AS DOUBLE), 6) AS value
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(idx)
+WHERE vec_id < 200
+"""
+
+
 def q_pivot_user_type_events(sf_dir: str):
     """Wide pivot: per-user value sums by event_type as columns —
     map-side (key, cat) partials, one narrow shuffle of partials."""
@@ -1857,6 +1915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles_events": q_group_quantiles_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "pivot_user_type_events": q_pivot_user_type_events,
+        "props_extract_events": q_props_extract_events,
+        "explode_embeddings": q_explode_embeddings,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
@@ -1921,6 +1981,8 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles_events": SQL_GROUP_QUANTILES,
         "distinct_users_per_type": SQL_DISTINCT_USERS,
         "pivot_user_type_events": SQL_PIVOT_USER_TYPE,
+        "props_extract_events": SQL_PROPS_EXTRACT,
+        "explode_embeddings": SQL_EXPLODE_EMB,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,
