@@ -1830,6 +1830,42 @@ FROM ded
 """
 
 
+def q_curation_funnel_docs(sf_dir: str):
+    """Per-stage drop accounting for the curation chain (input → lang
+    → quality → repetition → decontaminated → deduped)."""
+    from netml_ray.curation import curation_funnel
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return curation_funnel(docs)
+
+
+# reuse the curation CTE chain; replace the final select with counts
+_CURATE_CTES = SQL_CURATE.split("ded AS")[0].rstrip().rstrip(",")
+
+SQL_FUNNEL = _CURATE_CTES + """
+SELECT * FROM (
+  SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL
+  SELECT 'lang', count(*) FROM base WHERE lang = 'en'
+  UNION ALL
+  SELECT 'quality', count(*) FROM base b JOIN gq USING (doc_id)
+  WHERE b.lang = 'en' AND gq.n_words >= 5 AND gq.n_words <= 100000
+    AND gq.mwl <= 10.0 AND gq.sym_ratio <= 0.1 AND gq.has_stop
+  UNION ALL
+  SELECT 'repetition', count(*)
+  FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)
+  WHERE b.lang = 'en' AND gq.n_words >= 5 AND gq.n_words <= 100000
+    AND gq.mwl <= 10.0 AND gq.sym_ratio <= 0.1 AND gq.has_stop
+    AND coalesce(1.0 - rs.dg / rs.tg, 0.0) <= 0.06
+    AND coalesce(rs.topc / rs.tg, 0.0) <= 0.12
+  UNION ALL
+  SELECT 'decontaminated', count(*) FROM filt
+  UNION ALL
+  SELECT 'deduped', count(DISTINCT clean) FROM red
+)
+"""
+
+
 def q_curate_mixed_docs(sf_dir: str):
     """Curation flagship + data mixing: per-source keep rates and a
     per-source cap applied on the digested (payload-free) stream."""
@@ -1921,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
         "curate_mixed_docs": q_curate_mixed_docs,
+        "curation_funnel_docs": q_curation_funnel_docs,
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
         "anomaly_scores": q_anomaly_scores,
@@ -1987,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,
         "curate_mixed_docs": SQL_CURATE_MIXED,
+        "curation_funnel_docs": SQL_FUNNEL,
         "knn_cosine_ivf": SQL_KNN,
         "minhash_pairs": SQL_MINHASH_PLANTED,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,

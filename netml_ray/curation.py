@@ -634,6 +634,75 @@ def _dedup_and_digest(kept, id_col: str, num_partitions: int | None):
     return kept.map_batches(_final, batch_format="pyarrow")
 
 
+def curation_funnel(docs, *, lang: str = "en",
+                    max_dup_2gram: float = 0.06,
+                    max_top_2gram: float = 0.12,
+                    snippet_every: int = 97,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Per-stage survival counts for the curation chain — the drop
+    accounting every production pipeline needs before deleting 50% of
+    a corpus.  ONE narrow pass emits per-batch partial counts plus the
+    batch's unique redacted-text hashes; the driver sums counts and
+    unions hashes (bounded by survivors).  Stages: input → lang →
+    quality (Gopher) → repetition → decontaminated → deduped."""
+    import ray
+
+    from netml_ray.dedup import _sha64
+    from netml_ray.textops import Tokenized, gopher_quality_batch
+
+    bench = collect_benchmark_gram_hashes(
+        docs, id_col=id_col, text_col=text_col, every=snippet_every, n=13)
+    bench_ref = ray.put(np.sort(np.asarray(bench, dtype=np.uint64)))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n_input = t.num_rows
+        lang_ok = np.asarray(pc.equal(t["lang"], lang).to_numpy(
+            zero_copy_only=False), dtype=bool)
+        sel = t.filter(pa.array(lang_ok))
+        sel = normalize_batch(sel, text_col, "norm")
+        tok = Tokenized(sel["norm"], pattern=" ")
+        sel = gopher_quality_batch(sel, "norm", tok=tok)
+        sel = repetition_batch(sel, "norm", round_to=None, tok=tok)
+        g_ok = np.asarray(sel["gopher_keep"].to_numpy(
+            zero_copy_only=False), dtype=bool)
+        r_ok = ((sel["dup_2gram_frac"].to_numpy() <= max_dup_2gram)
+                & (sel["top_2gram_frac"].to_numpy() <= max_top_2gram))
+        surv = sel.filter(pa.array(g_ok & r_ok))
+        marked = _ngram_mark(surv, ray.get(bench_ref), text_col, 13, "__c")
+        clean_mask = ~np.asarray(marked["__c"].to_numpy(
+            zero_copy_only=False), dtype=bool)
+        final = marked.filter(pa.array(clean_mask))
+        red = final["norm"]
+        for _n, pat, tokrepl in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, tokrepl)
+        hashes = np.unique(_sha64(red.to_pylist()))
+        return pa.table({
+            "n_input": pa.array([n_input], type=pa.int64()),
+            "n_lang": pa.array([int(lang_ok.sum())], type=pa.int64()),
+            "n_quality": pa.array([int(g_ok.sum())], type=pa.int64()),
+            "n_repetition": pa.array([int((g_ok & r_ok).sum())],
+                                     type=pa.int64()),
+            "n_decontaminated": pa.array([int(clean_mask.sum())],
+                                         type=pa.int64()),
+            "hashes": pa.array([hashes.tobytes()], type=pa.binary()),
+        })
+
+    rows = docs.map_batches(_partial, batch_format="pyarrow").take_all()
+    sums = {k: sum(r[k] for r in rows)
+            for k in ["n_input", "n_lang", "n_quality", "n_repetition",
+                      "n_decontaminated"]}
+    all_h = (np.unique(np.concatenate(
+        [np.frombuffer(r["hashes"], dtype=np.int64) for r in rows]))
+        if rows else np.empty(0, np.int64))
+    stages = ["input", "lang", "quality", "repetition", "decontaminated",
+              "deduped"]
+    counts = [sums["n_input"], sums["n_lang"], sums["n_quality"],
+              sums["n_repetition"], sums["n_decontaminated"], len(all_h)]
+    return pa.table({"stage": pa.array(stages, type=pa.string()),
+                     "n_docs": pa.array(counts, type=pa.int64())})
+
+
 def curate_corpus_checkpointed(docs, out_dir: str, *, lang: str = "en",
                                max_dup_2gram: float = 0.06,
                                max_top_2gram: float = 0.12,

@@ -366,3 +366,23 @@ def test_pivot_agg_vs_pandas(ray_session):
                 got[f"{agg}_{c}"].to_numpy(dtype=np.float64),
                 exp[c].to_numpy(dtype=np.float64), rtol=1e-12,
                 equal_nan=True, err_msg=f"{agg}/{c}")
+
+
+def test_curation_funnel_consistent_with_pipeline(ray_session):
+    """Funnel counts are monotone and the deduped stage equals the
+    actual pipeline output row count."""
+    import ray.data as rd
+
+    from netml_ray.corpus import gen_documents
+    from netml_ray.curation import curate_corpus, curation_funnel
+
+    t = gen_documents(4000, seed=9)
+    f = curation_funnel(rd.from_arrow(t)).to_pandas()
+    assert f["stage"].tolist() == ["input", "lang", "quality",
+                                   "repetition", "decontaminated",
+                                   "deduped"]
+    n = f["n_docs"].tolist()
+    assert n[0] == 4000
+    assert all(a >= b for a, b in zip(n, n[1:]))  # monotone funnel
+    kept = curate_corpus(rd.from_arrow(t)).count()
+    assert n[-1] == kept
