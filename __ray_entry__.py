@@ -1840,6 +1840,7 @@ def q_curation_funnel_docs(sf_dir: str):
 
 
 # reuse the curation CTE chain; replace the final select with counts
+assert "ded AS" in SQL_CURATE, "SQL_FUNNEL derives from SQL_CURATE's CTEs"
 _CURATE_CTES = SQL_CURATE.split("ded AS")[0].rstrip().rstrip(",")
 
 SQL_FUNNEL = _CURATE_CTES + """
