@@ -390,11 +390,17 @@ def fit(algorithm: str, X: np.ndarray, **params):
     return cls(**params).fit(X)
 
 
-def score_dataset(ds, model, feature_col: str = "features", concurrency=(1, 8)):
+def score_dataset(ds, model, feature_col: str = "features", concurrency=None):
     """Distributed scoring: model broadcast once, actor pool per batch
-    (analog cli.py:200-202).  Appends a ``score`` column."""
+    (analog cli.py:200-202).  Appends a ``score`` column.  The actor
+    pool scales with the cluster (``auto_concurrency``) unless an
+    explicit ``concurrency`` is passed."""
     import ray
 
+    from netml_ray.partition import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
     ref = ray.put(model)
 
     class Scorer:

@@ -231,7 +231,7 @@ class MediaDecode:
         ds.map_batches(MediaDecode, fn_constructor_kwargs={
                            "decoder": fake_decoder, "resize": (16, 16)},
                        batch_format="pyarrow", batch_size=32,
-                       concurrency=8)
+                       concurrency=partition.auto_concurrency())
     """
 
     def __init__(

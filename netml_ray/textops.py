@@ -271,7 +271,8 @@ class ExtractText:
     Usage::
 
         ds.map_batches(ExtractText, batch_format="pyarrow",
-                       concurrency=8, batch_size=2048)
+                       concurrency=partition.auto_concurrency(),
+                       batch_size=2048)
 
     Adds ``text`` (extracted) and ``size`` (= len(html) bytes, the
     recast of the reference's per-packet ``len(pkt)``, parser.py:394),
