@@ -477,3 +477,35 @@ def test_ivf_query_batch_matches_single(ray_session, tmp_path):
         assert sub["vec_id"].tolist() == single["vec_id"].tolist()
         np.testing.assert_allclose(sub["cos_sim"].to_numpy(),
                                    single["cos_sim"].to_numpy(), rtol=1e-12)
+
+
+def test_simhash_cached_matches_reference():
+    """The cached unique-token path (per-actor vocab cache, count-
+    weighted bit votes) must be bit-identical to the per-occurrence
+    reference definition — including repeated words, unicode, empty
+    and single-token docs — and across repeated calls (cache hits)."""
+    from netml_ray.dedup import SimHasher
+
+    texts = [
+        "",
+        "word",
+        "the the the the only",
+        "a b c a b c a b c d",
+        "Z " * 500 + "tail",
+        "naïve café – unicode tokens répétés répétés",
+        "mixed CASE Mixed case MIXED",
+    ]
+    h = SimHasher()
+    for _ in range(2):  # second round exercises pure cache hits
+        for s in texts:
+            assert h.simhash64_cached(s) == SimHasher.simhash64(s), s
+    assert len(h._tok_cache) > 0
+
+    # the chunked batch path (the __call__ hot path) must agree too,
+    # across chunk boundaries and with empty docs in every position
+    import numpy as np
+
+    batch = ([""] + texts * 40 + [""] + texts + ["", ""])  # > 2 chunks
+    got = SimHasher()._sig_chunked(batch)
+    ref = np.array([SimHasher.simhash64(s) for s in batch], dtype=np.int64)
+    np.testing.assert_array_equal(got, ref)
