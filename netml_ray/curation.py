@@ -639,12 +639,20 @@ def curation_funnel(docs, *, lang: str = "en",
                     max_top_2gram: float = 0.12,
                     snippet_every: int = 97,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> pa.Table:
+                    id_col: str = "doc_id",
+                    distinct_driver_threshold: int = 4_000_000) -> pa.Table:
     """Per-stage survival counts for the curation chain — the drop
     accounting every production pipeline needs before deleting 50% of
     a corpus.  ONE narrow pass emits per-batch partial counts plus the
-    batch's unique redacted-text hashes; the driver sums counts and
-    unions hashes (bounded by survivors).  Stages: input → lang →
+    batch's unique redacted-text hashes; the scalar counts sum on the
+    driver (one row per batch).  The deduped-stage count is exact
+    COUNT(DISTINCT hash): below ``distinct_driver_threshold``
+    survivors the per-batch hash blobs union on the driver (bounded,
+    fast); above it the blobs explode into a narrow int64 column,
+    hash-partition by value, and each partition reports its unique
+    count — the driver only ever sums one small int per partition, so
+    a 10^12-row corpus never materializes per-doc data driver-side.
+    Forced-path equality is pytest-pinned.  Stages: input → lang →
     quality (Gopher) → repetition → decontaminated → deduped."""
     import ray
 
@@ -688,17 +696,41 @@ def curation_funnel(docs, *, lang: str = "en",
             "hashes": pa.array([hashes.tobytes()], type=pa.binary()),
         })
 
-    rows = docs.map_batches(_partial, batch_format="pyarrow").take_all()
-    sums = {k: sum(r[k] for r in rows)
-            for k in ["n_input", "n_lang", "n_quality", "n_repetition",
-                      "n_decontaminated"]}
-    all_h = (np.unique(np.concatenate(
-        [np.frombuffer(r["hashes"], dtype=np.int64) for r in rows]))
-        if rows else np.empty(0, np.int64))
+    count_cols = ["n_input", "n_lang", "n_quality", "n_repetition",
+                  "n_decontaminated"]
+    rows_ds = docs.map_batches(_partial, batch_format="pyarrow").materialize()
+    crows = rows_ds.select_columns(count_cols).take_all()
+    sums = {k: sum(r[k] for r in crows) for k in count_cols}
+
+    if sums["n_decontaminated"] <= distinct_driver_threshold:
+        hrows = rows_ds.select_columns(["hashes"]).take_all()
+        n_dedup = len(np.unique(np.concatenate(
+            [np.frombuffer(r["hashes"], dtype=np.int64) for r in hrows]))
+            ) if hrows else 0
+    else:
+        from netml_ray.partition import partition_map
+
+        def _explode(t: pa.Table) -> pa.Table:
+            blobs = [np.frombuffer(b, dtype=np.int64)
+                     for b in t["hashes"].to_pylist()]
+            allh = (np.concatenate(blobs) if blobs
+                    else np.empty(0, np.int64))
+            return pa.table({"h": pa.array(allh, type=pa.int64())})
+
+        h_ds = rows_ds.select_columns(["hashes"]).map_batches(
+            _explode, batch_format="pyarrow")
+
+        def _cnt(t: pa.Table) -> pa.Table:
+            n = int(len(np.unique(t["h"].to_numpy()))) if t.num_rows else 0
+            return pa.table({"n": pa.array([n], type=pa.int64())})
+
+        n_dedup = sum(r["n"] for r in partition_map(
+            h_ds, "h", _cnt).take_all())
+
     stages = ["input", "lang", "quality", "repetition", "decontaminated",
               "deduped"]
     counts = [sums["n_input"], sums["n_lang"], sums["n_quality"],
-              sums["n_repetition"], sums["n_decontaminated"], len(all_h)]
+              sums["n_repetition"], sums["n_decontaminated"], n_dedup]
     return pa.table({"stage": pa.array(stages, type=pa.string()),
                      "n_docs": pa.array(counts, type=pa.int64())})
 

@@ -386,3 +386,18 @@ def test_curation_funnel_consistent_with_pipeline(ray_session):
     assert all(a >= b for a, b in zip(n, n[1:]))  # monotone funnel
     kept = curate_corpus(rd.from_arrow(t)).count()
     assert n[-1] == kept
+
+def test_curation_funnel_distributed_distinct_path(ray_session):
+    """Forcing the distributed deduped-count path (threshold 0: hash
+    blobs explode into a narrow int64 shuffle, per-partition unique
+    counts sum) yields the exact same funnel as the driver-union path."""
+    import ray.data as rd
+
+    from netml_ray.corpus import gen_documents
+    from netml_ray.curation import curation_funnel
+
+    t = gen_documents(3000, seed=11)
+    driver = curation_funnel(rd.from_arrow(t)).to_pandas()
+    dist = curation_funnel(rd.from_arrow(t),
+                           distinct_driver_threshold=0).to_pandas()
+    assert driver.equals(dist)
