@@ -102,6 +102,28 @@ def sort_partition(t: pa.Table, keys: Sequence[str]) -> pa.Table:
     return t.sort_by([(k, "ascending") for k in keys])
 
 
+def pmap_driver_bytes() -> int:
+    """Byte budget for ``partition_map``'s driver fast path, read per
+    call so tests can force either path (``NETML_RAY_PMAP_DRIVER_BYTES``;
+    0 disables).  Default 128 MiB: big enough that every suite query at
+    bench SF skips the shuffle, far below any at-scale input."""
+    import os
+
+    try:
+        return int(os.environ.get("NETML_RAY_PMAP_DRIVER_BYTES",
+                                  str(128 * 2**20)))
+    except ValueError:
+        return 128 * 2**20
+
+
+def _collect_table(ds) -> pa.Table:
+    """Driver-side collect as ONE Arrow table (``to_pandas`` chokes on
+    ragged list columns, so go through pyarrow batches)."""
+    batches = list(ds.iter_batches(batch_format="pyarrow",
+                                   batch_size=None))
+    return pa.concat_tables(batches).combine_chunks()
+
+
 def partition_map(
     ds,
     key: str,
@@ -110,13 +132,40 @@ def partition_map(
     num_partitions: int | None = None,
     sort_by: Sequence[str] | None = None,
     drop_pid: bool = True,
+    driver_bytes: int | None = None,
 ):
     """Apply ``fn`` to key-complete partitions of ``ds``.
 
     ``fn`` gets one hash partition as a ``pa.Table`` (sorted by
     ``sort_by`` when given — always make the sort deterministic with a
     tiebreaker column) and returns a ``pa.Table``.
-    """
+
+    Small-input driver fast path: every ``fn`` passed here is
+    *run-segmented* — after the partition-local sort it operates
+    independently on each key's run — so applying it ONCE to the whole
+    sorted table is row-equivalent to the per-partition union (pinned
+    per op family by ``test_partition_map_fast_path``).  Below
+    ``driver_bytes`` (default ``pmap_driver_bytes()``; 0 disables) the
+    input collects to the driver and ``fn`` runs locally: at bench SF
+    the hash shuffle is pure fixed overhead.  The input is materialized
+    first either way — Ray's sort-based groupby re-executes lazy
+    upstream lineage during sampling, so the shuffle path wants a
+    materialized input too.  ``drop_pid=False`` consumers (their
+    output depends on the partition grouping itself, e.g.
+    ``pack_sequences``) never take the fast path."""
+    budget = pmap_driver_bytes() if driver_bytes is None else driver_bytes
+    if drop_pid and budget > 0:
+        ds = ds.materialize()
+        if 0 < ds.count() and (ds.size_bytes() or 0) <= budget:
+            import ray.data as rd
+
+            t = _collect_table(ds)
+            if sort_by is not None:
+                t = sort_partition(t, list(sort_by))
+            out = fn(t)
+            if PID in out.column_names:
+                out = out.drop_columns([PID])
+            return rd.from_arrow(out)
     if num_partitions is None:
         num_partitions = default_num_partitions()
     ds = add_pid(ds, key, num_partitions)
