@@ -353,6 +353,79 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING
 """
 
 
+def q_rolling_time_events(sf_dir: str):
+    """Time-RANGE rolling (last-3600s count/sum/mean per user) — the
+    'activity in the trailing hour' feature.  Both sides frame on the
+    SAME float epoch seconds (us/1e6 ≡ DuckDB epoch(ts)), so interval
+    boundaries agree bit-for-bit; sum/mean rounded to 9 dp on both
+    sides (cumsum-difference vs segment-tree aggregate ulp hedge)."""
+    from netml_ray.windows import add_rolling_time
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_rolling_time(ev, "user_id", "ts", "value",
+                           window_sec=3600.0, tiebreak="event_id",
+                           num_partitions=P)
+
+    def _round(t: pa.Table) -> pa.Table:
+        if not ORACLE_MODE:
+            return t
+        for c in ("rollt_sum", "rollt_mean"):
+            v = np.round(t[c].to_numpy(zero_copy_only=False), 9)
+            t = t.set_column(t.column_names.index(c), c, pa.array(v))
+        return t
+
+    out = out.map_batches(_round, batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "rollt_count",
+                               "rollt_sum", "rollt_mean"])
+
+
+SQL_ROLLING_TIME = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS rollt_count,
+       round(SUM(value) OVER w, 9) AS rollt_sum,
+       round(AVG(value) OVER w, 9) AS rollt_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600.0 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cumulative_events(sf_dir: str):
+    """Expanding per-user stats (running count/sum/mean) plus
+    since_first_sec (seconds since the user's first event — session
+    age).  since_first needs no hedge: both sides subtract the same
+    two IEEE doubles."""
+    from netml_ray.windows import add_cumulative
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_cumulative(ev, "user_id", "ts", "value",
+                         tiebreak="event_id", num_partitions=P)
+
+    def _round(t: pa.Table) -> pa.Table:
+        if not ORACLE_MODE:
+            return t
+        for c in ("cum_sum", "cum_mean"):
+            v = np.round(t[c].to_numpy(zero_copy_only=False), 9)
+            t = t.set_column(t.column_names.index(c), c, pa.array(v))
+        return t
+
+    out = out.map_batches(_round, batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "cum_count",
+                               "cum_sum", "cum_mean", "since_first_sec"])
+
+
+SQL_CUMULATIVE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS cum_count,
+       round(SUM(value) OVER w, 9) AS cum_sum,
+       round(AVG(value) OVER w, 9) AS cum_mean,
+       epoch(ts) - first_value(epoch(ts)) OVER w AS since_first_sec
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_rolling_quantile_events(sf_dir: str):
     from netml_ray.windows import add_rolling_quantile
 
@@ -1956,8 +2029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
         # -- relational / windowed / sessionization core
-        "q1_pricing": q_q1_pricing,
-        "orders_per_nation": q_orders_per_nation,
+        "rolling_time_events": q_rolling_time_events,
+        "cumulative_events": q_cumulative_events,
         "sessionize_events": q_sessionize_events,
         "sessionize_netml_events": q_sessionize_netml_events,
         "lag_lead_events": q_lag_lead_events,
@@ -2005,6 +2078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_flagship": q_crawl_flagship,
         "netml_two_stage_events": q_netml_two_stage_events,
         # oracled, green r01-r03, kernels covered by in-window queries
+        "q1_pricing": q_q1_pricing,
+        "orders_per_nation": q_orders_per_nation,
         "filter_project": q_filter_project,
         "topk_orders": q_topk_orders,
         "distinct_segments": q_distinct_segments,
@@ -2028,6 +2103,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_netml_events": SQL_SESSIONIZE_NETML,
         "lag_lead_events": SQL_LAG_LEAD,
         "rolling_events": SQL_ROLLING,
+        "rolling_time_events": SQL_ROLLING_TIME,
+        "cumulative_events": SQL_CUMULATIVE,
         "rolling_quantile_events": SQL_ROLLING_QUANTILE,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "session_stats_events": SQL_SESSION_STATS,

@@ -368,3 +368,140 @@ def pivot_agg(ds, key: str, cat_col: str, val_col: str, *,
 
     return partition_map(partials, key, _widen,
                          num_partitions=num_partitions)
+
+
+def _seg_searchsorted(codes: np.ndarray, a: np.ndarray, x: np.ndarray,
+                      side: str) -> np.ndarray:
+    """Segmented searchsorted, fully vectorized: for every row i,
+    the insertion position of ``x[i]`` within ITS OWN segment of ``a``
+    (segments = runs of ``codes``; ``a`` ascending within each run).
+
+    One lexsort of the 2n combined (segment, value, tag) rows replaces
+    a per-key searchsorted loop: with the tag ordered so targets sort
+    before equal data values (side='left') or after them ('right'),
+    each target's within-segment data count IS its insertion index.
+    Exact — float comparisons only, no composite-key arithmetic."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    tagd, tagt = (1, 0) if side == "left" else (0, 1)
+    vals = np.concatenate([a, x])
+    seg = np.concatenate([codes, codes])
+    tag = np.concatenate([np.full(n, tagd, np.int8),
+                          np.full(n, tagt, np.int8)])
+    rid = np.concatenate([np.zeros(n, np.int64),
+                          np.arange(n, dtype=np.int64)])
+    order = np.lexsort((tag, vals, seg))
+    is_data = tag[order] == tagd
+    cumd = np.cumsum(is_data)
+    segs = seg[order]
+    run_first = np.r_[True, segs[1:] != segs[:-1]]
+    start_pos = np.flatnonzero(run_first)
+    before = np.r_[0, cumd[start_pos[1:] - 1]]
+    run_id = np.cumsum(run_first) - 1
+    within = cumd - before[run_id]
+    tmask = ~is_data
+    res = np.empty(n, dtype=np.int64)
+    res[rid[order][tmask]] = within[tmask]
+    return res
+
+
+def _seg_starts_per_row(codes: np.ndarray) -> np.ndarray:
+    n = len(codes)
+    first = np.r_[True, codes[1:] != codes[:-1]]
+    starts = np.flatnonzero(first)
+    return np.repeat(starts, np.diff(np.r_[starts, n]))
+
+
+def add_rolling_time(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_sec: float,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Time-RANGE rolling aggregates per key: count/sum/mean of
+    ``value_col`` over the trailing ``[ts - window_sec, ts]`` interval
+    (SQL ``RANGE BETWEEN w PRECEDING AND CURRENT ROW`` on the epoch
+    seconds — both interval endpoints inclusive, equal-``ts`` peers
+    always included).  The core north-star shape: feature state as
+    "activity in the last hour" rather than "last N rows".
+
+    Vectorized: the interval's row bounds come from TWO segmented
+    searchsorted passes (one lexsort each, no per-key loop) and the
+    sums from one prefix-cumsum gather."""
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            for c, typ in (("rollt_count", pa.int64()),
+                           ("rollt_sum", pa.float64()),
+                           ("rollt_mean", pa.float64())):
+                t = t.append_column(c, pa.array([], type=typ))
+            return t
+        codes = _key_codes(t, key)
+        tsf = t[TS_SEC].to_numpy()
+        v = t[value_col].to_numpy().astype(np.float64)
+        seg0 = _seg_starts_per_row(codes)
+        lo = seg0 + _seg_searchsorted(codes, tsf, tsf - window_sec, "left")
+        hi = seg0 + _seg_searchsorted(codes, tsf, tsf, "right")
+        cnt = hi - lo
+        csum = np.r_[0.0, np.cumsum(v)]
+        s = csum[hi] - csum[lo]
+        t = t.append_column("rollt_count", pa.array(cnt.astype(np.int64)))
+        t = t.append_column("rollt_sum", pa.array(s))
+        t = t.append_column("rollt_mean", pa.array(s / cnt))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)
+
+
+def add_cumulative(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Expanding (cumulative) aggregates per key in ``(ts, tiebreak)``
+    order: running count/sum/mean of ``value_col`` plus
+    ``since_first_sec`` (seconds since the key's first event — session
+    age).  SQL ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW``.
+    One cumsum + one segment-offset gather; no per-key work."""
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            for c, typ in (("cum_count", pa.int64()),
+                           ("cum_sum", pa.float64()),
+                           ("cum_mean", pa.float64()),
+                           ("since_first_sec", pa.float64())):
+                t = t.append_column(c, pa.array([], type=typ))
+            return t
+        codes = _key_codes(t, key)
+        v = t[value_col].to_numpy().astype(np.float64)
+        tsf = t[TS_SEC].to_numpy()
+        seg0 = _seg_starts_per_row(codes)
+        idx = np.arange(n, dtype=np.int64)
+        cnt = idx - seg0 + 1
+        csum = np.cumsum(v)
+        base = np.r_[0.0, csum][seg0]
+        s = csum - base
+        t = t.append_column("cum_count", pa.array(cnt))
+        t = t.append_column("cum_sum", pa.array(s))
+        t = t.append_column("cum_mean", pa.array(s / cnt))
+        t = t.append_column("since_first_sec", pa.array(tsf - tsf[seg0]))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

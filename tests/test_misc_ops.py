@@ -75,3 +75,72 @@ def test_broadcast_join_duplicate_build_keys(ray_session):
     out2 = broadcast_join(ds, build, "k", how="inner",
                           on_duplicate="first").to_pandas()
     assert len(out2) == 1 and out2.loc[0, "val"] == 10
+
+
+def test_add_rolling_time_vs_bruteforce(ray_session):
+    """Time-RANGE rolling: vectorized segmented-searchsorted result ==
+    O(n^2) brute force, including EXACT boundary ties (events planted
+    exactly window_sec apart must be included — inclusive lower bound)
+    and equal-ts peers (RANGE includes all peers of the current row)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.windows import add_rolling_time
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    key = rng.integers(0, 23, n)
+    ts = np.round(rng.uniform(0, 10_000, n), 3)
+    ts[50] = ts[40]              # equal-ts peers within a key
+    key[50] = key[40]
+    ts[60] = ts[55] + 600.0      # exact boundary tie
+    key[60] = key[55]
+    v = rng.normal(size=n).round(3)
+    t = pa.table({"k": pa.array(key), "ts": pa.array(ts),
+                  "eid": pa.array(np.arange(n, dtype=np.int64)),
+                  "value": pa.array(v)})
+    got = (add_rolling_time(rd.from_arrow(t), "k", "ts", "value",
+                            window_sec=600.0, tiebreak="eid",
+                            num_partitions=6)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    for i in range(n):
+        m = (key == key[i]) & (ts >= ts[i] - 600.0) & (ts <= ts[i])
+        row = got[got["eid"] == i].iloc[0]
+        assert row["rollt_count"] == m.sum(), i
+        np.testing.assert_allclose(row["rollt_sum"], v[m].sum(),
+                                   rtol=0, atol=1e-9)
+
+
+def test_add_cumulative_vs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.windows import add_cumulative
+
+    rng = np.random.default_rng(8)
+    n = 1200
+    key = rng.integers(0, 17, n)
+    ts = np.round(rng.uniform(0, 5_000, n), 3)
+    v = rng.normal(size=n).round(3)
+    t = pa.table({"k": pa.array(key), "ts": pa.array(ts),
+                  "eid": pa.array(np.arange(n, dtype=np.int64)),
+                  "value": pa.array(v)})
+    got = (add_cumulative(rd.from_arrow(t), "k", "ts", "value",
+                          tiebreak="eid", num_partitions=6)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    df = pd.DataFrame({"k": key, "ts": ts, "eid": np.arange(n),
+                       "value": v}).sort_values(["k", "ts", "eid"])
+    g = df.groupby("k")["value"]
+    df["cum_count"] = g.cumcount() + 1
+    df["cum_sum"] = g.cumsum()
+    df["since"] = df["ts"] - df.groupby("k")["ts"].transform("first")
+    exp = df.sort_values("eid").reset_index(drop=True)
+    assert (got["cum_count"].to_numpy() == exp["cum_count"].to_numpy()).all()
+    np.testing.assert_allclose(got["cum_sum"], exp["cum_sum"], atol=1e-9)
+    np.testing.assert_allclose(got["cum_mean"],
+                               exp["cum_sum"] / exp["cum_count"], atol=1e-9)
+    np.testing.assert_allclose(got["since_first_sec"], exp["since"],
+                               atol=0)

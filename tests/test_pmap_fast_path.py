@@ -42,7 +42,8 @@ def test_fast_path_windows_and_sessionize(ray_session, monkeypatch):
     import ray.data as rd
 
     from netml_ray.sessionize import sessionize_simple
-    from netml_ray.windows import (add_lag_lead, add_rolling,
+    from netml_ray.windows import (add_cumulative, add_lag_lead,
+                                   add_rolling, add_rolling_time,
                                    groupby_quantiles, pivot_agg)
 
     t = _events()
@@ -55,15 +56,20 @@ def test_fast_path_windows_and_sessionize(ray_session, monkeypatch):
                            tiebreak="event_id").to_pandas()
         roll = add_rolling(rd.from_arrow(t), "user_id", "ts", "value",
                            window=4, tiebreak="event_id").to_pandas()
+        rollt = add_rolling_time(rd.from_arrow(t), "user_id", "ts",
+                                 "value", window_sec=120.0,
+                                 tiebreak="event_id").to_pandas()
+        cum = add_cumulative(rd.from_arrow(t), "user_id", "ts", "value",
+                             tiebreak="event_id").to_pandas()
         gq = groupby_quantiles(rd.from_arrow(t), "user_id", "value",
                                [0.25, 0.5, 0.9]).to_pandas()
         piv = pivot_agg(rd.from_arrow(t), "user_id", "etype", "value",
                         categories=["a", "b", "c"], agg="sum").to_pandas()
-        return sess, lag, roll, gq, piv
+        return sess, lag, roll, rollt, cum, gq, piv
 
     dist, fast = _both_ways(monkeypatch, run)
     for d, f, keys in zip(dist, fast,
-                          (["user_id", "event_id"],) * 3
+                          (["user_id", "event_id"],) * 5
                           + (["user_id"],) * 2):
         pd.testing.assert_frame_equal(_norm(d, keys), _norm(f, keys))
 
