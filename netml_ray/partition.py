@@ -165,6 +165,17 @@ def partition_map(
             out = fn(t)
             if PID in out.column_names:
                 out = out.drop_columns([PID])
+            # return MULTIPLE blocks (zero-copy slices): a single-block
+            # result serializes downstream stages — Ray's sort-based
+            # groupby/aggregate in particular runs its whole partial
+            # phase in ONE task (measured 11 s vs 3 s on a 100k-row
+            # groupby that follows sessionize)
+            n = out.num_rows
+            npart = min(default_num_partitions(), max(1, n))
+            if n and npart > 1:
+                step = -(-n // npart)
+                return rd.from_arrow(
+                    [out.slice(i, step) for i in range(0, n, step)])
             return rd.from_arrow(out)
     if num_partitions is None:
         num_partitions = default_num_partitions()
