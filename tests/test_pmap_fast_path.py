@@ -142,3 +142,57 @@ def test_fast_path_respects_drop_pid_false(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["doc_id"]),
                                   _norm(fast, ["doc_id"]))
+
+
+def test_fast_path_two_sided_joins(ray_session, monkeypatch):
+    """partition_map2 driver fast path (both sides under the byte
+    budget → collect, sort, ONE fn application) must match the
+    co-partitioned shuffle for every two-sided consumer family:
+    hash_join inner/left/full, backward as-of join (strict and not),
+    and the dedup anti-join."""
+    import ray.data as rd
+
+    from netml_ray.asof import asof_join
+    from netml_ray.dedup import dedup_exact
+    from netml_ray.joins import hash_join
+
+    rng = np.random.default_rng(9)
+    nl, nr = 3000, 800
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 300, nl)),
+        "lv": pa.array(rng.normal(size=nl).round(3)),
+        "ts": pa.array(np.sort(rng.uniform(0, 1000, nl)).round(3)),
+        "lid": pa.array(np.arange(nl, dtype=np.int64)),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 400, nr)),  # some keys unmatched
+        "rv": pa.array(rng.normal(size=nr).round(3)),
+        "rts": pa.array(np.sort(rng.uniform(0, 1000, nr)).round(3)),
+    })
+
+    def run():
+        outs = []
+        for how in ("inner", "left", "full"):
+            outs.append(hash_join(rd.from_arrow(left),
+                                  rd.from_arrow(right), "k", how=how,
+                                  num_partitions=6).to_pandas())
+        for strict in (False, True):
+            outs.append(asof_join(rd.from_arrow(left),
+                                  rd.from_arrow(right), "k", "ts", "rts",
+                                  strict=strict, left_tiebreak="lid",
+                                  num_partitions=6).to_pandas())
+        texts = [f"body {i % 150}" for i in range(1000)]
+        docs = pa.table({"doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+                         "text": pa.array(texts)})
+        outs.append(dedup_exact(rd.from_arrow(docs),
+                                narrow_collect_threshold=None,
+                                broadcast_threshold=0,
+                                num_partitions=6).to_pandas())
+        return outs
+
+    dist, fast = _both_ways(monkeypatch, run)
+    sort_keys = [None, None, None, ["lid"], ["lid"], ["doc_id"]]
+    for d, f, keys in zip(dist, fast, sort_keys):
+        if keys is None:
+            keys = [c for c in d.columns]
+        pd.testing.assert_frame_equal(_norm(d, keys), _norm(f, keys))
