@@ -889,6 +889,118 @@ def q_fingerprint_docs(sf_dir: str):
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
 
 
+def q_lm_bits_docs(sf_dir: str):
+    """CCNet-style LM quality signal: add-alpha bigram model trained on
+    the corpus itself (one narrow count shuffle), broadcast once, and
+    every doc scored as average -log2 P per bigram in one vectorized
+    pass (textstats.bigram_lm_bits)."""
+    from netml_ray.textstats import bigram_lm_bits
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_lm_bits(docs, alpha=0.5)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return _hedge_round_cols(t, ["lm_bits"], 6)
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_LM_BITS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS pos
+  FROM d
+), bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM bg GROUP BY w1, w2
+), cc AS (
+  SELECT w1, SUM(cb) AS cu FROM bc GROUP BY w1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vs FROM tok
+), scored AS (
+  SELECT g.doc_id,
+         log2((COALESCE(bc.cb, 0) + 0.5)
+              / (COALESCE(cc.cu, 0) + 0.5 * v.vs)) AS lp
+  FROM bg g
+  LEFT JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+  LEFT JOIN cc ON g.w1 = cc.w1
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(lp) AS sm FROM scored GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN p.n > 0 THEN round(-p.sm / p.n, 6) END AS lm_bits
+FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_tfidf_docs(sf_dir: str):
+    """Top-5 TF-IDF terms per doc (smoothed idf, broadcast df table,
+    one vectorized scoring pass with lexsort rank-within-doc)."""
+    from netml_ray.textstats import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=5)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return _hedge_round_cols(t, ["tfidf"], 9)
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_TFIDF = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM d
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents)
+SELECT doc_id, w AS term, tf,
+       round(tf * (ln((n.nd + 1) / (df.df + 1)) + 1.0), 9) AS tfidf
+FROM tf JOIN df USING (w) CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY tf * (ln((n.nd + 1) / (df.df + 1)) + 1.0) DESC, w) <= 5
+"""
+
+
+def q_keyword_search_docs(sf_dir: str):
+    """Boolean retrieval through the materialized inverted index
+    (built once per sf_dir, cached under /tmp): AND of three terms
+    reads only those terms' hash shards.  Oracle = brute-force token
+    membership SQL over the whole table."""
+    import hashlib as _hl
+
+    from netml_ray.invindex import InvertedIndex
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx_dir = ("/tmp/netml_ray_inv_"
+               + _hl.sha1(sf_dir.encode()).hexdigest()[:12])
+    try:
+        idx = InvertedIndex.load(idx_dir)
+    except Exception:
+        idx = InvertedIndex.build(docs, idx_dir, num_shards=16)
+    hits = idx.search(["customer", "spark", "window"], mode="and")
+    return pa.table({"doc_id": pa.array(hits, type=pa.int64())})
+
+
+SQL_KEYWORD_SEARCH = r"""
+SELECT doc_id FROM documents
+WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'customer')
+  AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'spark')
+  AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'window')
+"""
+
+
 def q_knn_cosine(sf_dir: str):
     from netml_ray.similarity import knn_cosine
 
@@ -2088,6 +2200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_counts": q_session_type_counts,
         "props_extract_events": q_props_extract_events,
         "explode_embeddings": q_explode_embeddings,
+        # oracled, added round 4 (corpus-statistics scorers)
+        "lm_bits_docs": q_lm_bits_docs,
+        "tfidf_docs": q_tfidf_docs,
+        "keyword_search_docs": q_keyword_search_docs,
     }
 
 
@@ -2153,4 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_docs": SQL_SIMHASH_NEAR,
         "lang_id_docs": _build_lang_sql(),
         "events_flagship": SQL_EVENTS_FLAGSHIP,
+        "lm_bits_docs": SQL_LM_BITS,
+        "tfidf_docs": SQL_TFIDF,
+        "keyword_search_docs": SQL_KEYWORD_SEARCH,
     }

@@ -1,0 +1,185 @@
+"""Sharded inverted index + boolean keyword search.
+
+Boolean retrieval over a document corpus, built Ray-Data-first:
+
+  build   one narrow ``(token, doc_id)`` exchange — per-batch partials
+          emit each doc's DISTINCT tokens (the map-side dedup that
+          keeps the shuffle at one row per posting, not per
+          occurrence) → hash-partition by token → each partition
+          writes ONE deterministically-named parquet shard of
+          ``(token, postings list<int64>)`` rows with sorted postings.
+          A task retry overwrites its shard (never duplicates), and
+          ``meta.json`` records the exact file list — the same
+          manifest discipline as ``similarity.IVFIndex``.
+
+  search  a term's shard is ``hash(term) % P`` — a query reads ONLY
+          its terms' shards (parquet row-group predicate pushdown on
+          the sorted ``token`` column), then intersects/unions the
+          sorted postings with ``np.intersect1d`` / ``union1d``.
+          Read bytes scale with terms requested, never corpus size.
+
+All I/O routes through ``pyarrow.fs`` (URI or ``filesystem=``) so
+shards land on shared storage on a real cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from netml_ray.similarity import _fs_exists, _resolve_fs
+
+__all__ = ["InvertedIndex"]
+
+
+class InvertedIndex:
+    """Materialized token → sorted-postings index.
+
+    Layout::
+
+        index_dir/
+          meta.json                # num_shards, id_col, files, n_docs
+          shard=<s>/data.parquet   # (token, postings list<int64>) sorted by token
+    """
+
+    def __init__(self, index_dir: str, meta: dict, filesystem=None):
+        self.fs, self.index_dir = _resolve_fs(index_dir, filesystem)
+        self.meta = meta
+
+    # -- construction --------------------------------------------------
+    @staticmethod
+    def build(ds, index_dir: str, *, text_col: str = "text",
+              id_col: str = "doc_id", num_shards: int | None = None,
+              filesystem=None) -> "InvertedIndex":
+        import json
+
+        import pyarrow.parquet as pq
+
+        from netml_ray.partition import default_num_partitions, partition_map
+
+        fs, root = _resolve_fs(index_dir, filesystem)
+        if num_shards is None:
+            num_shards = default_num_partitions()
+        n_docs = ds.count()
+
+        def _postings_partial(t: pa.Table) -> pa.Table:
+            toks: list[str] = []
+            ids: list[int] = []
+            id_np = t[id_col].to_numpy()
+            for i, s in enumerate(t[text_col].to_pylist()):
+                u = sorted(set(s.split())) if s else ()
+                toks.extend(u)
+                ids.extend([int(id_np[i])] * len(u))
+            return pa.table({"token": pa.array(toks, type=pa.string()),
+                             id_col: pa.array(ids, type=pa.int64())})
+
+        pairs = (ds.select_columns([id_col, text_col])
+                 .map_batches(_postings_partial, batch_format="pyarrow"))
+        fs.create_dir(root, recursive=True)
+
+        def _write(t: pa.Table) -> pa.Table:
+            # one partition owns its tokens entirely (hash-partitioned
+            # by token), so this shard's file is written exactly once;
+            # drop_pid=False hands us __pid = the shard id
+            from netml_ray.partition import PID
+
+            sid = int(t[PID][0].as_py()) if t.num_rows else -1
+            t = (t.drop_columns([PID])
+                 .sort_by([("token", "ascending"), (id_col, "ascending")]))
+            tok = t["token"]
+            ids = t[id_col].to_numpy()
+            # run-length by token → one postings list per token
+            enc = tok.combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy()
+            starts = (np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+                      if len(codes) else np.empty(0, dtype=np.int64))
+            offsets = np.r_[starts, len(codes)].astype(np.int32)
+            utoks = tok.take(pa.array(starts))
+            postings = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(ids, type=pa.int64()))
+            out = pa.table({"token": utoks, "postings": postings})
+            if out.num_rows == 0 or sid < 0:
+                return pa.table({"shard": pa.array([], type=pa.int64()),
+                                 "file": pa.array([], type=pa.string()),
+                                 "tokens": pa.array([], type=pa.int64())})
+            sdir = f"{root}/shard={sid}"
+            fs.create_dir(sdir, recursive=True)
+            tmp = f"{sdir}/.data.parquet.tmp"
+            pq.write_table(out, tmp, filesystem=fs)
+            fs.move(tmp, f"{sdir}/data.parquet")
+            return pa.table({"shard": pa.array([sid], type=pa.int64()),
+                             "file": pa.array([f"shard={sid}/data.parquet"],
+                                              type=pa.string()),
+                             "tokens": pa.array([out.num_rows],
+                                                type=pa.int64())})
+
+        marker = partition_map(pairs, "token", _write,
+                               num_partitions=num_shards,
+                               drop_pid=False,  # shard = partition, never fast-path
+                               driver_bytes=0)
+        written = marker.to_pandas()
+        files = {str(int(r["shard"])): r["file"]
+                 for _, r in written.iterrows()}
+        meta = {"num_shards": int(num_shards), "id_col": id_col,
+                "n_docs": int(n_docs), "files": files}
+        with fs.open_output_stream(f"{root}/meta.json") as f:
+            f.write(json.dumps(meta).encode())
+        return InvertedIndex(root, meta, filesystem=fs)
+
+    @staticmethod
+    def load(index_dir: str, filesystem=None) -> "InvertedIndex":
+        import json
+
+        fs, root = _resolve_fs(index_dir, filesystem)
+        with fs.open_input_stream(f"{root}/meta.json") as f:
+            meta = json.loads(f.read().decode())
+        missing = [p for p in meta["files"].values()
+                   if not _fs_exists(fs, f"{root}/{p}")]
+        if missing:
+            raise ValueError(f"index at {root} is missing shards "
+                             f"{missing[:5]} — rebuild the index")
+        return InvertedIndex(root, meta, filesystem=fs)
+
+    # -- query ---------------------------------------------------------
+    def _shard_of(self, term: str) -> int:
+        from netml_ray.hashing import hash_column
+
+        return int(hash_column(pa.array([term], type=pa.string()))
+                   % np.uint64(self.meta["num_shards"]))
+
+    def postings(self, term: str) -> np.ndarray:
+        """Sorted doc ids containing ``term`` (reads ONE shard file,
+        pushed down to the row groups covering the token)."""
+        import pyarrow.dataset as pads
+
+        path = self.meta["files"].get(str(self._shard_of(term)))
+        if path is None:
+            return np.empty(0, dtype=np.int64)
+        dset = pads.dataset(f"{self.index_dir}/{path}", filesystem=self.fs)
+        t = dset.to_table(filter=pads.field("token") == term)
+        if t.num_rows == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.asarray(t["postings"][0].as_py(), dtype=np.int64)
+
+    def search(self, terms, *, mode: str = "and") -> np.ndarray:
+        """Sorted doc ids matching ALL (``and``) / ANY (``or``) terms.
+        Terms are deduplicated; AND evaluates rarest-first so the
+        working set only shrinks."""
+        terms = sorted(set(terms))
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        posts = [self.postings(t) for t in terms]
+        if mode == "or":
+            out = posts[0]
+            for p in posts[1:]:
+                out = np.union1d(out, p)
+            return out
+        if mode != "and":
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        posts.sort(key=len)
+        out = posts[0]
+        for p in posts[1:]:
+            if not len(out):
+                break
+            out = np.intersect1d(out, p, assume_unique=True)
+        return out

@@ -1,0 +1,69 @@
+"""Inverted index: build/load/search vs brute-force membership."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+DOCS = [
+    "the cat sat on the mat",
+    "the dog sat",
+    "cat and dog",
+    "",
+    "mat mat mat",          # repeated token → ONE posting
+    "unrelated words here",
+]
+
+
+@pytest.fixture()
+def built(ray_session, tmp_path):
+    import ray.data as rd
+
+    from netml_ray.invindex import InvertedIndex
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+        "text": pa.array(DOCS)}))
+    return InvertedIndex.build(ds, str(tmp_path / "idx"), num_shards=4)
+
+
+def _brute(terms, mode="and"):
+    sets = [set(i for i, d in enumerate(DOCS) if t in d.split())
+            for t in terms]
+    out = sets[0]
+    for s in sets[1:]:
+        out = out & s if mode == "and" else out | s
+    return sorted(out)
+
+
+def test_postings_sorted_and_deduped(built):
+    np.testing.assert_array_equal(built.postings("mat"), [0, 4])
+    np.testing.assert_array_equal(built.postings("the"), [0, 1])
+    assert len(built.postings("zebra")) == 0
+
+
+def test_search_and_or(built):
+    np.testing.assert_array_equal(built.search(["cat", "sat"]),
+                                  _brute(["cat", "sat"]))
+    np.testing.assert_array_equal(built.search(["cat", "dog"], mode="or"),
+                                  _brute(["cat", "dog"], "or"))
+    np.testing.assert_array_equal(built.search(["cat", "zebra"]), [])
+    np.testing.assert_array_equal(built.search(["dog", "dog"]),
+                                  _brute(["dog"]))  # dup terms collapse
+    assert len(built.search([])) == 0
+    with pytest.raises(ValueError):
+        built.search(["cat"], mode="xor")
+
+
+def test_load_roundtrip_and_missing_shard(built, tmp_path):
+    import shutil
+
+    from netml_ray.invindex import InvertedIndex
+
+    idx = InvertedIndex.load(built.index_dir)
+    np.testing.assert_array_equal(idx.search(["cat", "sat"]),
+                                  _brute(["cat", "sat"]))
+    shard = next(iter(idx.meta["files"].values()))
+    shutil.rmtree(f"{built.index_dir}/{shard.split('/')[0]}")
+    with pytest.raises(ValueError, match="missing shards"):
+        InvertedIndex.load(built.index_dir)

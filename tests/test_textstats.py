@@ -1,0 +1,145 @@
+"""Corpus-statistics scorers (bigram LM bits, TF-IDF) vs brute force."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+DOCS = [
+    "the cat sat on the mat",
+    "the cat ran",
+    "dog ran fast",
+    "",                      # empty → 0 bigrams, NULL bits
+    "solo",                  # 1 token → 0 bigrams, NULL bits
+    "the cat sat on the mat",   # exact dup of doc 0
+    "mat the on sat cat the",   # reversed — different bigrams
+]
+
+
+def _brute_lm(docs, alpha=0.5):
+    toks = [d.split() for d in docs]
+    stream = [w for t in toks for w in t]
+    vocab = sorted(set(stream))
+    bc = {}
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    cu = {}
+    for (a, _), n in bc.items():
+        cu[a] = cu.get(a, 0) + n
+    out = []
+    for i, t in enumerate(toks):
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            out.append((i, 0, None))
+            continue
+        s = sum(math.log2((bc.get(p, 0) + alpha)
+                          / (cu.get(p[0], 0) + alpha * len(vocab)))
+                for p in pairs)
+        out.append((i, len(pairs), -s / len(pairs)))
+    return out
+
+
+def test_bigram_lm_bits_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from netml_ray.textstats import bigram_lm_bits
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+        "text": pa.array(DOCS)}))
+    got = (bigram_lm_bits(ds, alpha=0.5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = _brute_lm(DOCS)
+    assert list(got["n_bigrams"]) == [e[1] for e in exp]
+    for g, e in zip(got["lm_bits"], [e[2] for e in exp]):
+        if e is None:
+            assert pd.isna(g)
+        else:
+            assert g == pytest.approx(e, abs=1e-12)
+    # the exact-dup doc scores identically to its original
+    assert got.loc[5, "lm_bits"] == got.loc[0, "lm_bits"]
+    # reversed word order → different bigrams → different (higher) bits
+    assert got.loc[6, "lm_bits"] > got.loc[0, "lm_bits"]
+
+
+def test_bigram_lm_injected_model(ray_session):
+    """Train on a clean subset, score everything (the CCNet shape)."""
+    import ray.data as rd
+
+    from netml_ray.textstats import bigram_counts, bigram_lm_bits, doc_frequency
+
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["the cat sat", "the cat ran"])}))
+    score = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["the cat sat", "zebra quux"])}))
+    counts = bigram_counts(train).materialize()
+    vs = doc_frequency(train).count()
+    got = (bigram_lm_bits(score, counts=counts, vocab_size=vs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # in-distribution doc scores low; OOV doc gets the unseen penalty
+    # -log2(alpha / (alpha * V)) = log2(V)
+    assert got.loc[0, "lm_bits"] < got.loc[1, "lm_bits"]
+    assert got.loc[1, "lm_bits"] == pytest.approx(math.log2(vs), abs=1e-12)
+
+
+def _brute_tfidf(docs, k=3):
+    toks = [d.split() for d in docs]
+    n = len(docs)
+    df = {}
+    for t in toks:
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    rows = []
+    for i, t in enumerate(toks):
+        tf = {}
+        for w in t:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((w, c, c * (math.log((n + 1) / (df[w] + 1)) + 1.0))
+             for w, c in tf.items()),
+            key=lambda x: (-x[2], x[0]))[:k]
+        rows += [(i, w, c, s) for w, c, s in scored]
+    return pd.DataFrame(rows, columns=["doc_id", "term", "tf", "tfidf"])
+
+
+def test_tfidf_top_terms_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from netml_ray.textstats import tfidf_top_terms
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+        "text": pa.array(DOCS)}))
+    got = (tfidf_top_terms(ds, k=3).to_pandas()
+           .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    exp = (_brute_tfidf(DOCS, k=3)
+           .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["term"]) == list(exp["term"])
+    assert list(got["tf"]) == list(exp["tf"])
+    np.testing.assert_allclose(got["tfidf"], exp["tfidf"], atol=1e-12)
+
+
+def test_prune_thresholds(ray_session):
+    """min_count / min_df drop the long tail (broadcastability prune)."""
+    import ray.data as rd
+
+    from netml_ray.textstats import bigram_counts, doc_frequency
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b a b", "a b c", "rare pair"])}))
+    full = bigram_counts(ds).to_pandas()
+    pruned = bigram_counts(ds, min_count=2).to_pandas()
+    assert set(map(tuple, pruned[["w1", "w2"]].values)) == {("a", "b")}
+    assert len(full) > len(pruned)
+    df_full = doc_frequency(ds).to_pandas()
+    df_pruned = doc_frequency(ds, min_df=2).to_pandas()
+    assert set(df_pruned["token"]) == {"a", "b"}
+    assert len(df_full) > len(df_pruned)
