@@ -1001,6 +1001,59 @@ WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'customer')
 """
 
 
+def q_bm25_docs(sf_dir: str):
+    """Ranked retrieval: top-20 docs by BM25 (k1=1.5, b=0.75, Lucene
+    idf) against a 3-term query.  Corpus stats from narrow partial
+    passes; sort on the ROUNDED score so the tie order matches the SQL
+    exactly (hedge is a no-op with ORACLE_MODE=0)."""
+    from netml_ray.textstats import bm25_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_scores(docs, ["customer", "spark", "window"])
+
+    def _round(t: pa.Table) -> pa.Table:
+        return _hedge_round_cols(t, ["bm25"], 6)
+
+    return (out.map_batches(_round, batch_format="pyarrow")
+            .sort(["bm25", "doc_id"], descending=[True, False]).limit(20))
+
+
+SQL_BM25 = r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+  FROM documents
+), st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(len(words)) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         CAST(SUM(CASE WHEN list_contains(words, 'customer') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(SUM(CASE WHEN list_contains(words, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+         CAST(SUM(CASE WHEN list_contains(words, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+  FROM d
+), sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(words, w -> w = 'customer')) AS DOUBLE) AS tf1,
+    CAST(len(list_filter(words, w -> w = 'spark')) AS DOUBLE) AS tf2,
+    CAST(len(list_filter(words, w -> w = 'window')) AS DOUBLE) AS tf3,
+    CAST(len(words) AS DOUBLE) AS dl
+  FROM d
+), scored AS (
+  SELECT doc_id,
+    ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+      * (tf1 * 2.5 / (tf1 + 1.5 * (0.25 + 0.75 * dl / st.avgdl)))
+    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+      * (tf2 * 2.5 / (tf2 + 1.5 * (0.25 + 0.75 * dl / st.avgdl)))
+    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+      * (tf3 * 2.5 / (tf3 + 1.5 * (0.25 + 0.75 * dl / st.avgdl))) AS score
+  FROM sc CROSS JOIN st
+)
+SELECT doc_id, round(score, 6) AS bm25 FROM scored
+WHERE score > 0
+ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+"""
+
+
 def q_knn_cosine(sf_dir: str):
     from netml_ray.similarity import knn_cosine
 
@@ -2204,6 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bits_docs": q_lm_bits_docs,
         "tfidf_docs": q_tfidf_docs,
         "keyword_search_docs": q_keyword_search_docs,
+        "bm25_docs": q_bm25_docs,
     }
 
 
@@ -2272,4 +2326,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_bits_docs": SQL_LM_BITS,
         "tfidf_docs": SQL_TFIDF,
         "keyword_search_docs": SQL_KEYWORD_SEARCH,
+        "bm25_docs": SQL_BM25,
     }

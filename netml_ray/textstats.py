@@ -42,8 +42,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["bigram_counts", "bigram_lm_bits", "doc_frequency",
-           "tfidf_top_terms"]
+__all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
+           "doc_frequency", "tfidf_top_terms"]
 
 
 def _tokens_and_bounds(col) -> tuple[list[str], np.ndarray]:
@@ -237,6 +237,93 @@ def doc_frequency(ds, *, text_col: str = "text", min_df: int = 1):
     if min_df > 1:
         agg = agg.filter(expr=f"df >= {min_df}")
     return agg
+
+
+def bm25_scores(ds, terms, *, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.5, b: float = 0.75):
+    """BM25 relevance of every doc against a small query-term set
+    (Robertson/Sparck Jones; the Lucene ``ln(1 + (N-df+.5)/(df+.5))``
+    idf variant).  Returns ``(id, bm25)`` for docs matching at least
+    one term — rank with ``.sort(descending)`` + ``limit`` downstream.
+
+    Corpus statistics (per-term df, N, average doc length) come from
+    one narrow partial pass each; the per-term df partial only emits
+    the QUERY terms, so the exchange is O(terms × batches) however
+    large the corpus vocabulary is.  Scoring is one broadcast-model
+    ``map_batches`` pass: per term a vectorized membership mask +
+    ``bincount`` tf — no per-row Python beyond the tokenizing split.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from netml_ray.partition import auto_concurrency
+
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ds = ds.materialize()
+    n_docs = ds.count()
+    tset = tuple(terms)
+
+    def _stats_partial(t: pa.Table) -> pa.Table:
+        # per-batch: doc-length sum + per-query-term df partials
+        from collections import Counter
+
+        c: Counter = Counter()
+        dl_sum = 0
+        for s in t[text_col].to_pylist():
+            w = s.split() if s else []
+            dl_sum += len(w)
+            ws = set(w)
+            for q in tset:
+                if q in ws:
+                    c[q] += 1
+        return pa.table({
+            "term": pa.array(list(tset) + ["\x00dl"], type=pa.string()),
+            "n": pa.array([c.get(q, 0) for q in tset] + [dl_sum],
+                          type=pa.int64())})
+
+    stats = (ds.map_batches(_stats_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    smap = dict(zip(stats["term"], stats["n"]))
+    avgdl = smap.pop("\x00dl", 0) / max(n_docs, 1)
+    idf = np.array([np.log(1.0 + (n_docs - smap.get(q, 0) + 0.5)
+                           / (smap.get(q, 0) + 0.5)) for q in tset])
+    model_ref = ray.put((tset, idf, float(avgdl), float(k1), float(b)))
+
+    class _Score:
+        def __init__(self):
+            (self.terms, self.idf, self.avgdl,
+             self.k1, self.b) = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks, counts = _tokens_and_bounds(t[text_col])
+            empty = pa.table({
+                id_col: pa.array([], type=t.schema.field(id_col).type),
+                "bm25": pa.array([], type=pa.float64())})
+            if not toks:
+                return empty
+            arr = np.asarray(toks, dtype=object)
+            doc_ix = np.repeat(np.arange(len(counts)), counts)
+            dl = counts.astype(np.float64)
+            denom_dl = self.k1 * (1.0 - self.b
+                                  + self.b * dl / (self.avgdl or 1.0))
+            score = np.zeros(len(counts), dtype=np.float64)
+            for qi, q in enumerate(self.terms):
+                tf = np.bincount(doc_ix[arr == q],
+                                 minlength=len(counts)).astype(np.float64)
+                score += self.idf[qi] * (tf * (self.k1 + 1.0)
+                                         / (tf + denom_dl))
+            hit = score > 0.0
+            if not hit.any():
+                return empty
+            return pa.table({
+                id_col: t[id_col].take(pa.array(np.flatnonzero(hit))),
+                "bm25": pa.array(score[hit], type=pa.float64())})
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          concurrency=auto_concurrency())
 
 
 def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",

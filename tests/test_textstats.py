@@ -126,6 +126,43 @@ def test_tfidf_top_terms_matches_brute_force(ray_session):
     np.testing.assert_allclose(got["tfidf"], exp["tfidf"], atol=1e-12)
 
 
+def test_bm25_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from netml_ray.textstats import bm25_scores
+
+    terms = ["cat", "mat"]
+    k1, b = 1.5, 0.75
+    n = len(DOCS)
+    toks = [d.split() for d in DOCS]
+    avgdl = sum(len(t) for t in toks) / n
+    df = {q: sum(q in t for t in toks) for q in terms}
+    exp = {}
+    for i, t in enumerate(toks):
+        s = 0.0
+        for q in sorted(terms):
+            tf = t.count(q)
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * len(t) / avgdl)))
+        if s > 0:
+            exp[i] = s
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(DOCS)}))
+    got = (bm25_scores(ds, terms, k1=k1, b=b).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert set(got["doc_id"]) == set(exp)
+    for _, r in got.iterrows():
+        assert r["bm25"] == pytest.approx(exp[r["doc_id"]], abs=1e-12)
+    # doc with both terms outranks single-term docs
+    best = got.loc[got["bm25"].idxmax(), "doc_id"]
+    assert best in (0, 5)  # "the cat sat on the mat" variants
+    with pytest.raises(ValueError):
+        bm25_scores(ds, [])
+
+
 def test_prune_thresholds(ray_session):
     """min_count / min_df drop the long tail (broadcastability prune)."""
     import ray.data as rd
