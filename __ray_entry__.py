@@ -1001,6 +1001,65 @@ WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'customer')
 """
 
 
+def q_scaled_events(sf_dir: str):
+    """Fit-then-transform feature scaling: one partial-moments pass
+    (8 doubles per batch per column, no shuffle) fits mean/std; the
+    z-score transform is a stateless vectorized pass with the tiny fit
+    broadcast in the closure (mlprep.fit_scaler/transform_scaled)."""
+    from netml_ray.mlprep import fit_scaler, transform_scaled
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    fit = fit_scaler(ev, ["value"])
+    out = transform_scaled(ev, fit, mode="standard")
+
+    def _round(t: pa.Table) -> pa.Table:
+        return _hedge_round_cols(t, ["value_scaled"], 9)
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_SCALED_EVENTS = r"""
+WITH st AS (
+  SELECT AVG(value) AS m, stddev_pop(value) AS sd FROM events
+)
+SELECT event_id, value,
+       round(CASE WHEN st.sd > 0 THEN (value - st.m) / st.sd
+                  ELSE 0.0 END, 9) AS value_scaled
+FROM events CROSS JOIN st
+"""
+
+
+def q_heavy_hitters_docs(sf_dir: str):
+    """Misra-Gries heavy hitters over the corpus token stream: O(k)
+    state per block, O(blocks*k) rows to the driver, NO vocabulary
+    shuffle.  On this corpus (31 distinct tokens < k=256) the summary
+    is provably exact, so the oracle is the full token histogram; the
+    eviction/merge bounds are pinned by tests/test_mlprep.py."""
+    from netml_ray.mlprep import misra_gries_topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t["text"].to_pylist():
+            toks.extend(s.split() if s else ())
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    tok = docs.map_batches(_explode, batch_format="pyarrow")
+    hh = misra_gries_topk(tok, "token", k=256)
+    return pa.table({"token": pa.array([x[0] for x in hh]),
+                     "n": pa.array([x[1] for x in hh], type=pa.int64())})
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY token
+"""
+
+
 def q_bm25_docs(sf_dir: str):
     """Ranked retrieval: top-20 docs by BM25 (k1=1.5, b=0.75, Lucene
     idf) against a 3-term query.  Corpus stats from narrow partial
@@ -2258,6 +2317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_docs": q_tfidf_docs,
         "keyword_search_docs": q_keyword_search_docs,
         "bm25_docs": q_bm25_docs,
+        "scaled_events": q_scaled_events,
+        "heavy_hitters_docs": q_heavy_hitters_docs,
     }
 
 
@@ -2327,4 +2388,6 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_docs": SQL_TFIDF,
         "keyword_search_docs": SQL_KEYWORD_SEARCH,
         "bm25_docs": SQL_BM25,
+        "scaled_events": SQL_SCALED_EVENTS,
+        "heavy_hitters_docs": SQL_HEAVY_HITTERS,
     }

@@ -1,0 +1,169 @@
+"""ML-prep operators: feature scaling and heavy-hitter sketching.
+
+``fit_scaler`` / ``transform_scaled`` is the classic fit-then-transform
+split done Ray-Data-first: the fit is ONE pass of per-batch moment
+partials (count, sum, sum-of-squares, min, max per column — a handful
+of doubles per batch, so the reduce is O(batches), no shuffle), and the
+transform is a stateless vectorized ``map_batches`` with the tiny fit
+table broadcast in the closure.  Population std (ddof=0) to match SQL
+``stddev_pop`` exactly.
+
+``misra_gries_partials`` / ``misra_gries_merge`` is the deterministic
+heavy-hitters summary (Misra & Gries 1982): k-1 counters per partition,
+mergeable by summing counters then decrementing by the (k)th largest —
+the merged summary retains every item with true count > n/k and each
+reported count is an UNDERestimate by at most n/k.  At web scale this
+finds hot tokens / hot keys in one narrow pass with O(k) state per
+partition — no vocabulary-wide shuffle at all (compare
+``textops.top_tokens``, which exchanges one row per distinct token per
+batch and is exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
+           "misra_gries_merge", "misra_gries_topk"]
+
+
+# ---------------------------------------------------------------------------
+# scaler
+# ---------------------------------------------------------------------------
+
+def fit_scaler(ds, cols: list[str]) -> dict:
+    """One-pass per-column fit stats: ``{col: {mean, std, min, max}}``.
+    Partial moments per batch (8 doubles per column), summed on the
+    driver — numerically this is the textbook sum/sumsq route, which
+    is fine for feature columns at double precision and keeps the
+    partial EXACTLY mergeable (order-independent up to fp addition)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = {"col": pa.array(list(cols), type=pa.string())}
+        ns, sums, sqs, mins, maxs = [], [], [], [], []
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            ns.append(len(v))
+            sums.append(v.sum() if len(v) else 0.0)
+            sqs.append((v * v).sum() if len(v) else 0.0)
+            mins.append(v.min() if len(v) else np.inf)
+            maxs.append(v.max() if len(v) else -np.inf)
+        out["n"] = pa.array(ns, type=pa.int64())
+        out["s"] = pa.array(sums, type=pa.float64())
+        out["sq"] = pa.array(sqs, type=pa.float64())
+        out["mn"] = pa.array(mins, type=pa.float64())
+        out["mx"] = pa.array(maxs, type=pa.float64())
+        return pa.table(out)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (ds.select_columns(cols)
+           .map_batches(_partial, batch_format="pyarrow")
+           .groupby("col")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("sq", alias_name="sq"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"))
+           .to_pandas())
+    fit = {}
+    for _, r in agg.iterrows():
+        n = float(r["n"]) or 1.0
+        mean = r["s"] / n
+        var = max(r["sq"] / n - mean * mean, 0.0)
+        fit[r["col"]] = {"mean": mean, "std": float(np.sqrt(var)),
+                         "min": float(r["mn"]), "max": float(r["mx"]),
+                         "n": int(r["n"])}
+    return fit
+
+
+def transform_scaled(ds, fit: dict, *, mode: str = "standard",
+                     suffix: str = "_scaled"):
+    """Append ``<col><suffix>`` per fitted column: z-score
+    (``standard``: (x-mean)/std, std 0 → 0) or ``minmax``
+    ((x-min)/(max-min), degenerate range → 0).  Stateless vectorized
+    pass; ``fit`` is a tiny dict shipped in the task closure."""
+    if mode not in ("standard", "minmax"):
+        raise ValueError(f"mode must be 'standard' or 'minmax', got {mode!r}")
+    items = sorted(fit.items())
+
+    def _f(t: pa.Table) -> pa.Table:
+        for c, st in items:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            if mode == "standard":
+                out = ((v - st["mean"]) / st["std"] if st["std"] > 0
+                       else np.zeros_like(v))
+            else:
+                rng = st["max"] - st["min"]
+                out = (v - st["min"]) / rng if rng > 0 else np.zeros_like(v)
+            t = t.append_column(c + suffix, pa.array(out, type=pa.float64()))
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries
+# ---------------------------------------------------------------------------
+
+def _mg_one(tokens: list, k: int) -> dict:
+    """Classic k-1-counter Misra-Gries over a token iterable."""
+    c: dict = {}
+    for x in tokens:
+        if x in c:
+            c[x] += 1
+        elif len(c) < k - 1:
+            c[x] = 1
+        else:
+            dead = [y for y in c if c[y] == 1]
+            for y in c:
+                c[y] -= 1
+            for y in dead:
+                del c[y]
+    return c
+
+
+def _mg_merge2(a: dict, b: dict, k: int) -> dict:
+    """Merge two MG summaries (Agarwal et al. 2013): sum counters,
+    keep the top k-1 after decrementing by the k-th largest."""
+    out = dict(a)
+    for x, n in b.items():
+        out[x] = out.get(x, 0) + n
+    if len(out) < k:
+        return out
+    vals = sorted(out.values(), reverse=True)
+    kth = vals[k - 1]
+    return {x: n - kth for x, n in out.items() if n > kth}
+
+
+def misra_gries_partials(ds, col: str, *, k: int = 64):
+    """Per-block MG summaries as ``(item, n)`` rows (≤ k-1 per block)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        c = _mg_one(t[col].to_pylist(), k)
+        # type from the source column so empty/evicted blocks agree
+        return pa.table({
+            "item": pa.array(list(c.keys()), type=t.schema.field(col).type),
+            "n": pa.array(list(c.values()), type=pa.int64())})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def misra_gries_merge(partials, *, k: int = 64) -> dict:
+    """Driver merge of the partial summaries — O(blocks × k) rows ever
+    reach the driver, independent of corpus size or vocabulary."""
+    out: dict = {}
+    for batch in partials.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+        d = dict(zip(batch["item"].to_pylist(),
+                     (int(x) for x in batch["n"].to_pylist())))
+        out = _mg_merge2(out, d, k)
+    return out
+
+
+def misra_gries_topk(ds, col: str, *, k: int = 64) -> "list[tuple]":
+    """Heavy-hitter candidates sorted by estimated count (desc, then
+    item).  Guarantee: every item with true count > n/k appears;
+    estimates err low by at most n/k."""
+    merged = misra_gries_merge(misra_gries_partials(ds, col, k=k), k=k)
+    return sorted(merged.items(), key=lambda x: (-x[1], str(x[0])))

@@ -1,0 +1,107 @@
+"""Scaler fit/transform and Misra-Gries heavy hitters."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_fit_scaler_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import fit_scaler, transform_scaled
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(5.0, 2.0, 5000)
+    b = rng.uniform(-3.0, 7.0, 5000)
+    c = np.full(5000, 4.2)          # degenerate: std = 0, range = 0
+    t = pa.table({"a": pa.array(a), "b": pa.array(b), "c": pa.array(c),
+                  "rid": pa.array(np.arange(5000, dtype=np.int64))})
+    ds = rd.from_arrow([t.slice(i, 500) for i in range(0, 5000, 500)])
+    fit = fit_scaler(ds, ["a", "b", "c"])
+    for name, v in (("a", a), ("b", b), ("c", c)):
+        assert fit[name]["mean"] == pytest.approx(v.mean(), rel=1e-12)
+        assert fit[name]["std"] == pytest.approx(v.std(), rel=1e-9, abs=1e-12)
+        assert fit[name]["min"] == v.min() and fit[name]["max"] == v.max()
+        assert fit[name]["n"] == 5000
+
+    std = (transform_scaled(ds, fit, mode="standard").to_pandas()
+           .sort_values("rid").reset_index(drop=True))
+    np.testing.assert_allclose(std["a_scaled"],
+                               (a - a.mean()) / a.std(), rtol=1e-9)
+    np.testing.assert_array_equal(std["c_scaled"], 0.0)
+    mm = (transform_scaled(ds, fit, mode="minmax").to_pandas()
+          .sort_values("rid").reset_index(drop=True))
+    np.testing.assert_allclose(mm["b_scaled"],
+                               (b - b.min()) / (b.max() - b.min()),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(mm["c_scaled"], 0.0)
+    with pytest.raises(ValueError):
+        transform_scaled(ds, fit, mode="robust")
+
+
+def test_fit_scaler_ignores_nan(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import fit_scaler
+
+    v = np.array([1.0, np.nan, 3.0, np.nan, 5.0])
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    fit = fit_scaler(ds, ["x"])
+    assert fit["x"]["n"] == 3
+    assert fit["x"]["mean"] == pytest.approx(3.0)
+    assert fit["x"]["min"] == 1.0 and fit["x"]["max"] == 5.0
+
+
+def _zipf_stream(n=30000, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.zipf(1.3, n).clip(max=5000)
+
+
+def test_misra_gries_guarantees(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import misra_gries_topk
+
+    v = _zipf_stream()
+    n, k = len(v), 32
+    t = pa.table({"x": pa.array(v.astype(np.int64))})
+    ds = rd.from_arrow([t.slice(i, 1000) for i in range(0, n, 1000)])
+    got = dict(misra_gries_topk(ds, "x", k=k))
+    true = dict(zip(*np.unique(v, return_counts=True)))
+    # every item with true count > n/k is reported
+    for item, cnt in true.items():
+        if cnt > n / k:
+            assert item in got
+    # estimates never exceed truth and err low by at most n/k
+    for item, est in got.items():
+        assert est <= true[item]
+        assert true[item] - est <= n / k
+
+
+def test_misra_gries_partition_invariant_bounds(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import misra_gries_topk
+
+    v = _zipf_stream(seed=23)
+    n, k = len(v), 16
+    true = dict(zip(*np.unique(v, return_counts=True)))
+    t = pa.table({"x": pa.array(v.astype(np.int64))})
+    for width in (500, 3000, n):
+        ds = rd.from_arrow([t.slice(i, width) for i in range(0, n, width)])
+        got = dict(misra_gries_topk(ds, "x", k=k))
+        for item, cnt in true.items():
+            if cnt > n / k:
+                assert item in got, (width, item)
+
+
+def test_misra_gries_exact_when_k_exceeds_cardinality(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import misra_gries_topk
+
+    v = np.array(["a"] * 7 + ["b"] * 5 + ["c"] * 2)
+    np.random.default_rng(1).shuffle(v)
+    t = pa.table({"x": pa.array(v)})
+    ds = rd.from_arrow([t.slice(i, 3) for i in range(0, len(v), 3)])
+    assert misra_gries_topk(ds, "x", k=64) == [("a", 7), ("b", 5), ("c", 2)]
