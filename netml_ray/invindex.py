@@ -50,6 +50,7 @@ class InvertedIndex:
     @staticmethod
     def build(ds, index_dir: str, *, text_col: str = "text",
               id_col: str = "doc_id", num_shards: int | None = None,
+              max_postings: int = 1_000_000,
               filesystem=None) -> "InvertedIndex":
         import json
 
@@ -88,13 +89,23 @@ class InvertedIndex:
                  .sort_by([("token", "ascending"), (id_col, "ascending")]))
             tok = t["token"]
             ids = t[id_col].to_numpy()
-            # run-length by token → one postings list per token
+            # run-length by token → postings lists; a run longer than
+            # max_postings is SPLIT into segment rows (a stop-word's
+            # postings at 10^12 docs must not become one giant list
+            # cell — search concatenates a token's segments back)
             enc = tok.combine_chunks().dictionary_encode()
             codes = enc.indices.to_numpy()
             starts = (np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
                       if len(codes) else np.empty(0, dtype=np.int64))
-            offsets = np.r_[starts, len(codes)].astype(np.int32)
-            utoks = tok.take(pa.array(starts))
+            bounds = np.r_[starts, len(codes)]
+            run_len = np.diff(bounds)
+            n_seg = -(-run_len // max_postings)
+            rep_start = np.repeat(bounds[:-1], n_seg)
+            seg_ix = (np.arange(int(n_seg.sum()))
+                      - np.repeat(np.cumsum(n_seg) - n_seg, n_seg))
+            seg_starts = (rep_start + seg_ix * max_postings).astype(np.int64)
+            offsets = np.r_[seg_starts, len(codes)].astype(np.int32)
+            utoks = tok.take(pa.array(seg_starts))
             postings = pa.ListArray.from_arrays(
                 pa.array(offsets), pa.array(ids, type=pa.int64()))
             out = pa.table({"token": utoks, "postings": postings})
@@ -121,7 +132,8 @@ class InvertedIndex:
         files = {str(int(r["shard"])): r["file"]
                  for _, r in written.iterrows()}
         meta = {"num_shards": int(num_shards), "id_col": id_col,
-                "n_docs": int(n_docs), "files": files}
+                "n_docs": int(n_docs), "max_postings": int(max_postings),
+                "files": files}
         with fs.open_output_stream(f"{root}/meta.json") as f:
             f.write(json.dumps(meta).encode())
         return InvertedIndex(root, meta, filesystem=fs)
@@ -159,7 +171,10 @@ class InvertedIndex:
         t = dset.to_table(filter=pads.field("token") == term)
         if t.num_rows == 0:
             return np.empty(0, dtype=np.int64)
-        return np.asarray(t["postings"][0].as_py(), dtype=np.int64)
+        # a token may span several segment rows (max_postings split);
+        # rows are in token order and each segment ascending, so the
+        # flattened concatenation is already sorted
+        return t["postings"].combine_chunks().flatten().to_numpy()
 
     def search(self, terms, *, mode: str = "and") -> np.ndarray:
         """Sorted doc ids matching ALL (``and``) / ANY (``or``) terms.

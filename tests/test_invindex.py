@@ -55,6 +55,29 @@ def test_search_and_or(built):
         built.search(["cat"], mode="xor")
 
 
+def test_postings_segment_split(ray_session, tmp_path):
+    """A token whose postings exceed max_postings is split across
+    segment rows; search-side concatenation restores the full sorted
+    list (the stop-word case at scale)."""
+    import ray.data as rd
+
+    from netml_ray.invindex import InvertedIndex
+
+    n = 57
+    docs = ["common word"] * n + ["rare word"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    idx = InvertedIndex.build(ds, str(tmp_path / "seg"), num_shards=2,
+                              max_postings=10)
+    np.testing.assert_array_equal(idx.postings("common"), np.arange(n))
+    np.testing.assert_array_equal(idx.postings("word"),
+                                  np.arange(n + 1))
+    np.testing.assert_array_equal(idx.search(["common", "word"]),
+                                  np.arange(n))
+    np.testing.assert_array_equal(idx.postings("rare"), [n])
+
+
 def test_load_roundtrip_and_missing_shard(built, tmp_path):
     import shutil
 
