@@ -1113,12 +1113,28 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 20
 """
 
 
+def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
+    """The n smallest-vec_id embeddings as query PARAMETERS, picked
+    driver-side with two tiny parquet reads (the id column, then a
+    row filter) — a Ray ``sort().take(n)`` spends a whole-table sort
+    exchange just to select a query vector."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    pick = np.sort(ids)[:n]
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", [int(x) for x in pick])])
+    t = t.sort_by("vec_id")
+    return np.asarray([r for r in t["embedding"].to_pylist()],
+                      dtype=np.float64)
+
+
 def q_knn_cosine(sf_dir: str):
     from netml_ray.similarity import knn_cosine
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrow = emb.sort("vec_id").take(1)[0]
-    query = np.asarray(qrow["embedding"], dtype=np.float64)
+    query = _query_vectors(sf_dir, 1)[0]
     pdf = knn_cosine(emb, query, k=10, dtype=np.float64)
     if ORACLE_MODE:
         pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
@@ -1142,8 +1158,7 @@ def q_knn_cosine_batch(sf_dir: str):
     from netml_ray.similarity import knn_cosine_batch
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = emb.sort("vec_id").take(2)
-    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    queries = _query_vectors(sf_dir, 2)
     pdf = knn_cosine_batch(emb, queries, k=10, dtype=np.float64)
     if ORACLE_MODE:
         pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
@@ -1480,8 +1495,7 @@ def q_knn_cosine_ivf(sf_dir: str):
     from netml_ray.similarity import knn_cosine_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrow = emb.sort("vec_id").take(1)[0]
-    query = np.asarray(qrow["embedding"], dtype=np.float64)
+    query = _query_vectors(sf_dir, 1)[0]
     idx_dir = "/tmp/netml_ray_ivf_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
     pdf = knn_cosine_ivf(emb, query, k=10, n_centroids=8, nprobe=6,
                          index_dir=idx_dir, dtype=np.float64)
@@ -1502,8 +1516,7 @@ def q_knn_cosine_ivf_batch(sf_dir: str):
     from netml_ray.similarity import IVFIndex, knn_cosine_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = emb.sort("vec_id").take(2)
-    queries_m = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    queries_m = _query_vectors(sf_dir, 2)
     idx_dir = "/tmp/netml_ray_ivf_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
     # build (or reuse) the shared per-sf index via the same entry point
     # as q_knn_cosine_ivf, then batch-query it

@@ -52,6 +52,51 @@ def _window_partial(col, win: np.ndarray, v: np.ndarray, key_name: str,
     })
 
 
+def _combine_window_partials(partial, key: str,
+                             num_partitions: int | None = None):
+    """Final (key, window_id) combine of ``_window_partial`` rows via
+    ``partition_map`` on ``key`` — key-hash co-location guarantees
+    every (key, window) pair lands whole, and the reduction is the
+    same dict-encode + lexsort + reduceat pass as the partials.  This
+    replaces ``groupby([key, window_id]).aggregate(...)``: the hash
+    exchange ships identical partial rows (one per key×window per
+    batch) but skips the sort-based shuffle's sampling pass, and the
+    small-input driver fast path applies."""
+
+    def _fin(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key).type
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], type=ktype),
+                             "window_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "value_sum": pa.array([], type=pa.float64()),
+                             "value_min": pa.array([], type=pa.float64()),
+                             "value_max": pa.array([], type=pa.float64())})
+        enc = pc.dictionary_encode(t[key].combine_chunks())
+        codes = enc.indices.to_numpy()
+        wid = t["window_id"].to_numpy()
+        order = np.lexsort((wid, codes))
+        c, w = codes[order], wid[order]
+        first = np.r_[True, (c[1:] != c[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            key: pc.take(enc.dictionary, pa.array(c[starts])),
+            "window_id": pa.array(w[starts]),
+            "n_events": pa.array(
+                np.add.reduceat(t["n"].to_numpy()[order], starts)
+                .astype(np.int64)),
+            "value_sum": pa.array(
+                np.add.reduceat(t["s"].to_numpy()[order], starts)),
+            "value_min": pa.array(
+                np.minimum.reduceat(t["mn"].to_numpy()[order], starts)),
+            "value_max": pa.array(
+                np.maximum.reduceat(t["mx"].to_numpy()[order], starts)),
+        })
+
+    return partition_map(partial, key, _fin,
+                         num_partitions=num_partitions)
+
+
 def add_lag_lead(
     ds,
     key: str,
@@ -126,8 +171,6 @@ def tumbling_window_agg(
     no sessionization shuffle, no sort (ray_guide "Aggregation at
     scale" pattern).
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     from netml_ray.sessionize import ts_seconds
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -137,19 +180,7 @@ def tumbling_window_agg(
         return _window_partial(t[key], win, v, key)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
-    out = partial.groupby([key, "window_id"]).aggregate(
-        Sum("n", alias_name="n_events"),
-        Sum("s", alias_name="value_sum"),
-        Min("mn", alias_name="value_min"),
-        Max("mx", alias_name="value_max"),
-    )
-
-    def _fin(t: pa.Table) -> pa.Table:
-        t = t.set_column(t.column_names.index("n_events"), "n_events",
-                         pa.array(t["n_events"].to_numpy().astype(np.int64)))
-        return t
-
-    return out.map_batches(_fin, batch_format="pyarrow")
+    return _combine_window_partials(partial, key)
 
 
 def hopping_window_agg(
@@ -167,8 +198,6 @@ def hopping_window_agg(
     aggregates per ``(key, wid)``.  Row→window expansion happens inside
     map_batches (vectorized repeat), then the same partial-agg + tiny
     combine as the tumbling case."""
-    from ray.data.aggregate import Max, Min, Sum
-
     from netml_ray.sessionize import ts_seconds
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -186,17 +215,7 @@ def hopping_window_agg(
         return _window_partial(t[key], wid, v, key, idx=idx)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
-    out = partial.groupby([key, "window_id"]).aggregate(
-        Sum("n", alias_name="n_events"),
-        Sum("s", alias_name="value_sum"),
-        Min("mn", alias_name="value_min"),
-        Max("mx", alias_name="value_max"),
-    )
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("n_events"), "n_events",
-                               pa.array(t["n_events"].to_numpy().astype(np.int64))),
-        batch_format="pyarrow",
-    )
+    return _combine_window_partials(partial, key)
 
 
 def add_rolling_quantile(
