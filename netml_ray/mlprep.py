@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk"]
@@ -137,14 +138,29 @@ def _mg_merge2(a: dict, b: dict, k: int) -> dict:
 
 
 def misra_gries_partials(ds, col: str, *, k: int = 64):
-    """Per-block MG summaries as ``(item, n)`` rows (≤ k-1 per block)."""
+    """Per-block MG summaries as ``(item, n)`` rows (≤ k-1 per block).
+
+    The per-block summary is VECTORIZED: exact value counts via
+    ``pc.value_counts`` (an exact count table is an MG summary with
+    zero error), then one prune — subtract the k-th largest count and
+    drop non-positives — which is exactly the Agarwal et al. merge
+    reduction, so the mergeable-summaries n/k bound carries through
+    (``_mg_one``, the textbook streaming loop, stays as the pinned
+    reference implementation)."""
 
     def _f(t: pa.Table) -> pa.Table:
-        c = _mg_one(t[col].to_pylist(), k)
-        # type from the source column so empty/evicted blocks agree
+        ktype = t.schema.field(col).type
+        vc = pc.value_counts(t[col].combine_chunks())
+        items = vc.field("values")
+        counts = vc.field("counts").to_numpy()
+        if len(counts) >= k:
+            kth = np.partition(counts, -k)[-k]
+            keep = counts > kth
+            items = items.filter(pa.array(keep))
+            counts = counts[keep] - kth
         return pa.table({
-            "item": pa.array(list(c.keys()), type=t.schema.field(col).type),
-            "n": pa.array(list(c.values()), type=pa.int64())})
+            "item": items.cast(ktype),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64())})
 
     return ds.map_batches(_f, batch_format="pyarrow")
 

@@ -95,6 +95,25 @@ def test_misra_gries_partition_invariant_bounds(ray_session):
                 assert item in got, (width, item)
 
 
+def test_misra_gries_block_summary_is_valid_mg(ray_session):
+    """The vectorized per-block summary (exact counts pruned to k-1)
+    obeys the same invariants as the textbook streaming loop: ≤ k-1
+    rows, never overestimates, misses by at most n_block/k."""
+    import ray.data as rd
+
+    from netml_ray.mlprep import misra_gries_partials
+
+    v = _zipf_stream(5000, seed=3)
+    t = pa.table({"x": pa.array(v.astype(np.int64))})
+    out = (misra_gries_partials(rd.from_arrow(t), "x", k=8)
+           .to_pandas())
+    assert len(out) <= 7
+    true = dict(zip(*np.unique(v, return_counts=True)))
+    for _, r in out.iterrows():
+        assert r["n"] <= true[r["item"]]
+        assert true[r["item"]] - r["n"] <= len(v) / 8
+
+
 def test_misra_gries_exact_when_k_exceeds_cardinality(ray_session):
     import ray.data as rd
 
