@@ -1508,9 +1508,14 @@ def q_knn_cosine_ivf_batch(sf_dir: str):
     """Batched ANN through the SAME materialized IVF index as
     ``knn_cosine_ivf``: the union of both queries' probe buckets is
     scanned once (``IVFIndex.query_batch``).  Oracle = the EXACT
-    per-query top-10 SQL — recall@10 is deterministically 1.0 at
-    nprobe=6/8 on this table (same config the single-query entry
-    pins), so an index/probe regression fails the hash check."""
+    per-query top-10 SQL, so this entry probes ALL 8 buckets: the
+    synthetic embeddings are near-uniform random vectors, so the
+    second query's true neighbors spread across every bucket at sf0.1
+    (measured recall 0.7 at nprobe=6, 1.0 only at 8/8) and no
+    selective probe can satisfy an exact oracle.  Bucket-selective
+    probing is pinned by the single-query entry (nprobe=6/8, recall
+    1.0) and the pytest recall gates; THIS entry pins the
+    union-of-probes shared-scan machinery under the hash check."""
     import hashlib as _hl
 
     from netml_ray.similarity import IVFIndex, knn_cosine_ivf
@@ -1523,7 +1528,7 @@ def q_knn_cosine_ivf_batch(sf_dir: str):
     knn_cosine_ivf(emb, queries_m[0], k=1, n_centroids=8, nprobe=6,
                    index_dir=idx_dir, dtype=np.float64)
     idx = IVFIndex.load(idx_dir)
-    pdf = idx.query_batch(queries_m, k=10, nprobe=6, dtype=np.float64)
+    pdf = idx.query_batch(queries_m, k=10, nprobe=8, dtype=np.float64)
     if ORACLE_MODE:
         pdf["cos_sim"] = pdf["cos_sim"].round(4)  # rounded on BOTH sides
     return pa.Table.from_pandas(pdf, preserve_index=False)

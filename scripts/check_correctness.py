@@ -33,9 +33,20 @@ def to_pandas(obj) -> pd.DataFrame:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    sort_cols = [c for c in df.columns if df[c].dtype != object or df[c].map(type).eq(str).all()]
+    # sort NON-float columns first: float aggregates carry sum-order /
+    # rounding-boundary noise at the last digit, and a float-led row
+    # sort then pairs rows DIFFERENTLY on the two sides (observed:
+    # cumulative_events at sf0.1 — 394 phantom mismatches from 1e-9
+    # cum_mean noise; a merge on event_id showed zero real ones).
+    # When the non-float prefix uniquely keys rows (the usual case:
+    # event_id/doc_id), float noise cannot change the pairing at all.
+    nonfloat = [c for c in df.columns
+                if not np.issubdtype(df[c].dtype, np.floating)]
+    floats = [c for c in df.columns if c not in nonfloat]
+    sort_cols = [c for c in nonfloat + floats
+                 if df[c].dtype != object or df[c].map(type).eq(str).all()]
     try:
-        df = df.sort_values(list(df.columns), kind="stable")
+        df = df.sort_values(nonfloat + floats, kind="stable")
     except Exception:
         df = df.sort_values(sort_cols, kind="stable")
     return df.reset_index(drop=True)
