@@ -1060,6 +1060,46 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY token
 """
 
 
+def q_dup_spans_docs(sf_dir: str):
+    """Corpus-internal duplicated-span stats (RefinedWeb-style
+    boilerplate signal): per doc, how many word-5-gram positions carry
+    a gram occurring ≥2 times corpus-wide.  Heavy-gram set pruned
+    inside the aggregation, broadcast once, searchsorted probe."""
+    from netml_ray.curation import duplicate_span_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_span_stats(docs, n=5, min_count=2)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return _hedge_round_cols(t, ["dup_span_frac"], 9)
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_DUP_SPANS = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS i, ws
+      FROM w WHERE len(ws) >= 5),
+grams AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram FROM g),
+hv AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+per AS (
+  SELECT grams.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN hv.gram IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup
+  FROM grams LEFT JOIN hv USING (gram) GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_dup, 0) AS n_dup_spans,
+       round(COALESCE(p.n_dup, 0)
+             / CAST(GREATEST(COALESCE(p.n_grams, 0), 1) AS DOUBLE),
+             9) AS dup_span_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_bm25_docs(sf_dir: str):
     """Ranked retrieval: top-20 docs by BM25 (k1=1.5, b=0.75, Lucene
     idf) against a 3-term query.  Corpus stats from narrow partial
@@ -2337,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": q_bm25_docs,
         "scaled_events": q_scaled_events,
         "heavy_hitters_docs": q_heavy_hitters_docs,
+        "dup_spans_docs": q_dup_spans_docs,
     }
 
 
@@ -2408,4 +2449,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_docs": SQL_BM25,
         "scaled_events": SQL_SCALED_EVENTS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
+        "dup_spans_docs": SQL_DUP_SPANS,
     }

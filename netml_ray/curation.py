@@ -811,3 +811,79 @@ def _ngram_mark(t: pa.Table, bench: np.ndarray, text_col: str, n: int,
         hits = bench[pos] == gh
         out = np.bincount(grow[hits], minlength=t.num_rows) > 0
     return t.append_column(out_col, pa.array(out))
+
+
+def heavy_gram_hashes(ds, *, text_col: str = "text", n: int = 5,
+                      min_count: int = 2) -> np.ndarray:
+    """Sorted hashes of every word-``n``-gram whose corpus-wide
+    OCCURRENCE count is ≥ ``min_count``.
+
+    Per-batch partial counts (vectorized gram hashing + ``np.unique``
+    — the map-side combine) → one narrow ``(gram_hash, count)``
+    groupby exchange → the ``min_count`` filter INSIDE the aggregation
+    output, so only heavy grams are ever collected: that prune is what
+    keeps the result broadcastable at web scale (boilerplate grams are
+    a tiny fraction of all distinct grams)."""
+    from ray.data.aggregate import Sum
+
+    from netml_ray.partition import _collect_table
+
+    def _partial(t: pa.Table) -> pa.Table:
+        wh, rowid = _word_hashes(t[text_col])
+        gh, _ = _ngram_hashes(wh, rowid, n)
+        if not len(gh):
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        u, c = np.unique(gh, return_counts=True)
+        # int64 BIT-VIEW for the exchange: Ray's groupby round-trips
+        # uint64 keys through Python ints and overflows C long
+        return pa.table({"g": pa.array(u.view(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("g").aggregate(Sum("c", alias_name="c"))
+           .filter(expr=f"c >= {min_count}"))
+    t = _collect_table(agg.materialize(),
+                       pa.schema([("g", pa.int64()), ("c", pa.int64())]))
+    return np.sort(t["g"].to_numpy().view(np.uint64))
+
+
+def duplicate_span_stats(ds, *, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 5,
+                         min_count: int = 2, heavy: np.ndarray | None = None):
+    """Corpus-internal duplicated-span statistics per doc (the
+    boilerplate signal behind RefinedWeb/CCNet-style span dedup):
+    ``n_grams`` (word-``n``-gram positions), ``n_dup_spans`` (positions
+    whose gram occurs ≥ ``min_count`` times corpus-wide) and
+    ``dup_span_frac``.  Phase 1 builds the pruned heavy-gram set
+    (``heavy_gram_hashes``); phase 2 is one broadcast +
+    searchsorted-membership pass — the same probe shape as 13-gram
+    decontamination, pointed at the corpus itself."""
+    import ray
+
+    if heavy is None:
+        heavy = heavy_gram_hashes(ds, text_col=text_col, n=n,
+                                  min_count=min_count)
+    ref = ray.put(np.asarray(heavy, dtype=np.uint64))
+
+    def _stats(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        wh, rowid = _word_hashes(t[text_col])
+        gh, grow = _ngram_hashes(wh, rowid, n)
+        n_grams = np.bincount(grow, minlength=t.num_rows) \
+            if len(grow) else np.zeros(t.num_rows, dtype=np.int64)
+        n_dup = np.zeros(t.num_rows, dtype=np.int64)
+        if len(gh) and len(bench):
+            pos = np.searchsorted(bench, gh)
+            pos[pos == len(bench)] = len(bench) - 1
+            hits = bench[pos] == gh
+            n_dup = np.bincount(grow[hits], minlength=t.num_rows)
+        frac = n_dup / np.maximum(n_grams, 1)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(n_grams.astype(np.int64)),
+            "n_dup_spans": pa.array(n_dup.astype(np.int64)),
+            "dup_span_frac": pa.array(frac.astype(np.float64)),
+        })
+
+    return ds.map_batches(_stats, batch_format="pyarrow")

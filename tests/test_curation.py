@@ -401,3 +401,29 @@ def test_curation_funnel_distributed_distinct_path(ray_session):
     dist = curation_funnel(rd.from_arrow(t),
                            distinct_driver_threshold=0).to_pandas()
     assert driver.equals(dist)
+
+
+def test_duplicate_span_stats(ray_session):
+    """Planted shared 5-gram spans are counted per position; unique
+    docs report zero; short docs report zero grams."""
+    import ray.data as rd
+
+    from netml_ray.curation import duplicate_span_stats
+
+    shared = "alpha beta gamma delta epsilon"          # one 5-gram
+    docs = [
+        shared + " zeta",                              # grams: 2 (1 shared)
+        "prefix " + shared,                            # grams: 2 (1 shared)
+        "totally unique words never repeated anywhere ok",  # 0 dup
+        "tiny doc",                                    # <5 tokens: 0 grams
+        shared,                                        # exactly the gram
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    out = (duplicate_span_stats(ds, n=5, min_count=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_grams"]) == [2, 2, 3, 0, 1]
+    assert list(out["n_dup_spans"]) == [1, 1, 0, 0, 1]
+    assert out.loc[4, "dup_span_frac"] == 1.0
+    assert out.loc[3, "dup_span_frac"] == 0.0
