@@ -1060,6 +1060,75 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY token
 """
 
 
+def q_semi_join_orders(sf_dir: str):
+    """SQL EXISTS: orders placed by BUILDING-segment customers — the
+    right side ships only its key column into the co-partitioned
+    exchange (joins.semi_join)."""
+    from netml_ray.joins import semi_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = (cust.filter(expr="c_mktsegment == 'BUILDING'")
+            .map_batches(lambda t: pa.table({"o_custkey": t["c_custkey"]}),
+                         batch_format="pyarrow"))
+    return semi_join(orders, cust, "o_custkey")
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+"""
+
+
+def q_anti_join_orders(sf_dir: str):
+    """SQL NOT EXISTS: orders NOT placed by BUILDING-segment
+    customers (joins.anti_join; NULL-safe NOT EXISTS semantics)."""
+    from netml_ray.joins import anti_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = (cust.filter(expr="c_mktsegment == 'BUILDING'")
+            .map_batches(lambda t: pa.table({"o_custkey": t["c_custkey"]}),
+                         batch_format="pyarrow"))
+    return anti_join(orders, cust, "o_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+"""
+
+
+def q_rank_events(sf_dir: str):
+    """Ranking window functions per user in (ts, event_id) order:
+    ROW_NUMBER / PERCENT_RANK / NTILE(4) — one segment-offset pass
+    (windows.add_rank_features); divisions are int→double on both
+    sides, so no float hedge is needed."""
+    from netml_ray.windows import add_rank_features
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = add_rank_features(ev, "user_id", "ts", ntile=4,
+                            tiebreak="event_id", num_partitions=P)
+    return out.select_columns(
+        ["event_id", "user_id", "row_num", "pct_rank", "tile"])
+
+
+SQL_RANK_EVENTS = """
+SELECT event_id, user_id,
+       row_number() OVER w AS row_num,
+       percent_rank() OVER w AS pct_rank,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_dup_spans_docs(sf_dir: str):
     """Corpus-internal duplicated-span stats (RefinedWeb-style
     boilerplate signal): per doc, how many word-5-gram positions carry
@@ -2383,6 +2452,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_join_events": q_label_join_events,
         "knn_cosine": q_knn_cosine,
         "embedding_centroids": q_embedding_centroids,
+        # oracled, added round 4 after the window rotation (gate-checked
+        # locally; kernels: partition_map2 membership probe + segment
+        # ranking pass)
+        "semi_join_orders": q_semi_join_orders,
+        "anti_join_orders": q_anti_join_orders,
+        "rank_events": q_rank_events,
     }
 
 
@@ -2455,4 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "scaled_events": SQL_SCALED_EVENTS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
+        "semi_join_orders": SQL_SEMI_JOIN,
+        "anti_join_orders": SQL_ANTI_JOIN,
+        "rank_events": SQL_RANK_EVENTS,
     }

@@ -342,3 +342,41 @@ def semi_join(ds, keys_iterable, key: str, *, anti: bool = False):
 
     return ds.map_batches(_Semi, batch_format="pyarrow",
                           concurrency=auto_concurrency())
+
+
+def semi_join(left, right, key: str, *, anti: bool = False,
+              num_partitions: int | None = None):
+    """SQL EXISTS / NOT EXISTS: keep left rows whose ``key`` does
+    (``anti=False``) or does not (``anti=True``) appear among the
+    right side's non-NULL keys.  Same co-partitioned exchange as
+    ``hash_join`` but the probe is a membership test — the right side
+    ships ONLY its key column into the shuffle, and output carries
+    only left columns (never wider than the input).  NULL left keys
+    never match, so they are dropped by the semi and kept by the anti
+    (SQL NOT EXISTS semantics, not NOT IN's NULL poisoning)."""
+    from netml_ray.partition import partition_map2
+
+    right_keys = right.select_columns([key])
+
+    def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return lt
+        lk = lt[key]
+        valid = pc.is_valid(lk)
+        rk = rt[key].drop_null()
+        if rt.num_rows == 0 or len(rk) == 0:
+            hit = pa.array(np.zeros(lt.num_rows, dtype=bool))
+        else:
+            hit = pc.and_kleene(pc.is_in(lk, value_set=rk), valid)
+            hit = pc.fill_null(hit, False)
+        keep = pc.invert(hit) if anti else hit
+        return lt.filter(keep)
+
+    return partition_map2(left, right_keys, key, _fn,
+                          num_partitions=num_partitions)
+
+
+def anti_join(left, right, key: str, *, num_partitions: int | None = None):
+    """SQL NOT EXISTS — see ``semi_join``."""
+    return semi_join(left, right, key, anti=True,
+                     num_partitions=num_partitions)

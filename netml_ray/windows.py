@@ -524,3 +524,54 @@ def add_cumulative(
 
     return partition_map(ds, key, _fn, sort_by=sort_by,
                          num_partitions=num_partitions)
+
+
+def add_rank_features(
+    ds,
+    key: str,
+    ts_col: str,
+    *,
+    ntile: int = 4,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """SQL ranking window functions per key in ``(ts, tiebreak)``
+    order: ``row_num`` (ROW_NUMBER), ``pct_rank`` (PERCENT_RANK with
+    a unique ordering, = (row-1)/(n-1), 0 for single-row keys) and
+    ``tile`` (NTILE(``ntile``): first ``n mod k`` buckets get the
+    extra row).  One segment-offset pass — no per-key work."""
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            for c, typ in (("row_num", pa.int64()),
+                           ("pct_rank", pa.float64()),
+                           ("tile", pa.int64())):
+                t = t.append_column(c, pa.array([], type=typ))
+            return t
+        codes = _key_codes(t, key)
+        seg0 = _seg_starts_per_row(codes)
+        idx = np.arange(n, dtype=np.int64)
+        i = idx - seg0                      # 0-based position in key
+        # per-row segment length: the NEXT segment's start minus ours
+        is_start = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(is_start)
+        seg_len_per = np.repeat(np.diff(np.r_[starts, n]),
+                                np.diff(np.r_[starts, n]))
+        rn = i + 1
+        pct = np.where(seg_len_per > 1, i / np.maximum(seg_len_per - 1, 1),
+                       0.0)
+        q, r = np.divmod(seg_len_per, ntile)
+        big = (q + 1) * r                   # rows covered by big buckets
+        tile = np.where(
+            i < big, i // np.maximum(q + 1, 1),
+            r + (i - big) // np.maximum(q, 1)) + 1
+        t = t.append_column("row_num", pa.array(rn))
+        t = t.append_column("pct_rank", pa.array(pct.astype(np.float64)))
+        t = t.append_column("tile", pa.array(tile.astype(np.int64)))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

@@ -146,3 +146,56 @@ def test_weighted_sample_matches_per_key_rates(ray_session):
     uni = weighted_sample_batch(t, weights={}, default_pct=25)
     flat = hash_sample_batch(t, pct=25)
     assert uni["doc_id"].to_pylist() == flat["doc_id"].to_pylist()
+
+
+def test_semi_anti_join(ray_session):
+    """EXISTS/NOT EXISTS vs pandas brute force, incl. NULL keys (never
+    match: dropped by semi, kept by anti) and duplicate right keys
+    (no row multiplication)."""
+    import ray.data as rd
+
+    from netml_ray.joins import anti_join, semi_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, None, 5, 2], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64())})
+    right = pa.table({
+        "k": pa.array([2, 2, 4, None], type=pa.int64()),
+        "w": pa.array([1.0, 2.0, 3.0, 4.0])})
+    r_keys = pa.table({"k": right["k"]})
+
+    semi = (semi_join(rd.from_arrow(left), rd.from_arrow(r_keys), "k",
+                      num_partitions=4).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    assert list(semi["v"]) == [20, 60]          # k=2 rows, no dup blowup
+    anti = (anti_join(rd.from_arrow(left), rd.from_arrow(r_keys), "k",
+                      num_partitions=4).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    assert list(anti["v"]) == [10, 30, 40, 50]  # NULL key kept by anti
+
+
+def test_rank_features(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from netml_ray.windows import add_rank_features
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 61, n)),
+        "ts": pa.array(np.sort(rng.uniform(0, 1000, n))),
+        "event_id": pa.array(np.arange(n, dtype=np.int64))})
+    got = (add_rank_features(rd.from_arrow(t), "user_id", "ts", ntile=4,
+                             tiebreak="event_id", num_partitions=6)
+           .to_pandas()[["event_id", "row_num", "pct_rank", "tile"]]
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("ev", t)
+    exp = con.execute("""
+        SELECT event_id, row_number() OVER w AS row_num,
+               percent_rank() OVER w AS pct_rank,
+               CAST(ntile(4) OVER w AS BIGINT) AS tile
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
