@@ -64,33 +64,56 @@ def _tokens_and_bounds(col) -> tuple[list[str], np.ndarray]:
 # bigram LM
 # ---------------------------------------------------------------------------
 
-def bigram_counts(ds, *, text_col: str = "text", min_count: int = 1):
+def bigram_counts(ds, *, text_col: str = "text", min_count: int = 1,
+                  with_vocab: bool = False):
     """Corpus bigram counts ``(w1, w2, n)`` — partial per-batch counts,
     one narrow groupby exchange, rows with ``n < min_count`` dropped
-    inside the aggregation output (the broadcastability prune)."""
+    inside the aggregation output (the broadcastability prune).
+
+    ``with_vocab=True`` fuses the distinct-token count into the SAME
+    pass/exchange (unigram presence rows ride along tagged with
+    ``kind=0``; bigrams are ``kind=1``) and returns
+    ``(bigram_table_ds, vocab_size)`` — one corpus read instead of a
+    separate ``doc_frequency`` pass."""
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
         from collections import Counter
 
         c: Counter = Counter()
+        vocab: set = set()
         for s in t[text_col].to_pylist():
             w = s.split() if s else []
             c.update(zip(w, w[1:]))
-        if not c:
-            return pa.table({"w1": pa.array([], type=pa.string()),
-                             "w2": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        keys, ns = zip(*c.items())
-        return pa.table({"w1": pa.array([k[0] for k in keys], type=pa.string()),
-                         "w2": pa.array([k[1] for k in keys], type=pa.string()),
-                         "n": pa.array(list(ns), type=pa.int64())})
+            if with_vocab:
+                vocab.update(w)
+        kinds, w1s, w2s, ns = [], [], [], []
+        for (a, b), n in c.items():
+            kinds.append(1)
+            w1s.append(a)
+            w2s.append(b)
+            ns.append(n)
+        if with_vocab:
+            for w in vocab:
+                kinds.append(0)
+                w1s.append(w)
+                w2s.append("")
+                ns.append(1)
+        return pa.table({"kind": pa.array(kinds, type=pa.int8()),
+                         "w1": pa.array(w1s, type=pa.string()),
+                         "w2": pa.array(w2s, type=pa.string()),
+                         "n": pa.array(ns, type=pa.int64())})
 
     agg = (ds.map_batches(_partial, batch_format="pyarrow")
-           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+           .groupby(["kind", "w1", "w2"])
+           .aggregate(Sum("n", alias_name="n")).materialize())
+    grams = agg.filter(expr="kind == 1")
     if min_count > 1:
-        agg = agg.filter(expr=f"n >= {min_count}")
-    return agg
+        grams = grams.filter(expr=f"n >= {min_count}")
+    grams = grams.drop_columns(["kind"])
+    if not with_vocab:
+        return grams
+    return grams, agg.filter(expr="kind == 0").count()
 
 
 class _BigramModel:
@@ -157,7 +180,13 @@ def bigram_lm_bits(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     from netml_ray.partition import _collect_table, auto_concurrency
 
-    if counts is None:
+    if counts is None and vocab_size is None:
+        # fused: ONE corpus pass + ONE exchange yields both the bigram
+        # table and the distinct-token count
+        counts, vocab_size = bigram_counts(ds, text_col=text_col,
+                                           min_count=min_count,
+                                           with_vocab=True)
+    elif counts is None:
         counts = bigram_counts(ds, text_col=text_col, min_count=min_count)
     ct = _collect_table(counts.materialize(),
                         pa.schema([("w1", pa.string()), ("w2", pa.string()),
