@@ -502,6 +502,64 @@ SELECT label, list(round(av, 9) ORDER BY idx) AS centroid FROM (
 """
 
 
+def q_centroid_distance(sf_dir: str):
+    """Per-vector cosine to its OWN label's centroid (embedding
+    outlier signal): centroids from the shuffle-free partial-sum pass
+    (q_embedding_centroids, rounded identically on both sides), then
+    one broadcast vectorized scoring pass — label→row gather via
+    searchsorted, no per-row Python."""
+    import ray
+
+    cents = q_embedding_centroids(sf_dir)
+    labs = np.asarray(cents["label"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(cents["centroid"].to_pylist(), dtype=np.float64)
+    ref = ray.put((labs, mat))
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def _dist(t: pa.Table) -> pa.Table:
+        labs_s, mat_s = ray.get(ref)
+        arr = t["embedding"].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1)
+        lab = t["label"].to_numpy().astype(np.int64)
+        cm = mat_s[np.searchsorted(labs_s, lab)]
+        dot = (m * cm).sum(axis=1)
+        cos = dot / (np.sqrt((m * m).sum(axis=1))
+                     * np.sqrt((cm * cm).sum(axis=1)))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "label": t["label"],
+            "cos_to_centroid": pa.array(_hedge_round(cos, 6)),
+        })
+
+    return emb.map_batches(_dist, batch_format="pyarrow")
+
+
+SQL_CENTROID_DISTANCE = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), c AS (
+  SELECT label, idx, round(avg(v), 9) AS av FROM u GROUP BY label, idx
+), e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), j AS (
+  SELECT e.vec_id, e.label,
+         SUM(e.v * c.av) AS dot, SUM(e.v * e.v) AS nv,
+         SUM(c.av * c.av) AS nc
+  FROM e JOIN c ON e.label = c.label AND e.idx = c.idx
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, round(dot / (sqrt(nv) * sqrt(nc)), 6)
+       AS cos_to_centroid
+FROM j
+"""
+
+
 def q_tumbling_window_events(sf_dir: str):
     """Tumbling 6h event-time windows per user (map-side partial agg +
     tiny combine; SURVEY §2.10 streaming-window recast)."""
@@ -2458,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_orders": q_semi_join_orders,
         "anti_join_orders": q_anti_join_orders,
         "rank_events": q_rank_events,
+        "centroid_distance": q_centroid_distance,
     }
 
 
@@ -2533,4 +2592,5 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,
+        "centroid_distance": SQL_CENTROID_DISTANCE,
     }
