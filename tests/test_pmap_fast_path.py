@@ -170,12 +170,18 @@ def test_fast_path_two_sided_joins(ray_session, monkeypatch):
         "rts": pa.array(np.sort(rng.uniform(0, 1000, nr)).round(3)),
     })
 
+    from netml_ray.joins import anti_join, semi_join
+
     def run():
         outs = []
         for how in ("inner", "left", "full"):
             outs.append(hash_join(rd.from_arrow(left),
                                   rd.from_arrow(right), "k", how=how,
                                   num_partitions=6).to_pandas())
+        outs.append(semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                              "k", num_partitions=6).to_pandas())
+        outs.append(anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                              "k", num_partitions=6).to_pandas())
         for strict in (False, True):
             outs.append(asof_join(rd.from_arrow(left),
                                   rd.from_arrow(right), "k", "ts", "rts",
@@ -191,7 +197,8 @@ def test_fast_path_two_sided_joins(ray_session, monkeypatch):
         return outs
 
     dist, fast = _both_ways(monkeypatch, run)
-    sort_keys = [None, None, None, ["lid"], ["lid"], ["doc_id"]]
+    sort_keys = [None, None, None, ["lid"], ["lid"],
+                 ["lid"], ["lid"], ["doc_id"]]
     for d, f, keys in zip(dist, fast, sort_keys):
         if keys is None:
             keys = [c for c in d.columns]
