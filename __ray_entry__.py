@@ -502,6 +502,35 @@ SELECT label, list(round(av, 9) ORDER BY idx) AS centroid FROM (
 """
 
 
+def q_approx_quantiles_events(sf_dir: str):
+    """Approximate value quantiles from the DETERMINISTIC bottom-k
+    sample (Knuth-hash smallest-k rows — mergeable, partition-order
+    invariant, and exactly reproducible in SQL, so an approximate
+    sketch still gets a hash-exact oracle)."""
+    from netml_ray.sketches import approx_quantiles_sampled
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    qs = [0.25, 0.5, 0.9]
+    vals = approx_quantiles_sampled(ev, "value", "event_id", qs, k=2048)
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value_q": pa.array(_hedge_round(
+                         np.asarray(vals, dtype=np.float64), 9))})
+
+
+SQL_APPROX_QUANTILES = """
+WITH s AS (
+  SELECT value FROM events
+  ORDER BY (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296, event_id
+  LIMIT 2048
+)
+SELECT 0.25 AS q, round(quantile_cont(value, 0.25), 9) AS value_q FROM s
+UNION ALL
+SELECT 0.5, round(quantile_cont(value, 0.5), 9) FROM s
+UNION ALL
+SELECT 0.9, round(quantile_cont(value, 0.9), 9) FROM s
+"""
+
+
 def q_centroid_distance(sf_dir: str):
     """Per-vector cosine to its OWN label's centroid (embedding
     outlier signal): centroids from the shuffle-free partial-sum pass
@@ -2517,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders": q_anti_join_orders,
         "rank_events": q_rank_events,
         "centroid_distance": q_centroid_distance,
+        "approx_quantiles_events": q_approx_quantiles_events,
     }
 
 
@@ -2593,4 +2623,5 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,
         "centroid_distance": SQL_CENTROID_DISTANCE,
+        "approx_quantiles_events": SQL_APPROX_QUANTILES,
     }

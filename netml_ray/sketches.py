@@ -244,3 +244,49 @@ def approx_counts(ds, col: str, keys, *, width: int = 2048) -> np.ndarray:
     fixed memory."""
     return cms_query(cms_merge(cms_partials(ds, col, width=width),
                                width=width), keys)
+
+
+def bottomk_sample(ds, col: str, id_col: str, *, k: int = 2048):
+    """Deterministic mergeable uniform row sample: keep the ``k`` rows
+    with the smallest Knuth multiplicative hash of ``id_col``
+    (h = id·2654435761 mod 2³², ties broken by id).  Per-block
+    bottom-k partials (argpartition, ≤ k rows each) union-merge to the
+    global bottom-k — O(blocks·k) rows ever leave the workers, the
+    result is independent of partitioning/block order, and the exact
+    same sample is expressible in SQL (ORDER BY hash, id LIMIT k),
+    which is what makes the derived quantile op oracle-checkable."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        if len(h) > k:
+            keep = np.argpartition(h, k)[:k]
+            t = t.select([id_col, col]).take(pa.array(np.sort(keep)))
+            h = h[keep][np.argsort(keep, kind="stable")]
+        else:
+            t = t.select([id_col, col])
+        return pa.table({"__h": pa.array(h.astype(np.int64)),
+                         id_col: t[id_col], col: t[col]})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    batches = list(parts.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+    if not batches:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         col: pa.array([], type=pa.float64())})
+    t = pa.concat_tables(batches).combine_chunks()
+    t = t.sort_by([("__h", "ascending"), (id_col, "ascending")])
+    return t.slice(0, k).drop_columns(["__h"])
+
+
+def approx_quantiles_sampled(ds, col: str, id_col: str, qs,
+                             *, k: int = 2048) -> np.ndarray:
+    """Approximate quantiles from the deterministic bottom-k sample —
+    rank error O(1/√k), linear interpolation (= SQL quantile_cont).
+    Unlike a random sample, re-running on any partitioning of the same
+    data gives the IDENTICAL answer."""
+    sample = bottomk_sample(ds, col, id_col, k=k)
+    v = sample[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if not len(v):
+        return np.full(len(list(qs)), np.nan)
+    return np.quantile(v, list(qs), method="linear")

@@ -67,3 +67,48 @@ def test_count_min_bounds(ray_session):
     assert (est - true <= np.e / 2048 * n + 1).all()  # CM error bound
     # heavy hitters are near-exact at this width
     assert est[0] == true[0]
+
+
+def test_bottomk_sample_partition_invariant(ray_session):
+    """The Knuth-hash bottom-k sample is IDENTICAL whatever the block
+    layout, and approximate quantiles from it sit within the O(1/sqrt k)
+    rank-error band of the exact quantiles."""
+    import ray.data as rd
+
+    from netml_ray.sketches import approx_quantiles_sampled, bottomk_sample
+
+    rng = np.random.default_rng(31)
+    n, k = 50_000, 2048
+    v = rng.lognormal(0.0, 1.0, n)
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "value": pa.array(v)})
+    samples = []
+    for width in (1000, 7777, n):
+        ds = rd.from_arrow([t.slice(i, width) for i in range(0, n, width)])
+        s = bottomk_sample(ds, "value", "event_id", k=k).to_pandas()
+        assert len(s) == k
+        samples.append(s.reset_index(drop=True))
+    for s in samples[1:]:
+        pd.testing.assert_frame_equal(samples[0], s)
+
+    qs = [0.1, 0.5, 0.9]
+    ds = rd.from_arrow([t.slice(i, 5000) for i in range(0, n, 5000)])
+    est = approx_quantiles_sampled(ds, "value", "event_id", qs, k=k)
+    # rank-error check: the estimate's true rank is within 4/sqrt(k)
+    # of the target quantile (generous band; typical error ~1/sqrt(k))
+    sv = np.sort(v)
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(sv, e) / n
+        assert abs(rank - q) < 4 / np.sqrt(k), (q, rank)
+
+
+def test_bottomk_sample_small_input_returns_all(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sketches import bottomk_sample
+
+    t = pa.table({"event_id": pa.array([5, 1, 9], type=pa.int64()),
+                  "value": pa.array([1.0, 2.0, 3.0])})
+    s = bottomk_sample(rd.from_arrow(t), "value", "event_id",
+                       k=100).to_pandas()
+    assert len(s) == 3 and set(s["event_id"]) == {1, 5, 9}
