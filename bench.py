@@ -298,6 +298,30 @@ def run_suite() -> dict:
         curation["simhash_docs_per_sec"] = round(
             cur_rows / max(curation["simhash_sec"], 1e-9), 1)
 
+    # round-4 corpus-statistics scorers over the same synthetic corpus
+    # (two-pass shape: narrow count exchange + broadcast scoring)
+    textstats = {}
+    if os.environ.get("GRAFT_SKIP_TEXTSTATS") != "1" \
+            and os.environ.get("GRAFT_SKIP_CURATION") != "1" \
+            and not only_curation:
+        from netml_ray.corpus import documents_path
+        from netml_ray.textstats import bigram_lm_bits, tfidf_top_terms
+
+        ts_rows = int(os.environ.get("GRAFT_CURATION_ROWS", "500000"))
+        tdocs = rd.read_parquet(documents_path(ts_rows, seed=13),
+                                columns=["doc_id", "text"])
+        t0 = time.time()
+        _consume(bigram_lm_bits(tdocs), "lm_bits")
+        textstats["lm_bits_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _consume(tfidf_top_terms(tdocs, k=5), "tfidf")
+        textstats["tfidf_sec"] = round(time.time() - t0, 3)
+        textstats["textstats_docs"] = ts_rows
+        textstats["lm_bits_docs_per_sec"] = round(
+            ts_rows / max(textstats["lm_bits_sec"], 1e-9), 1)
+        textstats["tfidf_docs_per_sec"] = round(
+            ts_rows / max(textstats["tfidf_sec"], 1e-9), 1)
+
     crawl_docs = crawl_rows
     result = {
         "metric": "headline pipelines wall time (crawl flagship + operator suite)",
@@ -312,6 +336,7 @@ def run_suite() -> dict:
         "flagship_reps": flagship_reps,
         **skew,
         **curation,
+        **textstats,
     }
     ray.shutdown()
     return result

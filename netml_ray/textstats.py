@@ -41,23 +41,26 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
            "doc_frequency", "tfidf_top_terms"]
 
 
-def _tokens_and_bounds(col) -> tuple[list[str], np.ndarray]:
-    """(flat token list, per-doc token counts) for a string column.
-    Python ``str.split`` per doc (C loop, L1-resident) — on this class
-    of string workload it beats whole-buffer vectorization (see
-    NOTES.md bandwidth gotcha); the downstream math is all numpy."""
-    toks: list[str] = []
-    counts = np.empty(len(col), dtype=np.int64)
-    for i, s in enumerate(col.to_pylist()):
-        t = s.split() if s else []
-        counts[i] = len(t)
-        toks.extend(t)
-    return toks, counts
+def _tok(col):
+    """Dictionary-encoded batch tokenization (``textops.Tokenized``):
+    all per-WORD work downstream happens on the SMALL dictionary and
+    is broadcast to the token stream by an int-code gather.  This is
+    the fix for the first version of these ops, whose object-dtype
+    ``searchsorted`` over every token (plus per-doc Counter loops)
+    measured ~20x slower at 500k docs."""
+    from netml_ray.textops import Tokenized
+
+    return Tokenized(col)
+
+
+def _dict_strings(tok) -> np.ndarray:
+    return np.asarray(tok.dictionary.to_pylist(), dtype=object)
 
 
 # ---------------------------------------------------------------------------
@@ -78,31 +81,36 @@ def bigram_counts(ds, *, text_col: str = "text", min_count: int = 1,
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        vocab: set = set()
-        for s in t[text_col].to_pylist():
-            w = s.split() if s else []
-            c.update(zip(w, w[1:]))
-            if with_vocab:
-                vocab.update(w)
-        kinds, w1s, w2s, ns = [], [], [], []
-        for (a, b), n in c.items():
-            kinds.append(1)
-            w1s.append(a)
-            w2s.append(b)
-            ns.append(n)
+        tok = _tok(t[text_col])
+        live = tok.n_words[tok.rowid] > 0     # drop empty-row '' tokens
+        codes, rowid = tok.codes[live], tok.rowid[live]
+        d = max(len(tok.dictionary), 1)
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if not len(codes):
+            return empty
+        same = rowid[1:] == rowid[:-1]
+        pair = codes[:-1][same] * d + codes[1:][same]
+        u, n = (np.unique(pair, return_counts=True) if len(pair)
+                else (np.empty(0, dtype=np.int64),
+                      np.empty(0, dtype=np.int64)))
+        w1 = tok.dictionary.take(pa.array(u // d))
+        w2 = tok.dictionary.take(pa.array(u % d))
+        out = pa.table({
+            "kind": pa.array(np.ones(len(u), dtype=np.int8)),
+            "w1": w1.cast(pa.string()), "w2": w2.cast(pa.string()),
+            "n": pa.array(n.astype(np.int64))})
         if with_vocab:
-            for w in vocab:
-                kinds.append(0)
-                w1s.append(w)
-                w2s.append("")
-                ns.append(1)
-        return pa.table({"kind": pa.array(kinds, type=pa.int8()),
-                         "w1": pa.array(w1s, type=pa.string()),
-                         "w2": pa.array(w2s, type=pa.string()),
-                         "n": pa.array(ns, type=pa.int64())})
+            uc = np.unique(codes)
+            voc = pa.table({
+                "kind": pa.array(np.zeros(len(uc), dtype=np.int8)),
+                "w1": tok.dictionary.take(pa.array(uc)).cast(pa.string()),
+                "w2": pa.array([""] * len(uc), type=pa.string()),
+                "n": pa.array(np.ones(len(uc), dtype=np.int64))})
+            out = pa.concat_tables([out, voc])
+        return out
 
     agg = (ds.map_batches(_partial, batch_format="pyarrow")
            .groupby(["kind", "w1", "w2"])
@@ -116,53 +124,133 @@ def bigram_counts(ds, *, text_col: str = "text", min_count: int = 1,
     return grams, agg.filter(expr="kind == 0").count()
 
 
-class _BigramModel:
-    """Broadcast-side model: sorted vocab + sorted bigram codes, all
-    lookups via ``np.searchsorted`` (fully vectorized scoring)."""
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    def __init__(self, w1: np.ndarray, w2: np.ndarray, n: np.ndarray,
+
+def _hash_strings(words) -> np.ndarray:
+    """64-bit word hashes for a python string iterable — EXACTLY the
+    hash ``Tokenized.word_hashes`` assigns, so string-keyed injected
+    count tables interoperate with the hash-keyed model."""
+    from netml_ray.textops import _rolling_hash_segments, _utf8_segments
+
+    col = pa.array(list(words), type=pa.string())
+    data, offs = _utf8_segments(col)
+    return _rolling_hash_segments(data, offs)
+
+
+def _bigram_hash_counts(ds, *, text_col: str, min_count: int):
+    """Hash-keyed bigram counts: per-batch partial ``(code, h1, n)``
+    rows where ``code = h1·GOLD + h2`` (mod 2⁶⁴) — the exchange
+    carries three int64 columns however large the string vocabulary
+    is (the string-keyed variant measured 87 s vs ~15 s at 500k docs /
+    780k-token vocab: sort-based shuffles over wide string keys are
+    bandwidth-bound).  Returns ``(grams_ds, vocab_size)``; the
+    distinct-token count rides the same exchange as ``kind=0`` rows.
+    64-bit collisions are negligible at any realistic vocab (same
+    precedent as the n-gram decontamination hashes)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        tok = _tok(t[text_col])
+        live = tok.n_words[tok.rowid] > 0
+        wh = tok.word_hashes()[live]
+        rowid = tok.rowid[live]
+        if not len(wh):
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "code": pa.array([], type=pa.int64()),
+                             "h1": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        same = rowid[1:] == rowid[:-1]
+        h1 = wh[:-1][same]
+        h2 = wh[1:][same]
+        code = (h1 * _GOLD + h2).view(np.int64)
+        u, first, n = (np.unique(code, return_index=True,
+                                 return_counts=True) if len(code)
+                       else (np.empty(0, np.int64), np.empty(0, np.int64),
+                             np.empty(0, np.int64)))
+        uh = np.unique(wh).view(np.int64)
+        return pa.table({
+            "kind": pa.array(np.r_[np.ones(len(u), dtype=np.int8),
+                                   np.zeros(len(uh), dtype=np.int8)]),
+            "code": pa.array(np.r_[u, uh]),
+            "h1": pa.array(np.r_[h1[first].view(np.int64), uh]),
+            "n": pa.array(np.r_[n, np.ones(len(uh))].astype(np.int64)),
+        })
+
+    from netml_ray.partition import partition_map
+
+    def _combine(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy()
+        code = t["code"].to_numpy()
+        h1 = t["h1"].to_numpy()
+        n = t["n"].to_numpy()
+        order = np.lexsort((code, kind))
+        k, c, h, nn = kind[order], code[order], h1[order], n[order]
+        first = np.r_[True, (k[1:] != k[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(first)
+        return pa.table({"kind": pa.array(k[starts]),
+                         "code": pa.array(c[starts]),
+                         "h1": pa.array(h[starts]),
+                         "n": pa.array(np.add.reduceat(nn, starts)
+                                       .astype(np.int64))})
+
+    # hash-partition by code + vectorized in-partition combine: Ray's
+    # sort-based groupby on the same rows measured ~60 s of the 87 s
+    # string-keyed total at 500k docs — the sort/sample machinery, not
+    # the bytes, was the cost
+    agg = partition_map(ds.map_batches(_partial, batch_format="pyarrow"),
+                        "code", _combine).materialize()
+    grams = agg.filter(expr="kind == 1")
+    if min_count > 1:
+        grams = grams.filter(expr=f"n >= {min_count}")
+    return grams.drop_columns(["kind"]), agg.filter(expr="kind == 0").count()
+
+
+class _BigramModel:
+    """Broadcast-side model keyed on 64-bit word hashes: sorted pair
+    codes + sorted context-sum keys, every lookup an integer
+    ``np.searchsorted`` (no string compares anywhere in scoring)."""
+
+    def __init__(self, code: np.ndarray, h1: np.ndarray, n: np.ndarray,
                  vocab_size: int, alpha: float):
-        self.vocab = np.unique(np.r_[w1, w2])
-        v = len(self.vocab)
-        i1 = np.searchsorted(self.vocab, w1)
-        i2 = np.searchsorted(self.vocab, w2)
-        code = i1.astype(np.int64) * v + i2
         order = np.argsort(code)
         self.codes = code[order]
         self.counts = n[order].astype(np.float64)
         # c(w ·) = sum of bigram counts starting at w — ONE table model
-        self.ctx = np.zeros(v, dtype=np.float64)
-        np.add.at(self.ctx, i1, n.astype(np.float64))
+        uh, inv = np.unique(h1, return_inverse=True)
+        sums = np.zeros(len(uh), dtype=np.float64)
+        np.add.at(sums, inv, n.astype(np.float64))
+        self.ctx_keys = uh
+        self.ctx_vals = sums
         self.V = float(vocab_size)
         self.alpha = float(alpha)
 
-    def ids(self, tokens: list[str]) -> np.ndarray:
-        """vocab ids, -1 for OOV (never seen in any bigram)."""
-        if not tokens:
-            return np.empty(0, dtype=np.int64)
-        if not len(self.vocab):
-            return np.full(len(tokens), -1, dtype=np.int64)
-        arr = np.asarray(tokens, dtype=object)
-        pos = np.searchsorted(self.vocab, arr)
-        pos_c = np.clip(pos, 0, len(self.vocab) - 1)
-        ok = self.vocab[pos_c] == arr
-        return np.where(ok, pos_c, -1).astype(np.int64)
+    @staticmethod
+    def from_strings(w1, w2, n, vocab_size, alpha) -> "_BigramModel":
+        h1 = _hash_strings(w1)
+        h2 = _hash_strings(w2)
+        return _BigramModel(h1 * _GOLD + h2, h1, np.asarray(n),
+                            vocab_size, alpha)
 
-    def logp2(self, ids: np.ndarray, valid: np.ndarray) -> np.ndarray:
-        """log2 P(w2 | w1) for consecutive-token pairs; ``valid`` marks
-        pairs that belong to the same doc."""
-        v = len(self.vocab)
-        i1, i2 = ids[:-1], ids[1:]
-        if not len(self.codes) or not v:
-            cb = np.zeros(len(i1), dtype=np.float64)
-            cu = np.zeros(len(i1), dtype=np.float64)
+    def logp2(self, wh: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """log2 P(w2 | w1) for consecutive-token hash pairs; ``valid``
+        marks pairs inside one doc."""
+        h1, h2 = wh[:-1], wh[1:]
+        if not len(self.codes):
+            cb = np.zeros(len(h1), dtype=np.float64)
         else:
-            code = np.where((i1 >= 0) & (i2 >= 0), i1 * v + i2, np.int64(-1))
+            code = h1 * _GOLD + h2
             pos = np.searchsorted(self.codes, code)
             pos_c = np.clip(pos, 0, len(self.codes) - 1)
-            cb = np.where((self.codes[pos_c] == code) & (code >= 0),
-                          self.counts[pos_c], 0.0)
-            cu = np.where(i1 >= 0, self.ctx[np.clip(i1, 0, v - 1)], 0.0)
+            cb = np.where(self.codes[pos_c] == code, self.counts[pos_c],
+                          0.0)
+        if not len(self.ctx_keys):
+            cu = np.zeros(len(h1), dtype=np.float64)
+        else:
+            pos = np.searchsorted(self.ctx_keys, h1)
+            pos_c = np.clip(pos, 0, len(self.ctx_keys) - 1)
+            cu = np.where(self.ctx_keys[pos_c] == h1,
+                          self.ctx_vals[pos_c], 0.0)
         out = np.log2((cb + self.alpha) / (cu + self.alpha * self.V))
         return np.where(valid, out, 0.0)
 
@@ -180,41 +268,46 @@ def bigram_lm_bits(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     from netml_ray.partition import _collect_table, auto_concurrency
 
-    if counts is None and vocab_size is None:
-        # fused: ONE corpus pass + ONE exchange yields both the bigram
-        # table and the distinct-token count
-        counts, vocab_size = bigram_counts(ds, text_col=text_col,
-                                           min_count=min_count,
-                                           with_vocab=True)
-    elif counts is None:
-        counts = bigram_counts(ds, text_col=text_col, min_count=min_count)
-    ct = _collect_table(counts.materialize(),
-                        pa.schema([("w1", pa.string()), ("w2", pa.string()),
-                                   ("n", pa.int64())]))
-    if vocab_size is None:
-        # V = distinct corpus tokens = rows of the df table (one narrow
-        # count exchange; never a driver token collect)
-        vocab_size = doc_frequency(ds, text_col=text_col).count()
-    model_ref = ray.put(_BigramModel(
-        np.asarray(ct["w1"].to_pylist(), dtype=object),
-        np.asarray(ct["w2"].to_pylist(), dtype=object),
-        ct["n"].to_numpy(), vocab_size, alpha))
+    if counts is None:
+        # fused hash-keyed pipeline: ONE corpus pass + ONE narrow int64
+        # exchange yields both the bigram table and the distinct-token
+        # count (see _bigram_hash_counts for why not strings)
+        grams, vs = _bigram_hash_counts(ds, text_col=text_col,
+                                        min_count=min_count)
+        if vocab_size is None:
+            vocab_size = vs
+        gt = _collect_table(grams.materialize(),
+                            pa.schema([("code", pa.int64()),
+                                       ("h1", pa.int64()),
+                                       ("n", pa.int64())]))
+        model = _BigramModel(gt["code"].to_numpy().view(np.uint64),
+                             gt["h1"].to_numpy().view(np.uint64),
+                             gt["n"].to_numpy(), vocab_size, alpha)
+    else:
+        # injected string-keyed count table (train-on-clean shape)
+        ct = _collect_table(counts.materialize(),
+                            pa.schema([("w1", pa.string()),
+                                       ("w2", pa.string()),
+                                       ("n", pa.int64())]))
+        if vocab_size is None:
+            vocab_size = doc_frequency(ds, text_col=text_col).count()
+        model = _BigramModel.from_strings(
+            ct["w1"].to_pylist(), ct["w2"].to_pylist(),
+            ct["n"].to_numpy(), vocab_size, alpha)
+    model_ref = ray.put(model)
 
     class _Score:
         def __init__(self):
             self.m: _BigramModel = ray.get(model_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            toks, counts = _tokens_and_bounds(t[text_col])
-            ids = self.m.ids(toks)
-            bounds = np.r_[0, np.cumsum(counts)]
-            # pair i is (tok[i], tok[i+1]); valid unless tok[i] is some
-            # doc's last token
-            valid = np.ones(max(len(toks) - 1, 0), dtype=bool)
-            last = bounds[1:] - 1
-            last = last[(last >= 0) & (last < len(valid))]
-            valid[last] = False
-            lp = self.m.logp2(ids, valid)
+            tok = _tok(t[text_col])
+            counts = tok.n_words
+            wh = tok.word_hashes()
+            # pair i is (tok[i], tok[i+1]); valid only within one row
+            valid = (tok.rowid[1:] == tok.rowid[:-1]
+                     if len(tok.rowid) else np.zeros(0, dtype=bool))
+            lp = self.m.logp2(wh, valid)
             nbg = np.maximum(counts - 1, 0)
             # per-doc sums via reduceat (independent left-to-right
             # segment sums — identical docs score BIT-identically,
@@ -225,7 +318,7 @@ def bigram_lm_bits(ds, *, text_col: str = "text", id_col: str = "doc_id",
             doc_sum = np.zeros(len(counts), dtype=np.float64)
             has = nbg > 0
             if has.any() and len(lp):
-                doc_sum[has] = np.add.reduceat(lp, bounds[:-1][has])
+                doc_sum[has] = np.add.reduceat(lp, tok.offsets[:-1][has])
             bits = np.where(nbg > 0, -doc_sum / np.maximum(nbg, 1), np.nan)
             return pa.table({
                 id_col: t[id_col],
@@ -249,20 +342,37 @@ def doc_frequency(ds, *, text_col: str = "text", min_df: int = 1):
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t[text_col].to_pylist():
-            c.update(set(s.split()) if s else ())
-        if not c:
+        tok = _tok(t[text_col])
+        live = tok.n_words[tok.rowid] > 0
+        codes, rowid = tok.codes[live], tok.rowid[live]
+        if not len(codes):
             return pa.table({"token": pa.array([], type=pa.string()),
                              "df": pa.array([], type=pa.int64())})
-        toks, ns = zip(*c.items())
-        return pa.table({"token": pa.array(list(toks), type=pa.string()),
-                         "df": pa.array(list(ns), type=pa.int64())})
+        d = len(tok.dictionary)
+        pres = np.unique(rowid * np.int64(d) + codes)   # (doc, token)
+        u, dfc = np.unique(pres % d, return_counts=True)
+        return pa.table({
+            "token": tok.dictionary.take(pa.array(u)).cast(pa.string()),
+            "df": pa.array(dfc.astype(np.int64))})
 
-    agg = (ds.map_batches(_partial, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("df", alias_name="df")))
+    from netml_ray.partition import partition_map
+
+    def _combine(t: pa.Table) -> pa.Table:
+        # in-partition sum per token: Arrow dictionary-encode (C++
+        # hash) + reduceat — no python string handling, no Ray sort
+        enc = pc.dictionary_encode(t["token"].combine_chunks())
+        codes = enc.indices.to_numpy()
+        df = t["df"].to_numpy()
+        order = np.argsort(codes, kind="stable")
+        c, d = codes[order], df[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        return pa.table({
+            "token": enc.dictionary.take(pa.array(c[starts]))
+            .cast(pa.string()),
+            "df": pa.array(np.add.reduceat(d, starts).astype(np.int64))})
+
+    agg = partition_map(ds.map_batches(_partial, batch_format="pyarrow"),
+                        "token", _combine)
     if min_df > 1:
         agg = agg.filter(expr=f"df >= {min_df}")
     return agg
@@ -295,21 +405,21 @@ def bm25_scores(ds, terms, *, text_col: str = "text",
     tset = tuple(terms)
 
     def _stats_partial(t: pa.Table) -> pa.Table:
-        # per-batch: doc-length sum + per-query-term df partials
-        from collections import Counter
-
-        c: Counter = Counter()
-        dl_sum = 0
-        for s in t[text_col].to_pylist():
-            w = s.split() if s else []
-            dl_sum += len(w)
-            ws = set(w)
-            for q in tset:
-                if q in ws:
-                    c[q] += 1
+        # per-batch: doc-length sum + per-query-term df partials;
+        # terms resolve against the small batch dictionary, membership
+        # is an int-code compare over the stream
+        tok = _tok(t[text_col])
+        live = tok.n_words[tok.rowid] > 0
+        codes, rowid = tok.codes[live], tok.rowid[live]
+        dmap = {w: i for i, w in enumerate(_dict_strings(tok))}
+        dfs = []
+        for q in tset:
+            code = dmap.get(q)
+            dfs.append(0 if code is None or not len(codes)
+                       else int(np.unique(rowid[codes == code]).size))
         return pa.table({
             "term": pa.array(list(tset) + ["\x00dl"], type=pa.string()),
-            "n": pa.array([c.get(q, 0) for q in tset] + [dl_sum],
+            "n": pa.array(dfs + [int(tok.n_words.sum())],
                           type=pa.int64())})
 
     stats = (ds.map_batches(_stats_partial, batch_format="pyarrow")
@@ -327,21 +437,24 @@ def bm25_scores(ds, terms, *, text_col: str = "text",
              self.k1, self.b) = ray.get(model_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            toks, counts = _tokens_and_bounds(t[text_col])
+            tok = _tok(t[text_col])
             empty = pa.table({
                 id_col: pa.array([], type=t.schema.field(id_col).type),
                 "bm25": pa.array([], type=pa.float64())})
-            if not toks:
+            if not len(tok.codes):
                 return empty
-            arr = np.asarray(toks, dtype=object)
-            doc_ix = np.repeat(np.arange(len(counts)), counts)
-            dl = counts.astype(np.float64)
+            dmap = {w: i for i, w in enumerate(_dict_strings(tok))}
+            live = tok.n_words[tok.rowid] > 0
+            dl = tok.n_words.astype(np.float64)
             denom_dl = self.k1 * (1.0 - self.b
                                   + self.b * dl / (self.avgdl or 1.0))
-            score = np.zeros(len(counts), dtype=np.float64)
+            score = np.zeros(t.num_rows, dtype=np.float64)
             for qi, q in enumerate(self.terms):
-                tf = np.bincount(doc_ix[arr == q],
-                                 minlength=len(counts)).astype(np.float64)
+                code = dmap.get(q)
+                if code is None:
+                    continue
+                tf = np.bincount(tok.rowid[live & (tok.codes == code)],
+                                 minlength=t.num_rows).astype(np.float64)
                 score += self.idf[qi] * (tf * (self.k1 + 1.0)
                                          / (tf + denom_dl))
             hit = score > 0.0
@@ -385,20 +498,24 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
             self.vocab, self.idf = ray.get(model_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            toks, counts = _tokens_and_bounds(t[text_col])
+            tok = _tok(t[text_col])
             empty = pa.table({
                 id_col: pa.array([], type=t.schema.field(id_col).type),
                 "term": pa.array([], type=pa.string()),
                 "tf": pa.array([], type=pa.int64()),
                 "tfidf": pa.array([], type=pa.float64())})
-            if not toks or not len(self.vocab):
+            if not len(tok.codes) or not len(self.vocab):
                 return empty
-            arr = np.asarray(toks, dtype=object)
-            doc_ix = np.repeat(np.arange(len(counts)), counts)
-            pos = np.searchsorted(self.vocab, arr)
+            # dictionary → vocab-id LUT (object compares on the small
+            # dictionary only, int gather for the stream)
+            ds_ = _dict_strings(tok)
+            pos = np.searchsorted(self.vocab, ds_)
             pos_c = np.clip(pos, 0, len(self.vocab) - 1)
-            ok = self.vocab[pos_c] == arr
-            doc_ix, vid = doc_ix[ok], pos_c[ok]
+            lut = np.where(self.vocab[pos_c] == ds_, pos_c, -1)
+            live = tok.n_words[tok.rowid] > 0
+            vid_all = lut[tok.codes]
+            ok = live & (vid_all >= 0)
+            doc_ix, vid = tok.rowid[ok], vid_all[ok]
             if not len(vid):
                 return empty
             # tf per (doc, token): sort by combined code, run-length
