@@ -1127,10 +1127,12 @@ def q_heavy_hitters_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["text"])
 
     def _explode(t: pa.Table) -> pa.Table:
-        toks = []
-        for s in t["text"].to_pylist():
-            toks.extend(s.split() if s else ())
-        return pa.table({"token": pa.array(toks, type=pa.string())})
+        from netml_ray.textops import Tokenized
+
+        tok = Tokenized(t["text"])
+        live = tok.n_words[tok.rowid] > 0
+        return pa.table({"token": tok.dictionary.take(
+            pa.array(tok.codes[live])).cast(pa.string())})
 
     tok = docs.map_batches(_explode, batch_format="pyarrow")
     hh = misra_gries_topk(tok, "token", k=256)

@@ -64,15 +64,24 @@ class InvertedIndex:
         n_docs = ds.count()
 
         def _postings_partial(t: pa.Table) -> pa.Table:
-            toks: list[str] = []
-            ids: list[int] = []
-            id_np = t[id_col].to_numpy()
-            for i, s in enumerate(t[text_col].to_pylist()):
-                u = sorted(set(s.split())) if s else ()
-                toks.extend(u)
-                ids.extend([int(id_np[i])] * len(u))
-            return pa.table({"token": pa.array(toks, type=pa.string()),
-                             id_col: pa.array(ids, type=pa.int64())})
+            # vectorized distinct-(doc, token) pairs: dictionary-encode
+            # the token stream, unique over (row, code), gather strings
+            # from the small dictionary only
+            from netml_ray.textops import Tokenized
+
+            tok = Tokenized(t[text_col])
+            live = tok.n_words[tok.rowid] > 0
+            codes, rowid = tok.codes[live], tok.rowid[live]
+            if not len(codes):
+                return pa.table({"token": pa.array([], type=pa.string()),
+                                 id_col: pa.array([], type=pa.int64())})
+            d = len(tok.dictionary)
+            pres = np.unique(rowid * np.int64(d) + codes)
+            id_np = t[id_col].to_numpy().astype(np.int64)
+            return pa.table({
+                "token": tok.dictionary.take(pa.array(pres % d))
+                .cast(pa.string()),
+                id_col: pa.array(id_np[pres // d])})
 
         pairs = (ds.select_columns([id_col, text_col])
                  .map_batches(_postings_partial, batch_format="pyarrow"))
