@@ -547,26 +547,45 @@ def gopher_quality_batch(t: pa.Table, text_col: str = "text",
 
 def top_tokens(ds, *, text_col: str = "text", k: int = 20):
     """Global top-k token histogram (vocabulary heavy hitters):
-    per-batch PARTIAL token counts (one small table per batch — the
-    map-side combine that keeps the groupby exchange tiny) → groupby
-    sum → top-k.  Deterministic tie-break: (-count, token)."""
-    from ray.data.aggregate import Sum
+    per-batch PARTIAL token counts (Tokenized dictionary bincount —
+    the map-side combine, one row per distinct token per batch) →
+    hash-partitioned reduceat combine (``partition_map``; Ray's
+    sort-based groupby measured ~4x slower on comparable partial
+    volumes at a 780k-token vocabulary — see textstats) → top-k.
+    Deterministic tie-break: (-count, token)."""
+    from netml_ray.partition import partition_map
 
     def _partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t[text_col].to_pylist():
-            c.update(s.split())
-        if not c:
+        tok = Tokenized(t[text_col])
+        live = tok.n_words[tok.rowid] > 0
+        codes = tok.codes[live]
+        if not len(codes):
             return pa.table({"token": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        toks, ns = zip(*c.items())
-        return pa.table({"token": pa.array(list(toks), type=pa.string()),
-                         "n": pa.array(list(ns), type=pa.int64())})
+        cnt = np.bincount(codes, minlength=len(tok.dictionary))
+        present = np.flatnonzero(cnt)
+        return pa.table({
+            "token": tok.dictionary.take(pa.array(present))
+            .cast(pa.string()),
+            "n": pa.array(cnt[present].astype(np.int64))})
 
-    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
-        "token").aggregate(Sum("n", alias_name="n"))
+    def _combine(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["token"].combine_chunks())
+        codes = enc.indices.to_numpy()
+        n = t["n"].to_numpy()
+        if not len(codes):
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        order = np.argsort(codes, kind="stable")
+        c, nn = codes[order], n[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        return pa.table({
+            "token": enc.dictionary.take(pa.array(c[starts]))
+            .cast(pa.string()),
+            "n": pa.array(np.add.reduceat(nn, starts).astype(np.int64))})
+
+    agg = partition_map(ds.map_batches(_partial, batch_format="pyarrow"),
+                        "token", _combine)
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
