@@ -163,6 +163,25 @@ def test_bm25_matches_brute_force(ray_session):
         bm25_scores(ds, [])
 
 
+def test_empty_and_whitespace_inputs(ray_session):
+    """All-empty / whitespace-only corpora flow through every scorer
+    without error and with the documented null/zero semantics."""
+    import ray.data as rd
+
+    from netml_ray.textstats import (bigram_lm_bits, bm25_scores,
+                                     doc_frequency, tfidf_top_terms)
+
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["", "   "])})
+    ds = rd.from_arrow(t)
+    lm = bigram_lm_bits(ds).to_pandas().sort_values("doc_id")
+    assert list(lm["n_bigrams"]) == [0, 0]
+    assert lm["lm_bits"].isna().all()
+    assert len(tfidf_top_terms(ds, k=3).to_pandas()) == 0
+    assert len(doc_frequency(ds).to_pandas()) == 0
+    assert len(bm25_scores(ds, ["x"]).to_pandas()) == 0
+
+
 def test_prune_thresholds(ray_session):
     """min_count / min_df drop the long tail (broadcastability prune)."""
     import ray.data as rd
