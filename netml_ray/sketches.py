@@ -247,7 +247,8 @@ def approx_counts(ds, col: str, keys, *, width: int = 2048) -> np.ndarray:
 
 
 def bottomk_sample(ds, col: str, id_col: str, *, k: int = 2048):
-    """Deterministic mergeable uniform row sample: keep the ``k`` rows
+    """Deterministic mergeable uniform row sample (bottom-k sketch,
+    Cohen & Kaplan 2007): keep the ``k`` rows
     with the smallest Knuth multiplicative hash of ``id_col``
     (h = id·2654435761 mod 2³², ties broken by id).  Per-block
     bottom-k partials (argpartition, ≤ k rows each) union-merge to the
