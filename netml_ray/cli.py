@@ -166,6 +166,36 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build (or rebuild) a sharded inverted index over a documents
+    corpus."""
+    import ray.data as rd
+
+    from netml_ray.invindex import InvertedIndex
+
+    docs = rd.read_parquet(args.corpus, columns=[args.id_col, args.text_col])
+    idx = InvertedIndex.build(docs, args.index, text_col=args.text_col,
+                              id_col=args.id_col,
+                              num_shards=args.num_shards)
+    print(f"index -> {idx.index_dir} ({idx.meta['n_docs']} docs, "
+          f"{len(idx.meta['files'])} shards)")
+    return 0
+
+
+def cmd_search(args) -> int:
+    """Boolean keyword search against a built index (reads only the
+    query terms' shards)."""
+    from netml_ray.invindex import InvertedIndex
+
+    idx = InvertedIndex.load(args.index)
+    hits = idx.search([t for t in args.terms.split(",") if t],
+                      mode=args.mode)
+    for h in hits[:args.limit]:
+        print(int(h))
+    print(f"# {len(hits)} match(es)", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="netml_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -209,6 +239,22 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--resume-dir",
                    help="checkpoint dir: resumable phase-A partitions")
     u.set_defaults(func=cmd_curate)
+
+    ix = sub.add_parser("index", help="build a sharded inverted index")
+    ix.add_argument("--corpus", required=True)
+    ix.add_argument("--index", required=True, help="index output dir")
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--num-shards", type=int)
+    ix.set_defaults(func=cmd_index)
+
+    se = sub.add_parser("search", help="boolean keyword search "
+                        "against a built index")
+    se.add_argument("--index", required=True)
+    se.add_argument("--terms", required=True, help="comma-separated")
+    se.add_argument("--mode", choices=["and", "or"], default="and")
+    se.add_argument("--limit", type=int, default=20)
+    se.set_defaults(func=cmd_search)
     return p
 
 

@@ -94,3 +94,28 @@ def test_cli_curate(ray_session, tmp_path):
                    for f in glob.glob(f"{out2}/*.parquet")]).sort_values(
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cli_index_and_search(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netml_ray.cli import main
+
+    corpus = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["red fox jumps", "red dog", "blue fox"])}),
+        corpus)
+    idx_dir = str(tmp_path / "idx")
+    assert main(["index", "--corpus", str(corpus),
+                 "--index", idx_dir, "--num-shards", "2"]) == 0
+    capsys.readouterr()
+    assert main(["search", "--index", idx_dir,
+                 "--terms", "red,fox", "--mode", "and"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["1"]
+    assert main(["search", "--index", idx_dir,
+                 "--terms", "red,fox", "--mode", "or"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["1", "2", "3"]
