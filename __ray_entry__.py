@@ -1088,6 +1088,35 @@ WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'customer')
 """
 
 
+def q_bm25_indexed_docs(sf_dir: str):
+    """Ranked retrieval through the INVERTED INDEX: df/tf/dl/avgdl all
+    come from the terms' postings shards + manifest (no corpus scan at
+    query time).  Same 3-term query and the SAME exact SQL oracle as
+    ``bm25_docs``, so the two independent implementations (full-scan
+    scorer vs index-local scorer) are pinned to one ground truth."""
+    import hashlib as _hl
+
+    from netml_ray.invindex import InvertedIndex
+
+    idx_dir = ("/tmp/netml_ray_inv_"
+               + _hl.sha1(sf_dir.encode()).hexdigest()[:12])
+    idx = None
+    try:
+        idx = InvertedIndex.load(idx_dir)
+        if "total_tokens" not in idx.meta:
+            idx = None  # pre-BM25 layout: rebuild
+    except Exception:
+        pass
+    if idx is None:
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        idx = InvertedIndex.build(docs, idx_dir, num_shards=16)
+    ids, sc = idx.bm25(["customer", "spark", "window"])
+    sc = _hedge_round(sc, 6)
+    order = np.lexsort((ids, -sc))[:20]
+    return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                     "bm25": pa.array(sc[order], type=pa.float64())})
+
+
 def q_scaled_events(sf_dir: str):
     """Fit-then-transform feature scaling: one partial-moments pass
     (8 doubles per batch per column, no shuffle) fits mean/std; the
@@ -2549,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events": q_rank_events,
         "centroid_distance": q_centroid_distance,
         "approx_quantiles_events": q_approx_quantiles_events,
+        "bm25_indexed_docs": q_bm25_indexed_docs,
     }
 
 
@@ -2626,4 +2656,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_events": SQL_RANK_EVENTS,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
+        "bm25_indexed_docs": SQL_BM25,
     }

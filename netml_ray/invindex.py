@@ -64,9 +64,10 @@ class InvertedIndex:
         n_docs = ds.count()
 
         def _postings_partial(t: pa.Table) -> pa.Table:
-            # vectorized distinct-(doc, token) pairs: dictionary-encode
-            # the token stream, unique over (row, code), gather strings
-            # from the small dictionary only
+            # vectorized distinct-(doc, token) pairs with per-pair term
+            # frequency and per-doc length (the BM25 payload):
+            # dictionary-encode the token stream, unique over
+            # (row, code), gather strings from the small dictionary
             from netml_ray.textops import Tokenized
 
             tok = Tokenized(t[text_col])
@@ -74,14 +75,20 @@ class InvertedIndex:
             codes, rowid = tok.codes[live], tok.rowid[live]
             if not len(codes):
                 return pa.table({"token": pa.array([], type=pa.string()),
-                                 id_col: pa.array([], type=pa.int64())})
+                                 id_col: pa.array([], type=pa.int64()),
+                                 "tf": pa.array([], type=pa.int64()),
+                                 "dl": pa.array([], type=pa.int64())})
             d = len(tok.dictionary)
-            pres = np.unique(rowid * np.int64(d) + codes)
+            pres, tf = np.unique(rowid * np.int64(d) + codes,
+                                 return_counts=True)
+            rows = pres // d
             id_np = t[id_col].to_numpy().astype(np.int64)
             return pa.table({
                 "token": tok.dictionary.take(pa.array(pres % d))
                 .cast(pa.string()),
-                id_col: pa.array(id_np[pres // d])})
+                id_col: pa.array(id_np[rows]),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(tok.n_words[rows].astype(np.int64))})
 
         pairs = (ds.select_columns([id_col, text_col])
                  .map_batches(_postings_partial, batch_format="pyarrow"))
@@ -115,13 +122,20 @@ class InvertedIndex:
             seg_starts = (rep_start + seg_ix * max_postings).astype(np.int64)
             offsets = np.r_[seg_starts, len(codes)].astype(np.int32)
             utoks = tok.take(pa.array(seg_starts))
+            off_arr = pa.array(offsets)
             postings = pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(ids, type=pa.int64()))
-            out = pa.table({"token": utoks, "postings": postings})
+                off_arr, pa.array(ids, type=pa.int64()))
+            tfs = pa.ListArray.from_arrays(
+                off_arr, pa.array(t["tf"].to_numpy(), type=pa.int64()))
+            dls = pa.ListArray.from_arrays(
+                off_arr, pa.array(t["dl"].to_numpy(), type=pa.int64()))
+            out = pa.table({"token": utoks, "postings": postings,
+                            "tfs": tfs, "dls": dls})
             if out.num_rows == 0 or sid < 0:
                 return pa.table({"shard": pa.array([], type=pa.int64()),
                                  "file": pa.array([], type=pa.string()),
-                                 "tokens": pa.array([], type=pa.int64())})
+                                 "tokens": pa.array([], type=pa.int64()),
+                                 "tok_sum": pa.array([], type=pa.int64())})
             sdir = f"{root}/shard={sid}"
             fs.create_dir(sdir, recursive=True)
             tmp = f"{sdir}/.data.parquet.tmp"
@@ -131,7 +145,10 @@ class InvertedIndex:
                              "file": pa.array([f"shard={sid}/data.parquet"],
                                               type=pa.string()),
                              "tokens": pa.array([out.num_rows],
-                                                type=pa.int64())})
+                                                type=pa.int64()),
+                             "tok_sum": pa.array(
+                                 [int(t["tf"].to_numpy().sum())],
+                                 type=pa.int64())})
 
         marker = partition_map(pairs, "token", _write,
                                num_partitions=num_shards,
@@ -142,6 +159,7 @@ class InvertedIndex:
                  for _, r in written.iterrows()}
         meta = {"num_shards": int(num_shards), "id_col": id_col,
                 "n_docs": int(n_docs), "max_postings": int(max_postings),
+                "total_tokens": int(written["tok_sum"].sum()),
                 "files": files}
         with fs.open_output_stream(f"{root}/meta.json") as f:
             f.write(json.dumps(meta).encode())
@@ -184,6 +202,62 @@ class InvertedIndex:
         # rows are in token order and each segment ascending, so the
         # flattened concatenation is already sorted
         return t["postings"].combine_chunks().flatten().to_numpy()
+
+    def postings_tf(self, term: str):
+        """(sorted doc ids, per-doc tf, per-doc length) for ``term`` —
+        the BM25 payload, still one shard read."""
+        import pyarrow.dataset as pads
+
+        path = self.meta["files"].get(str(self._shard_of(term)))
+        e = (np.empty(0, dtype=np.int64),) * 3
+        if path is None:
+            return e
+        dset = pads.dataset(f"{self.index_dir}/{path}", filesystem=self.fs)
+        t = dset.to_table(filter=pads.field("token") == term)
+        if t.num_rows == 0:
+            return e
+        return tuple(t[c].combine_chunks().flatten().to_numpy()
+                     for c in ("postings", "tfs", "dls"))
+
+    def bm25(self, terms, *, k1: float = 1.5, b: float = 0.75):
+        """BM25 scores for every doc matching ≥1 term, computed from
+        the index ALONE (reads only the terms' shards; df/dl/avgdl all
+        come from the postings + manifest) — identical formula and
+        float evaluation order to ``textstats.bm25_scores``, so both
+        implementations satisfy the same exact SQL oracle.  Returns
+        ``(doc_ids, scores)``."""
+        if "total_tokens" not in self.meta:
+            raise ValueError(
+                f"index at {self.index_dir} predates the BM25 payload "
+                f"(no total_tokens/tfs/dls) — rebuild the index")
+        terms = sorted(set(terms))
+        if not terms:
+            raise ValueError("terms must be non-empty")
+        n = self.meta["n_docs"]
+        avgdl = self.meta["total_tokens"] / max(n, 1)
+        all_ids, all_sc = [], []
+        for q in terms:
+            ids, tf, dl = self.postings_tf(q)
+            if not len(ids):
+                continue
+            df = len(ids)
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tff = tf.astype(np.float64)
+            denom = k1 * (1.0 - b + b * dl.astype(np.float64)
+                          / (avgdl or 1.0))
+            all_ids.append(ids)
+            all_sc.append(idf * (tff * (k1 + 1.0) / (tff + denom)))
+        if not all_ids:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        # accumulate per TERM into a union-id vector: the += order is
+        # sorted-term order, exactly the direct scorer's (and the
+        # SQL's) left-to-right sum — bitwise-equal results (reduceat
+        # does NOT guarantee left-to-right accumulation)
+        union = np.unique(np.concatenate(all_ids))
+        score = np.zeros(len(union), dtype=np.float64)
+        for ids, sc in zip(all_ids, all_sc):
+            score[np.searchsorted(union, ids)] += sc
+        return union, score
 
     def search(self, terms, *, mode: str = "and") -> np.ndarray:
         """Sorted doc ids matching ALL (``and``) / ANY (``or``) terms.

@@ -90,3 +90,30 @@ def test_load_roundtrip_and_missing_shard(built, tmp_path):
     shutil.rmtree(f"{built.index_dir}/{shard.split('/')[0]}")
     with pytest.raises(ValueError, match="missing shards"):
         InvertedIndex.load(built.index_dir)
+
+
+def test_bm25_via_index_matches_direct_scorer(ray_session, tmp_path):
+    """Index-local BM25 (postings tf/dl + manifest stats) is BITWISE
+    equal to the full-scan scorer on every matching doc."""
+    import ray.data as rd
+
+    from netml_ray.invindex import InvertedIndex
+    from netml_ray.textstats import bm25_scores
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(3, 30)))
+            for _ in range(400)] + ["", "w0 w0 w0"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs)})
+    idx = InvertedIndex.build(rd.from_arrow(t), str(tmp_path / "bm"),
+                              num_shards=4)
+    terms = ["w0", "w7", "w23"]
+    ids, sc = idx.bm25(terms)
+    direct = (bm25_scores(rd.from_arrow(t), terms).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    order = np.argsort(ids)
+    assert list(ids[order]) == list(direct["doc_id"])
+    np.testing.assert_array_equal(sc[order], direct["bm25"].to_numpy())
+    with pytest.raises(ValueError):
+        idx.bm25([])
