@@ -1287,6 +1287,48 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_despan_docs(sf_dir: str):
+    """Duplicated-span REMOVAL (RefinedWeb-style boilerplate rewrite):
+    drop every word covered by a corpus-duplicated word-5-gram, rejoin
+    with single spaces.  One broadcast probe + difference-array
+    coverage + ONE pc.binary_join reconstruction per batch."""
+    from netml_ray.curation import remove_duplicate_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicate_spans(docs, n=5, min_count=2)
+
+
+SQL_DESPAN = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE trim(text) <> ''),
+tokens AS (SELECT doc_id, unnest(ws) AS word,
+                  generate_subscripts(ws, 1) AS pos FROM w),
+g AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS i, ws
+      FROM w WHERE len(ws) >= 5),
+grams AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram FROM g),
+hv AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (SELECT DISTINCT grams.doc_id, grams.i FROM grams
+        JOIN hv USING (gram)),
+cov AS (SELECT DISTINCT t.doc_id, t.pos FROM tokens t
+        JOIN dup d ON t.doc_id = d.doc_id
+                  AND t.pos BETWEEN d.i AND d.i + 4),
+kept AS (SELECT t.doc_id,
+                string_agg(t.word, ' ' ORDER BY t.pos) AS txt,
+                CAST(COUNT(*) AS BIGINT) AS n_kept
+         FROM tokens t LEFT JOIN cov c
+           ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL GROUP BY t.doc_id),
+nw AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
+SELECT d.doc_id,
+       COALESCE(k.txt, '') AS text_clean,
+       COALESCE(nw.n_words, 0) - COALESCE(k.n_kept, 0)
+         AS n_dropped_words
+FROM documents d
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN nw USING (doc_id)
+"""
+
+
 def q_bm25_docs(sf_dir: str):
     """Ranked retrieval: top-20 docs by BM25 (k1=1.5, b=0.75, Lucene
     idf) against a 3-term query.  Corpus stats from narrow partial
@@ -2579,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_distance": q_centroid_distance,
         "approx_quantiles_events": q_approx_quantiles_events,
         "bm25_indexed_docs": q_bm25_indexed_docs,
+        "despan_docs": q_despan_docs,
     }
 
 
@@ -2657,4 +2700,5 @@ def oracle_sql() -> dict[str, str]:
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,
+        "despan_docs": SQL_DESPAN,
     }

@@ -102,20 +102,25 @@ def _word_hashes(col) -> tuple[np.ndarray, np.ndarray]:
     return tok.word_hashes(), tok.rowid
 
 
-def _ngram_hashes(wh: np.ndarray, rowid: np.ndarray, n: int
-                  ) -> tuple[np.ndarray, np.ndarray]:
+def _ngram_hashes(wh: np.ndarray, rowid: np.ndarray, n: int,
+                  return_pos: bool = False):
     """Combined hash for every WITHIN-ROW run of ``n`` consecutive word
     hashes: ``h = ((w0·M + w1)·M + w2)…`` mod 2⁶⁴.  Returns
-    ``(gram_hash, gram_row)``; collision probability at 64 bits is
-    negligible against exact-string oracles at any test scale."""
+    ``(gram_hash, gram_row)`` — plus each gram's START index in the
+    token stream when ``return_pos`` — collision probability at 64
+    bits is negligible against exact-string oracles at any test
+    scale."""
     total = len(wh)
     if total < n:
-        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+        out = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+        return out + (np.empty(0, dtype=np.int64),) if return_pos else out
     m = total - n + 1
     gh = np.zeros(m, dtype=np.uint64)
     for k in range(n):
         gh = gh * _MIX + wh[k:k + m]
     valid = rowid[:m] == rowid[n - 1:]
+    if return_pos:
+        return gh[valid], rowid[:m][valid], np.flatnonzero(valid)
     return gh[valid], rowid[:m][valid]
 
 
@@ -900,3 +905,67 @@ def duplicate_span_stats(ds, *, text_col: str = "text",
         })
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(ds, *, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 5,
+                           min_count: int = 2,
+                           heavy: np.ndarray | None = None):
+    """Boilerplate-span REMOVAL (the rewrite side of
+    ``duplicate_span_stats``): every word covered by at least one
+    word-``n``-gram occurring ≥ ``min_count`` times corpus-wide is
+    dropped, and each doc's remaining words are re-joined with single
+    spaces.  Returns ``(id, text_clean, n_dropped_words)``.
+
+    Phase 2 is one broadcast + vectorized pass: gram membership by
+    searchsorted, word coverage via a +1/-1 difference array over the
+    token stream (a gram starting at stream index p covers p..p+n-1,
+    always within one row by construction), and reconstruction as ONE
+    ``pc.binary_join`` over a rebuilt list array — no per-row Python."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from netml_ray.textops import Tokenized
+
+    if heavy is None:
+        heavy = heavy_gram_hashes(ds, text_col=text_col, n=n,
+                                  min_count=min_count)
+    ref = ray.put(np.asarray(heavy, dtype=np.uint64))
+
+    def _rewrite(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        tok = Tokenized(t[text_col])
+        wh = tok.word_hashes()
+        gh, _, gpos = _ngram_hashes(wh, tok.rowid, n, return_pos=True)
+        total = len(tok.codes)
+        covered = np.zeros(total + 1, dtype=np.int64)
+        if len(gh) and len(bench):
+            pos = np.searchsorted(bench, gh)
+            pos[pos == len(bench)] = len(bench) - 1
+            hit_start = gpos[bench[pos] == gh]
+            np.add.at(covered, hit_start, 1)
+            np.add.at(covered, np.minimum(hit_start + n, total), -1)
+        covered = np.cumsum(covered[:-1]) > 0
+        live = tok.n_words[tok.rowid] > 0 if total else \
+            np.zeros(0, dtype=bool)
+        keep = live & ~covered
+        # rebuild per-row word lists from the kept tokens
+        kept_per_row = (np.bincount(tok.rowid[keep], minlength=t.num_rows)
+                        if total else np.zeros(t.num_rows, dtype=np.int64))
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
+        np.cumsum(kept_per_row, out=offsets[1:])
+        words = tok.dictionary.take(pa.array(tok.codes[keep]))
+        lst = pa.ListArray.from_arrays(pa.array(offsets),
+                                       words.cast(pa.string()))
+        clean = pc.binary_join(lst, " ")
+        dropped = (np.bincount(tok.rowid[live & covered],
+                               minlength=t.num_rows)
+                   if total else np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table({
+            id_col: t[id_col],
+            "text_clean": clean,
+            "n_dropped_words": pa.array(dropped.astype(np.int64)),
+        })
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow")

@@ -427,3 +427,30 @@ def test_duplicate_span_stats(ray_session):
     assert list(out["n_dup_spans"]) == [1, 1, 0, 0, 1]
     assert out.loc[4, "dup_span_frac"] == 1.0
     assert out.loc[3, "dup_span_frac"] == 0.0
+
+
+def test_remove_duplicate_spans(ray_session):
+    """Words covered by corpus-duplicated 5-grams are dropped; overlap
+    of two duplicated spans is dropped once; unique and short docs
+    survive untouched."""
+    import ray.data as rd
+
+    from netml_ray.curation import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        "pre " + shared + " post",            # middle 5 words covered
+        shared,                               # fully covered
+        "one two three four five six seven",  # unique: untouched
+        "tiny doc",                           # <5 tokens: untouched
+        shared + " zeta " + shared,           # two covered spans
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    out = (remove_duplicate_spans(ds, n=5, min_count=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["text_clean"]) == [
+        "pre post", "", "one two three four five six seven",
+        "tiny doc", "zeta"]
+    assert list(out["n_dropped_words"]) == [5, 5, 0, 0, 10]
