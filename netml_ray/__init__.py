@@ -37,6 +37,7 @@ from netml_ray.joins import (  # noqa: F401
     label_join,
     range_join,
     semi_join,
+    semi_join_broadcast,
 )
 from netml_ray.dedup import (  # noqa: F401
     dedup_exact,

@@ -120,14 +120,18 @@ class InvertedIndex:
             seg_ix = (np.arange(int(n_seg.sum()))
                       - np.repeat(np.cumsum(n_seg) - n_seg, n_seg))
             seg_starts = (rep_start + seg_ix * max_postings).astype(np.int64)
-            offsets = np.r_[seg_starts, len(codes)].astype(np.int32)
+            # int64 offsets + large_list: a shard may exceed 2^31
+            # posting rows at the design scale (max_postings bounds a
+            # single LIST CELL, not total shard rows) — int32 offsets
+            # would silently wrap and corrupt the ListArray
+            offsets = np.r_[seg_starts, len(codes)].astype(np.int64)
             utoks = tok.take(pa.array(seg_starts))
-            off_arr = pa.array(offsets)
-            postings = pa.ListArray.from_arrays(
+            off_arr = pa.array(offsets, type=pa.int64())
+            postings = pa.LargeListArray.from_arrays(
                 off_arr, pa.array(ids, type=pa.int64()))
-            tfs = pa.ListArray.from_arrays(
+            tfs = pa.LargeListArray.from_arrays(
                 off_arr, pa.array(t["tf"].to_numpy(), type=pa.int64()))
-            dls = pa.ListArray.from_arrays(
+            dls = pa.LargeListArray.from_arrays(
                 off_arr, pa.array(t["dl"].to_numpy(), type=pa.int64()))
             out = pa.table({"token": utoks, "postings": postings,
                             "tfs": tfs, "dls": dls})

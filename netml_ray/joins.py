@@ -321,9 +321,11 @@ def range_join(
         sort_left=[key, left_ts], sort_right=[key, right_ts])
 
 
-def semi_join(ds, keys_iterable, key: str, *, anti: bool = False):
-    """Semi/anti join: broadcast the key set, filter inside map_batches
-    with a vectorized ``pc.is_in`` membership test."""
+def semi_join_broadcast(ds, keys_iterable, key: str, *, anti: bool = False):
+    """Semi/anti join against a SMALL driver-side key set: broadcast the
+    key set once (``ray.put``), filter inside map_batches with a
+    vectorized ``pc.is_in`` membership test.  For a large / distributed
+    right side use ``semi_join`` (co-partitioned exchange) instead."""
     import ray
 
     ref = ray.put(pa.array(sorted(set(keys_iterable))))

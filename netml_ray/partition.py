@@ -160,11 +160,16 @@ def partition_map(
     ``sort_by`` when given — always make the sort deterministic with a
     tiebreaker column) and returns a ``pa.Table``.
 
-    Small-input driver fast path: every ``fn`` passed here is
-    *run-segmented* — after the partition-local sort it operates
-    independently on each key's run — so applying it ONCE to the whole
-    sorted table is row-equivalent to the per-partition union (pinned
-    per op family by ``test_partition_map_fast_path``).  Below
+    CONTRACT on ``fn`` (required by the driver fast path below): ``fn``
+    must be *run-segmented* — after the partition-local sort it must
+    operate independently on each ``key`` run, never across runs — so
+    applying it ONCE to the whole sorted table is row-equivalent to the
+    per-partition union.  A cross-run ``fn`` would silently return
+    different results on the two paths: if yours is not run-segmented,
+    pass ``drop_pid=False`` or ``driver_bytes=0`` to pin the shuffle
+    path.  Every NEW consumer must extend the fast==distributed
+    equality pin in ``tests/test_pmap_fast_path.py`` (pinned per op
+    family today).  Below
     ``driver_bytes`` (default ``pmap_driver_bytes()``; 0 disables) the
     input collects to the driver and ``fn`` runs locally: at bench SF
     the hash shuffle is pure fixed overhead.  The input is materialized

@@ -256,6 +256,8 @@ class IVFIndex:
         frac = min(1.0, 2.0 * sample_rows / max(n, 1))
         sample_df = hash_sample(ds, id_col=id_col, fraction=frac,
                                 limit=sample_rows).to_pandas()
+        # sort by id: see the standalone path — determinism across runs
+        sample_df = sample_df.sort_values(id_col, ignore_index=True)
         sample = np.stack(sample_df[vec_col].to_numpy()).astype(np.float32)
         cent = train_ivf_centroids(sample, n_centroids, seed=seed)
         cref = ray.put(cent)
@@ -500,6 +502,10 @@ def embedding_near_duplicates(
     frac = min(1.0, 2.0 * sample_rows / max(n, 1))
     sample_df = hash_sample(ds, id_col=id_col, fraction=frac,
                             limit=sample_rows).to_pandas()
+    # sort by id: block ARRIVAL order varies across runs, and kmeans
+    # init picks positional indices — unsorted samples make the build
+    # nondeterministic across processes (observed r5)
+    sample_df = sample_df.sort_values(id_col, ignore_index=True)
     sample = np.stack(sample_df[vec_col].to_numpy()).astype(np.float32)
     cent = train_ivf_centroids(sample, n_centroids, seed=seed)
     cref = ray.put(cent)

@@ -112,3 +112,36 @@ def test_bottomk_sample_small_input_returns_all(ray_session):
     s = bottomk_sample(rd.from_arrow(t), "value", "event_id",
                        k=100).to_pandas()
     assert len(s) == 3 and set(s["event_id"]) == {1, 5, 9}
+
+
+def test_top_k_matches_full_sort(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sketches import top_k
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        # heavy ties so the tiebreak column actually decides rows
+        "score": pa.array(rng.integers(0, 50, n).astype(np.float64)),
+    })
+    keys = [("score", "descending"), ("id", "ascending")]
+    expect = t.sort_by(keys).slice(0, 25).to_pandas()
+    for width in (500, 7777, n):
+        ds = rd.from_arrow([t.slice(i, width) for i in range(0, n, width)])
+        got = top_k(ds, 25, keys).to_pandas()
+        pd.testing.assert_frame_equal(expect.reset_index(drop=True),
+                                      got.reset_index(drop=True))
+
+
+def test_top_k_small_input_returns_all(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sketches import top_k
+
+    t = pa.table({"id": pa.array([3, 1, 2], type=pa.int64()),
+                  "score": pa.array([1.0, 5.0, 3.0])})
+    got = top_k(rd.from_arrow(t), 10,
+                [("score", "descending"), ("id", "ascending")])
+    assert got["id"].to_pylist() == [1, 2, 3]
