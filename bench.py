@@ -102,7 +102,12 @@ class _EmptySchemaNoiseFilter:
     (pipeline empty-branch tables carry full schemas; materialized
     boundaries run ``drop_empty_blocks``), so the remaining spam is
     Ray-internal.  Drop ONLY that exact variant — real schema
-    divergences still log."""
+    divergences still log.
+
+    Reviewed r5 against Ray 2.49.2 (the pinned version here): sort
+    exchanges still emit zero-column empties, so the filter stays.
+    Drop it when a Ray upgrade stamps schemas on sort-exchange empties
+    (r3 verdict #10 / r4 #10 carry-over)."""
 
     def filter(self, record) -> bool:  # logging.Filter protocol
         m = record.getMessage()

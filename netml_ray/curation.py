@@ -430,9 +430,30 @@ def collect_snippets(docs, *, id_col: str = "doc_id",
     return sorted({r["snippet"] for r in rows})
 
 
+BENCH_BROADCAST_BUDGET = 1 << 28  # 256 MiB
+
+
+def _guard_broadcast_bytes(nbytes: int, what: str,
+                           budget: int = BENCH_BROADCAST_BUDGET) -> None:
+    """Loud failure when a 'benchmark' side is too big to broadcast.
+
+    The decontamination operators assume the EVAL side is small (it is
+    ray.put once and read by every task).  A mis-pointed input — e.g.
+    handing the full training corpus as the benchmark — used to degrade
+    silently into an enormous broadcast; now it raises with the fix."""
+    if nbytes > budget:
+        raise ValueError(
+            f"{what} is {nbytes / 2**20:.0f} MiB — too large to broadcast "
+            f"as a benchmark side (budget {budget / 2**20:.0f} MiB). This "
+            f"usually means the 'benchmark' input points at a full corpus; "
+            f"pass the eval set only, or raise max_broadcast_bytes "
+            f"explicitly if the eval side really is this big.")
+
+
 def decontaminate_substring(ds, snippets: list[str],
                             text_col: str = "text",
-                            out_col: str = "contaminated"):
+                            out_col: str = "contaminated", *,
+                            max_broadcast_bytes: int = BENCH_BROADCAST_BUDGET):
     """Mark documents containing ANY benchmark snippet as an exact
     substring.
 
@@ -443,7 +464,11 @@ def decontaminate_substring(ds, snippets: list[str],
     that an Aho–Corasick automaton in an actor pool is the swap-in."""
     import ray
 
-    ref = ray.put(list(snippets))
+    snippets = list(snippets)
+    _guard_broadcast_bytes(sum(len(s.encode()) for s in snippets),
+                           f"snippet list ({len(snippets)} snippets)",
+                           max_broadcast_bytes)
+    ref = ray.put(snippets)
 
     def _mark(t: pa.Table) -> pa.Table:
         snips = ray.get(ref)
@@ -459,7 +484,9 @@ def decontaminate_substring(ds, snippets: list[str],
 
 def collect_benchmark_gram_hashes(docs, *, id_col: str = "doc_id",
                                   text_col: str = "text", every: int = 97,
-                                  n: int = 13) -> np.ndarray:
+                                  n: int = 13,
+                                  max_broadcast_bytes: int =
+                                  BENCH_BROADCAST_BUDGET) -> np.ndarray:
     """Sorted uint64 hash set of every word-``n``-gram of the benchmark
     docs (ids ≡ 0 mod ``every``) — map-side partial sets per batch, one
     tiny driver union.  Production analog: hash the eval set once,
@@ -476,7 +503,11 @@ def collect_benchmark_gram_hashes(docs, *, id_col: str = "doc_id",
     parts = docs.map_batches(_grams, batch_format="pyarrow").take_all()
     if not parts:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
+    out = np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
+    _guard_broadcast_bytes(out.nbytes,
+                           f"benchmark 13-gram hash set ({len(out)} grams)",
+                           max_broadcast_bytes)
+    return out
 
 
 def curate_corpus(docs, *, lang: str = "en",
@@ -786,7 +817,8 @@ def curate_corpus_checkpointed(docs, out_dir: str, *, lang: str = "en",
 
 def decontaminate_ngrams(ds, gram_hashes: np.ndarray, *,
                          text_col: str = "text", n: int = 13,
-                         out_col: str = "contaminated_13g"):
+                         out_col: str = "contaminated_13g",
+                         max_broadcast_bytes: int = BENCH_BROADCAST_BUDGET):
     """Mark documents sharing ANY word-``n``-gram with the benchmark
     set (the standard 13-gram training-set decontamination rule, e.g.
     GPT-3 App. C / PaLM — public).  Per batch: vectorized gram hashing
@@ -794,7 +826,11 @@ def decontaminate_ngrams(ds, gram_hashes: np.ndarray, *,
     sorted array; per-row verdict via a bincount of hit rows."""
     import ray
 
-    ref = ray.put(np.sort(np.asarray(gram_hashes, dtype=np.uint64)))
+    gram_hashes = np.sort(np.asarray(gram_hashes, dtype=np.uint64))
+    _guard_broadcast_bytes(gram_hashes.nbytes,
+                           f"benchmark gram-hash array ({len(gram_hashes)})",
+                           max_broadcast_bytes)
+    ref = ray.put(gram_hashes)
 
     def _mark(t: pa.Table) -> pa.Table:
         return _ngram_mark(t, ray.get(ref), text_col, n, out_col)

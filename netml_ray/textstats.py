@@ -78,7 +78,6 @@ def bigram_counts(ds, *, text_col: str = "text", min_count: int = 1,
     ``kind=0``; bigrams are ``kind=1``) and returns
     ``(bigram_table_ds, vocab_size)`` — one corpus read instead of a
     separate ``doc_frequency`` pass."""
-    from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
         tok = _tok(t[text_col])
@@ -112,9 +111,20 @@ def bigram_counts(ds, *, text_col: str = "text", min_count: int = 1,
             out = pa.concat_tables([out, voc])
         return out
 
-    agg = (ds.map_batches(_partial, batch_format="pyarrow")
-           .groupby(["kind", "w1", "w2"])
-           .aggregate(Sum("n", alias_name="n")).materialize())
+    def _combine(t: pa.Table) -> pa.Table:
+        # Arrow's C++ hash group-by inside one hash partition (keyed on
+        # w1, so every (kind, w1, w2) group is partition-local) — same
+        # treatment that took the int64 path off Ray's sort-based
+        # groupby (~60 s of an 87 s total at 500k docs was the
+        # sort/sample machinery, r4 verdict wrong-#2 / queue #2)
+        out = (t.select(["kind", "w1", "w2", "n"])
+               .group_by(["kind", "w1", "w2"]).aggregate([("n", "sum")]))
+        return out.rename_columns(["kind", "w1", "w2", "n"])
+
+    from netml_ray.partition import partition_map
+
+    agg = partition_map(ds.map_batches(_partial, batch_format="pyarrow"),
+                        "w1", _combine).materialize()
     grams = agg.filter(expr="kind == 1")
     if min_count > 1:
         grams = grams.filter(expr=f"n >= {min_count}")

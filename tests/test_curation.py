@@ -454,3 +454,36 @@ def test_remove_duplicate_spans(ray_session):
         "pre post", "", "one two three four five six seven",
         "tiny doc", "zeta"]
     assert list(out["n_dropped_words"]) == [5, 5, 0, 0, 10]
+
+
+def test_broadcast_budget_guard(ray_session):
+    """A mis-pointed 'benchmark' side fails loudly instead of silently
+    broadcasting a corpus (r4 verdict #9)."""
+    import ray.data as rd
+
+    from netml_ray.curation import (
+        collect_benchmark_gram_hashes,
+        decontaminate_ngrams,
+        decontaminate_substring,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["hello world"])}))
+
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        decontaminate_substring(docs, ["x" * 64] * 4,
+                                max_broadcast_bytes=100)
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        decontaminate_ngrams(docs, np.arange(100, dtype=np.uint64),
+                             max_broadcast_bytes=100)
+    # exercised via the tiny budget — the real default is 256 MiB
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(0, 97 * 30, 97, dtype=np.int64)),
+        "text": pa.array([" ".join(f"w{i}{j}" for j in range(20))
+                          for i in range(30)])}))
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        collect_benchmark_gram_hashes(bench, max_broadcast_bytes=16)
+    # and the normal path still works under the default budget
+    got = collect_benchmark_gram_hashes(bench)
+    assert len(got) > 0
