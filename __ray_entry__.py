@@ -1089,21 +1089,59 @@ QUALIFY row_number() OVER (
 """
 
 
+def _doc_index(sf_dir: str):
+    """The per-corpus cached inverted index (content-fingerprint key),
+    built ONCE with positions + BM25 payload and shared by the
+    keyword / BM25 / phrase entries."""
+    from netml_ray.invindex import InvertedIndex
+
+    idx_dir = _cache_dir(sf_dir, "documents", "netml_ray_inv")
+    try:
+        idx = InvertedIndex.load(idx_dir)
+        if (idx.meta.get("codec") == "delta-varint"
+                and idx.meta.get("positions")
+                and "total_tokens" in idx.meta):
+            return idx
+    except Exception:
+        pass
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return InvertedIndex.build(docs, idx_dir, num_shards=16,
+                               positions=True)
+
+
 def q_keyword_search_docs(sf_dir: str):
     """Boolean retrieval through the materialized inverted index
     (built once per sf_dir, cached under /tmp): AND of three terms
     reads only those terms' hash shards.  Oracle = brute-force token
     membership SQL over the whole table."""
-    from netml_ray.invindex import InvertedIndex
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    idx_dir = _cache_dir(sf_dir, "documents", "netml_ray_inv")
-    try:
-        idx = InvertedIndex.load(idx_dir)
-    except Exception:
-        idx = InvertedIndex.build(docs, idx_dir, num_shards=16)
+    idx = _doc_index(sf_dir)
     hits = idx.search(["customer", "spark", "window"], mode="and")
     return pa.table({"doc_id": pa.array(hits, type=pa.int64())})
+
+
+def q_phrase_search_docs(sf_dir: str):
+    """Exact-phrase retrieval ("fast table" as CONSECUTIVE tokens)
+    through the positional index: sorted-postings AND first, then the
+    per-posting delta+varint position check — reads only the two
+    terms' shards.  Oracle = a consecutive-position self-join over
+    the brute-force tokenization (DuckDB)."""
+    idx = _doc_index(sf_dir)
+    hits = idx.phrase_search(["fast", "table"])
+    return pa.table({"doc_id": pa.array(hits, type=pa.int64())})
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tokn
+  FROM ws, unnest(range(1, len(w) + 1)) AS t(i)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b USING (doc_id)
+WHERE b.pos = a.pos + 1 AND a.tokn = 'fast' AND b.tokn = 'table'
+"""
 
 
 SQL_KEYWORD_SEARCH = r"""
@@ -1120,19 +1158,7 @@ def q_bm25_indexed_docs(sf_dir: str):
     query time).  Same 3-term query and the SAME exact SQL oracle as
     ``bm25_docs``, so the two independent implementations (full-scan
     scorer vs index-local scorer) are pinned to one ground truth."""
-    from netml_ray.invindex import InvertedIndex
-
-    idx_dir = _cache_dir(sf_dir, "documents", "netml_ray_inv")
-    idx = None
-    try:
-        idx = InvertedIndex.load(idx_dir)
-        if "total_tokens" not in idx.meta:
-            idx = None  # pre-BM25 layout: rebuild
-    except Exception:
-        pass
-    if idx is None:
-        docs = _read(sf_dir, "documents", ["doc_id", "text"])
-        idx = InvertedIndex.build(docs, idx_dir, num_shards=16)
+    idx = _doc_index(sf_dir)
     ids, sc = idx.bm25(["customer", "spark", "window"])
     sc = _hedge_round(sc, 6)
     order = np.lexsort((ids, -sc))[:20]
@@ -2583,7 +2609,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "quality_docs": q_quality_docs,
         "fingerprint_docs": q_fingerprint_docs,
-        "normalize_docs": q_normalize_docs,
         "pii_scan_docs": q_pii_scan_docs,
         "repetition_docs": q_repetition_docs,
         "cap_per_source_docs": q_cap_per_source_docs,
@@ -2610,6 +2635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_events": q_approx_quantiles_events,
         "bm25_indexed_docs": q_bm25_indexed_docs,
         "despan_docs": q_despan_docs,
+        # -- new in r5
+        "phrase_search_docs": q_phrase_search_docs,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -2644,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash join by left_join, substring decontam inside
         # curate_corpus)
         "knn_cosine_batch": q_knn_cosine_batch,
+        "normalize_docs": q_normalize_docs,
         "token_count_docs": q_token_count_docs,
         "sample_docs": q_sample_docs,
         "dedup_prefix_docs": q_dedup_prefix_docs,
@@ -2728,5 +2756,6 @@ def oracle_sql() -> dict[str, str]:
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,
+        "phrase_search_docs": SQL_PHRASE_SEARCH,
         "despan_docs": SQL_DESPAN,
     }

@@ -117,3 +117,90 @@ def test_bm25_via_index_matches_direct_scorer(ray_session, tmp_path):
     np.testing.assert_array_equal(sc[order], direct["bm25"].to_numpy())
     with pytest.raises(ValueError):
         idx.bm25([])
+
+
+def test_varint_codec_roundtrip():
+    from netml_ray.invindex import decode_varint, encode_varint
+
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 7, 1000):
+        v = rng.integers(0, 2**62, n).astype(np.uint64)
+        buf, nb = encode_varint(v)
+        assert int(nb.sum()) == len(buf)
+        np.testing.assert_array_equal(decode_varint(buf.tobytes()), v)
+    edge = np.array([0, 1, 127, 128, 16383, 16384, 2**63 - 1,
+                     2**64 - 1], dtype=np.uint64)
+    buf, _ = encode_varint(edge)
+    np.testing.assert_array_equal(decode_varint(buf.tobytes()), edge)
+
+
+def test_positions_and_phrase_search(ray_session, tmp_path):
+    import ray.data as rd
+
+    from netml_ray.invindex import InvertedIndex
+
+    docs = [
+        "the cat sat on the mat",     # "the cat" at 1, "the mat" at 5
+        "cat the cat the cat",        # "the cat" at 2 and 4
+        "the dog sat on a cat",       # no "the cat"
+        "",
+        "the the the",                # repeated-term phrase "the the"
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    idx = InvertedIndex.build(ds, str(tmp_path / "pidx"), num_shards=4,
+                              positions=True)
+    assert idx.meta["positions"] and idx.meta["codec"] == "delta-varint"
+    assert idx.meta["index_bytes"] > 0
+
+    ids, counts, flat = idx.postings_positions("the")
+    # doc 0: the@{1,5}, doc 1: the@{2,4}, doc 2: the@{1}, doc 4: {1,2,3}
+    np.testing.assert_array_equal(ids, [0, 1, 2, 4])
+    np.testing.assert_array_equal(counts, [2, 2, 1, 3])
+    np.testing.assert_array_equal(flat, [1, 5, 2, 4, 1, 1, 2, 3])
+
+    np.testing.assert_array_equal(idx.phrase_search(["the", "cat"]),
+                                  [0, 1])
+    np.testing.assert_array_equal(idx.phrase_search(["the", "mat"]), [0])
+    np.testing.assert_array_equal(
+        idx.phrase_search(["cat", "sat", "on"]), [0])
+    np.testing.assert_array_equal(idx.phrase_search(["the", "the"]), [4])
+    assert len(idx.phrase_search(["dog", "cat"])) == 0
+    assert len(idx.phrase_search(["zebra", "cat"])) == 0
+
+    # an index built WITHOUT positions refuses phrase queries loudly
+    plain = InvertedIndex.build(ds, str(tmp_path / "noidx"),
+                                num_shards=2)
+    with pytest.raises(ValueError, match="positions"):
+        plain.phrase_search(["the", "cat"])
+
+
+def test_phrase_search_matches_bruteforce_random(ray_session, tmp_path):
+    import ray.data as rd
+
+    from netml_ray.invindex import InvertedIndex
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → many phrases
+    docs = [" ".join(rng.choice(vocab, rng.integers(2, 40)))
+            for _ in range(300)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    idx = InvertedIndex.build(ds, str(tmp_path / "ridx"), num_shards=4,
+                              positions=True, max_postings=50)
+
+    def brute(phrase):
+        out = []
+        for i, d in enumerate(docs):
+            ws = d.split()
+            if any(ws[j:j + len(phrase)] == phrase
+                   for j in range(len(ws) - len(phrase) + 1)):
+                out.append(i)
+        return out
+
+    for phrase in (["w0", "w1"], ["w3", "w3"], ["w5", "w2", "w7"],
+                   ["w1", "w1", "w1"]):
+        np.testing.assert_array_equal(idx.phrase_search(phrase),
+                                      brute(phrase), err_msg=str(phrase))
