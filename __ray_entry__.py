@@ -1296,6 +1296,57 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_ffill_events(sf_dir: str):
+    """Per-key ordered NULL fill (the north_rule's ``backfill`` next
+    to lag/lead/sessionize): deterministically NULL out value /
+    event_type, then forward- and backward-fill per user in (ts,
+    event_id) order (windows.add_fill — one cummax + masked pc.take,
+    type-generic).  Values pass through verbatim (no arithmetic), so
+    no float hedge is needed."""
+    from netml_ray.windows import add_fill
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def _holes(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        val = t["value"].combine_chunks()
+        ety = t["event_type"].combine_chunks()
+        val = pc.if_else(pa.array(eid % 7 == 0), pa.nulls(len(eid), pa.float64()), val)
+        ety = pc.if_else(pa.array(eid % 11 == 0), pa.nulls(len(eid), pa.string()), ety)
+        return (t.set_column(t.schema.get_field_index("value"), "value", val)
+                .set_column(t.schema.get_field_index("event_type"),
+                            "event_type", ety))
+
+    out = add_fill(ev.map_batches(_holes, batch_format="pyarrow"),
+                   "user_id", "ts", ["value", "event_type"],
+                   directions=("forward", "backward"),
+                   tiebreak="event_id", num_partitions=P)
+    return out.select_columns(
+        ["event_id", "user_id", "value_ffill", "value_bfill",
+         "event_type_ffill", "event_type_bfill"])
+
+
+SQL_FFILL_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS et
+  FROM events
+)
+SELECT event_id, user_id,
+       last_value(v IGNORE NULLS) OVER wf AS value_ffill,
+       first_value(v IGNORE NULLS) OVER wb AS value_bfill,
+       last_value(et IGNORE NULLS) OVER wf AS event_type_ffill,
+       first_value(et IGNORE NULLS) OVER wb AS event_type_bfill
+FROM e
+WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wb AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_dup_spans_docs(sf_dir: str):
     """Corpus-internal duplicated-span stats (RefinedWeb-style
     boilerplate signal): per doc, how many word-5-gram positions carry
@@ -2598,7 +2649,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats_events": q_session_stats_events,
         "tumbling_window_events": q_tumbling_window_events,
         "asof_purchase_signup": q_asof_purchase_signup,
-        "left_join_orders_customer": q_left_join_orders_customer,
         "range_join_clicks": q_range_join_clicks,
         "group_quantiles_events": q_group_quantiles_events,
         "distinct_users_per_type": q_distinct_users_per_type,
@@ -2637,6 +2687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "despan_docs": q_despan_docs,
         # -- new in r5
         "phrase_search_docs": q_phrase_search_docs,
+        "ffill_events": q_ffill_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -2663,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_join_events": q_label_join_events,
         "knn_cosine": q_knn_cosine,
         "embedding_centroids": q_embedding_centroids,
+        "left_join_orders_customer": q_left_join_orders_customer,
         # rotated OUT of the window in r5 (green CORRECTNESS_r04 rows;
         # kernels pinned by in-window entries: exact batched scan by
         # knn_cosine_ivf_batch, tokenization by tfidf/lm_bits/quality,
@@ -2753,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,
+        "ffill_events": SQL_FFILL_EVENTS,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

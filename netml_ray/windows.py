@@ -575,3 +575,69 @@ def add_rank_features(
 
     return partition_map(ds, key, _fn, sort_by=sort_by,
                          num_partitions=num_partitions)
+
+
+def _fill_indices(codes: np.ndarray, valid: np.ndarray,
+                  backward: bool = False) -> np.ndarray:
+    """Per-key-segment fill source index for every row (-1 = no
+    source): the most recent valid row at-or-before (forward) or the
+    next valid row at-or-after (backward) WITHIN the row's key run.
+    One global cummax + a same-key check — the global running maximum
+    of valid positions is the within-segment one whenever its key
+    matches (positions are sorted by key), so no per-segment loop."""
+    n = len(codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if backward:
+        rev = _fill_indices(codes[::-1], valid[::-1], backward=False)
+        return np.where(rev[::-1] >= 0, n - 1 - rev[::-1], -1)
+    last = np.where(valid, np.arange(n, dtype=np.int64), -1)
+    np.maximum.accumulate(last, out=last)
+    ok = (last >= 0) & (codes[np.maximum(last, 0)] == codes)
+    return np.where(ok, last, -1)
+
+
+def add_fill(
+    ds,
+    key: str,
+    ts_col: str,
+    cols,
+    *,
+    directions=("forward",),
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Per-key ordered NULL fill — the ``backfill`` op the north_rule
+    names next to lag/lead/sessionize (reference analog: the implicit
+    carry-forward of per-flow state in parser.py's sequential walk).
+    For each column in ``cols`` appends ``<col>_ffill`` (most recent
+    non-NULL at-or-before, per key in ``(ts, tiebreak)`` order) and/or
+    ``<col>_bfill`` per ``directions``.  Type-generic: the fill is a
+    single ``pc.take`` with a masked index array, so strings/ints/
+    floats all fill zero-copy without a Python row loop.  SQL parity:
+    ``last_value(col IGNORE NULLS) OVER (PARTITION BY key ORDER BY ts
+    ROWS UNBOUNDED PRECEDING)`` / ``first_value .. FOLLOWING``."""
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+    cols = list(cols)
+    directions = tuple(directions)
+    for d in directions:
+        if d not in ("forward", "backward"):
+            raise ValueError(f"unknown fill direction {d!r}")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        for col in cols:
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            valid = np.asarray(pc.is_valid(arr))
+            for d in directions:
+                idx = _fill_indices(codes, valid, backward=(d == "backward"))
+                take = pa.array(idx, type=pa.int64(), mask=idx < 0)
+                suffix = "_ffill" if d == "forward" else "_bfill"
+                t = t.append_column(col + suffix, pc.take(arr, take))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

@@ -203,3 +203,32 @@ def test_fast_path_two_sided_joins(ray_session, monkeypatch):
         if keys is None:
             keys = [c for c in d.columns]
         pd.testing.assert_frame_equal(_norm(d, keys), _norm(f, keys))
+
+
+def test_fast_path_fill(ray_session, monkeypatch):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from netml_ray.windows import add_fill
+
+    t = _events()
+    # punch deterministic holes in value (float) and etype (string)
+    eid = t["event_id"].to_numpy()
+    t = t.set_column(
+        t.schema.get_field_index("value"), "value",
+        pc.if_else(pa.array(eid % 5 == 0), pa.nulls(len(eid), pa.float64()),
+                   t["value"].combine_chunks()))
+    t = t.set_column(
+        t.schema.get_field_index("etype"), "etype",
+        pc.if_else(pa.array(eid % 7 == 0), pa.nulls(len(eid), pa.string()),
+                   t["etype"].combine_chunks()))
+
+    def run():
+        return add_fill(rd.from_arrow(t), "user_id", "ts",
+                        ["value", "etype"],
+                        directions=("forward", "backward"),
+                        tiebreak="event_id").to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["user_id", "event_id"]),
+                                  _norm(fast, ["user_id", "event_id"]))

@@ -221,3 +221,44 @@ def test_fingerprint_large_string_offsets(ray_session):
     a = fingerprint_batch(small)["fingerprint"].to_pylist()
     b = fingerprint_batch(large)["fingerprint"].to_pylist()
     assert a == b
+
+
+def test_add_fill_matches_pandas(ray_session):
+    """Per-key ffill/bfill (north_rule 'backfill') vs the pandas
+    groupby ffill/bfill oracle, floats and strings, including keys
+    whose values are ALL null."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.windows import add_fill
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": np.sort(rng.uniform(0, 1000, n)),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(size=n).round(3),
+        "etype": rng.choice(["x", "y", "z"], n).astype(object),
+    })
+    df.loc[df.event_id % 4 == 0, "value"] = np.nan
+    df.loc[df.event_id % 6 == 0, "etype"] = None
+    df.loc[df.user_id == 7, "value"] = np.nan   # an all-null key
+
+    out = add_fill(rd.from_arrow(pa.Table.from_pandas(df)),
+                   "user_id", "ts", ["value", "etype"],
+                   directions=("forward", "backward"),
+                   tiebreak="event_id").to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+
+    g = df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id")
+    exp = df.sort_values(["user_id", "ts", "event_id"]).assign(
+        value_ffill=g["value"].ffill(), value_bfill=g["value"].bfill(),
+        etype_ffill=g["etype"].ffill(), etype_bfill=g["etype"].bfill(),
+    ).sort_values("event_id").reset_index(drop=True)
+    for c in ("value_ffill", "value_bfill"):
+        np.testing.assert_allclose(out[c].to_numpy(), exp[c].to_numpy())
+    for c in ("etype_ffill", "etype_bfill"):
+        assert out[c].fillna("∅").tolist() == exp[c].fillna("∅").tolist()
