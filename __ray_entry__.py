@@ -2541,6 +2541,94 @@ FROM ded
 """
 
 
+def q_curate_corpus_plus_docs(sf_dir: str):
+    """Curation flagship with BOTH round-4 corpus scorers wired in as
+    optional stages (r4 verdict #7): CCNet-style bigram-LM quality
+    (model trained once on the raw corpus, broadcast, drop docs above
+    4.9 bits/bigram — rounded to 6 decimals on both sides so float
+    sum-order noise cannot flip a boundary doc) and RefinedWeb-style
+    duplicated-span coverage (heavy word-5-gram set broadcast, drop
+    docs with > 50% covered gram positions).  Both are narrow
+    broadcast-probe passes — the chain still has exactly ONE shuffle
+    (the dedup)."""
+    from netml_ray.curation import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return curate_corpus(docs, max_lm_bits=4.9, max_dup_span_frac=0.5)
+
+
+# SQL_CURATE_PLUS derives from SQL_CURATE by string surgery (same
+# pattern as SQL_FUNNEL): self-contained lm/span CTE chains inserted
+# before filt, two predicates appended to filt's WHERE.  The asserts
+# below are the drift guard — any SQL_CURATE edit that breaks the
+# anchors fails at import, not with a silent wrong oracle.
+_PLUS_CTES = r"""lmd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+),
+lmtok AS (
+  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS pos
+  FROM lmd
+),
+lmbg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM lmtok a JOIN lmtok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+lmbc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM lmbg GROUP BY w1, w2
+),
+lmcc AS (SELECT w1, SUM(cb) AS cu FROM lmbc GROUP BY w1),
+lmv AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vs FROM lmtok),
+lmsc AS (
+  SELECT g.doc_id,
+         log2((COALESCE(lmbc.cb, 0) + 0.5)
+              / (COALESCE(lmcc.cu, 0) + 0.5 * lmv.vs)) AS lp
+  FROM lmbg g
+  LEFT JOIN lmbc ON g.w1 = lmbc.w1 AND g.w2 = lmbc.w2
+  LEFT JOIN lmcc ON g.w1 = lmcc.w1
+  CROSS JOIN lmv
+),
+lmdoc AS (
+  SELECT doc_id, round(-SUM(lp) / COUNT(*), 6) AS bits
+  FROM lmsc GROUP BY doc_id
+),
+spg AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS i, ws
+        FROM aw WHERE len(ws) >= 5),
+spgr AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram FROM spg),
+sphv AS (SELECT gram FROM spgr GROUP BY gram HAVING COUNT(*) >= 2),
+spper AS (
+  SELECT spgr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN sphv.gram IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup
+  FROM spgr LEFT JOIN sphv USING (gram) GROUP BY spgr.doc_id
+),
+filt AS ("""
+
+_PLUS_JOIN = ("FROM base b JOIN gq USING (doc_id) "
+              "LEFT JOIN rs USING (doc_id)\n"
+              "  LEFT JOIN lmdoc USING (doc_id) "
+              "LEFT JOIN spper USING (doc_id)")
+_PLUS_PREDS = """AND (lmdoc.bits IS NULL OR lmdoc.bits <= 4.9)
+    AND COALESCE(CAST(spper.n_dup AS DOUBLE)
+                 / GREATEST(spper.n_grams, 1), 0.0) <= 0.5
+    AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = b.doc_id)"""
+
+assert SQL_CURATE.count("filt AS (") == 1
+assert SQL_CURATE.count(
+    "FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)") == 1
+assert SQL_CURATE.count(
+    "AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = b.doc_id)") == 1
+SQL_CURATE_PLUS = (
+    SQL_CURATE
+    .replace("filt AS (", _PLUS_CTES)
+    .replace("FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)",
+             _PLUS_JOIN)
+    .replace("AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = b.doc_id)",
+             _PLUS_PREDS)
+)
+
+
 def q_curation_funnel_docs(sf_dir: str):
     """Per-stage drop accounting for the curation chain (input → lang
     → quality → repetition → decontaminated → deduped)."""
@@ -2664,7 +2752,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_docs": q_cap_per_source_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "chunk_docs": q_chunk_docs,
-        "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
         "curate_mixed_docs": q_curate_mixed_docs,
         "curation_funnel_docs": q_curation_funnel_docs,
@@ -2688,6 +2775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r5
         "phrase_search_docs": q_phrase_search_docs,
         "ffill_events": q_ffill_events,
+        "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -2715,6 +2803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "embedding_centroids": q_embedding_centroids,
         "left_join_orders_customer": q_left_join_orders_customer,
+        "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         # rotated OUT of the window in r5 (green CORRECTNESS_r04 rows;
         # kernels pinned by in-window entries: exact batched scan by
         # knn_cosine_ivf_batch, tokenization by tfidf/lm_bits/quality,
@@ -2785,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram_docs": SQL_DECONTAMINATE_NGRAM,
         "curate_corpus_docs": SQL_CURATE,
         "curate_mixed_docs": SQL_CURATE_MIXED,
+        "curate_corpus_plus_docs": SQL_CURATE_PLUS,
         "curation_funnel_docs": SQL_FUNNEL,
         "knn_cosine_ivf": SQL_KNN,
         "knn_cosine_ivf_batch": SQL_KNN_BATCH,

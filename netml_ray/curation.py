@@ -519,6 +519,11 @@ def curate_corpus(docs, *, lang: str = "en",
                   mix_default_pct: int = 25,
                   max_per_source: int | None = None,
                   bench_grams: np.ndarray | None = None,
+                  max_lm_bits: float | None = None,
+                  lm_alpha: float = 0.5,
+                  max_dup_span_frac: float | None = None,
+                  span_n: int = 5,
+                  span_min_count: int = 2,
                   text_col: str = "text",
                   id_col: str = "doc_id",
                   num_partitions: int | None = None):
@@ -552,6 +557,23 @@ def curate_corpus(docs, *, lang: str = "en",
     kept = docs.map_batches(
         _pass1_factory(lang, max_dup_2gram, max_top_2gram, text_col, id_col),
         batch_format="pyarrow")
+    if max_lm_bits is not None:
+        # CCNet-style LM-quality stage: train the bigram model ONCE on
+        # the RAW corpus (one narrow int64 count exchange), broadcast,
+        # and drop surviving docs whose bits-per-bigram exceeds the
+        # threshold — a narrow vectorized pass, no join.  Rounded to 6
+        # decimals before the compare so the float-sum-order noise
+        # between numpy reduceat and any re-implementation (the SQL
+        # oracle) cannot flip a boundary doc.
+        kept = _lm_bits_filter(kept, docs, max_lm_bits, lm_alpha, text_col)
+    if max_dup_span_frac is not None:
+        # RefinedWeb-style boilerplate stage: heavy word-n-gram set
+        # from the RAW corpus (pruned inside the combine), broadcast,
+        # and drop docs whose duplicated-span coverage fraction
+        # exceeds the threshold.  Pure int/int double division on both
+        # sides — bit-deterministic, no rounding hedge needed.
+        kept = _dup_span_filter(kept, docs, max_dup_span_frac, span_n,
+                                span_min_count, text_col)
     if decontam == "ngram":
         # production semantics: the benchmark/eval set is FIXED and
         # external — pass its precomputed gram hashes via bench_grams;
@@ -585,6 +607,61 @@ def curate_corpus(docs, *, lang: str = "en",
                             order_by=["doc_id"],
                             num_partitions=num_partitions)
     return out
+
+
+def _lm_bits_filter(kept, docs, max_bits: float, alpha: float,
+                    text_col: str):
+    """Broadcast-model LM-quality filter over the surviving stream
+    (model trained once on the raw ``docs``); NaN scores (<2-token
+    docs) are kept — the length gates already own that regime."""
+    import ray
+
+    from netml_ray.partition import auto_concurrency
+    from netml_ray.textstats import lm_bits_arrays, train_bigram_model
+
+    model_ref = ray.put(train_bigram_model(docs, text_col=text_col,
+                                           alpha=alpha))
+
+    class _F:
+        def __init__(self):
+            self.m = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            _, bits = lm_bits_arrays(self.m, t[text_col])
+            keep = ~np.isfinite(bits) | (np.round(bits, 6) <= max_bits)
+            return t.filter(pa.array(keep))
+
+    return kept.map_batches(_F, batch_format="pyarrow",
+                            concurrency=auto_concurrency())
+
+
+def _dup_span_filter(kept, docs, max_frac: float, n: int, min_count: int,
+                     text_col: str):
+    """Broadcast heavy-gram duplicated-span filter over the surviving
+    stream (heavy set built once on the raw ``docs`` — same probe
+    shape as ``duplicate_span_stats``)."""
+    import ray
+
+    heavy = heavy_gram_hashes(docs, text_col=text_col, n=n,
+                              min_count=min_count)
+    ref = ray.put(np.asarray(heavy, dtype=np.uint64))
+
+    def _f(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        wh, rowid = _word_hashes(t[text_col])
+        gh, grow = _ngram_hashes(wh, rowid, n)
+        n_grams = np.bincount(grow, minlength=t.num_rows) \
+            if len(grow) else np.zeros(t.num_rows, dtype=np.int64)
+        n_dup = np.zeros(t.num_rows, dtype=np.int64)
+        if len(gh) and len(bench):
+            pos = np.searchsorted(bench, gh)
+            pos[pos == len(bench)] = len(bench) - 1
+            hits = bench[pos] == gh
+            n_dup = np.bincount(grow[hits], minlength=t.num_rows)
+        frac = n_dup / np.maximum(n_grams, 1)
+        return t.filter(pa.array(frac <= max_frac))
+
+    return kept.map_batches(_f, batch_format="pyarrow")
 
 
 def _pass1_factory(lang: str, max_dup_2gram: float, max_top_2gram: float,

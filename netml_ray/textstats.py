@@ -265,18 +265,14 @@ class _BigramModel:
         return np.where(valid, out, 0.0)
 
 
-def bigram_lm_bits(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                   alpha: float = 0.5, min_count: int = 1,
-                   counts=None, vocab_size: int | None = None):
-    """Per-doc bigram-LM score ``(id, n_bigrams, lm_bits)`` where
-    ``lm_bits`` is average -log2 P per bigram (NULL when the doc has
-    fewer than 2 tokens).  ``counts`` / ``vocab_size`` inject a model
-    trained elsewhere (train-on-clean-subset, score-everything — the
-    CCNet deployment shape); by default both come from ``ds`` itself.
-    """
-    import ray
-
-    from netml_ray.partition import _collect_table, auto_concurrency
+def train_bigram_model(ds, *, text_col: str = "text", alpha: float = 0.5,
+                       min_count: int = 1, counts=None,
+                       vocab_size: int | None = None) -> "_BigramModel":
+    """Train (or wrap an injected count table into) the broadcastable
+    add-alpha bigram model — factored out of ``bigram_lm_bits`` so
+    curation's optional LM-quality stage trains ONCE on the raw corpus
+    and scores the surviving stream (the CCNet deployment shape)."""
+    from netml_ray.partition import _collect_table
 
     if counts is None:
         # fused hash-keyed pipeline: ONE corpus pass + ONE narrow int64
@@ -304,6 +300,51 @@ def bigram_lm_bits(ds, *, text_col: str = "text", id_col: str = "doc_id",
         model = _BigramModel.from_strings(
             ct["w1"].to_pylist(), ct["w2"].to_pylist(),
             ct["n"].to_numpy(), vocab_size, alpha)
+    return model
+
+
+def lm_bits_arrays(m: "_BigramModel", col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (n_bigrams, lm_bits) for a text column under a trained
+    model — the shared scoring kernel of ``bigram_lm_bits`` and
+    curation's LM-quality filter.  ``lm_bits`` is NaN for rows with
+    fewer than 2 tokens."""
+    tok = _tok(col)
+    counts = tok.n_words
+    wh = tok.word_hashes()
+    # pair i is (tok[i], tok[i+1]); valid only within one row
+    valid = (tok.rowid[1:] == tok.rowid[:-1]
+             if len(tok.rowid) else np.zeros(0, dtype=bool))
+    lp = m.logp2(wh, valid)
+    nbg = np.maximum(counts - 1, 0)
+    # per-doc sums via reduceat (independent left-to-right segment
+    # sums — identical docs score BIT-identically, which a csum-prefix
+    # difference does not guarantee).  Segments run to the next
+    # pair-bearing doc's start; the positions in between are crossing
+    # pairs (valid=False → lp=0), so they never contribute.
+    doc_sum = np.zeros(len(counts), dtype=np.float64)
+    has = nbg > 0
+    if has.any() and len(lp):
+        doc_sum[has] = np.add.reduceat(lp, tok.offsets[:-1][has])
+    bits = np.where(nbg > 0, -doc_sum / np.maximum(nbg, 1), np.nan)
+    return nbg, bits
+
+
+def bigram_lm_bits(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   alpha: float = 0.5, min_count: int = 1,
+                   counts=None, vocab_size: int | None = None):
+    """Per-doc bigram-LM score ``(id, n_bigrams, lm_bits)`` where
+    ``lm_bits`` is average -log2 P per bigram (NULL when the doc has
+    fewer than 2 tokens).  ``counts`` / ``vocab_size`` inject a model
+    trained elsewhere (train-on-clean-subset, score-everything — the
+    CCNet deployment shape); by default both come from ``ds`` itself.
+    """
+    import ray
+
+    from netml_ray.partition import auto_concurrency
+
+    model = train_bigram_model(ds, text_col=text_col, alpha=alpha,
+                               min_count=min_count, counts=counts,
+                               vocab_size=vocab_size)
     model_ref = ray.put(model)
 
     class _Score:
@@ -311,25 +352,7 @@ def bigram_lm_bits(ds, *, text_col: str = "text", id_col: str = "doc_id",
             self.m: _BigramModel = ray.get(model_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            tok = _tok(t[text_col])
-            counts = tok.n_words
-            wh = tok.word_hashes()
-            # pair i is (tok[i], tok[i+1]); valid only within one row
-            valid = (tok.rowid[1:] == tok.rowid[:-1]
-                     if len(tok.rowid) else np.zeros(0, dtype=bool))
-            lp = self.m.logp2(wh, valid)
-            nbg = np.maximum(counts - 1, 0)
-            # per-doc sums via reduceat (independent left-to-right
-            # segment sums — identical docs score BIT-identically,
-            # which a csum-prefix difference does not guarantee).
-            # Segments run to the next pair-bearing doc's start; the
-            # positions in between are crossing pairs (valid=False →
-            # lp=0), so they never contribute.
-            doc_sum = np.zeros(len(counts), dtype=np.float64)
-            has = nbg > 0
-            if has.any() and len(lp):
-                doc_sum[has] = np.add.reduceat(lp, tok.offsets[:-1][has])
-            bits = np.where(nbg > 0, -doc_sum / np.maximum(nbg, 1), np.nan)
+            nbg, bits = lm_bits_arrays(self.m, t[text_col])
             return pa.table({
                 id_col: t[id_col],
                 "n_bigrams": pa.array(nbg),

@@ -487,3 +487,48 @@ def test_broadcast_budget_guard(ray_session):
     # and the normal path still works under the default budget
     got = collect_benchmark_gram_hashes(bench)
     assert len(got) > 0
+
+
+def test_curate_corpus_lm_and_span_flags(ray_session):
+    """The optional LM-quality and duplicated-span stages (r4 verdict
+    #7) drop exactly the docs the standalone scorers flag: with-flags
+    output == default output filtered to ids passing bigram_lm_bits /
+    duplicate_span_stats thresholds."""
+    import ray.data as rd
+
+    from netml_ray.curation import curate_corpus, duplicate_span_stats
+    from netml_ray.textstats import bigram_lm_bits
+
+    rng = np.random.default_rng(5)
+    vocab = ("the be to of and that have with fox dog run jump lazy "
+             "quick brown river stone cloud light dark".split())
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    texts, n = [], 60
+    for i in range(n):
+        words = list(rng.choice(vocab, 30))
+        if i % 6 == 0:      # boilerplate-heavy docs → high span coverage
+            words = (boiler + " ").split() * 5 + words[:5]
+        texts.append(" ".join(words))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64) + 1),
+        "text": texts,
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+    })
+    kw = dict(max_dup_2gram=1.0, max_top_2gram=1.0)
+    base = curate_corpus(rd.from_arrow(t), **kw).to_pandas()
+
+    lm = bigram_lm_bits(rd.from_arrow(t), alpha=0.5).to_pandas()
+    sp = duplicate_span_stats(rd.from_arrow(t), n=5,
+                              min_count=2).to_pandas()
+    thresh_bits = float(np.nanmedian(lm["lm_bits"]))
+    ok_lm = set(lm.loc[~(np.round(lm["lm_bits"], 6) > thresh_bits),
+                       "doc_id"])
+    ok_sp = set(sp.loc[sp["dup_span_frac"] <= 0.5, "doc_id"])
+
+    out = curate_corpus(rd.from_arrow(t), max_lm_bits=thresh_bits,
+                        max_dup_span_frac=0.5, **kw).to_pandas()
+    expect = base[base["doc_id"].isin(ok_lm & ok_sp)]
+    assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
+    # the flags actually bite in this fixture
+    assert 0 < len(out) < len(base)
