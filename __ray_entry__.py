@@ -2666,6 +2666,58 @@ SELECT * FROM (
 """
 
 
+def q_curation_funnel_plus_docs(sf_dir: str):
+    """Funnel accounting with the optional LM-quality and
+    duplicated-span stages ON (r4 verdict #7's 'funnel oracle grows
+    two CTEs'): input → lang → quality → repetition → lm_quality →
+    dup_spans → decontaminated → deduped."""
+    from netml_ray.curation import curation_funnel
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return curation_funnel(docs, max_lm_bits=4.9, max_dup_span_frac=0.5)
+
+
+assert "ded AS" in SQL_CURATE_PLUS
+_CURATE_PLUS_CTES = SQL_CURATE_PLUS.split("ded AS")[0].rstrip().rstrip(",")
+_QUAL_WHERE = """b.lang = 'en' AND gq.n_words >= 5 AND gq.n_words <= 100000
+    AND gq.mwl <= 10.0 AND gq.sym_ratio <= 0.1 AND gq.has_stop"""
+_REP_WHERE = _QUAL_WHERE + """
+    AND coalesce(1.0 - rs.dg / rs.tg, 0.0) <= 0.06
+    AND coalesce(rs.topc / rs.tg, 0.0) <= 0.12"""
+_LM_PRED = "(lmdoc.bits IS NULL OR lmdoc.bits <= 4.9)"
+_SPAN_PRED = """COALESCE(CAST(spper.n_dup AS DOUBLE)
+                 / GREATEST(spper.n_grams, 1), 0.0) <= 0.5"""
+
+SQL_FUNNEL_PLUS = _CURATE_PLUS_CTES + f"""
+SELECT * FROM (
+  SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL
+  SELECT 'lang', count(*) FROM base WHERE lang = 'en'
+  UNION ALL
+  SELECT 'quality', count(*) FROM base b JOIN gq USING (doc_id)
+  WHERE {_QUAL_WHERE}
+  UNION ALL
+  SELECT 'repetition', count(*)
+  FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)
+  WHERE {_REP_WHERE}
+  UNION ALL
+  SELECT 'lm_quality', count(*)
+  FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)
+    LEFT JOIN lmdoc USING (doc_id)
+  WHERE {_REP_WHERE} AND {_LM_PRED}
+  UNION ALL
+  SELECT 'dup_spans', count(*)
+  FROM base b JOIN gq USING (doc_id) LEFT JOIN rs USING (doc_id)
+    LEFT JOIN lmdoc USING (doc_id) LEFT JOIN spper USING (doc_id)
+  WHERE {_REP_WHERE} AND {_LM_PRED} AND {_SPAN_PRED}
+  UNION ALL
+  SELECT 'decontaminated', count(*) FROM filt
+  UNION ALL
+  SELECT 'deduped', count(DISTINCT clean) FROM red
+)
+"""
+
+
 def q_curate_mixed_docs(sf_dir: str):
     """Curation flagship + data mixing: per-source keep rates and a
     per-source cap applied on the digested (payload-free) stream."""
@@ -2748,7 +2800,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "pii_scan_docs": q_pii_scan_docs,
-        "repetition_docs": q_repetition_docs,
         "cap_per_source_docs": q_cap_per_source_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "chunk_docs": q_chunk_docs,
@@ -2776,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_docs": q_phrase_search_docs,
         "ffill_events": q_ffill_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
+        "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -2804,6 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "left_join_orders_customer": q_left_join_orders_customer,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
+        "repetition_docs": q_repetition_docs,
         # rotated OUT of the window in r5 (green CORRECTNESS_r04 rows;
         # kernels pinned by in-window entries: exact batched scan by
         # knn_cosine_ivf_batch, tokenization by tfidf/lm_bits/quality,
@@ -2875,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_docs": SQL_CURATE,
         "curate_mixed_docs": SQL_CURATE_MIXED,
         "curate_corpus_plus_docs": SQL_CURATE_PLUS,
+        "curation_funnel_plus_docs": SQL_FUNNEL_PLUS,
         "curation_funnel_docs": SQL_FUNNEL,
         "knn_cosine_ivf": SQL_KNN,
         "knn_cosine_ivf_batch": SQL_KNN_BATCH,

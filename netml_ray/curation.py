@@ -751,6 +751,11 @@ def curation_funnel(docs, *, lang: str = "en",
                     max_dup_2gram: float = 0.06,
                     max_top_2gram: float = 0.12,
                     snippet_every: int = 97,
+                    max_lm_bits: float | None = None,
+                    lm_alpha: float = 0.5,
+                    max_dup_span_frac: float | None = None,
+                    span_n: int = 5,
+                    span_min_count: int = 2,
                     text_col: str = "text",
                     id_col: str = "doc_id",
                     distinct_driver_threshold: int = 4_000_000) -> pa.Table:
@@ -775,6 +780,30 @@ def curation_funnel(docs, *, lang: str = "en",
     bench = collect_benchmark_gram_hashes(
         docs, id_col=id_col, text_col=text_col, every=snippet_every, n=13)
     bench_ref = ray.put(np.sort(np.asarray(bench, dtype=np.uint64)))
+    model_ref = None
+    if max_lm_bits is not None:
+        from netml_ray.textstats import train_bigram_model
+
+        model_ref = ray.put(train_bigram_model(docs, text_col=text_col,
+                                               alpha=lm_alpha))
+    heavy_ref = None
+    if max_dup_span_frac is not None:
+        heavy_ref = ray.put(np.asarray(
+            heavy_gram_hashes(docs, text_col=text_col, n=span_n,
+                              min_count=span_min_count), dtype=np.uint64))
+
+    def _span_keep(t: pa.Table, heavy: np.ndarray) -> np.ndarray:
+        wh, rowid = _word_hashes(t[text_col])
+        gh, grow = _ngram_hashes(wh, rowid, span_n)
+        n_grams = np.bincount(grow, minlength=t.num_rows) \
+            if len(grow) else np.zeros(t.num_rows, dtype=np.int64)
+        n_dup = np.zeros(t.num_rows, dtype=np.int64)
+        if len(gh) and len(heavy):
+            pos = np.searchsorted(heavy, gh)
+            pos[pos == len(heavy)] = len(heavy) - 1
+            n_dup = np.bincount(grow[heavy[pos] == gh],
+                                minlength=t.num_rows)
+        return n_dup / np.maximum(n_grams, 1) <= max_dup_span_frac
 
     def _partial(t: pa.Table) -> pa.Table:
         n_input = t.num_rows
@@ -790,6 +819,21 @@ def curation_funnel(docs, *, lang: str = "en",
         r_ok = ((sel["dup_2gram_frac"].to_numpy() <= max_dup_2gram)
                 & (sel["top_2gram_frac"].to_numpy() <= max_top_2gram))
         surv = sel.filter(pa.array(g_ok & r_ok))
+        # optional scorer stages (same order as curate_corpus): LM
+        # quality, then duplicated-span coverage — both broadcast
+        # probes on the ORIGINAL text of the survivors
+        n_lm = n_span = None
+        if model_ref is not None:
+            from netml_ray.textstats import lm_bits_arrays
+
+            _, bits = lm_bits_arrays(ray.get(model_ref), surv[text_col])
+            keep = ~np.isfinite(bits) | (np.round(bits, 6) <= max_lm_bits)
+            surv = surv.filter(pa.array(keep))
+            n_lm = surv.num_rows
+        if heavy_ref is not None:
+            surv = surv.filter(pa.array(_span_keep(surv,
+                                                   ray.get(heavy_ref))))
+            n_span = surv.num_rows
         marked = _ngram_mark(surv, ray.get(bench_ref), text_col, 13, "__c")
         clean_mask = ~np.asarray(marked["__c"].to_numpy(
             zero_copy_only=False), dtype=bool)
@@ -804,13 +848,17 @@ def curation_funnel(docs, *, lang: str = "en",
             "n_quality": pa.array([int(g_ok.sum())], type=pa.int64()),
             "n_repetition": pa.array([int((g_ok & r_ok).sum())],
                                      type=pa.int64()),
+            "n_lm_quality": pa.array([-1 if n_lm is None else n_lm],
+                                     type=pa.int64()),
+            "n_dup_spans": pa.array([-1 if n_span is None else n_span],
+                                    type=pa.int64()),
             "n_decontaminated": pa.array([int(clean_mask.sum())],
                                          type=pa.int64()),
             "hashes": pa.array([hashes.tobytes()], type=pa.binary()),
         })
 
     count_cols = ["n_input", "n_lang", "n_quality", "n_repetition",
-                  "n_decontaminated"]
+                  "n_lm_quality", "n_dup_spans", "n_decontaminated"]
     rows_ds = docs.map_batches(_partial, batch_format="pyarrow").materialize()
     crows = rows_ds.select_columns(count_cols).take_all()
     sums = {k: sum(r[k] for r in crows) for k in count_cols}
@@ -840,10 +888,17 @@ def curation_funnel(docs, *, lang: str = "en",
         n_dedup = sum(r["n"] for r in partition_map(
             h_ds, "h", _cnt).take_all())
 
-    stages = ["input", "lang", "quality", "repetition", "decontaminated",
-              "deduped"]
+    stages = ["input", "lang", "quality", "repetition"]
     counts = [sums["n_input"], sums["n_lang"], sums["n_quality"],
-              sums["n_repetition"], sums["n_decontaminated"], n_dedup]
+              sums["n_repetition"]]
+    if max_lm_bits is not None:
+        stages.append("lm_quality")
+        counts.append(sums["n_lm_quality"])
+    if max_dup_span_frac is not None:
+        stages.append("dup_spans")
+        counts.append(sums["n_dup_spans"])
+    stages += ["decontaminated", "deduped"]
+    counts += [sums["n_decontaminated"], n_dedup]
     return pa.table({"stage": pa.array(stages, type=pa.string()),
                      "n_docs": pa.array(counts, type=pa.int64())})
 
