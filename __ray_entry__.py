@@ -1347,6 +1347,42 @@ WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_resample_events(sf_dir: str):
+    """Resample each user's event stream onto a 6-hour grid carrying
+    the latest-known value/event_type forward (windows.resample_ffill
+    — the as-of join against a GENERATED grid, fused into the one
+    sorted partition pass).  Values pass through verbatim — no
+    hedge."""
+    from netml_ray.windows import resample_ffill
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    return resample_ffill(ev, "user_id", "ts", ["value", "event_type"],
+                          step_sec=21600.0, tiebreak="event_id",
+                          num_partitions=P)
+
+
+SQL_RESAMPLE_EVENTS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value, event_type, event_id
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                             ORDER BY event_id DESC) = 1
+),
+b AS (SELECT user_id, min(tus) AS mn, max(tus) AS mx
+      FROM e GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(
+      ((mn + 21599999999) // 21600000000) * 21600000000,
+      mx, 21600000000)) AS gts
+  FROM b
+)
+SELECT g.user_id, make_timestamp(g.gts) AS grid_ts,
+       e.value AS value_ffill, e.event_type AS event_type_ffill
+FROM grid g ASOF JOIN e ON g.user_id = e.user_id AND g.gts >= e.tus
+"""
+
+
 def q_dup_spans_docs(sf_dir: str):
     """Corpus-internal duplicated-span stats (RefinedWeb-style
     boilerplate signal): per doc, how many word-5-gram positions carry
@@ -2798,7 +2834,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": q_top_tokens_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "quality_docs": q_quality_docs,
-        "fingerprint_docs": q_fingerprint_docs,
         "pii_scan_docs": q_pii_scan_docs,
         "cap_per_source_docs": q_cap_per_source_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -2828,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events": q_ffill_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
+        "resample_events": q_resample_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -2857,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_orders_customer": q_left_join_orders_customer,
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "repetition_docs": q_repetition_docs,
+        "fingerprint_docs": q_fingerprint_docs,
         # rotated OUT of the window in r5 (green CORRECTNESS_r04 rows;
         # kernels pinned by in-window entries: exact batched scan by
         # knn_cosine_ivf_batch, tokenization by tfidf/lm_bits/quality,
@@ -2950,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,
         "ffill_events": SQL_FFILL_EVENTS,
+        "resample_events": SQL_RESAMPLE_EVENTS,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

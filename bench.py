@@ -337,7 +337,10 @@ def run_suite() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "crawl_docs": crawl_docs,
-        "crawl_docs_per_sec": round(crawl_docs / max(times["crawl_flagship"], 1e-9), 1),
+        # GRAFT_ONLY_CURATION skips the flagship entirely
+        "crawl_docs_per_sec": round(
+            crawl_docs / max(times["crawl_flagship"], 1e-9), 1)
+        if "crawl_flagship" in times else None,
         "flagship_reps": flagship_reps,
         **skew,
         **curation,

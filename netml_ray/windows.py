@@ -641,3 +641,71 @@ def add_fill(
 
     return partition_map(ds, key, _fn, sort_by=sort_by,
                          num_partitions=num_partitions)
+
+
+def resample_ffill(
+    ds,
+    key: str,
+    ts_col: str,
+    value_cols,
+    *,
+    step_sec: float,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Resample each key's event stream onto a regular time grid,
+    carrying the latest-known value forward (point-in-time state at
+    grid timestamps — the as-of join against a GENERATED grid, fused
+    into one narrow pass so the grid never exists as a shuffled
+    table).  Grid points run from each key's first event time rounded
+    UP to the step grid through its last event time, so every grid
+    point has a preceding event (no NULL rows).
+
+    All math in integer microseconds on one global monotone axis: per
+    key, event times shift onto disjoint ranges (cumsum of spans), the
+    grid shifts identically, and ONE ``np.searchsorted`` resolves the
+    as-of event index for every grid point of every key — no per-key
+    loop.  Ties on (key, ts) resolve to the last row in ``tiebreak``
+    order on both this and the SQL side."""
+    value_cols = list(value_cols)
+    step = int(round(step_sec * 1_000_000))
+    if step <= 0:
+        raise ValueError("step_sec must be positive")
+    sort_by = [key, ts_col] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(key, t.schema.field(key).type),
+             ("grid_ts", pa.timestamp("us"))]
+            + [(c + "_ffill", t.schema.field(c).type) for c in value_cols])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        codes = _key_codes(t, key)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
+        is_start = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(is_start)
+        ends = np.r_[starts[1:], len(codes)]
+        first, last = ts[starts], ts[ends - 1]
+        lo = -(-first // step) * step          # ceil to the step grid
+        cnt = np.maximum((last - lo) // step + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        k_rep = np.repeat(np.arange(len(starts)), cnt)
+        off = np.r_[0, np.cumsum(cnt)[:-1]]
+        g = lo[k_rep] + step * (np.arange(total) - off[k_rep])
+        # disjoint per-key ranges → one global monotone axis
+        base = np.r_[0, np.cumsum(last - first + 1)[:-1]]
+        seg_of_row = np.cumsum(is_start) - 1
+        evp = ts - first[seg_of_row] + base[seg_of_row]
+        gp = g - first[k_rep] + base[k_rep]
+        idx = np.searchsorted(evp, gp, side="right") - 1
+        take = pa.array(idx, type=pa.int64())
+        cols = {key: pc.take(t[key], pa.array(starts[k_rep])),
+                "grid_ts": pa.array(g).cast(pa.timestamp("us"))}
+        for c in value_cols:
+            cols[c + "_ffill"] = pc.take(t[c], take)
+        return pa.table(cols).cast(out_schema)
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

@@ -232,3 +232,24 @@ def test_fast_path_fill(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["user_id", "event_id"]),
                                   _norm(fast, ["user_id", "event_id"]))
+
+
+def test_fast_path_resample(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from netml_ray.windows import resample_ffill
+
+    t = _events()
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts",
+        pa.array((t["ts"].to_numpy() * 1e6).astype("int64")).cast(
+            pa.timestamp("us")))
+
+    def run():
+        return resample_ffill(rd.from_arrow(t), "user_id", "ts",
+                              ["value", "etype"], step_sec=120.0,
+                              tiebreak="event_id").to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["user_id", "grid_ts"]),
+                                  _norm(fast, ["user_id", "grid_ts"]))

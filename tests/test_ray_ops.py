@@ -262,3 +262,53 @@ def test_add_fill_matches_pandas(ray_session):
         np.testing.assert_allclose(out[c].to_numpy(), exp[c].to_numpy())
     for c in ("etype_ffill", "etype_bfill"):
         assert out[c].fillna("∅").tolist() == exp[c].fillna("∅").tolist()
+
+
+def test_resample_ffill_matches_pandas(ray_session):
+    """resample_ffill vs a pandas merge_asof-per-key oracle: grid from
+    ceil(first/step) to last, latest value at-or-before each grid
+    point, ties resolved to max tiebreak."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.windows import resample_ffill
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    step = 50.0
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3_000_000_000, n), unit="us"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(size=n).round(3),
+    })
+    # force (key, ts) ties so the tiebreak path is exercised
+    df.loc[1::7, "ts"] = df["ts"].iloc[0::7].values[: len(df.loc[1::7])]
+
+    out = resample_ffill(rd.from_arrow(pa.Table.from_pandas(df)),
+                         "user_id", "ts", ["value"],
+                         step_sec=step, tiebreak="event_id").to_pandas()
+    out = out.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+
+    step_us = int(step * 1e6)
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        tus = g["ts"].astype("int64").to_numpy()
+        lo = -(-tus.min() // step_us) * step_us
+        grid = np.arange(lo, tus.max() + 1, step_us)
+        idx = np.searchsorted(tus, grid, side="right") - 1
+        for gt, i in zip(grid, idx):
+            rows.append((uid, pd.Timestamp(gt, unit="us"),
+                         g["value"].iloc[i]))
+    exp = (pd.DataFrame(rows, columns=["user_id", "grid_ts",
+                                       "value_ffill"])
+           .sort_values(["user_id", "grid_ts"]).reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert (out["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (out["grid_ts"].to_numpy() == exp["grid_ts"].to_numpy()).all()
+    np.testing.assert_allclose(out["value_ffill"].to_numpy(),
+                               exp["value_ffill"].to_numpy())
