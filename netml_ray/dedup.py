@@ -1098,8 +1098,89 @@ class SimHasher:
             out[c0:c0 + len(sub)] = sig.view(np.int64)
         return out
 
+    def _hash_dictionary(self, dictionary) -> np.ndarray:
+        """blake2b per UNIQUE dictionary token (per-actor cache makes
+        repeat vocabulary free across batches) — the ONLY remaining
+        Python loop in the vectorized path, and it runs over the
+        batch's dictionary, not its token stream."""
+        cache = self._tok_cache
+        if len(cache) > 2_000_000:  # bound actor memory
+            cache.clear()
+        toks = dictionary.to_pylist()
+        out = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            v = cache.get(tok)
+            if v is None:
+                v = _token_hash(tok)
+                cache[tok] = v
+            out[j] = v
+        return out
+
+    # tokens per bit-matrix slice: the unpacked (chunk, 64) int32 bits
+    # must stay cache-resident — measured on the bench corpus (50k
+    # docs, throttled window): 2^11 → 1.05 s, 2^13 → 1.84, 2^17 →
+    # 4.04 vs 1.97 for the per-doc chunked path
+    _TOK_CHUNK = 1 << 11
+
+    def _sig_vectorized(self, col) -> np.ndarray:
+        """Whitespace-safe batch path: ONE Arrow tokenization
+        (split + dictionary encode), blake2b only on the dictionary,
+        bit votes via np.unpackbits + one axis-0 reduceat per slice —
+        no per-doc Python.  Bit-identical to ``simhash64``
+        (pytest-pinned): v_b = Σ_occ (±1) = 2·Σ_occ bit_b − n_tok."""
+        from netml_ray.textops import Tokenized
+
+        tok = Tokenized(col)
+        n = len(tok.n_words)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0 or not len(tok.codes):
+            return out
+        h = self._hash_dictionary(tok.dictionary)[tok.codes]
+        doc_tok = np.diff(tok.offsets)
+        d0 = 0
+        while d0 < n:
+            # largest doc prefix whose token total fits the slice
+            # budget (a single over-budget doc goes alone)
+            d1 = int(np.searchsorted(tok.offsets,
+                                     tok.offsets[d0] + self._TOK_CHUNK,
+                                     side="right")) - 1
+            d1 = min(max(d1, d0 + 1), n)
+            t0, t1 = int(tok.offsets[d0]), int(tok.offsets[d1])
+            hs = np.ascontiguousarray(h[t0:t1])
+            # little-endian byte view → column j == bit j of the hash
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")
+            starts = (tok.offsets[d0:d1] - t0).astype(np.int64)
+            ones = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+            # reduceat returns a[start] rows for empty segments —
+            # masked below via n_words
+            v = 2 * ones.astype(np.int64) - doc_tok[d0:d1, None]
+            sig = ((v > 0).astype(np.uint64)
+                   << self._SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+            out[d0:d1] = sig.view(np.int64)
+            d0 = d1
+        out[tok.n_words == 0] = 0
+        return out
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs = self._sig_chunked(t[self.text_col].to_pylist())
+        from netml_ray.textops import _WS_DANGER
+
+        col = t[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # RE2 \s is ASCII-only while the reference tokenization is
+        # Python str.split() (full Unicode) — rows containing any of
+        # the difference set take the per-doc cached fallback (same
+        # guard discipline as textops extraction)
+        unsafe = np.asarray(pc.match_substring_regex(
+            col, _WS_DANGER).to_numpy(zero_copy_only=False), dtype=bool)
+        sigs = np.zeros(t.num_rows, dtype=np.int64)
+        if (~unsafe).any():
+            idx = np.flatnonzero(~unsafe)
+            sigs[idx] = self._sig_vectorized(col.take(pa.array(idx)))
+        if unsafe.any():
+            idx = np.flatnonzero(unsafe)
+            sigs[idx] = self._sig_chunked(col.take(pa.array(idx)).to_pylist())
         return t.append_column("simhash", pa.array(sigs))
 
 

@@ -509,3 +509,37 @@ def test_simhash_cached_matches_reference():
     got = SimHasher()._sig_chunked(batch)
     ref = np.array([SimHasher.simhash64(s) for s in batch], dtype=np.int64)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_simhash_vectorized_matches_reference():
+    """The Arrow-tokenized batch path (__call__ hot path since r5)
+    must be bit-identical to simhash64 — including ws-danger rows
+    (NBSP/NEL/Zs) that must take the per-doc fallback, empty docs,
+    docs longer than the token-slice budget, and pure cache hits."""
+    import numpy as np
+    import pyarrow as pa
+
+    from netml_ray.dedup import SimHasher
+
+    texts = [
+        "",
+        "word",
+        "the the the the only",
+        "a b c a b c a b c d",
+        "Z " * 500 + "tail",
+        "na\u00efve caf\u00e9 \u2013 unicode tokens r\u00e9p\u00e9t\u00e9s r\u00e9p\u00e9t\u00e9s",
+        "mixed CASE Mixed case MIXED",
+        # ws-danger set: python split() splits on these, RE2 \\s+ does
+        # not — the fallback path must catch every one
+        "nbsp\u00a0joined tokens here",
+        "NEL\u0085split and\u2028line sep",
+        "\u3000ideographic space lead",
+        "w " * 300000,                     # exceeds _TOK_CHUNK alone
+    ]
+    batch = [""] + texts * 3 + ["", ""]
+    h = SimHasher()
+    for _ in range(2):  # second pass exercises pure cache hits
+        got = h(pa.table({"text": pa.array(batch, type=pa.string())}))
+        ref = np.array([SimHasher.simhash64(s) for s in batch],
+                       dtype=np.int64)
+        np.testing.assert_array_equal(got["simhash"].to_numpy(), ref)
