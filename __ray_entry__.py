@@ -1227,6 +1227,59 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY token
 """
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Full d×d covariance of the embedding column from ONE
+    second-moment partial pass (mlprep.pca_partials — 8·(d+d²) bytes
+    per batch to the driver, no shuffle).  1-based (i, j) to match
+    generate_subscripts; rounded 9 on both sides (sum-order hedge)."""
+    import numpy as np
+
+    from netml_ray.mlprep import pca_partials
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = [r for r in pca_partials(emb, "embedding").take_all()
+            if r["n"] > 0]
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0)
+    d = len(s)
+    mu = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mu, mu)
+    i, j = np.divmod(np.arange(d * d), d)
+    return pa.table({
+        "i": pa.array(i + 1, type=pa.int64()),
+        "j": pa.array(j + 1, type=pa.int64()),
+        "cov": pa.array(np.round(cov.ravel(), 9)),
+    })
+
+
+SQL_EMBEDDING_COV = r"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j,
+       round(covar_pop(a.x, b.x), 9) AS cov
+FROM e a JOIN e b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i
+"""
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA: fit from the same moment partials (driver-side
+    d×d eigh, deterministic component signs), then a broadcast
+    projection onto the top-2 components.  Eigenvectors are not
+    SQL-expressible → rows-only driver check; numpy parity, variance
+    ordering and sign determinism are pytest-pinned."""
+    from netml_ray.mlprep import fit_pca, transform_pca
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = fit_pca(emb, "embedding", k=2)
+    out = transform_pca(emb, fit, "embedding", keep=["vec_id"])
+    return out.select_columns(["vec_id", "pc1", "pc2"])
+
+
 def q_semi_join_orders(sf_dir: str):
     """SQL EXISTS: orders placed by BUILDING-segment customers — the
     right side ships only its key column into the co-partitioned
@@ -2831,7 +2884,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_type_events": q_pivot_user_type_events,
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
-        "top_tokens_docs": q_top_tokens_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "quality_docs": q_quality_docs,
         "pii_scan_docs": q_pii_scan_docs,
@@ -2864,9 +2916,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
         "resample_events": q_resample_events,
+        "embedding_covariance": q_embedding_covariance,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
+        "pca_embeddings": q_pca_embeddings,
         "anomaly_scores": q_anomaly_scores,
         "crawl_flagship": q_crawl_flagship,
         "netml_two_stage_events": q_netml_two_stage_events,
@@ -2894,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram_docs": q_decontaminate_ngram_docs,
         "repetition_docs": q_repetition_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "top_tokens_docs": q_top_tokens_docs,
         # rotated OUT of the window in r5 (green CORRECTNESS_r04 rows;
         # kernels pinned by in-window entries: exact batched scan by
         # knn_cosine_ivf_batch, tokenization by tfidf/lm_bits/quality,
@@ -2988,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_events": SQL_RANK_EVENTS,
         "ffill_events": SQL_FFILL_EVENTS,
         "resample_events": SQL_RESAMPLE_EVENTS,
+        "embedding_covariance": SQL_EMBEDDING_COV,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

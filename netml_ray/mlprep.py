@@ -16,7 +16,12 @@ reported count is an UNDERestimate by at most n/k.  At web scale this
 finds hot tokens / hot keys in one narrow pass with O(k) state per
 partition — no vocabulary-wide shuffle at all (compare
 ``textops.top_tokens``, which exchanges one row per distinct token per
-batch and is exact)."""
+batch and is exact).
+
+``pca_partials`` / ``fit_pca`` / ``transform_pca`` extends the same
+fit-then-transform shape to dimensionality reduction: one
+second-moment partial pass (8·(d+d²) bytes per batch), a driver-side
+d×d ``eigh``, and a broadcast-projection transform."""
 
 from __future__ import annotations
 
@@ -183,3 +188,86 @@ def misra_gries_topk(ds, col: str, *, k: int = 64) -> "list[tuple]":
     estimates err low by at most n/k."""
     merged = misra_gries_merge(misra_gries_partials(ds, col, k=k), k=k)
     return sorted(merged.items(), key=lambda x: (-x[1], str(x[0])))
+
+
+# ---------------------------------------------------------------------------
+# PCA (distributed fit: one partial-moments pass, driver eigh)
+# ---------------------------------------------------------------------------
+
+
+def pca_partials(ds, col: str):
+    """Per-batch second-moment partials for a fixed-width
+    ``list<float>`` column: ``(n, Σx, Σxxᵀ)`` — ONE narrow pass, one
+    small row per batch (8·(d+d²) bytes), no shuffle.  The exact
+    100-TB shape: the corpus streams once and only moment vectors
+    reach the driver."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1)
+        d = m.shape[1] if t.num_rows else 0
+        s = m.sum(axis=0) if t.num_rows else np.empty(0)
+        ss = (m.T @ m).ravel() if t.num_rows else np.empty(0)
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "s": pa.ListArray.from_arrays(
+                pa.array([0, d], type=pa.int64()), pa.array(s)),
+            "ss": pa.ListArray.from_arrays(
+                pa.array([0, d * d], type=pa.int64()), pa.array(ss)),
+        })
+
+    return ds.map_batches(_p, batch_format="pyarrow")
+
+
+def fit_pca(ds, col: str, *, k: int = 2) -> dict:
+    """Distributed PCA fit: reduce the moment partials on the driver,
+    population covariance ``Σxxᵀ/n − μμᵀ``, one dense ``eigh`` on the
+    d×d matrix (d is the embedding width — driver-sized by
+    construction).  Component signs are made deterministic by flipping
+    each eigenvector so its largest-|entry| coordinate is positive."""
+    rows = pca_partials(ds, col).take_all()
+    rows = [r for r in rows if r["n"] > 0]
+    if not rows:
+        raise ValueError("fit_pca: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0)
+    d = len(s)
+    mu = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comp = v[:, order]
+    flip = np.sign(comp[np.argmax(np.abs(comp), axis=0),
+                        np.arange(comp.shape[1])])
+    flip[flip == 0] = 1.0
+    comp = comp * flip
+    return {"mean": mu, "components": comp,
+            "explained_variance": w[order], "n": int(n)}
+
+
+def transform_pca(ds, fit: dict, col: str, *, out_prefix: str = "pc",
+                  keep: list | None = None):
+    """Project each row onto the fitted components (broadcast model,
+    one matmul per batch): appends ``<prefix>1..<prefix>k``."""
+    import ray
+
+    ref = ray.put((np.asarray(fit["mean"]),
+                   np.asarray(fit["components"])))
+
+    def _f(t: pa.Table) -> pa.Table:
+        mu, comp = ray.get(ref)
+        arr = t[col].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1)
+        proj = (m - mu) @ comp if t.num_rows else \
+            np.empty((0, comp.shape[1]))
+        if keep is not None:
+            t = t.select(keep)
+        for j in range(proj.shape[1]):
+            t = t.append_column(f"{out_prefix}{j + 1}",
+                                pa.array(proj[:, j]))
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -124,3 +124,56 @@ def test_misra_gries_exact_when_k_exceeds_cardinality(ray_session):
     t = pa.table({"x": pa.array(v)})
     ds = rd.from_arrow([t.slice(i, 3) for i in range(0, len(v), 3)])
     assert misra_gries_topk(ds, "x", k=64) == [("a", 7), ("b", 5), ("c", 2)]
+
+
+def test_pca_matches_numpy(ray_session):
+    """Distributed fit (moment partials + driver eigh) must equal the
+    single-matrix numpy PCA: covariance allclose, components equal up
+    to the pinned sign convention, projection allclose, and the fit
+    must be invariant to block structure."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import fit_pca, transform_pca
+
+    rng = np.random.default_rng(7)
+    n, d = 1200, 12
+    base = rng.normal(size=(n, 3)) @ rng.normal(size=(3, d)) \
+        + 0.05 * rng.normal(size=(n, d)) + rng.normal(size=d)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(base.astype(np.float32))),
+    })
+    ds = rd.from_arrow(t)
+    fit = fit_pca(ds, "embedding", k=3)
+
+    m = base.astype(np.float32).astype(np.float64)
+    mu = m.mean(axis=0)
+    cov = (m - mu).T @ (m - mu) / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    comp = v[:, order]
+    flip = np.sign(comp[np.argmax(np.abs(comp), axis=0), np.arange(3)])
+    comp = comp * flip
+
+    np.testing.assert_allclose(fit["mean"], mu, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(fit["explained_variance"], w[order],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(fit["components"], comp,
+                               rtol=1e-6, atol=1e-9)
+    assert (np.diff(fit["explained_variance"]) <= 1e-12).all()
+
+    out = transform_pca(ds, fit, "embedding",
+                        keep=["vec_id"]).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    exp = (m - mu) @ comp
+    for j in range(3):
+        np.testing.assert_allclose(out[f"pc{j+1}"].to_numpy(),
+                                   exp[:, j], rtol=1e-6, atol=1e-8)
+
+    # block-structure invariance: same fit from a repartitioned input
+    fit2 = fit_pca(ds.repartition(7), "embedding", k=3)
+    np.testing.assert_allclose(fit2["components"], fit["components"],
+                               rtol=1e-9, atol=1e-12)
