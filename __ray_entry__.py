@@ -1280,6 +1280,54 @@ def q_pca_embeddings(sf_dir: str):
     return out.select_columns(["vec_id", "pc1", "pc2"])
 
 
+def q_split_events(sf_dir: str):
+    """Leakage-safe grouped train/val/test split: the split label is a
+    pure function of user_id (Knuth hash bucket), so every event of a
+    user lands in the same fold — shuffle-free, partition-invariant,
+    identical on re-run (mlprep.grouped_split)."""
+    from netml_ray.mlprep import grouped_split
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    return grouped_split(ev, "user_id").select_columns(
+        ["event_id", "user_id", "split"])
+
+
+SQL_SPLIT_EVENTS = """
+SELECT event_id, user_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT event_id, user_id,
+             ((user_id * 2654435761) % 4294967296) % 100 AS b
+      FROM events)
+"""
+
+
+def q_quantile_bin_events(sf_dir: str):
+    """Global quantile discretization of the value column: exact
+    quartile edges in one pass, rounded to 9 decimals on both sides
+    (the interpolation hedge), bin = #edges strictly below the value
+    (mlprep.add_quantile_bins — broadcast edges + one searchsorted)."""
+    from netml_ray.mlprep import add_quantile_bins
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    out, _edges = add_quantile_bins(ev, "value", qs=(0.25, 0.5, 0.75))
+    return out.select_columns(["event_id", "value_bin"])
+
+
+SQL_QUANTILE_BIN = """
+WITH e AS (SELECT round(quantile_cont(value, 0.25), 9) AS q1,
+                  round(quantile_cont(value, 0.50), 9) AS q2,
+                  round(quantile_cont(value, 0.75), 9) AS q3
+           FROM events)
+SELECT event_id,
+       CAST((CASE WHEN value > q1 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > q2 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > q3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS value_bin
+FROM events CROSS JOIN e
+"""
+
+
 def q_semi_join_orders(sf_dir: str):
     """SQL EXISTS: orders placed by BUILDING-segment customers — the
     right side ships only its key column into the co-partitioned
@@ -2887,8 +2935,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "quality_docs": q_quality_docs,
         "pii_scan_docs": q_pii_scan_docs,
-        "cap_per_source_docs": q_cap_per_source_docs,
-        "weighted_sample_docs": q_weighted_sample_docs,
         "chunk_docs": q_chunk_docs,
         "curate_corpus_docs": q_curate_corpus_docs,
         "curate_mixed_docs": q_curate_mixed_docs,
@@ -2917,6 +2963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
         "resample_events": q_resample_events,
         "embedding_covariance": q_embedding_covariance,
+        "split_events": q_split_events,
+        "quantile_bin_events": q_quantile_bin_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -2949,6 +2997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q_repetition_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "top_tokens_docs": q_top_tokens_docs,
+        "cap_per_source_docs": q_cap_per_source_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # rotated OUT of the window in r5 (green CORRECTNESS_r04 rows;
         # kernels pinned by in-window entries: exact batched scan by
         # knn_cosine_ivf_batch, tokenization by tfidf/lm_bits/quality,
@@ -3044,6 +3094,8 @@ def oracle_sql() -> dict[str, str]:
         "ffill_events": SQL_FFILL_EVENTS,
         "resample_events": SQL_RESAMPLE_EVENTS,
         "embedding_covariance": SQL_EMBEDDING_COV,
+        "split_events": SQL_SPLIT_EVENTS,
+        "quantile_bin_events": SQL_QUANTILE_BIN,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

@@ -30,7 +30,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
-           "misra_gries_merge", "misra_gries_topk"]
+           "misra_gries_merge", "misra_gries_topk",
+           "pca_partials", "fit_pca", "transform_pca",
+           "grouped_split", "add_quantile_bins"]
 
 
 # ---------------------------------------------------------------------------
@@ -271,3 +273,69 @@ def transform_pca(ds, fit: dict, col: str, *, out_prefix: str = "pc",
         return t
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe grouped split + quantile binning
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761
+
+
+def grouped_split(ds, key: str, *, splits=(("train", 80), ("val", 10),
+                                           ("test", 10)),
+                  out_col: str = "split"):
+    """Deterministic leakage-safe train/val/test assignment: the split
+    is a pure function of the KEY (Knuth multiplicative hash bucket
+    mod 100), so every row of an entity lands in the same split — the
+    grouped-split discipline that prevents per-entity leakage across
+    folds.  Shuffle-free, partition-invariant, resumable (re-running
+    assigns identically).  ``splits`` are (label, pct) with pcts
+    summing to 100; integer keys only on the oracled path (string keys
+    hash via blake2b, not SQL-expressible)."""
+    labels = [s[0] for s in splits]
+    pcts = np.cumsum([s[1] for s in splits])
+    if pcts[-1] != 100:
+        raise ValueError("split percentages must sum to 100")
+    bounds = pcts[:-1]
+
+    def _f(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy()
+        if k.dtype.kind in "iu":
+            bucket = ((k.astype(np.uint64) * np.uint64(_KNUTH))
+                      % np.uint64(1 << 32)) % np.uint64(100)
+        else:
+            from netml_ray.dedup import _sha64
+            bucket = _sha64([str(x) for x in k.tolist()]).view(
+                np.uint64) % np.uint64(100)
+        idx = np.searchsorted(bounds, bucket.astype(np.int64),
+                              side="right")
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)),
+            pa.array(labels, type=pa.string()))
+        return t.append_column(out_col, lab.cast(pa.string()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def add_quantile_bins(ds, col: str, *, qs=(0.25, 0.5, 0.75),
+                      out_col: str | None = None):
+    """Global quantile discretization: exact quantile edges in one
+    pass (``sessionize.exact_quantiles`` — collected below threshold,
+    distributed order-statistics above), rounded to 9 decimals (the
+    interpolation hedge, so numpy and any reimplementation agree
+    bit-exactly on the edges), then ``bin = #edges strictly below the
+    value`` per batch via one searchsorted against the broadcast
+    edges."""
+    from netml_ray.sessionize import exact_quantiles
+
+    edges = np.round(np.asarray(
+        exact_quantiles(ds, col, list(qs)), dtype=np.float64), 9)
+    out_col = out_col or f"{col}_bin"
+
+    def _f(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy()
+        b = np.searchsorted(edges, v, side="left")
+        return t.append_column(out_col, pa.array(b.astype(np.int64)))
+
+    return ds.map_batches(_f, batch_format="pyarrow"), edges

@@ -177,3 +177,59 @@ def test_pca_matches_numpy(ray_session):
     fit2 = fit_pca(ds.repartition(7), "embedding", k=3)
     np.testing.assert_allclose(fit2["components"], fit["components"],
                                rtol=1e-9, atol=1e-12)
+
+
+def test_grouped_split_leakage_free(ray_session):
+    """Every key's rows land in ONE split, proportions are roughly the
+    requested ones, assignment is identical across repartitionings
+    (shuffle-free determinism), and bad pcts raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from netml_ray.mlprep import grouped_split
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    t = pa.table({
+        "row": pa.array(np.arange(n, dtype=np.int64)),
+        "user": pa.array(rng.integers(0, 2000, n)),
+    })
+    out = grouped_split(rd.from_arrow(t), "user").to_pandas()
+    per_key = out.groupby("user")["split"].nunique()
+    assert (per_key == 1).all()
+    frac = out.drop_duplicates("user")["split"].value_counts(
+        normalize=True)
+    assert abs(frac.get("train", 0) - 0.8) < 0.05
+    out2 = grouped_split(rd.from_arrow(t).repartition(9),
+                         "user").to_pandas()
+    m = out.merge(out2, on="row", suffixes=("", "_2"))
+    assert (m["split"] == m["split_2"]).all()
+    with pytest.raises(ValueError):
+        grouped_split(rd.from_arrow(t), "user",
+                      splits=(("a", 50), ("b", 20)))
+
+
+def test_add_quantile_bins_vs_numpy(ray_session):
+    """Bin = #edges strictly below the value, edges = exact global
+    quantiles rounded to 9; partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import add_quantile_bins
+
+    rng = np.random.default_rng(4)
+    v = np.round(rng.normal(size=5000), 3)
+    # plant values exactly ON an edge candidate to pin the boundary
+    v[:10] = np.round(np.quantile(v, 0.5), 9)
+    t = pa.table({"i": pa.array(np.arange(len(v), dtype=np.int64)),
+                  "value": pa.array(v)})
+    out, edges = add_quantile_bins(rd.from_arrow(t), "value",
+                                   qs=(0.1, 0.5, 0.9))
+    out = out.to_pandas().sort_values("i").reset_index(drop=True)
+    exp_edges = np.round(np.quantile(v, [0.1, 0.5, 0.9]), 9)
+    np.testing.assert_array_equal(edges, exp_edges)
+    exp = np.searchsorted(exp_edges, v, side="left")
+    np.testing.assert_array_equal(out["value_bin"].to_numpy(), exp)
