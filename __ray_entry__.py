@@ -1328,6 +1328,98 @@ FROM events CROSS JOIN e
 """
 
 
+def q_target_encode_events(sf_dir: str):
+    """Smoothed target encoding of event_type against value:
+    (Σ_c + m·global_mean)/(n_c + m) with m=10 — per-batch (cat, n, Σ)
+    partials, driver reduce, broadcast map (mlprep.target_encode).
+    Encoded value rounded 9 on both sides (sum-order hedge)."""
+    from netml_ray.mlprep import target_encode
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = target_encode(ev, "event_type", "value", m=10.0)
+    return out.select_columns(["event_id", "event_type", "event_type_te"])
+
+
+SQL_TARGET_ENCODE = """
+WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(value) AS s
+           FROM events GROUP BY event_type),
+t AS (SELECT sum(s) / sum(n) AS gm FROM g)
+SELECT e.event_id, e.event_type,
+       round((g.s + 10 * t.gm) / (g.n + 10), 9) AS event_type_te
+FROM events e JOIN g USING (event_type) CROSS JOIN t
+"""
+
+
+def q_asof_tolerance_events(sf_dir: str):
+    """As-of join with a match-window tolerance (pandas merge_asof
+    parity): each purchase gets the user's latest signup at-or-before
+    its ts ONLY if it is within 7 days — older state is nulled, not
+    carried indefinitely.  Tolerance applies in the ts columns' native
+    microseconds on both sides."""
+    from netml_ray.asof import asof_join
+    from netml_ray.partition import partition_map
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"])
+    signups = ev.filter(expr="event_type == 'signup'").select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy()
+        tsv = pc.cast(t["ts"], pa.int64()).to_numpy()
+        last = np.r_[(uid[1:] != uid[:-1]) | (tsv[1:] != tsv[:-1]), True]
+        return t.filter(pa.array(last)).rename_columns(
+            ["signup_event_id", "signup_ts", "user_id", "value"])
+
+    sdedup = partition_map(signups, "user_id", _dedup, num_partitions=P)
+    out = asof_join(
+        purchases, sdedup.select_columns(["user_id", "signup_ts", "value"]),
+        key="user_id", left_ts="ts", right_ts="signup_ts",
+        left_tiebreak="event_id", num_partitions=P,
+        tolerance=7 * 86400 * 1_000_000,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "signup_ts": t["signup_ts"],
+            "signup_value": t["value"],
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_ASOF_TOLERANCE = """
+WITH signups AS (
+  SELECT user_id, ts AS signup_ts, value
+  FROM events WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+),
+purchases AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.value
+  FROM purchases p ASOF LEFT JOIN signups s
+    ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(signup_ts)
+                 <= CAST(604800 AS BIGINT) * 1000000
+            THEN signup_ts END AS signup_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(signup_ts)
+                 <= CAST(604800 AS BIGINT) * 1000000
+            THEN value END AS signup_value
+FROM j
+"""
+
+
 def q_semi_join_orders(sf_dir: str):
     """SQL EXISTS: orders placed by BUILDING-segment customers — the
     right side ships only its key column into the co-partitioned
@@ -2913,10 +3005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "embedding_near_dups": q_embedding_near_dups,
-        "simhash_docs": q_simhash_docs,
         "simhash_near_docs": q_simhash_near_docs,
         "lang_id_docs": q_lang_id_docs,
-        "knn_cosine_ivf": q_knn_cosine_ivf,
         "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
         # -- relational / windowed / sessionization core
         "rolling_time_events": q_rolling_time_events,
@@ -2965,6 +3055,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "split_events": q_split_events,
         "quantile_bin_events": q_quantile_bin_events,
+        "target_encode_events": q_target_encode_events,
+        "asof_tolerance_events": q_asof_tolerance_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -2999,6 +3091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": q_top_tokens_docs,
         "cap_per_source_docs": q_cap_per_source_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "simhash_docs": q_simhash_docs,
+        "knn_cosine_ivf": q_knn_cosine_ivf,
         # rotated OUT of the window in r5 (green CORRECTNESS_r04 rows;
         # kernels pinned by in-window entries: exact batched scan by
         # knn_cosine_ivf_batch, tokenization by tfidf/lm_bits/quality,
@@ -3096,6 +3190,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": SQL_EMBEDDING_COV,
         "split_events": SQL_SPLIT_EVENTS,
         "quantile_bin_events": SQL_QUANTILE_BIN,
+        "target_encode_events": SQL_TARGET_ENCODE,
+        "asof_tolerance_events": SQL_ASOF_TOLERANCE,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

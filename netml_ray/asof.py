@@ -72,6 +72,7 @@ def asof_join(
     right_ts: str,
     *,
     strict: bool = False,
+    tolerance: float | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_state",
     left_tiebreak: str | None = None,
@@ -80,8 +81,14 @@ def asof_join(
     """Backward as-of join of two Datasets (see module docstring).
 
     Unmatched left rows keep nulls in the attached columns — filter
-    afterwards for inner semantics.
+    afterwards for inner semantics.  ``tolerance`` (pandas merge_asof
+    parity): a match further back than ``tolerance`` is treated as no
+    match (attached columns null).  Units are the ts columns' NATIVE
+    units — MICROSECONDS for timestamp columns, raw values for
+    numerics.
     """
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
 
     def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         # ONE dictionary encode over both key columns → int codes whose
@@ -99,6 +106,11 @@ def asof_join(
         ltsv = _num_or_ts(lt[left_ts]).astype(np.float64)
         rtsv = _num_or_ts(rt[right_ts]).astype(np.float64)
         idx = asof_match_indices(lkeys, ltsv, rkeys, rtsv, strict)
+        if tolerance is not None and len(idx):
+            ok = idx >= 0
+            far = np.zeros(len(idx), dtype=bool)
+            far[ok] = (ltsv[ok] - rtsv[idx[ok]]) > tolerance
+            idx = np.where(far, -1, idx)
         mask = idx < 0
         take_idx = pa.array(np.where(mask, 0, idx), mask=mask)
         keep = right_cols if right_cols is not None else [c for c in rt.column_names if c != key]

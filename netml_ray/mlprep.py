@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk",
            "pca_partials", "fit_pca", "transform_pca",
-           "grouped_split", "add_quantile_bins"]
+           "grouped_split", "add_quantile_bins", "target_encode"]
 
 
 # ---------------------------------------------------------------------------
@@ -339,3 +339,48 @@ def add_quantile_bins(ds, col: str, *, qs=(0.25, 0.5, 0.75),
         return t.append_column(out_col, pa.array(b.astype(np.int64)))
 
     return ds.map_batches(_f, batch_format="pyarrow"), edges
+
+
+def target_encode(ds, cat_col: str, target_col: str, *, m: float = 10.0,
+                  suffix: str = "_te", round_to: int | None = 9):
+    """Smoothed target (mean) encoding of a categorical column:
+    ``enc(c) = (Σ_c target + m·global_mean) / (n_c + m)`` — the
+    standard leakage-prone-if-naive encoder done in the fit-then-
+    transform shape: per-batch ``(cat, n, Σ)`` partials (one row per
+    category per batch — categoricals are low-cardinality by
+    assumption), driver reduce, broadcast map.  ``round_to`` hedges
+    the float sum-order on the encoded value (SQL parity)."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t[cat_col].combine_chunks())
+        codes = enc.indices.to_numpy()
+        v = t[target_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "cat": enc.dictionary.cast(pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=v, minlength=k)),
+        })
+
+    agg: dict[str, list] = {}
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        e = agg.setdefault(r["cat"], [0, 0.0])
+        e[0] += r["n"]
+        e[1] += r["s"]
+    tot_n = sum(v[0] for v in agg.values())
+    tot_s = sum(v[1] for v in agg.values())
+    gm = tot_s / max(tot_n, 1)
+    enc_map = {c: (s + m * gm) / (n + m) for c, (n, s) in agg.items()}
+
+    def _f(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t[cat_col].combine_chunks())
+        vals = np.array([enc_map.get(c, gm)
+                         for c in enc.dictionary.to_pylist()])
+        out = vals[enc.indices.to_numpy()] if t.num_rows else \
+            np.empty(0, dtype=np.float64)
+        if round_to is not None:
+            out = np.round(out, round_to)
+        return t.append_column(cat_col + suffix, pa.array(out))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

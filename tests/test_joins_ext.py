@@ -199,3 +199,66 @@ def test_rank_features(ray_session):
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id""").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join_tolerance(ray_session):
+    """tolerance (merge_asof parity): matches further back than the
+    window are nulled; within-window matches unchanged; negative
+    tolerance rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from netml_ray.asof import asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "lts": pa.array([10.0, 25.0, 100.0, 5.0]),
+        "lid": pa.array([0, 1, 2, 3], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "rts": pa.array([8.0, 20.0, 50.0]),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key="k", left_ts="lts", right_ts="rts",
+                    left_tiebreak="lid", tolerance=10.0).to_pandas()
+    out = out.sort_values("lid").reset_index(drop=True)
+    # lid0: rts 8 within 2 → 1.0; lid1: rts 20 within 5 → 2.0;
+    # lid2: rts 20 but 80 back → null; lid3: no prior → null
+    np.testing.assert_array_equal(
+        out["v"].to_numpy(), np.array([1.0, 2.0, np.nan, np.nan]))
+    assert out["rts"].isna().tolist() == [False, False, True, True]
+    with pytest.raises(ValueError):
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                  left_ts="lts", right_ts="rts", tolerance=-1.0)
+
+
+def test_target_encode_matches_formula(ray_session):
+    """Smoothed mean encoding equals the closed-form computed from
+    pandas, and unseen categories at transform time get the global
+    mean (m-blend degenerate case)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import target_encode
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "i": np.arange(4000, dtype=np.int64),
+        "cat": rng.choice(list("abcde"), 4000),
+        "y": rng.normal(size=4000).round(3),
+    })
+    out = target_encode(rd.from_arrow(pa.Table.from_pandas(df)),
+                        "cat", "y", m=10.0).to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    g = df.groupby("cat")["y"].agg(["sum", "count"])
+    gm = df["y"].sum() / len(df)
+    enc = ((g["sum"] + 10 * gm) / (g["count"] + 10)).round(9)
+    exp = df["cat"].map(enc).to_numpy()
+    np.testing.assert_allclose(out["cat_te"].to_numpy(), exp,
+                               rtol=0, atol=1e-9)
