@@ -144,6 +144,11 @@ def cmd_curate(args) -> int:
                            columns=["doc_id", "text", "lang", "source"])
     mix = json.loads(args.mix_weights) if args.mix_weights else None
     if args.resume_dir:
+        if args.max_lm_bits is not None or \
+                args.max_dup_span_frac is not None:
+            raise SystemExit(
+                "--max-lm-bits/--max-dup-span-frac are not yet wired "
+                "into the checkpointed plan; re-run without --resume-dir")
         if mix is not None or args.max_per_source is not None:
             raise SystemExit(
                 "mixing/caps run on the digested output; re-run without "
@@ -156,7 +161,9 @@ def cmd_curate(args) -> int:
         out = curate_corpus(
             docs, lang=args.lang, max_dup_2gram=args.max_dup_2gram,
             max_top_2gram=args.max_top_2gram, mix_weights=mix,
-            max_per_source=args.max_per_source)
+            max_per_source=args.max_per_source,
+            max_lm_bits=args.max_lm_bits,
+            max_dup_span_frac=args.max_dup_span_frac)
     out.write_parquet(args.out)
     import glob
 
@@ -234,6 +241,12 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--lang", default="en")
     u.add_argument("--max-dup-2gram", type=float, default=0.06)
     u.add_argument("--max-top-2gram", type=float, default=0.12)
+    u.add_argument("--max-lm-bits", type=float, default=None,
+                   help="drop docs above this bigram-LM bits/bigram "
+                        "(CCNet-style quality stage)")
+    u.add_argument("--max-dup-span-frac", type=float, default=None,
+                   help="drop docs whose duplicated-5-gram coverage "
+                        "exceeds this fraction (boilerplate stage)")
     u.add_argument("--mix-weights", help="JSON {source: keep_pct}")
     u.add_argument("--max-per-source", type=int)
     u.add_argument("--resume-dir",

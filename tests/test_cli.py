@@ -119,3 +119,35 @@ def test_cli_index_and_search(ray_session, tmp_path, capsys):
                  "--terms", "red,fox", "--mode", "or"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ["1", "2", "3"]
+
+
+def test_cli_curate_scorer_flags(ray_session, tmp_path):
+    """--max-lm-bits / --max-dup-span-frac reach curate_corpus and
+    actually drop docs; they are rejected with --resume-dir."""
+    import sys
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from netml_ray.cli import main
+    from netml_ray.corpus import documents_path
+
+    corpus = documents_path(3000, seed=7)
+    out = str(tmp_path / "kept")
+    rc = main(["curate", "--corpus", corpus, "--out", out,
+               "--max-dup-2gram", "1.0", "--max-top-2gram", "1.0",
+               "--max-dup-span-frac", "0.5"])
+    assert rc == 0
+    import glob
+    n_flag = sum(pq.read_metadata(f).num_rows
+                 for f in glob.glob(f"{out}/*.parquet"))
+    out2 = str(tmp_path / "kept_noflag")
+    assert main(["curate", "--corpus", corpus, "--out", out2,
+                 "--max-dup-2gram", "1.0", "--max-top-2gram", "1.0"]) == 0
+    n_noflag = sum(pq.read_metadata(f).num_rows
+                   for f in glob.glob(f"{out2}/*.parquet"))
+    assert 0 < n_flag <= n_noflag
+    with pytest.raises(SystemExit):
+        main(["curate", "--corpus", corpus, "--out", str(tmp_path / "x"),
+              "--resume-dir", str(tmp_path / "ckpt"),
+              "--max-lm-bits", "5.0"])
