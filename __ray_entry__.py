@@ -1351,6 +1351,58 @@ FROM events e JOIN g USING (event_type) CROSS JOIN t
 """
 
 
+def q_group_zscore_events(sf_dir: str):
+    """Within-group (per-user) standardization of value: the per-entity
+    feature normalizer (netml normalizes per-flow series the same way,
+    reference parser.py:767-817) in the fit-then-transform shape —
+    per-batch (user, n, Σ, Σ²) partials, driver reduce, broadcast map
+    (mlprep.group_zscore).  Population std; single-event/constant
+    users → 0.  Rounded 9 both sides (sum-order hedge)."""
+    from netml_ray.mlprep import group_zscore
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = group_zscore(ev, "user_id", "value")
+    return out.select_columns(["event_id", "user_id", "value_gz"])
+
+
+SQL_GROUP_ZSCORE = """
+SELECT event_id, user_id,
+       round(CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) > 0
+                  THEN (value - avg(value) OVER (PARTITION BY user_id))
+                       / stddev_pop(value) OVER (PARTITION BY user_id)
+                  ELSE 0.0 END, 9) AS value_gz
+FROM events
+"""
+
+
+def q_onehot_events(sf_dir: str):
+    """One-hot encoding of event_type: categories discovered in a tiny
+    per-batch-unique partial pass (sorted for a deterministic column
+    layout), then one broadcast vectorized pass appends an int64 0/1
+    column per category (mlprep.onehot_encode) — the data is never
+    shuffled."""
+    from netml_ray.mlprep import onehot_encode
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    return onehot_encode(ev, "event_type")
+
+
+SQL_ONEHOT = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT)
+           AS event_type__click,
+       CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
+           AS event_type__error,
+       CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT)
+           AS event_type__purchase,
+       CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS BIGINT)
+           AS event_type__signup,
+       CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT)
+           AS event_type__view
+FROM events
+"""
+
+
 def q_asof_tolerance_events(sf_dir: str):
     """As-of join with a match-window tolerance (pandas merge_asof
     parity): each purchase gets the user's latest signup at-or-before
@@ -3026,9 +3078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "pii_scan_docs": q_pii_scan_docs,
         "chunk_docs": q_chunk_docs,
-        "curate_corpus_docs": q_curate_corpus_docs,
         "curate_mixed_docs": q_curate_mixed_docs,
-        "curation_funnel_docs": q_curation_funnel_docs,
         # -- round-4 op family (corpus stats / retrieval / ML prep)
         "lm_bits_docs": q_lm_bits_docs,
         "tfidf_docs": q_tfidf_docs,
@@ -3057,6 +3107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bin_events": q_quantile_bin_events,
         "target_encode_events": q_target_encode_events,
         "asof_tolerance_events": q_asof_tolerance_events,
+        "group_zscore_events": q_group_zscore_events,
+        "onehot_events": q_onehot_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3100,6 +3152,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernel by dedup_exact, window combine by tumbling, typed-NULL
         # hash join by left_join, substring decontam inside
         # curate_corpus)
+        # curate_corpus_docs / curation_funnel_docs rotated out for the
+        # r5 additions: both chains are strict subsets of the in-window
+        # curate_corpus_plus_docs / curation_funnel_plus_docs variants
+        # (same stages + the lm-bits and dup-span filters on top)
+        "curate_corpus_docs": q_curate_corpus_docs,
+        "curation_funnel_docs": q_curation_funnel_docs,
         "knn_cosine_batch": q_knn_cosine_batch,
         "normalize_docs": q_normalize_docs,
         "token_count_docs": q_token_count_docs,
@@ -3192,6 +3250,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bin_events": SQL_QUANTILE_BIN,
         "target_encode_events": SQL_TARGET_ENCODE,
         "asof_tolerance_events": SQL_ASOF_TOLERANCE,
+        "group_zscore_events": SQL_GROUP_ZSCORE,
+        "onehot_events": SQL_ONEHOT,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

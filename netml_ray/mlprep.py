@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk",
            "pca_partials", "fit_pca", "transform_pca",
-           "grouped_split", "add_quantile_bins", "target_encode"]
+           "grouped_split", "add_quantile_bins", "target_encode",
+           "group_zscore", "onehot_encode"]
 
 
 # ---------------------------------------------------------------------------
@@ -382,5 +383,94 @@ def target_encode(ds, cat_col: str, target_col: str, *, m: float = 10.0,
         if round_to is not None:
             out = np.round(out, round_to)
         return t.append_column(cat_col + suffix, pa.array(out))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def group_zscore(ds, key_col: str, col: str, *, suffix: str = "_gz",
+                 round_to: int | None = 9):
+    """Within-group standardization ``(x - mean_g) / std_g`` (population
+    std; a single-member or constant group → 0), the per-entity feature
+    normalizer (recasts netml's per-flow normalization of packet-size /
+    IAT series, reference parser.py:767-817, as a keyed column op).
+
+    Same fit-then-transform shape as :func:`target_encode`: per-batch
+    ``(key, n, Σ, Σ²)`` partials (one row per key per batch), a driver
+    reduce, and a broadcast vectorized map — NO shuffle of the data
+    itself.  Driver state is O(#groups); for key cardinalities beyond
+    driver memory use ``partition.partition_map`` with a per-run moment
+    pass instead (one hash exchange) — this broadcast path is the right
+    shape for the common case (entities ≪ rows)."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = enc.indices.to_numpy()
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "k": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=v, minlength=k)),
+            "ss": pa.array(np.bincount(codes, weights=v * v, minlength=k)),
+        })
+
+    agg: dict = {}
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        e = agg.setdefault(r["k"], [0, 0.0, 0.0])
+        e[0] += r["n"]
+        e[1] += r["s"]
+        e[2] += r["ss"]
+    stats = {}
+    for k, (n, s, ss) in agg.items():
+        mu = s / n
+        var = max(ss / n - mu * mu, 0.0)
+        stats[k] = (mu, np.sqrt(var))
+
+    def _f(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        dvals = enc.dictionary.to_pylist()
+        mus = np.array([stats.get(c, (0.0, 0.0))[0] for c in dvals])
+        sds = np.array([stats.get(c, (0.0, 0.0))[1] for c in dvals])
+        idx = enc.indices.to_numpy() if t.num_rows else \
+            np.empty(0, dtype=np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        sd = sds[idx] if t.num_rows else np.empty(0)
+        mu = mus[idx] if t.num_rows else np.empty(0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(sd > 0, (v - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        if round_to is not None:
+            out = np.round(out, round_to)
+        return t.append_column(col + suffix, pa.array(out))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def onehot_encode(ds, col: str, *, categories: list | None = None,
+                  sep: str = "__"):
+    """One-hot encode a low-cardinality string column: appends one
+    int64 0/1 column ``<col><sep><value>`` per distinct value
+    (discovered in a tiny per-batch-unique partial pass when
+    ``categories`` is not given; sorted for a deterministic layout).
+    The category list is broadcast in the transform closure — the data
+    itself is never shuffled.  Unseen values at transform time (when
+    ``categories`` is pinned from a training corpus) get all-zeros,
+    the standard handle_unknown='ignore' behavior."""
+    if categories is None:
+        def _u(t: pa.Table) -> pa.Table:
+            return pa.table({"v": pc.unique(t[col].combine_chunks())})
+
+        cats = set()
+        for r in ds.map_batches(_u, batch_format="pyarrow").take_all():
+            if r["v"] is not None:
+                cats.add(r["v"])
+        categories = sorted(cats)
+
+    def _f(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks()
+        for c in categories:
+            t = t.append_column(
+                f"{col}{sep}{c}",
+                pc.fill_null(pc.cast(pc.equal(v, c), pa.int64()), 0))
+        return t
 
     return ds.map_batches(_f, batch_format="pyarrow")

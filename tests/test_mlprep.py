@@ -233,3 +233,62 @@ def test_add_quantile_bins_vs_numpy(ray_session):
     np.testing.assert_array_equal(edges, exp_edges)
     exp = np.searchsorted(exp_edges, v, side="left")
     np.testing.assert_array_equal(out["value_bin"].to_numpy(), exp)
+
+
+def test_group_zscore_vs_pandas(ray_session):
+    """Per-key standardization matches pandas groupby-transform with
+    population std; single-member and constant groups -> 0; result is
+    partition-invariant (broadcast stats are global)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_zscore
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    key = rng.integers(0, 97, n)
+    key[0] = 999            # singleton group
+    v = np.round(rng.normal(10, 3, n), 3)
+    v[key == 5] = 7.25      # constant group
+    t = pa.table({"i": pa.array(np.arange(n, dtype=np.int64)),
+                  "k": pa.array(key.astype(np.int64)),
+                  "value": pa.array(v)})
+    out = (group_zscore(rd.from_arrow(t).repartition(7), "k", "value")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    df = pd.DataFrame({"k": key, "value": v})
+    g = df.groupby("k")["value"]
+    sd = g.transform(lambda s: s.std(ddof=0))
+    mu = g.transform("mean")
+    exp = np.where(sd > 0, (df["value"] - mu) / sd.where(sd > 0, 1.0), 0.0)
+    np.testing.assert_allclose(out["value_gz"].to_numpy(),
+                               np.round(exp, 9), atol=1e-9)
+    assert out.loc[out["k"] == 999, "value_gz"].eq(0).all()
+    assert out.loc[out["k"] == 5, "value_gz"].eq(0).all()
+
+
+def test_onehot_encode(ray_session):
+    """Discovered categories are sorted; unseen pinned categories give
+    all-zero columns; null input rows encode as 0 (SQL CASE parity)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import onehot_encode
+
+    t = pa.table({"i": pa.array(np.arange(6, dtype=np.int64)),
+                  "c": pa.array(["b", "a", None, "c", "a", "b"])})
+    out = (onehot_encode(rd.from_arrow(t).repartition(3), "c")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    assert [c for c in out.columns if c.startswith("c__")] == \
+        ["c__a", "c__b", "c__c"]
+    np.testing.assert_array_equal(out["c__a"], [0, 1, 0, 0, 1, 0])
+    np.testing.assert_array_equal(out["c__b"], [1, 0, 0, 0, 0, 1])
+    np.testing.assert_array_equal(out["c__c"], [0, 0, 0, 1, 0, 0])
+    assert out["c__a"].dtype == np.int64
+    # pinned (training-time) categories: unseen value -> all zeros row
+    out2 = (onehot_encode(rd.from_arrow(t), "c", categories=["a", "z"])
+            .to_pandas().sort_values("i").reset_index(drop=True))
+    np.testing.assert_array_equal(out2["c__z"], [0] * 6)
+    np.testing.assert_array_equal(out2["c__a"], [0, 1, 0, 0, 1, 0])
