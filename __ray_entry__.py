@@ -1713,8 +1713,11 @@ LEFT JOIN nw USING (doc_id)
 def q_bm25_docs(sf_dir: str):
     """Ranked retrieval: top-20 docs by BM25 (k1=1.5, b=0.75, Lucene
     idf) against a 3-term query.  Corpus stats from narrow partial
-    passes; sort on the ROUNDED score so the tie order matches the SQL
-    exactly (hedge is a no-op with ORACLE_MODE=0)."""
+    passes; top-20 on the ROUNDED score (so the tie order matches the
+    SQL exactly; hedge is a no-op with ORACLE_MODE=0) via per-block
+    select_k partials + driver merge (sketches.top_k) — no global sort
+    exchange of every scored doc."""
+    from netml_ray.sketches import top_k
     from netml_ray.textstats import bm25_scores
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1723,8 +1726,8 @@ def q_bm25_docs(sf_dir: str):
     def _round(t: pa.Table) -> pa.Table:
         return _hedge_round_cols(t, ["bm25"], 6)
 
-    return (out.map_batches(_round, batch_format="pyarrow")
-            .sort(["bm25", "doc_id"], descending=[True, False]).limit(20))
+    return top_k(out.map_batches(_round, batch_format="pyarrow"), 20,
+                 [("bm25", "descending"), ("doc_id", "ascending")])
 
 
 SQL_BM25 = r"""

@@ -586,7 +586,13 @@ def top_tokens(ds, *, text_col: str = "text", k: int = 20):
 
     agg = partition_map(ds.map_batches(_partial, batch_format="pyarrow"),
                         "token", _combine)
-    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+    # top-k of the per-token totals WITHOUT a global sort: each combined
+    # partition emits at most k rows (select_k partial), the driver
+    # merges O(partitions x k) — the vocabulary itself (10^9 tokens at
+    # corpus scale) never goes through a sort exchange.
+    from netml_ray.sketches import top_k
+
+    return top_k(agg, k, [("n", "descending"), ("token", "ascending")])
 
 
 _ROLL_BASE = np.uint64(1099511628211)
