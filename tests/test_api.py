@@ -79,3 +79,19 @@ def test_label_sessions_default_label(ray_session, corpus_file):
     cc.sessions2features("STATS")
     assert cc.labels.shape == (cc.features.shape[0],)
     assert (cc.labels == 3).all()
+
+
+def test_registry_window_discipline():
+    """The first 50 queries() entries (the driver harness's recording
+    window) must ALL be oracle-SQL-backed, and every oracle key must
+    name a registered query — pins the rotation discipline so a new
+    entry can't silently land in-window without its DuckDB oracle."""
+    import __ray_entry__ as m
+
+    q = m.queries()
+    o = m.oracle_sql()
+    window = list(q)[:50]
+    missing = [n for n in window if n not in o]
+    assert not missing, f"in-window entries without an oracle: {missing}"
+    stray = [n for n in o if n not in q]
+    assert not stray, f"oracle entries without a query: {stray}"
