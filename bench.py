@@ -370,16 +370,6 @@ def run_child(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def _best_of(ncpu: int, reps: int) -> tuple[dict, list]:
-    """Best-of-N runs per parallelism level: single-node wall times have
-    ~2x run-to-run variance (shared-host memory-bandwidth swings; NOTES
-    r1/r2); the minimum is the stable estimate of attainable
-    throughput.  All rep times are reported for transparency."""
-    runs = [run_child(ncpu) for _ in range(reps)]
-    best = min(runs, key=lambda r: r["queries"]["crawl_flagship"])
-    return best, [r["queries"]["crawl_flagship"] for r in runs]
-
-
 def main():
     if "--scaling-curation" in sys.argv:
         lo, hi = 8, 32
@@ -415,8 +405,26 @@ def main():
         return
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo, reps_lo = _best_of(lo, reps=3)
-        r_hi, reps_hi = _best_of(hi, reps=2)
+        # INTERLEAVE the per-level children (lo,hi,lo,hi,lo) instead of
+        # running all of one side then all of the other: this VM's
+        # bandwidth throttle swings on ~10-minute scales, and a
+        # side-ordered sequence can measure the two sides in DIFFERENT
+        # windows — r5 runs 2/3 caught one side normal and the other
+        # hard-throttled, in both directions (0.584 with the best
+        # 8-side ever; 0.461 with a normal 8-side and a 152k 32-side
+        # minutes after a 238k probe).  Interleaving makes best-of per
+        # side span the same window envelope; reps stay 3x8 + 2x32 and
+        # every rep is still reported.
+        runs: dict[int, list] = {lo: [], hi: []}
+        for n in (lo, hi, lo, hi, lo):
+            runs[n].append(run_child(n))
+
+        def _best(n):
+            best = min(runs[n], key=lambda r: r["queries"]["crawl_flagship"])
+            return best, [r["queries"]["crawl_flagship"] for r in runs[n]]
+
+        r_lo, reps_lo = _best(lo)
+        r_hi, reps_hi = _best(hi)
         tput_lo = r_lo["crawl_docs"] / r_lo["queries"]["crawl_flagship"]
         tput_hi = r_hi["crawl_docs"] / r_hi["queries"]["crawl_flagship"]
         eff = (tput_hi / tput_lo) / (hi / lo)
