@@ -15,11 +15,15 @@ N vs 4N nodes).
 
 ``--scaling-curation``: two-level (8 vs 32 cpus) measurement of the
 curation family alone — the string-heavy ``curate_corpus`` chain AND
-the compute-heavy simhash signature stage over the same corpus.  The
-simhash stage is cache-resident blake2b + bit math, so its efficiency
-is NOT capped by this host's shared memory-bandwidth ceiling the way
-string scans are (VERDICT r3 #8) — it shows what the curation stages
-scale to when the bus isn't the limit.
+the simhash signature stage over the same corpus.  Measured r5: both
+are bus-bound on this host (0.585 / 0.306 at 2M docs even in a
+normal-or-better window — the 8-cpu side already runs near the VM's
+throttled shared-memory-bus limit, so extra cores add little; the
+Arrow-tokenized SimHasher fast path made the stage MORE
+bandwidth-bound, not less).  Reported for transparency next to the
+flagship criterion; on multi-node hardware each node brings its own
+memory controllers, so the per-node byte ceiling scales WITH nodes
+(BASELINE r5 section).
 
 Env knobs: ``GRAFT_SF_DIR`` (input dir), ``RAY_GRAFT_CPUS``,
 ``GRAFT_CRAWL_ROWS`` / ``GRAFT_CRAWL_TOKENS`` (flagship corpus size),
