@@ -1403,6 +1403,29 @@ FROM events
 """
 
 
+def q_feature_hash_events(sf_dir: str):
+    """Hashing trick over the CROSSED (event_type x user_id)
+    categorical: bucket = md5(key) mod 64 — stateless, shuffle-free,
+    no vocabulary (mlprep.feature_hash); the fixed-width encoder for
+    unbounded-cardinality categoricals at corpus scale.  Bit-equal to
+    the SQL hex-cast form (verified: DuckDB md5 == hashlib.md5)."""
+    from netml_ray.mlprep import feature_hash
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    out = feature_hash(ev, ["event_type", "user_id"], n_buckets=64,
+                       out_col="fh")
+    return out.select_columns(["event_id", "fh"])
+
+
+SQL_FEATURE_HASH = """
+SELECT event_id,
+       (('0x' || substr(md5(concat(COALESCE(event_type, ''), '|',
+                                   COALESCE(CAST(user_id AS VARCHAR), ''))),
+                        1, 15))::BIGINT % 64) AS fh
+FROM events
+"""
+
+
 def q_asof_tolerance_events(sf_dir: str):
     """As-of join with a match-window tolerance (pandas merge_asof
     parity): each purchase gets the user's latest signup at-or-before
@@ -3078,7 +3101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
-        "quality_docs": q_quality_docs,
         "pii_scan_docs": q_pii_scan_docs,
         "chunk_docs": q_chunk_docs,
         "curate_mixed_docs": q_curate_mixed_docs,
@@ -3112,6 +3134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_tolerance_events": q_asof_tolerance_events,
         "group_zscore_events": q_group_zscore_events,
         "onehot_events": q_onehot_events,
+        "feature_hash_events": q_feature_hash_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3161,6 +3184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (same stages + the lm-bits and dup-span filters on top)
         "curate_corpus_docs": q_curate_corpus_docs,
         "curation_funnel_docs": q_curation_funnel_docs,
+        # quality_docs rotated out for feature_hash_events (its ratio
+        # kernels overlap the in-window gopher_quality_docs rule family)
+        "quality_docs": q_quality_docs,
         "knn_cosine_batch": q_knn_cosine_batch,
         "normalize_docs": q_normalize_docs,
         "token_count_docs": q_token_count_docs,
@@ -3255,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance_events": SQL_ASOF_TOLERANCE,
         "group_zscore_events": SQL_GROUP_ZSCORE,
         "onehot_events": SQL_ONEHOT,
+        "feature_hash_events": SQL_FEATURE_HASH,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

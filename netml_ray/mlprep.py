@@ -33,7 +33,7 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk",
            "pca_partials", "fit_pca", "transform_pca",
            "grouped_split", "add_quantile_bins", "target_encode",
-           "group_zscore", "onehot_encode"]
+           "group_zscore", "onehot_encode", "feature_hash"]
 
 
 # ---------------------------------------------------------------------------
@@ -472,5 +472,54 @@ def onehot_encode(ds, col: str, *, categories: list | None = None,
                 f"{col}{sep}{c}",
                 pc.fill_null(pc.cast(pc.equal(v, c), pa.int64()), 0))
         return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def feature_hash(ds, cols: list[str], *, n_buckets: int = 1024,
+                 out_col: str | None = None, sep: str = "|"):
+    """The hashing trick for (crossed) categorical features: bucket =
+    ``md5(col1 | col2 | ...) mod n_buckets`` — the standard fixed-width
+    encoder for unbounded-cardinality categoricals (domains, urls,
+    user ids) where one-hot / target-encoding state would explode.
+    Weinberger et al. 2009 ("Feature Hashing for Large Scale Multitask
+    Learning"); with more than one column this is also the classic
+    crossed-feature construction.
+
+    Stateless and shuffle-free: no fit pass, no driver state, no
+    vocabulary anywhere — the property that makes it THE encoder at
+    10^12 rows.  Deterministic across runs/cluster sizes, and
+    SQL-expressible for the oracle:
+    ``('0x' || substr(md5(key), 1, 15))::BIGINT % n_buckets`` equals
+    ``int(md5(key.encode()).hexdigest()[:15], 16) % n_buckets``
+    (60 bits, fits int64; verified bit-equal vs DuckDB).  NULL cells
+    enter the key as '' (COALESCE on the SQL side).  md5 runs once per
+    DISTINCT key per batch (dictionary-encode then gather), so the
+    per-batch Python loop is over the small per-batch vocabulary, not
+    rows."""
+    import hashlib
+
+    if out_col is None:
+        out_col = "_".join(cols) + "_fh"
+
+    def _f(t: pa.Table) -> pa.Table:
+        parts = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(pa.array([sep] * t.num_rows, type=pa.string()))
+            col = t[c].combine_chunks()
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            parts.append(pc.fill_null(col, ""))
+        key = (pc.binary_join_element_wise(*parts, "")
+               if len(parts) > 1 else parts[0])
+        enc = pc.dictionary_encode(key)
+        dvals = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % n_buckets
+             for s in enc.dictionary.to_pylist()], dtype=np.int64)
+        idx = enc.indices.to_numpy() if t.num_rows else \
+            np.empty(0, dtype=np.int64)
+        out = dvals[idx] if t.num_rows else np.empty(0, dtype=np.int64)
+        return t.append_column(out_col, pa.array(out, type=pa.int64()))
 
     return ds.map_batches(_f, batch_format="pyarrow")

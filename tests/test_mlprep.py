@@ -292,3 +292,33 @@ def test_onehot_encode(ray_session):
             .to_pandas().sort_values("i").reset_index(drop=True))
     np.testing.assert_array_equal(out2["c__z"], [0] * 6)
     np.testing.assert_array_equal(out2["c__a"], [0, 1, 0, 0, 1, 0])
+
+
+def test_feature_hash_parity_and_nulls(ray_session):
+    """Engine bucket == DuckDB hex-cast md5 form; crossed columns,
+    int casts, and NULL->'' handling all bit-equal; stateless
+    (partition-invariant by construction)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import feature_hash
+
+    t = pa.table({
+        "i": pa.array(np.arange(6, dtype=np.int64)),
+        "c": pa.array(["x", None, "y", "x", "z|", ""]),
+        "u": pa.array([1, 2, None, 4, 5, 6], type=pa.int64()),
+    })
+    out = (feature_hash(rd.from_arrow(t).repartition(3), ["c", "u"],
+                        n_buckets=64, out_col="fh")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT i, (('0x' || substr(md5(concat(COALESCE(c,''), '|', "
+        "COALESCE(CAST(u AS VARCHAR), ''))), 1, 15))::BIGINT % 64) AS fh "
+        "FROM t ORDER BY i").df()
+    np.testing.assert_array_equal(out["fh"].to_numpy(),
+                                  exp["fh"].to_numpy())
+    assert out["fh"].between(0, 63).all()
