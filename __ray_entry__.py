@@ -1403,6 +1403,76 @@ FROM events
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (k=4, 2 iterations) over the full
+    embeddings table — mlprep.kmeans_fit: per iteration ONE narrow
+    pass of (cid, n, Σx) partials (k·(d+1) doubles per batch, no
+    shuffle), driver mean, broadcast next-round centroids; then a
+    stateless predict pass.  Deterministic end-to-end: init = the 4
+    lowest-vec_id embeddings (fetched via the select_k top_k partial,
+    no sort exchange), rounded-9 distances with lowest-cid
+    tie-break, rounded-9 centroid means — all reproduced exactly by
+    the SQL CTE chain (c0→a1→c1→a2→c2→final assignment)."""
+    import numpy as np
+
+    from netml_ray.mlprep import kmeans_fit, kmeans_predict
+    from netml_ray.sketches import top_k
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed_t = top_k(emb, 4, [("vec_id", "ascending")])
+    init = np.asarray(
+        seed_t["embedding"].combine_chunks().flatten(),
+        dtype=np.float64).reshape(4, -1)
+    cent = kmeans_fit(emb, "embedding", init=init, iters=2)
+    out = kmeans_predict(emb, cent, "embedding", out_col="cluster")
+    return out.select_columns(["vec_id", "cluster"])
+
+
+SQL_KMEANS = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM e ORDER BY vec_id LIMIT 4
+),
+u AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.v, c0.c), 9), c0.cid) AS rn
+    FROM e CROSS JOIN c0) WHERE rn = 1
+),
+c1 AS (
+  SELECT cid, list(m ORDER BY i) AS c FROM (
+    SELECT a1.cid, u.i, round(avg(u.x), 9) AS m
+    FROM a1 JOIN u USING (vec_id) GROUP BY a1.cid, u.i)
+  GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.v, c1.c), 9), c1.cid) AS rn
+    FROM e CROSS JOIN c1) WHERE rn = 1
+),
+c2 AS (
+  SELECT cid, list(m ORDER BY i) AS c FROM (
+    SELECT a2.cid, u.i, round(avg(u.x), 9) AS m
+    FROM a2 JOIN u USING (vec_id) GROUP BY a2.cid, u.i)
+  GROUP BY cid
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, c2.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_distance(e.v, c2.c), 9), c2.cid) AS rn
+  FROM e CROSS JOIN c2) WHERE rn = 1
+"""
+
+
 def q_feature_hash_events(sf_dir: str):
     """Hashing trick over the CROSSED (event_type x user_id)
     categorical: bucket = md5(key) mod 64 — stateless, shuffle-free,
@@ -3095,7 +3165,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": q_tumbling_window_events,
         "asof_purchase_signup": q_asof_purchase_signup,
         "range_join_clicks": q_range_join_clicks,
-        "group_quantiles_events": q_group_quantiles_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "pivot_user_type_events": q_pivot_user_type_events,
         # -- text / curation / dedup / similarity
@@ -3135,6 +3204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_zscore_events": q_group_zscore_events,
         "onehot_events": q_onehot_events,
         "feature_hash_events": q_feature_hash_events,
+        "kmeans_embeddings": q_kmeans_embeddings,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3187,6 +3257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality_docs rotated out for feature_hash_events (its ratio
         # kernels overlap the in-window gopher_quality_docs rule family)
         "quality_docs": q_quality_docs,
+        # group_quantiles_events rotated out for kmeans_embeddings (exact
+        # quantile machinery stays pinned in-window by quantile_bin_events
+        # and rolling_quantile_events)
+        "group_quantiles_events": q_group_quantiles_events,
         "knn_cosine_batch": q_knn_cosine_batch,
         "normalize_docs": q_normalize_docs,
         "token_count_docs": q_token_count_docs,
@@ -3282,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "group_zscore_events": SQL_GROUP_ZSCORE,
         "onehot_events": SQL_ONEHOT,
         "feature_hash_events": SQL_FEATURE_HASH,
+        "kmeans_embeddings": SQL_KMEANS,
         "centroid_distance": SQL_CENTROID_DISTANCE,
         "approx_quantiles_events": SQL_APPROX_QUANTILES,
         "bm25_indexed_docs": SQL_BM25,

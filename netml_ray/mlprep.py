@@ -33,7 +33,8 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk",
            "pca_partials", "fit_pca", "transform_pca",
            "grouped_split", "add_quantile_bins", "target_encode",
-           "group_zscore", "onehot_encode", "feature_hash"]
+           "group_zscore", "onehot_encode", "feature_hash",
+           "kmeans_fit", "kmeans_predict"]
 
 
 # ---------------------------------------------------------------------------
@@ -521,5 +522,103 @@ def feature_hash(ds, cols: list[str], *, n_buckets: int = 1024,
             np.empty(0, dtype=np.int64)
         out = dvals[idx] if t.num_rows else np.empty(0, dtype=np.int64)
         return t.append_column(out_col, pa.array(out, type=pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's)
+# ---------------------------------------------------------------------------
+
+def _kmeans_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col].combine_chunks()
+    return np.asarray(arr.flatten(), dtype=np.float64).reshape(
+        t.num_rows, -1)
+
+
+def _kmeans_assign(m: np.ndarray, cent: np.ndarray,
+                   round_to: int | None) -> np.ndarray:
+    """Nearest centroid per row: Euclidean distance, rounded to
+    ``round_to`` before the argmin (the repo's standard float
+    sum-order hedge, so an SQL oracle computing the same rounded
+    distance picks the same centroid), lowest centroid id on ties."""
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, but the expanded form
+    # loses ~8 digits to cancellation — compute the exact difference
+    # norm per centroid instead (k small; one (B,d) temp per centroid)
+    d2 = np.empty((m.shape[0], len(cent)))
+    for j in range(len(cent)):
+        diff = m - cent[j]
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    dist = np.sqrt(d2)
+    if round_to is not None:
+        dist = np.round(dist, round_to)
+    return np.argmin(dist, axis=1)  # first (lowest cid) on ties
+
+
+def kmeans_fit(ds, col: str, *, init: np.ndarray, iters: int = 2,
+               round_to: int | None = 9) -> np.ndarray:
+    """Distributed Lloyd's k-means over a fixed-width ``list<float>``
+    column (the clustering the IVF index trains on a driver-side
+    sample — ``similarity.train_ivf_centroids`` — done over the FULL
+    dataset): per iteration ONE narrow pass of per-batch partials
+    ``(cid, n_j, Σ_j x)`` (k·(d+1) doubles per batch, no shuffle),
+    driver reduce, new centroid = mean, broadcast for the next
+    iteration.  Deterministic: ``init`` is explicit (pass e.g. the
+    k lowest-id rows), assignment ties break to the lowest centroid
+    id, and both distances and updated centroids are rounded to
+    ``round_to`` so a SQL oracle reproducing the same rounding is
+    bit-comparable.  An empty cluster keeps its previous centroid."""
+    cent = np.asarray(init, dtype=np.float64)
+    k, d = cent.shape
+
+    for _ in range(iters):
+        frozen = cent
+
+        def _p(t: pa.Table) -> pa.Table:
+            m = _kmeans_matrix(t, col)
+            if not len(m):
+                return pa.table({
+                    "cid": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.list_(pa.float64()))})
+            a = _kmeans_assign(m, frozen, round_to)
+            sums = np.zeros((k, d))
+            np.add.at(sums, a, m)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            live = np.flatnonzero(n)
+            offs = np.arange(len(live) + 1, dtype=np.int64) * d
+            return pa.table({
+                "cid": pa.array(live.astype(np.int64)),
+                "n": pa.array(n[live]),
+                "s": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(sums[live].ravel()))})
+
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_s = np.zeros((k, d))
+        for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+            tot_n[r["cid"]] += r["n"]
+            tot_s[r["cid"]] += np.asarray(r["s"])
+        nxt = cent.copy()
+        live = tot_n > 0
+        nxt[live] = tot_s[live] / tot_n[live, None]
+        if round_to is not None:
+            nxt[live] = np.round(nxt[live], round_to)
+        cent = nxt
+    return cent
+
+
+def kmeans_predict(ds, centroids: np.ndarray, col: str, *,
+                   out_col: str = "cluster",
+                   round_to: int | None = 9):
+    """Assign each row to its nearest centroid (same rounded-distance
+    / lowest-id tie rule as the fit pass); centroids broadcast in the
+    task closure, one stateless vectorized pass."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = _kmeans_matrix(t, col)
+        a = (_kmeans_assign(m, cent, round_to) if len(m)
+             else np.empty(0, dtype=np.int64))
+        return t.append_column(out_col, pa.array(a.astype(np.int64)))
 
     return ds.map_batches(_f, batch_format="pyarrow")

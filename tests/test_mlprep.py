@@ -322,3 +322,50 @@ def test_feature_hash_parity_and_nulls(ray_session):
     np.testing.assert_array_equal(out["fh"].to_numpy(),
                                   exp["fh"].to_numpy())
     assert out["fh"].between(0, 63).all()
+
+
+def test_kmeans_matches_numpy_lloyd(ray_session):
+    """Distributed partial-pass k-means == a driver-side numpy Lloyd
+    reference with the same init / rounding / tie rules, regardless of
+    partitioning; empty clusters keep their previous centroid."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import kmeans_fit, kmeans_predict
+
+    rng = np.random.default_rng(21)
+    k, d, n = 3, 8, 2000
+    centers = rng.normal(0, 5, (k, d))
+    x = (centers[rng.integers(0, k, n)] +
+         rng.normal(0, 0.5, (n, d))).astype(np.float64)
+    offs = pa.array(np.arange(n + 1, dtype=np.int64) * d)
+    t = pa.table({"i": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.ListArray.from_arrays(offs, pa.array(x.ravel()))})
+    init = x[:k].copy()
+
+    def ref_assign(m, cent):
+        dist = np.sqrt(((m[:, None, :] - cent[None]) ** 2).sum(-1))
+        return np.argmin(np.round(dist, 9), axis=1)
+
+    cent_ref = init.copy()
+    for _ in range(2):
+        a = ref_assign(x, cent_ref)
+        nxt = cent_ref.copy()
+        for j in range(k):
+            if (a == j).any():
+                nxt[j] = np.round(x[a == j].mean(axis=0), 9)
+        cent_ref = nxt
+
+    ds = rd.from_arrow(t).repartition(7)
+    cent = kmeans_fit(ds, "v", init=init, iters=2)
+    np.testing.assert_allclose(cent, cent_ref, atol=1e-12)
+    out = (kmeans_predict(ds, cent, "v").to_pandas()
+           .sort_values("i").reset_index(drop=True))
+    np.testing.assert_array_equal(out["cluster"].to_numpy(),
+                                  ref_assign(x, cent_ref))
+    # empty-cluster rule: a far-away init centroid attracts nothing
+    # and must survive the update untouched
+    far = np.vstack([init[:2], np.full((1, d), 1e6)])
+    cent2 = kmeans_fit(ds, "v", init=far, iters=1)
+    np.testing.assert_array_equal(cent2[2], far[2])
