@@ -1496,6 +1496,111 @@ FROM events
 """
 
 
+def q_moments_events(sf_dir: str):
+    """Per-type higher-moment aggregate (count / mean / sample std /
+    G1 skewness / G2 excess kurtosis) in ONE narrow pass of power-sum
+    partials — five doubles per type per batch, no shuffle
+    (mlprep.group_moments).  Bias-corrected estimators match DuckDB's
+    skewness/kurtosis exactly (verified against the streaming impl);
+    rounded 9 both sides (sum-order hedge)."""
+    from netml_ray.mlprep import group_moments
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return group_moments(ev, "event_type", "value")
+
+
+SQL_MOMENTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 9) AS mean_value,
+       round(stddev_samp(value), 9) AS std_value,
+       round(skewness(value), 9) AS skew_value,
+       round(kurtosis(value), 9) AS kurt_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_corr_events(sf_dir: str):
+    """Per-type sample Pearson correlation between the value column
+    and the JSON-extracted props key — one RE2 extract pass then ONE
+    narrow pass of (n, Σx, Σy, Σx², Σy², Σxy) partials, no shuffle
+    (mlprep.group_corr).  NULL pairs dropped first (the SQL corr
+    rule)."""
+    from netml_ray.mlprep import group_corr
+
+    ev = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def _x(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value": t["value"], "prop_k": k})
+
+    return group_corr(ev.map_batches(_x, batch_format="pyarrow"),
+                      "event_type", "value", "prop_k")
+
+
+SQL_CORR = r"""
+SELECT event_type,
+       round(corr(value,
+                  CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1),
+                              '') AS BIGINT)), 9) AS corr_value_prop_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_topk_per_group_events(sf_dir: str):
+    """EXACT per-group top-k (top-3 values per event_type, unique
+    event_id tiebreak) WITHOUT a shuffle: every block keeps ≤ k rows
+    per key via one vectorized lexsort + segmented rank, the driver
+    re-ranks the O(blocks × keys × k) partials
+    (sketches.group_top_k).  The scale shape for grouped leaderboards
+    — the window-function route shuffles and sorts EVERY row."""
+    from netml_ray.sketches import group_top_k
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return group_top_k(ev, "event_type", 3,
+                       [("value", "descending"),
+                        ("event_id", "ascending")])
+
+
+SQL_TOPK_GROUP = """
+SELECT event_id, event_type, value FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q_robust_zscore_events(sf_dir: str):
+    """Outlier-robust standardization ``(x − median_g) / MAD_g`` per
+    event_type (mlprep.robust_zscore): two exact per-group quantile
+    passes (groupby_quantiles — one hash shuffle each, interpolation
+    rule = quantile_cont) and one broadcast vectorized transform.
+    MAD = 0 → 0; rounded 9 both sides."""
+    from netml_ray.mlprep import robust_zscore
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = robust_zscore(ev, "event_type", "value")
+    return out.select_columns(["event_id", "event_type", "value_rz"])
+
+
+SQL_ROBUST_Z = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN mad.mad > 0
+                  THEN (e.value - med.med) / mad.mad
+                  ELSE 0.0 END, 9) AS value_rz
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+"""
+
+
 def q_asof_tolerance_events(sf_dir: str):
     """As-of join with a match-window tolerance (pandas merge_asof
     parity): each purchase gets the user's latest signup at-or-before
@@ -3165,7 +3270,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": q_tumbling_window_events,
         "asof_purchase_signup": q_asof_purchase_signup,
         "range_join_clicks": q_range_join_clicks,
-        "distinct_users_per_type": q_distinct_users_per_type,
         "pivot_user_type_events": q_pivot_user_type_events,
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
@@ -3176,9 +3280,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-4 op family (corpus stats / retrieval / ML prep)
         "lm_bits_docs": q_lm_bits_docs,
         "tfidf_docs": q_tfidf_docs,
-        "keyword_search_docs": q_keyword_search_docs,
-        "bm25_docs": q_bm25_docs,
-        "scaled_events": q_scaled_events,
         "heavy_hitters_docs": q_heavy_hitters_docs,
         "dup_spans_docs": q_dup_spans_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
@@ -3205,6 +3306,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "onehot_events": q_onehot_events,
         "feature_hash_events": q_feature_hash_events,
         "kmeans_embeddings": q_kmeans_embeddings,
+        # -- new in the r5 continuation (rotated-out slots below)
+        "moments_events": q_moments_events,
+        "corr_events": q_corr_events,
+        "topk_per_group_events": q_topk_per_group_events,
+        "robust_zscore_events": q_robust_zscore_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3269,6 +3375,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": q_hopping_window_events,
         "full_join_orders_customer": q_full_join_orders_customer,
         "decontaminate_docs": q_decontaminate_docs,
+        # rotated OUT in the r5 continuation for the moments/corr/
+        # grouped-top-k/robust-z additions (green CORRECTNESS_r04 rows;
+        # kernels pinned in-window: exact-distinct shuffle by
+        # curation_funnel_plus, index scan by bm25_indexed/phrase
+        # search, full-scan BM25 scorer bitwise-pinned vs the indexed
+        # path in pytest, scaler moments subsumed by moments_events)
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "keyword_search_docs": q_keyword_search_docs,
+        "bm25_docs": q_bm25_docs,
+        "scaled_events": q_scaled_events,
     }
 
 
@@ -3362,4 +3478,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed_docs": SQL_BM25,
         "phrase_search_docs": SQL_PHRASE_SEARCH,
         "despan_docs": SQL_DESPAN,
+        "moments_events": SQL_MOMENTS,
+        "corr_events": SQL_CORR,
+        "topk_per_group_events": SQL_TOPK_GROUP,
+        "robust_zscore_events": SQL_ROBUST_Z,
     }

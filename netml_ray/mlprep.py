@@ -34,7 +34,8 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "pca_partials", "fit_pca", "transform_pca",
            "grouped_split", "add_quantile_bins", "target_encode",
            "group_zscore", "onehot_encode", "feature_hash",
-           "kmeans_fit", "kmeans_predict"]
+           "kmeans_fit", "kmeans_predict",
+           "group_moments", "group_corr", "robust_zscore"]
 
 
 # ---------------------------------------------------------------------------
@@ -620,5 +621,200 @@ def kmeans_predict(ds, centroids: np.ndarray, col: str, *,
         a = (_kmeans_assign(m, cent, round_to) if len(m)
              else np.empty(0, dtype=np.int64))
         return t.append_column(out_col, pa.array(a.astype(np.int64)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# higher moments / correlation / robust scaling
+# ---------------------------------------------------------------------------
+
+def _group_power_sums(ds, key_col: str, cols_powers):
+    """One narrow pass of per-batch per-key power sums.
+
+    ``cols_powers`` is ``[(name, fn)]`` where ``fn(batch_table) ->
+    float64 ndarray`` yields the per-row quantity to sum; each batch
+    emits one row per key present (a handful of doubles), so the driver
+    reduce is O(batches × keys) — the same no-shuffle fit shape as
+    :func:`group_zscore`.  Returns ``{key: [n, sum_1, sum_2, ...]}``."""
+
+    names = [n for n, _ in cols_powers]
+
+    def _p(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = enc.indices.to_numpy()
+        k = len(enc.dictionary)
+        out = {"k": enc.dictionary,
+               "n": pa.array(np.bincount(codes, minlength=k)
+                             .astype(np.int64))}
+        for name, fn in cols_powers:
+            w = fn(t)
+            out[name] = pa.array(np.bincount(codes, weights=w,
+                                             minlength=k))
+        return pa.table(out)
+
+    agg: dict = {}
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        e = agg.setdefault(r["k"], [0] + [0.0] * len(names))
+        e[0] += r["n"]
+        for i, name in enumerate(names):
+            e[1 + i] += r[name]
+    return agg
+
+
+def group_moments(ds, key_col: str, col: str, *,
+                  round_to: int | None = 9) -> pa.Table:
+    """Per-key count / mean / sample std / sample skewness / sample
+    excess kurtosis in ONE narrow pass of power-sum partials
+    (n, Σx, Σx², Σx³, Σx⁴ per key per batch — five doubles; no data
+    shuffle, driver state O(#keys)).
+
+    The bias-corrected estimators match SQL exactly (DuckDB
+    ``skewness`` = G1 = g1·√(n(n-1))/(n-2), ``kurtosis`` = G2 =
+    ((n+1)·g2 + 6)·(n-1)/((n-2)(n-3)) where g1 = m3/m2^1.5 and
+    g2 = m4/m2² − 3 are the biased moment ratios); groups too small
+    for the correction (n<3 / n<4) or with zero variance get NULL,
+    the SQL rule.  This recasts netml's per-flow distributional
+    features (reference parser.py STATS family) as a keyed moments
+    aggregate."""
+
+    v_of = lambda t: t[col].to_numpy(zero_copy_only=False).astype(np.float64)  # noqa: E731
+    agg = _group_power_sums(ds, key_col, [
+        ("s1", v_of),
+        ("s2", lambda t: v_of(t) ** 2),
+        ("s3", lambda t: v_of(t) ** 3),
+        ("s4", lambda t: v_of(t) ** 4),
+    ])
+
+    keys = sorted(agg)
+    rows = {"k": [], "n": [], "mean": [], "std": [], "skew": [],
+            "kurt": []}
+    for k in keys:
+        n, s1, s2, s3, s4 = agg[k]
+        mu = s1 / n
+        # central moments from raw power sums
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+        m4 = (s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+              - 3 * mu ** 4)
+        m2 = max(m2, 0.0)
+        std = (np.sqrt(m2 * n / (n - 1)) if n > 1 else None)
+        skew = kurt = None
+        if n >= 3 and m2 > 0:
+            g1 = m3 / m2 ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2)
+        if n >= 4 and m2 > 0:
+            g2 = m4 / (m2 * m2) - 3.0
+            kurt = ((n + 1.0) * g2 + 6) * (n - 1.0) / ((n - 2) * (n - 3))
+        if round_to is not None:
+            mu = round(mu, round_to)
+            std = None if std is None else round(std, round_to)
+            skew = None if skew is None else round(skew, round_to)
+            kurt = None if kurt is None else round(kurt, round_to)
+        rows["k"].append(k)
+        rows["n"].append(n)
+        rows["mean"].append(mu)
+        rows["std"].append(std)
+        rows["skew"].append(skew)
+        rows["kurt"].append(kurt)
+    return pa.table({
+        key_col: pa.array(rows["k"]),
+        "n": pa.array(rows["n"], type=pa.int64()),
+        f"mean_{col}": pa.array(rows["mean"], type=pa.float64()),
+        f"std_{col}": pa.array(rows["std"], type=pa.float64()),
+        f"skew_{col}": pa.array(rows["skew"], type=pa.float64()),
+        f"kurt_{col}": pa.array(rows["kurt"], type=pa.float64()),
+    })
+
+
+def group_corr(ds, key_col: str, xcol: str, ycol: str, *,
+               out_col: str | None = None,
+               round_to: int | None = 9) -> pa.Table:
+    """Per-key sample Pearson correlation in ONE narrow pass of
+    (n, Σx, Σy, Σx², Σy², Σxy) partials — six doubles per key per
+    batch, no shuffle.  NULL-pair rows are dropped first (the SQL
+    ``corr`` rule); keys with n<2 or a zero-variance side get NULL."""
+
+    out_col = out_col or f"corr_{xcol}_{ycol}"
+
+    def _pair(t: pa.Table):
+        x = t[xcol].combine_chunks() if isinstance(t[xcol], pa.ChunkedArray) else t[xcol]
+        y = t[ycol].combine_chunks() if isinstance(t[ycol], pa.ChunkedArray) else t[ycol]
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        return t.filter(ok)
+
+    x_of = lambda t: t[xcol].to_numpy(zero_copy_only=False).astype(np.float64)  # noqa: E731
+    y_of = lambda t: t[ycol].to_numpy(zero_copy_only=False).astype(np.float64)  # noqa: E731
+
+    filtered = ds.map_batches(_pair, batch_format="pyarrow")
+    agg = _group_power_sums(filtered, key_col, [
+        ("sx", x_of),
+        ("sy", y_of),
+        ("sxx", lambda t: x_of(t) ** 2),
+        ("syy", lambda t: y_of(t) ** 2),
+        ("sxy", lambda t: x_of(t) * y_of(t)),
+    ])
+
+    keys = sorted(agg)
+    vals = []
+    for k in keys:
+        n, sx, sy, sxx, syy, sxy = agg[k]
+        r = None
+        if n >= 2:
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            cov = sxy - sx * sy / n
+            if vx > 0 and vy > 0:
+                r = cov / np.sqrt(vx * vy)
+                if round_to is not None:
+                    r = round(r, round_to)
+        vals.append(r)
+    return pa.table({key_col: pa.array(keys),
+                     out_col: pa.array(vals, type=pa.float64())})
+
+
+def robust_zscore(ds, key_col: str, col: str, *, suffix: str = "_rz",
+                  round_to: int | None = 9):
+    """Median/MAD standardization ``(x − median_g) / MAD_g`` per key
+    (MAD = median of |x − median_g|, the outlier-robust alternative to
+    :func:`group_zscore`; MAD = 0 → 0).
+
+    Exact medians need order statistics, so this is two
+    ``groupby_quantiles`` passes (one hash shuffle each, driver state
+    O(#keys)) plus one broadcast vectorized transform — use it for
+    moderate key cardinality (entity types, sources), not for
+    per-entity keys in the millions."""
+    from .windows import groupby_quantiles
+
+    med_t = groupby_quantiles(ds, key_col, col, [0.5], round_to=None)
+    med = {r[key_col]: r[f"q05_{col}"]
+           for r in med_t.take_all()}
+
+    def _gather(t: pa.Table, table: dict) -> np.ndarray:
+        if not t.num_rows:
+            return np.empty(0)
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        vals = np.array([table[c] for c in enc.dictionary.to_pylist()])
+        return vals[enc.indices.to_numpy()]
+
+    def _absdev(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = _gather(t, med)
+        return t.append_column("_absdev", pa.array(np.abs(v - m)))
+
+    mad_t = groupby_quantiles(
+        ds.map_batches(_absdev, batch_format="pyarrow"),
+        key_col, "_absdev", [0.5], round_to=None)
+    mad = {r[key_col]: r["q05__absdev"] for r in mad_t.take_all()}
+
+    def _f(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = _gather(t, med)
+        s = _gather(t, mad)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(s > 0, (v - m) / np.where(s > 0, s, 1.0), 0.0)
+        if round_to is not None:
+            out = np.round(out, round_to)
+        return t.append_column(col + suffix, pa.array(out))
 
     return ds.map_batches(_f, batch_format="pyarrow")

@@ -323,3 +323,49 @@ def top_k(ds, k: int, sort_keys, *, batch_size: int | None = None):
         return ds.schema().empty_table() if hasattr(ds, "schema") else None
     t = pa.concat_tables(batches).combine_chunks()
     return t.sort_by(keys).slice(0, k)
+
+
+def group_top_k(ds, key_col: str, k: int, sort_keys, *,
+                batch_size: int | None = None) -> pa.Table:
+    """EXACT per-group top-k WITHOUT a sort exchange.
+
+    Same partial/merge shape as :func:`top_k`, grouped: each block
+    keeps at most ``k`` rows PER KEY present in it (one vectorized
+    lexsort + segmented rank over the block — no per-group dispatch),
+    so only O(blocks × keys_per_block × k) rows reach the driver; the
+    final merge re-ranks that small set.  Contrast with the window
+    route (``ROW_NUMBER() OVER (PARTITION BY key ...)``), which at
+    scale needs a full hash shuffle + per-partition sort of EVERY row
+    even though only k per key survive.  ``sort_keys`` as in
+    :func:`top_k`; pass a unique tiebreak column last."""
+
+    keys = list(sort_keys)
+
+    def _rank_take(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        # order rows by (key, sort_keys) in one lexsort, then keep the
+        # first k of each key run via a segmented rank
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending")] + keys)
+        o = order.to_numpy()
+        kv = t[key_col].combine_chunks().take(order)
+        m = t.num_rows
+        starts = np.ones(m, dtype=bool)
+        starts[1:] = np.asarray(pc.not_equal(
+            kv.slice(1, m - 1), kv.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False), dtype=bool)
+        run_id = np.cumsum(starts) - 1
+        run_first = np.flatnonzero(starts)
+        rank_in_run = np.arange(m) - run_first[run_id]
+        return t.take(pa.array(o[rank_in_run < k]))
+
+    partials = ds.map_batches(_rank_take, batch_format="pyarrow",
+                              batch_size=batch_size)
+    batches = list(partials.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    if not batches:
+        return None
+    merged = pa.concat_tables(batches).combine_chunks()
+    return _rank_take(merged).sort_by(
+        [(key_col, "ascending")] + keys)

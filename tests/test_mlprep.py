@@ -369,3 +369,108 @@ def test_kmeans_matches_numpy_lloyd(ray_session):
     far = np.vstack([init[:2], np.full((1, d), 1e6)])
     cent2 = kmeans_fit(ds, "v", init=far, iters=1)
     np.testing.assert_array_equal(cent2[2], far[2])
+
+
+def test_group_moments_matches_duckdb(ray_session):
+    """Power-sum partial moments == DuckDB's bias-corrected
+    skewness/kurtosis (G1/G2), partition-invariant; tiny / zero-var
+    groups follow the SQL NULL rules."""
+    import duckdb
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_moments
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.gamma(2.0, 3.0, n)       # skewed on purpose
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    # edge groups: n=2 (skew NULL), n=3 (kurt NULL), zero-variance
+    edge = pa.table({"g": pa.array(["two", "two", "thr", "thr", "thr",
+                                    "zv", "zv", "zv", "zv", "zv"]),
+                     "v": pa.array([1.0, 2.0, 1.0, 5.0, 9.0,
+                                    7.0, 7.0, 7.0, 7.0, 7.0])})
+    full = pa.concat_tables([t, edge])
+    for parts in (1, 7):
+        out = group_moments(rd.from_arrow(full).repartition(parts),
+                            "g", "v").to_pandas().sort_values("g")
+        con = duckdb.connect()
+        con.register("t", full)
+        exp = con.sql(
+            "SELECT g, count(*) AS n, round(avg(v),9) AS mean_v, "
+            "round(stddev_samp(v),9) AS std_v, "
+            "round(skewness(v),9) AS skew_v, "
+            "round(kurtosis(v),9) AS kurt_v FROM t GROUP BY g "
+            "ORDER BY g").df()
+        np.testing.assert_array_equal(out["n"].to_numpy(),
+                                      exp["n"].to_numpy())
+        for col in ("mean", "std", "skew", "kurt"):
+            a = out[f"{col}_v"].to_numpy(dtype=float)
+            b = exp[f"{col}_v"].to_numpy(dtype=float)
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+            np.testing.assert_allclose(a[~np.isnan(a)], b[~np.isnan(b)],
+                                       atol=2e-9)
+
+
+def test_group_corr_matches_pandas(ray_session):
+    """Per-key Pearson r from six-double partials == pandas corr;
+    NULL pairs dropped first; n<2 / zero-variance keys -> NULL."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_corr
+
+    rng = np.random.default_rng(32)
+    n = 3000
+    g = rng.choice(["p", "q", "r"], n)
+    x = rng.normal(0, 1, n)
+    y = 0.6 * x + rng.normal(0, 0.5, n)
+    # NULL holes + a constant-x key + a single-row key
+    xm = pa.array(np.where(rng.random(n) < 0.05, np.nan, x)).cast(pa.float64())
+    xm = pa.compute.if_else(pa.compute.is_nan(xm), pa.scalar(None, pa.float64()), xm)
+    t = pa.table({"g": pa.array(g), "x": xm, "y": pa.array(y)})
+    edge = pa.table({"g": pa.array(["cx", "cx", "cx", "one"]),
+                     "x": pa.array([2.0, 2.0, 2.0, 1.0]),
+                     "y": pa.array([1.0, 5.0, 9.0, 3.0])})
+    full = pa.concat_tables([t, edge])
+    out = (group_corr(rd.from_arrow(full).repartition(5), "g", "x", "y")
+           .to_pandas().set_index("g")["corr_x_y"])
+    pdf = full.to_pandas().dropna(subset=["x", "y"])
+    for k, sub in pdf.groupby("g"):
+        exp = sub["x"].corr(sub["y"])
+        got = out[k]
+        if len(sub) < 2 or sub["x"].nunique() < 2 or sub["y"].nunique() < 2:
+            assert got is None or np.isnan(got)
+        else:
+            assert got == pytest.approx(exp, abs=2e-9)
+
+
+def test_robust_zscore_matches_numpy(ray_session):
+    """(x − median)/MAD per key == a numpy reference; MAD=0 keys map
+    to 0; partition-invariant."""
+    import ray.data as rd
+
+    from netml_ray.mlprep import robust_zscore
+
+    rng = np.random.default_rng(33)
+    n = 2000
+    g = rng.choice(["a", "b"], n)
+    v = rng.normal(10, 4, n)
+    t = pa.table({"i": pa.array(np.arange(n, dtype=np.int64)),
+                  "g": pa.array(g), "v": pa.array(v)})
+    zv = pa.table({"i": pa.array([n, n + 1, n + 2], type=pa.int64()),
+                   "g": pa.array(["z", "z", "z"]),
+                   "v": pa.array([5.0, 5.0, 5.0])})
+    full = pa.concat_tables([t, zv])
+    out = (robust_zscore(rd.from_arrow(full).repartition(6), "g", "v")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    pdf = full.to_pandas()
+    med = pdf.groupby("g")["v"].median()
+    mad = (pdf["v"] - pdf["g"].map(med)).abs().groupby(pdf["g"]).median()
+    m = pdf["g"].map(mad).to_numpy()
+    exp = np.where(m > 0,
+                   (pdf["v"] - pdf["g"].map(med)).to_numpy()
+                   / np.where(m > 0, m, 1.0), 0.0)
+    np.testing.assert_allclose(out["v_rz"].to_numpy(), np.round(exp, 9),
+                               atol=2e-9)
+    assert (out.loc[out["g"] == "z", "v_rz"] == 0).all()

@@ -145,3 +145,48 @@ def test_top_k_small_input_returns_all(ray_session):
     got = top_k(rd.from_arrow(t), 10,
                 [("score", "descending"), ("id", "ascending")])
     assert got["id"].to_pylist() == [1, 2, 3]
+
+
+def test_group_top_k_matches_window_rank(ray_session):
+    """Per-group top-k via block partials == the ROW_NUMBER() window
+    route, for any partitioning; ties broken by the unique column."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sketches import group_top_k
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    t = pa.table({
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array(rng.choice([f"g{j}" for j in range(12)], n)),
+        # few distinct values -> plenty of ties for the tiebreak rule
+        "v": pa.array(rng.integers(0, 40, n).astype(np.float64)),
+    })
+    pdf = t.to_pandas()
+    exp = (pdf.sort_values(["g", "v", "i"],
+                           ascending=[True, False, True])
+           .groupby("g").head(4).reset_index(drop=True))
+    for parts in (1, 9):
+        out = group_top_k(rd.from_arrow(t).repartition(parts), "g", 4,
+                          [("v", "descending"), ("i", "ascending")]
+                          ).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[["i", "g", "v"]], exp[["i", "g", "v"]],
+            check_like=True)
+
+
+def test_group_top_k_small_groups_return_all(ray_session):
+    """Groups smaller than k survive whole."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sketches import group_top_k
+
+    t = pa.table({"g": pa.array(["a", "a", "b"]),
+                  "v": pa.array([1.0, 2.0, 5.0]),
+                  "i": pa.array([0, 1, 2], type=pa.int64())})
+    out = group_top_k(rd.from_arrow(t).repartition(2), "g", 10,
+                      [("v", "descending"), ("i", "ascending")])
+    assert out.num_rows == 3
