@@ -1601,6 +1601,159 @@ FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
 """
 
 
+def q_entropy_events(sf_dir: str):
+    """Shannon entropy (nats) of event types per user — behavioral
+    diversity (mlprep.group_entropy): one narrow (key, cat, n) count
+    partial pass, ONE hash exchange of pre-aggregated pairs (never
+    rows), vectorized per-run entropy.  Rounded 9 both sides."""
+    from netml_ray.mlprep import group_entropy
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return group_entropy(ev, "user_id", "event_type")
+
+
+SQL_ENTROPY = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.user_id, round(sum(-(n/tot)*ln(n/tot)), 9) AS entropy
+FROM c JOIN t USING (user_id) GROUP BY c.user_id
+"""
+
+
+def q_mode_events(sf_dir: str):
+    """Most frequent event type per user (mlprep.group_mode), ties
+    broken by the smallest value — the SQL ROW_NUMBER rule.  Same
+    scale shape as the entropy: the shuffle carries distinct
+    (key, cat) count pairs only."""
+    from netml_ray.mlprep import group_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return group_mode(ev, "user_id", "event_type")
+
+
+SQL_MODE = """
+SELECT user_id, event_type AS mode_event_type FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM (SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)) WHERE rn = 1
+"""
+
+
+def q_mutual_info_docs(sf_dir: str):
+    """Mutual information (nats) between the lang and source columns
+    (mlprep.mutual_information) — the categorical feature-redundancy
+    screen.  One narrow joint-count partial pass; driver merge is
+    O(|langs|·|sources|), never the row count."""
+    from netml_ray.mlprep import mutual_information
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    return pa.table({"mi": pa.array(
+        [mutual_information(docs, "lang", "source")],
+        type=pa.float64())})
+
+
+SQL_MUTUAL_INFO = """
+WITH c AS (SELECT lang, source, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+tt AS (SELECT sum(n) AS tot FROM c),
+px AS (SELECT lang, sum(n) AS nx FROM c GROUP BY 1),
+py AS (SELECT source, sum(n) AS ny FROM c GROUP BY 1)
+SELECT round(greatest(sum((c.n/tt.tot) *
+             ln((c.n/tt.tot)/((px.nx/tt.tot)*(py.ny/tt.tot)))), 0.0),
+             9) AS mi
+FROM c CROSS JOIN tt
+JOIN px ON c.lang = px.lang JOIN py ON c.source = py.source
+"""
+
+
+def q_histogram_events(sf_dir: str):
+    """Global fixed-width value histogram, 50 bins over [0, 500)
+    (sketches.histogram): per-batch bincount partials of a few KB,
+    driver sum — no shuffle.  Edge bins clamp out-of-range values;
+    empty bins present so the shape is stable."""
+    from netml_ray.sketches import histogram
+
+    ev = _read(sf_dir, "events", ["value"])
+    return histogram(ev, "value", lo=0.0, hi=500.0, nbins=50)
+
+
+SQL_HISTOGRAM = """
+WITH b AS (SELECT LEAST(49, GREATEST(0,
+                  CAST(floor(value/10.0) AS BIGINT))) AS bin
+           FROM events WHERE value IS NOT NULL)
+SELECT g.bin, round(g.bin*10.0, 9) AS bin_lo,
+       count(b.bin) AS n
+FROM generate_series(0, 49) AS g(bin) LEFT JOIN b USING (bin)
+GROUP BY g.bin
+"""
+
+
+def q_char_entropy_docs(sf_dir: str):
+    """Per-document character entropy (textops.char_entropy_batch) —
+    the gibberish / encoding-junk quality signal.  One stateless
+    vectorized pass: a combined doc×byte bincount over the column's
+    concatenated utf-8 buffer (byte entropy == character entropy for
+    this ASCII corpus; documented byte-stream variant otherwise)."""
+    from netml_ray.textops import char_entropy_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (docs.map_batches(char_entropy_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "char_entropy"]))
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (SELECT doc_id, unnest(split(text, '')) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+t AS (SELECT doc_id, sum(n) AS tot FROM cc GROUP BY 1)
+SELECT cc.doc_id, round(sum(-(n/tot)*ln(n/tot)), 9) AS char_entropy
+FROM cc JOIN t USING (doc_id) GROUP BY cc.doc_id
+"""
+
+
+def q_edit_distance_docs(sf_dir: str):
+    """Levenshtein near-dup pairs (dedup.edit_distance_pairs) over
+    docs ∪ suffix-perturbed copies (+1M id, ' extra' appended — every
+    planted pair lands within distance 6 of its original on the
+    64-codeunit prefix).  Candidates = same source AND same-or-
+    adjacent 32-wide length bucket, each pair DP'd once in the bucket
+    of the larger home (prefix-min vectorized DP — exact, no Python
+    loop over pairs).  The SQL states the identical candidate rule
+    with DuckDB's native levenshtein()."""
+    from netml_ray.dedup import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _perturb(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("doc_id"), "doc_id",
+                         pc.add(t["doc_id"], 1_000_000))
+        return t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(t["text"], " extra", ""))
+
+    both = docs.union(docs.map_batches(_perturb, batch_format="pyarrow"))
+    return edit_distance_pairs(both, block_col="source", max_dist=12,
+                               prefix_len=64, bucket_width=32)
+
+
+SQL_EDIT_DISTANCE = """
+WITH u AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra', source FROM documents),
+d AS (SELECT doc_id, substr(text, 1, 64) AS p, source,
+             CAST(floor(length(text) / 32) AS BIGINT) AS b FROM u)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       levenshtein(a.p, c.p) AS dist
+FROM d a JOIN d c ON a.doc_id < c.doc_id AND a.source = c.source
+                 AND abs(a.b - c.b) <= 1
+WHERE levenshtein(a.p, c.p) <= 12
+"""
+
+
 def q_asof_tolerance_events(sf_dir: str):
     """As-of join with a match-window tolerance (pandas merge_asof
     parity): each purchase gets the user's latest signup at-or-before
@@ -3263,14 +3416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
         # -- relational / windowed / sessionization core
         "rolling_time_events": q_rolling_time_events,
-        "cumulative_events": q_cumulative_events,
         "sessionize_netml_events": q_sessionize_netml_events,
-        "rolling_quantile_events": q_rolling_quantile_events,
         "session_stats_events": q_session_stats_events,
         "tumbling_window_events": q_tumbling_window_events,
         "asof_purchase_signup": q_asof_purchase_signup,
-        "range_join_clicks": q_range_join_clicks,
-        "pivot_user_type_events": q_pivot_user_type_events,
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -3279,9 +3428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_mixed_docs": q_curate_mixed_docs,
         # -- round-4 op family (corpus stats / retrieval / ML prep)
         "lm_bits_docs": q_lm_bits_docs,
-        "tfidf_docs": q_tfidf_docs,
         "heavy_hitters_docs": q_heavy_hitters_docs,
-        "dup_spans_docs": q_dup_spans_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -3311,6 +3458,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_events": q_corr_events,
         "topk_per_group_events": q_topk_per_group_events,
         "robust_zscore_events": q_robust_zscore_events,
+        "entropy_events": q_entropy_events,
+        "mode_events": q_mode_events,
+        "mutual_info_docs": q_mutual_info_docs,
+        "histogram_events": q_histogram_events,
+        "char_entropy_docs": q_char_entropy_docs,
+        "edit_distance_docs": q_edit_distance_docs,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3375,6 +3528,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": q_hopping_window_events,
         "full_join_orders_customer": q_full_join_orders_customer,
         "decontaminate_docs": q_decontaminate_docs,
+        # rotated OUT in the r5 continuation for the entropy/mode/MI/
+        # histogram/char-entropy/edit-distance additions (all six hold
+        # green CORRECTNESS_r04 rows; kernels pinned in-window:
+        # time-RANGE/cumulative machinery by rolling_time_events,
+        # window-partial combine by tumbling_window_events, join family
+        # by semi/anti/asof-tolerance, span coverage by despan_docs,
+        # tokenize/df machinery by lm_bits + bm25_indexed)
+        "cumulative_events": q_cumulative_events,
+        "rolling_quantile_events": q_rolling_quantile_events,
+        "range_join_clicks": q_range_join_clicks,
+        "pivot_user_type_events": q_pivot_user_type_events,
+        "dup_spans_docs": q_dup_spans_docs,
+        "tfidf_docs": q_tfidf_docs,
         # rotated OUT in the r5 continuation for the moments/corr/
         # grouped-top-k/robust-z additions (green CORRECTNESS_r04 rows;
         # kernels pinned in-window: exact-distinct shuffle by
@@ -3482,4 +3648,10 @@ def oracle_sql() -> dict[str, str]:
         "corr_events": SQL_CORR,
         "topk_per_group_events": SQL_TOPK_GROUP,
         "robust_zscore_events": SQL_ROBUST_Z,
+        "entropy_events": SQL_ENTROPY,
+        "mode_events": SQL_MODE,
+        "mutual_info_docs": SQL_MUTUAL_INFO,
+        "histogram_events": SQL_HISTOGRAM,
+        "char_entropy_docs": SQL_CHAR_ENTROPY,
+        "edit_distance_docs": SQL_EDIT_DISTANCE,
     }

@@ -1463,3 +1463,143 @@ def ngram_jaccard_duplicates(
                          "jaccard": pa.array(np.asarray(out_j))})
 
     return partition_map(narrow, bcol, _pairs, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) near-duplicates
+# ---------------------------------------------------------------------------
+
+def levenshtein_pairs_batch(a_texts, b_texts) -> np.ndarray:
+    """Exact unit-cost Levenshtein distance for a BATCH of string
+    pairs, vectorized across the pairs.
+
+    The classic DP has a sequential dependency along each row
+    (insertions); it falls to a prefix-min: with
+    ``base[j] = min(prev[j] + 1, prev[j-1] + sub_cost)`` (vectorized
+    over j and pairs), ``cur[j] = min_{m<=j}(base[m] + (j - m))`` =
+    ``running_min(base - j) + j`` — one ``np.minimum.accumulate`` per
+    DP row.  Total work is O(max_len × pairs × max_len) elementwise
+    numpy, no Python loop over pairs or columns."""
+    p = len(a_texts)
+    if p == 0:
+        return np.empty(0, dtype=np.int64)
+    ab = [s.encode("utf-8") for s in a_texts]
+    bb = [s.encode("utf-8") for s in b_texts]
+    la = np.array([len(s) for s in ab], dtype=np.int64)
+    lb = np.array([len(s) for s in bb], dtype=np.int64)
+    L = max(1, int(lb.max()))
+    A = np.zeros((p, max(1, int(la.max()))), dtype=np.uint8)
+    B = np.zeros((p, L), dtype=np.uint8)
+    for i, s in enumerate(ab):
+        A[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for i, s in enumerate(bb):
+        B[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+    jj = np.arange(L + 1, dtype=np.int32)
+    prev = np.broadcast_to(jj, (p, L + 1)).astype(np.int32)
+    for i in range(1, int(la.max()) + 1):
+        cost = (A[:, i - 1][:, None] != B).astype(np.int32)
+        base = np.empty((p, L + 1), dtype=np.int32)
+        base[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=base[:, 1:])
+        t_ = base - jj
+        np.minimum.accumulate(t_, axis=1, out=t_)
+        cur = t_ + jj
+        alive = (i <= la)
+        prev = np.where(alive[:, None], cur, prev)
+    return prev[np.arange(p), lb].astype(np.int64)
+
+
+def edit_distance_pairs(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        block_col: str | None = None,
+                        max_dist: int = 12, prefix_len: int = 64,
+                        bucket_width: int = 32):
+    """Near-duplicate pairs by exact Levenshtein distance on the text
+    PREFIX (first ``prefix_len`` code units), blocked for scale.
+
+    Candidate rule (deterministic, stated identically by the SQL
+    oracle): two docs are candidates iff they share ``block_col``
+    (e.g. source/domain — optional) and their full-text lengths fall
+    in the same or ADJACENT ``bucket_width``-wide length buckets.
+    With ``bucket_width ≥ max_dist`` no pair within distance
+    ``max_dist`` ON THE FULL TEXT can differ by more than one bucket,
+    so blocking costs no recall for full-string matching; on prefixes
+    it is the documented candidate semantics.
+
+    Shape: each doc is emitted to its home bucket and the next one
+    (2 rows of (bucket_key, home, id, prefix) — prefixes only, never
+    full texts), ONE hash exchange on the bucket key, then an exact
+    O(pairs × prefix_len²) vectorized DP per bucket with each pair
+    counted once (emitted only in the bucket equal to the LARGER of
+    the two home buckets).  Bucket population is bounded by the
+    blocking key — no all-pairs stage.  Returns (id_a, id_b, dist)
+    with id_a < id_b, dist ≤ max_dist."""
+    from .partition import partition_map
+
+    def _emit(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t[text_col], 0, prefix_len)
+        ln = pc.utf8_length(t[text_col]).to_numpy().astype(np.int64)
+        home = ln // bucket_width
+        blk = (t[block_col].to_pylist() if block_col is not None
+               else [""] * t.num_rows)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for shift in (0, 1):
+            parts.append(pa.table({
+                "bkey": pa.array([f"{b}|{h + shift}"
+                                  for b, h in zip(blk, home)]),
+                "home": pa.array(home, type=pa.int64()),
+                id_col: pa.array(ids, type=pa.int64()),
+                "pref": pref,
+            }))
+        return pa.concat_tables(parts)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        bkeys = t["bkey"].combine_chunks()
+        m = t.num_rows
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            starts[1:] = np.asarray(pc.not_equal(
+                bkeys.slice(1, m - 1), bkeys.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        bounds = np.append(np.flatnonzero(starts), m)
+        home = t["home"].to_numpy()
+        ids = t[id_col].to_numpy()
+        prefs = t["pref"].to_pylist()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            # this group's bucket number (tail of the key)
+            bnum = int(bkeys[s].as_py().rsplit("|", 1)[1])
+            ii, jj_ = np.triu_indices(g, k=1)
+            ii += s
+            jj_ += s
+            # count each pair once: only in max(home_a, home_b)'s group
+            keep = np.maximum(home[ii], home[jj_]) == bnum
+            ii, jj_ = ii[keep], jj_[keep]
+            if not len(ii):
+                continue
+            d = levenshtein_pairs_batch([prefs[x] for x in ii],
+                                        [prefs[x] for x in jj_])
+            ok = d <= max_dist
+            a, b = ids[ii[ok]], ids[jj_[ok]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_d.append(d[ok])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), type=pa.int64()),
+        })
+
+    emitted = ds.map_batches(_emit, batch_format="pyarrow")
+    return partition_map(emitted, "bkey", _pairs,
+                         sort_by=["bkey", id_col])

@@ -35,7 +35,8 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "grouped_split", "add_quantile_bins", "target_encode",
            "group_zscore", "onehot_encode", "feature_hash",
            "kmeans_fit", "kmeans_predict",
-           "group_moments", "group_corr", "robust_zscore"]
+           "group_moments", "group_corr", "robust_zscore",
+           "group_entropy", "group_mode", "mutual_information"]
 
 
 # ---------------------------------------------------------------------------
@@ -818,3 +819,139 @@ def robust_zscore(ds, key_col: str, col: str, *, suffix: str = "_rz",
         return t.append_column(col + suffix, pa.array(out))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped categorical statistics (entropy / mode / mutual information)
+# ---------------------------------------------------------------------------
+
+def _cat_count_partials(ds, key_col: str, cat_col: str):
+    """Per-batch (key, cat, n) count partials — a narrow pass that
+    shrinks the exchange from rows to distinct (key, cat) pairs per
+    batch (vectorized: one dictionary-encode per column + a combined
+    bincount).  Feed the result to ``partition_map`` keyed on
+    ``key_col`` so the per-key finalize scales to millions of keys
+    without driver state."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col], cat_col: t[cat_col],
+                             "n": pa.array([], type=pa.int64())})
+        ke = pc.dictionary_encode(t[key_col].combine_chunks())
+        ce = pc.dictionary_encode(t[cat_col].combine_chunks())
+        kc = ke.indices.to_numpy().astype(np.int64)
+        cc = ce.indices.to_numpy().astype(np.int64)
+        ncat = len(ce.dictionary)
+        comb = kc * ncat + cc
+        cnt = np.bincount(comb, minlength=len(ke.dictionary) * ncat)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            key_col: ke.dictionary.take(pa.array(nz // ncat)),
+            cat_col: ce.dictionary.take(pa.array(nz % ncat)),
+            "n": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    return ds.map_batches(_p, batch_format="pyarrow")
+
+
+def _run_bounds(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Start indices and run ids for equal-key runs of a SORTED array."""
+    m = len(keys)
+    starts = np.ones(m, dtype=bool)
+    if m > 1:
+        starts[1:] = np.asarray(pc.not_equal(
+            keys.slice(1, m - 1), keys.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False), dtype=bool)
+    return np.flatnonzero(starts), np.cumsum(starts) - 1
+
+
+def group_entropy(ds, key_col: str, cat_col: str, *,
+                  out_col: str = "entropy", round_to: int | None = 9):
+    """Shannon entropy (nats) of a categorical per key.
+
+    Shape: one narrow (key, cat, n) partial pass, then ONE hash
+    exchange of those pre-aggregated counts through ``partition_map``
+    — the shuffle moves distinct pairs, not rows, and per-key state
+    never touches the driver.  The classic behavioral-diversity /
+    label-noise feature (e.g. entropy of event types per user)."""
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             out_col: pa.array([], type=pa.float64())})
+        # merge duplicate (key, cat) partials, then reduce per key run
+        agg = t.group_by([key_col, cat_col]).aggregate([("n", "sum")])
+        agg = agg.sort_by([(key_col, "ascending"), (cat_col, "ascending")])
+        starts, run_id = _run_bounds(agg[key_col].combine_chunks())
+        n = agg["n_sum"].to_numpy().astype(np.float64)
+        tot = np.bincount(run_id, weights=n)
+        p = n / tot[run_id]
+        h = np.bincount(run_id, weights=-p * np.log(p))
+        if round_to is not None:
+            h = np.round(h, round_to)
+        return pa.table({
+            key_col: agg[key_col].combine_chunks().take(pa.array(starts)),
+            out_col: pa.array(h, type=pa.float64()),
+        })
+
+    return partition_map(_cat_count_partials(ds, key_col, cat_col),
+                         key_col, _fin, sort_by=[key_col, cat_col])
+
+
+def group_mode(ds, key_col: str, cat_col: str, *,
+               out_col: str | None = None):
+    """Most frequent categorical value per key (ties broken by the
+    smallest value — the deterministic SQL ``ROW_NUMBER`` rule).  Same
+    scale shape as :func:`group_entropy`: narrow count partials, one
+    pre-aggregated hash exchange, vectorized per-run argmax."""
+    from .partition import partition_map
+
+    out_col = out_col or f"mode_{cat_col}"
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             out_col: t[cat_col]})
+        agg = t.group_by([key_col, cat_col]).aggregate([("n", "sum")])
+        # sort so the winner is the FIRST row of each key run:
+        # count desc, category asc
+        agg = agg.sort_by([(key_col, "ascending"),
+                           ("n_sum", "descending"),
+                           (cat_col, "ascending")])
+        starts, _ = _run_bounds(agg[key_col].combine_chunks())
+        take = pa.array(starts)
+        return pa.table({
+            key_col: agg[key_col].combine_chunks().take(take),
+            out_col: agg[cat_col].combine_chunks().take(take),
+        })
+
+    return partition_map(_cat_count_partials(ds, key_col, cat_col),
+                         key_col, _fin, sort_by=[key_col, cat_col])
+
+
+def mutual_information(ds, xcol: str, ycol: str, *,
+                       round_to: int | None = 9) -> float:
+    """Mutual information (nats) between two categorical columns:
+    I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
+
+    One narrow (x, y, n) partial pass; the driver merge is
+    O(batches × |X|·|Y|) — bounded by the categorical cardinalities,
+    never the row count.  The standard feature-selection /
+    redundancy screen over categorical feature pairs."""
+    agg: dict = {}
+    for r in _cat_count_partials(ds, xcol, ycol).take_all():
+        kk = (r[xcol], r[ycol])
+        agg[kk] = agg.get(kk, 0) + r["n"]
+    tot = float(sum(agg.values()))
+    px: dict = {}
+    py: dict = {}
+    for (x, y), n in agg.items():
+        px[x] = px.get(x, 0) + n
+        py[y] = py.get(y, 0) + n
+    mi = 0.0
+    for (x, y), n in agg.items():
+        pxy = n / tot
+        mi += pxy * np.log(pxy / ((px[x] / tot) * (py[y] / tot)))
+    mi = max(mi, 0.0)
+    return round(mi, round_to) if round_to is not None else mi

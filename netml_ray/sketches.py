@@ -369,3 +369,35 @@ def group_top_k(ds, key_col: str, k: int, sort_keys, *,
     merged = pa.concat_tables(batches).combine_chunks()
     return _rank_take(merged).sort_by(
         [(key_col, "ascending")] + keys)
+
+
+def histogram(ds, col: str, *, lo: float, hi: float, nbins: int,
+              round_to: int | None = 9) -> pa.Table:
+    """Global fixed-width histogram in ONE narrow pass: each batch
+    emits an ``nbins``-long count partial (vectorized floor + clip +
+    bincount — a few KB regardless of batch size), the driver sums
+    them.  Out-of-range values clamp to the edge bins, NULLs are
+    dropped (the SQL rule stated by the oracle); every bin row is
+    present even when empty, so the output shape is stable."""
+
+    w = (hi - lo) / nbins
+
+    def _p(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+        v = v.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / w), 0, nbins - 1).astype(np.int64)
+        return pa.table({"c": pa.array(np.bincount(b, minlength=nbins),
+                                       type=pa.int64())})
+
+    total = np.zeros(nbins, dtype=np.int64)
+    for bt in ds.map_batches(_p, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        total += bt["c"].to_numpy().reshape(-1, nbins).sum(axis=0)
+    edges = lo + w * np.arange(nbins)
+    if round_to is not None:
+        edges = np.round(edges, round_to)
+    return pa.table({
+        "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+        "bin_lo": pa.array(edges, type=pa.float64()),
+        "n": pa.array(total, type=pa.int64()),
+    })

@@ -649,3 +649,34 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     t = t.append_column("text_sha1", pa.array(sha, type=pa.string()))
     t = t.append_column("fingerprint", pa.array(roll.astype(np.int64)))
     return t
+
+
+def char_entropy_batch(t: pa.Table, text_col: str = "text", *,
+                       out_col: str = "char_entropy",
+                       round_to: int | None = 9) -> pa.Table:
+    """Per-document character (byte) Shannon entropy in nats — the
+    classic gibberish / encoding-junk quality signal (low entropy =
+    repeated filler, high = random bytes).
+
+    Fully vectorized over the batch: one ``doc_idx*256 + byte``
+    combined bincount over the column's concatenated utf-8 buffer,
+    reshaped to a (docs × 256) count matrix — no Python loop over
+    rows or characters.  Byte entropy equals character entropy for
+    ASCII text; for multi-byte UTF-8 it is the byte-stream variant
+    (documented, deterministic).  Empty documents get NULL (the SQL
+    aggregate-over-no-rows rule)."""
+    data, offs = _utf8_segments(t[text_col])
+    n = t.num_rows
+    lens = offs[1:] - offs[:-1]
+    idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cnt = np.bincount(idx * 256 + data.astype(np.int64),
+                      minlength=n * 256).reshape(n, 256)
+    tot = lens.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = cnt / np.where(tot > 0, tot, 1.0)[:, None]
+        h = -np.nansum(np.where(p > 0, p * np.log(p), 0.0), axis=1)
+    if round_to is not None:
+        h = np.round(h, round_to)
+    return t.append_column(
+        out_col, pa.array(np.where(tot > 0, h, np.nan), type=pa.float64(),
+                          from_pandas=True))

@@ -474,3 +474,70 @@ def test_robust_zscore_matches_numpy(ray_session):
     np.testing.assert_allclose(out["v_rz"].to_numpy(), np.round(exp, 9),
                                atol=2e-9)
     assert (out.loc[out["g"] == "z", "v_rz"] == 0).all()
+
+
+def test_group_entropy_mode_match_pandas(ray_session):
+    """Entropy / mode from (key,cat) count partials == a pandas
+    reference, partition-invariant; mode ties break to the smallest
+    category."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_entropy, group_mode
+
+    rng = np.random.default_rng(51)
+    n = 3000
+    t = pa.table({"k": pa.array(rng.integers(0, 40, n)),
+                  "c": pa.array(rng.choice(list("abcde"), n))})
+    # forced tie: key 999 sees 'b' and 'a' twice each -> mode 'a'
+    tie = pa.table({"k": pa.array([999] * 4),
+                    "c": pa.array(["b", "a", "b", "a"])})
+    full = pa.concat_tables([t, tie])
+    pdf = full.to_pandas()
+
+    def ref_entropy(s):
+        p = s.value_counts(normalize=True).to_numpy()
+        return float(-(p * np.log(p)).sum())
+
+    exp_h = pdf.groupby("k")["c"].apply(ref_entropy)
+    exp_m = pdf.groupby("k")["c"].apply(
+        lambda s: s.value_counts().sort_index().sort_values(
+            ascending=False, kind="stable").index[0])
+    for parts in (1, 8):
+        ds = rd.from_arrow(full).repartition(parts)
+        h = group_entropy(ds, "k", "c").to_pandas().set_index("k")["entropy"]
+        m = group_mode(ds, "k", "c").to_pandas().set_index("k")["mode_c"]
+        for k in exp_h.index:
+            assert h[k] == pytest.approx(exp_h[k], abs=2e-9)
+            assert m[k] == exp_m[k]
+    assert m[999] == "a"
+
+
+def test_mutual_information_matches_manual(ray_session):
+    """MI over joint count partials == the direct plug-in estimate;
+    independent columns -> ~0, identical columns -> H(X)."""
+    import ray.data as rd
+
+    from netml_ray.mlprep import mutual_information
+
+    rng = np.random.default_rng(52)
+    n = 5000
+    x = rng.choice(["p", "q", "r"], n)
+    y = np.where(rng.random(n) < 0.7, x, rng.choice(["p", "q", "r"], n))
+    t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    ds = rd.from_arrow(t).repartition(6)
+    got = mutual_information(ds, "x", "y")
+
+    import collections
+    joint = collections.Counter(zip(x, y))
+    px = collections.Counter(x)
+    py = collections.Counter(y)
+    mi = sum((c / n) * np.log((c / n) / ((px[a] / n) * (py[b] / n)))
+             for (a, b), c in joint.items())
+    assert got == pytest.approx(round(max(mi, 0.0), 9), abs=2e-9)
+    # identical columns: MI == entropy of X
+    t2 = pa.table({"x": pa.array(x), "y": pa.array(x)})
+    p = np.array(list(px.values())) / n
+    hx = float(-(p * np.log(p)).sum())
+    assert mutual_information(rd.from_arrow(t2), "x", "y") == \
+        pytest.approx(hx, abs=2e-9)

@@ -253,3 +253,38 @@ def test_fast_path_resample(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["user_id", "grid_ts"]),
                                   _norm(fast, ["user_id", "grid_ts"]))
+
+
+def test_fast_path_grouped_cat_stats_and_edit_pairs(ray_session,
+                                                    monkeypatch):
+    """group_entropy / group_mode / edit_distance_pairs are
+    run-segmented partition_map consumers — fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.dedup import edit_distance_pairs
+    from netml_ray.mlprep import group_entropy, group_mode
+
+    t = _events()
+    texts = [f"shared prefix body {i % 50} tail {i % 7}"
+             for i in range(600)]
+    dt = pa.table({"doc_id": pa.array(np.arange(600, dtype=np.int64)),
+                   "text": pa.array(texts),
+                   "src": pa.array([f"s{i % 4}" for i in range(600)])})
+
+    def run():
+        ent = group_entropy(rd.from_arrow(t), "user_id",
+                            "etype").to_pandas()
+        mode = group_mode(rd.from_arrow(t), "user_id",
+                          "etype").to_pandas()
+        pairs = edit_distance_pairs(
+            rd.from_arrow(dt), block_col="src", max_dist=10,
+            prefix_len=32, bucket_width=16).to_pandas()
+        return ent, mode, pairs
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["user_id"]),
+                                  _norm(fast[0], ["user_id"]))
+    pd.testing.assert_frame_equal(_norm(dist[1], ["user_id"]),
+                                  _norm(fast[1], ["user_id"]))
+    pd.testing.assert_frame_equal(_norm(dist[2], ["id_a", "id_b"]),
+                                  _norm(fast[2], ["id_a", "id_b"]))

@@ -543,3 +543,65 @@ def test_simhash_vectorized_matches_reference():
         ref = np.array([SimHasher.simhash64(s) for s in batch],
                        dtype=np.int64)
         np.testing.assert_array_equal(got["simhash"].to_numpy(), ref)
+
+
+def test_levenshtein_batch_exact(ray_session):
+    """Vectorized prefix-min DP == the classic rolling-row DP on
+    random pairs including empty strings."""
+    import random
+
+    from netml_ray.dedup import levenshtein_pairs_batch
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[len(b)]
+
+    random.seed(7)
+    pairs = [("".join(random.choice("abcd ") for _ in
+                      range(random.randint(0, 24))),
+              "".join(random.choice("abcd ") for _ in
+                      range(random.randint(0, 24))))
+             for _ in range(200)]
+    got = levenshtein_pairs_batch([a for a, _ in pairs],
+                                  [b for _, b in pairs])
+    exp = np.array([ref(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_edit_distance_pairs_planted_recall(ray_session):
+    """Every planted near-copy (suffix edit, same block) is found
+    with the exact distance; unrelated docs in other blocks are not
+    paired."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.dedup import edit_distance_pairs
+
+    rng = np.random.default_rng(71)
+    base = ["the quick brown fox %03d jumps over the lazy dog" % i
+            for i in range(60)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(base),
+        "src": pa.array(["blk%d" % (i % 3) for i in range(60)]),
+    })
+    pert = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64) + 1000),
+        "text": pa.array([s + " xx" for s in base]),
+        "src": t["src"],
+    })
+    both = rd.from_arrow(pa.concat_tables([t, pert])).repartition(4)
+    out = edit_distance_pairs(both, block_col="src", max_dist=3,
+                              prefix_len=64, bucket_width=16
+                              ).to_pandas().set_index(["id_a", "id_b"])
+    for i in range(60):
+        assert (i, i + 1000) in out.index
+        # ' xx' lands beyond the 48-char prefix? no: texts are ~47
+        # chars, so the suffix IS in the prefix window -> dist == 3
+        assert out.loc[(i, i + 1000), "dist"] == 3

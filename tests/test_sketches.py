@@ -190,3 +190,27 @@ def test_group_top_k_small_groups_return_all(ray_session):
     out = group_top_k(rd.from_arrow(t).repartition(2), "g", 10,
                       [("v", "descending"), ("i", "ascending")])
     assert out.num_rows == 3
+
+
+def test_histogram_matches_numpy(ray_session):
+    """Fixed-width histogram partials == numpy reference with clamped
+    edges and dropped NULLs; empty bins present."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sketches import histogram
+
+    rng = np.random.default_rng(61)
+    v = rng.uniform(-5, 25, 4000)
+    vals = pa.array(np.where(rng.random(4000) < 0.03, np.nan, v),
+                    from_pandas=True)
+    t = pa.table({"v": vals})
+    out = histogram(rd.from_arrow(t).repartition(5), "v",
+                    lo=0.0, hi=20.0, nbins=10).to_pandas()
+    keep = v[~np.isnan(vals.to_numpy(zero_copy_only=False))]
+    bins = np.clip(np.floor(keep / 2.0), 0, 9).astype(int)
+    exp = np.bincount(bins, minlength=10)
+    np.testing.assert_array_equal(out["n"].to_numpy(), exp)
+    np.testing.assert_allclose(out["bin_lo"].to_numpy(),
+                               np.arange(10) * 2.0)
+    assert out["n"].sum() == len(keep)
