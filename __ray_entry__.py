@@ -1754,6 +1754,73 @@ WHERE levenshtein(a.p, c.p) <= 12
 """
 
 
+_FUNNEL_STAGES = ["error", "purchase", "signup"] * 3
+
+
+def q_funnel_stages_events(sf_dir: str):
+    """Ordered event funnel (sequences.funnel_stages): per user, how
+    many stages of the 9-step alternating error→purchase→signup chain
+    completed, each STRICTLY after the previous completion (min-ts
+    semantics — exactly the SQL's chained min(ts)..ts>prev CTEs).
+    ONE hash exchange to co-locate users, then one segment-min
+    (minimum.reduceat) per stage; timestamps compared as int64 ns
+    (float64 can't represent ns epochs exactly)."""
+    from netml_ray.sequences import funnel_stages
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return funnel_stages(ev, "user_id", "ts", "event_type",
+                         _FUNNEL_STAGES, tiebreak="event_id")
+
+
+def _build_funnel_sql(stages=None) -> str:
+    stages = stages or _FUNNEL_STAGES
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    for i, st in enumerate(stages):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, min(ts) AS t0 FROM events "
+                f"WHERE event_type = '{st}' GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t{i} "
+                f"FROM events e JOIN s{i-1} USING (user_id) "
+                f"WHERE e.event_type = '{st}' AND e.ts > s{i-1}.t{i-1} "
+                f"GROUP BY 1)")
+    case = ("CASE " + " ".join(
+        f"WHEN s{i}.user_id IS NOT NULL THEN {i+1}"
+        for i in range(len(stages) - 1, -1, -1)) + " ELSE 0 END")
+    joins = " ".join(f"LEFT JOIN s{i} USING (user_id)"
+                     for i in range(len(stages)))
+    return (f"WITH {', '.join(ctes)} SELECT u.user_id, "
+            f"{case} AS stages_completed FROM u {joins}")
+
+
+def q_transitions_events(sf_dir: str):
+    """Markov transition counts over adjacent event types per user,
+    ordered by (ts, event_id) (sequences.transition_counts): one hash
+    exchange, per-partition combined-code bincount partials of at most
+    |types|² rows, driver merge.  The SQL rule is lead() OVER
+    (PARTITION BY user ORDER BY ts, event_id)."""
+    from netml_ray.sequences import transition_counts
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ev, "user_id", "ts", "event_type",
+                             tiebreak="event_id")
+
+
+SQL_TRANSITIONS = """
+WITH o AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS to_type
+           FROM events)
+SELECT from_type, to_type, count(*) AS n FROM o
+WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_asof_tolerance_events(sf_dir: str):
     """As-of join with a match-window tolerance (pandas merge_asof
     parity): each purchase gets the user's latest signup at-or-before
@@ -3423,8 +3490,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
-        "pii_scan_docs": q_pii_scan_docs,
-        "chunk_docs": q_chunk_docs,
         "curate_mixed_docs": q_curate_mixed_docs,
         # -- round-4 op family (corpus stats / retrieval / ML prep)
         "lm_bits_docs": q_lm_bits_docs,
@@ -3464,6 +3529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events": q_histogram_events,
         "char_entropy_docs": q_char_entropy_docs,
         "edit_distance_docs": q_edit_distance_docs,
+        "funnel_stages_events": q_funnel_stages_events,
+        "transitions_events": q_transitions_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3541,6 +3608,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_type_events": q_pivot_user_type_events,
         "dup_spans_docs": q_dup_spans_docs,
         "tfidf_docs": q_tfidf_docs,
+        # rotated OUT for the sequence-analytics additions (green r04
+        # rows; the PII regexes and chunking kernels stay pinned
+        # in-window inside curate_corpus_plus_docs / by pytest)
+        "pii_scan_docs": q_pii_scan_docs,
+        "chunk_docs": q_chunk_docs,
         # rotated OUT in the r5 continuation for the moments/corr/
         # grouped-top-k/robust-z additions (green CORRECTNESS_r04 rows;
         # kernels pinned in-window: exact-distinct shuffle by
@@ -3654,4 +3726,6 @@ def oracle_sql() -> dict[str, str]:
         "histogram_events": SQL_HISTOGRAM,
         "char_entropy_docs": SQL_CHAR_ENTROPY,
         "edit_distance_docs": SQL_EDIT_DISTANCE,
+        "funnel_stages_events": _build_funnel_sql(),
+        "transitions_events": SQL_TRANSITIONS,
     }

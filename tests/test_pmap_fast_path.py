@@ -288,3 +288,29 @@ def test_fast_path_grouped_cat_stats_and_edit_pairs(ray_session,
                                   _norm(fast[1], ["user_id"]))
     pd.testing.assert_frame_equal(_norm(dist[2], ["id_a", "id_b"]),
                                   _norm(fast[2], ["id_a", "id_b"]))
+
+
+def test_fast_path_sequences(ray_session, monkeypatch):
+    """funnel_stages / transition_counts are run-segmented
+    partition_map consumers — fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.sequences import funnel_stages, transition_counts
+
+    t = _events()
+
+    def run():
+        f = funnel_stages(rd.from_arrow(t), "user_id", "ts", "etype",
+                          ["a", "c", "b"], tiebreak="event_id"
+                          ).to_pandas()
+        tr = transition_counts(rd.from_arrow(t), "user_id", "ts",
+                               "etype", tiebreak="event_id").to_pandas()
+        return f, tr
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["user_id"]),
+                                  _norm(fast[0], ["user_id"]))
+    pd.testing.assert_frame_equal(_norm(dist[1], ["from_type",
+                                                  "to_type"]),
+                                  _norm(fast[1], ["from_type",
+                                                  "to_type"]))

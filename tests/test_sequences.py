@@ -1,0 +1,97 @@
+"""Sequence analytics: ordered funnels and transition counts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _mk(n=4000, seed=9, nkeys=80):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": pa.array(rng.integers(0, nkeys, n)),
+        "ts": pa.array(rng.uniform(0, 10_000, n).round(3)),
+        "et": pa.array(rng.choice(list("ABCD"), n)),
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+    })
+
+
+def _ref_funnel(pdf, stages):
+    out = {}
+    for k, sub in pdf.sort_values(["ts", "i"]).groupby("k"):
+        prev = -np.inf
+        done = 0
+        for st in stages:
+            cand = sub.loc[(sub["et"] == st) & (sub["ts"] > prev), "ts"]
+            if cand.empty:
+                break
+            prev = cand.min()
+            done += 1
+        out[k] = done
+    return out
+
+
+def test_funnel_matches_reference(ray_session):
+    """Segment-min chained funnel == a per-key python walk, for any
+    partitioning, including repeated stages and never-started keys."""
+    import ray.data as rd
+
+    from netml_ray.sequences import funnel_stages
+
+    t = _mk()
+    pdf = t.to_pandas()
+    stages = ["A", "C", "A", "B"]
+    exp = _ref_funnel(pdf, stages)
+    for parts in (1, 7):
+        got = (funnel_stages(rd.from_arrow(t).repartition(parts),
+                             "k", "ts", "et", stages, tiebreak="i")
+               .to_pandas().set_index("k")["stages_completed"])
+        assert len(got) == len(exp)
+        for k, v in exp.items():
+            assert got[k] == v
+    # a stage value absent from the data stalls every key at its index
+    got0 = (funnel_stages(rd.from_arrow(t), "k", "ts", "et",
+                          ["Z", "A"], tiebreak="i")
+            .to_pandas()["stages_completed"])
+    assert (got0 == 0).all()
+
+
+def test_funnel_int64_timestamp_ties(ray_session):
+    """Timestamp columns compare as int64 ns — adjacent-ns events
+    (beyond float64 resolution at epoch scale) still chain strictly."""
+    import ray.data as rd
+
+    from netml_ray.sequences import funnel_stages
+
+    base = np.datetime64("2026-01-01T00:00:00.000000001", "ns")
+    ts = pa.array([base, base + np.timedelta64(1, "ns"),
+                   base + np.timedelta64(1, "ns")])
+    t = pa.table({"k": pa.array([1, 1, 1]), "ts": ts,
+                  "et": pa.array(["A", "B", "A"]),
+                  "i": pa.array([0, 1, 2], type=pa.int64())})
+    got = (funnel_stages(rd.from_arrow(t), "k", "ts", "et",
+                         ["A", "B", "A"], tiebreak="i").to_pandas())
+    # A@t0, B@t0+1ns, then no A strictly after t0+1ns -> 2 stages
+    assert got["stages_completed"].tolist() == [2]
+
+
+def test_transition_counts_match_pandas(ray_session):
+    """Adjacent-pair counts == a pandas shift reference; run
+    boundaries never pair across keys; partition-invariant."""
+    import ray.data as rd
+
+    from netml_ray.sequences import transition_counts
+
+    t = _mk(seed=10)
+    pdf = t.to_pandas().sort_values(["k", "ts", "i"])
+    nxt = pdf.groupby("k")["et"].shift(-1)
+    ref = (pd.DataFrame({"from_type": pdf["et"], "to_type": nxt})
+           .dropna().groupby(["from_type", "to_type"])
+           .size().rename("n").reset_index())
+    for parts in (1, 6):
+        got = transition_counts(
+            rd.from_arrow(t).repartition(parts), "k", "ts", "et",
+            tiebreak="i").to_pandas()
+        pd.testing.assert_frame_equal(
+            got, ref.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True), check_dtype=False)
+    assert got["n"].sum() == len(pdf) - pdf["k"].nunique()
