@@ -1754,6 +1754,100 @@ WHERE levenshtein(a.p, c.p) <= 12
 """
 
 
+def q_target_encode_oof_events(sf_dir: str):
+    """LEAKAGE-SAFE out-of-fold target encoding
+    (mlprep.target_encode_oof): each event's encoding uses only the
+    other folds' target stats (fold = md5(event_id) % 5, bit-equal to
+    the SQL's substr(md5(..),1,15)::BIGINT trick), so a row's own
+    target never reaches its own feature — the K-fold rule that the
+    north rule's zero-leakage criterion demands of any target-derived
+    feature.  One narrow (fold, cat, n, Σ) partial pass, driver
+    reduce, broadcast map."""
+    from netml_ray.mlprep import target_encode_oof
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return target_encode_oof(ev, "event_type", "value", "event_id",
+                             n_folds=5, m=10.0)
+
+
+SQL_TARGET_ENCODE_OOF = """
+WITH f AS (SELECT event_id, event_type, value,
+                  (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 5) AS fold
+           FROM events),
+cf AS (SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n,
+              sum(value) AS s
+       FROM f GROUP BY 1, 2),
+c AS (SELECT event_type, sum(n) AS nc, sum(s) AS sc FROM cf GROUP BY 1),
+ft AS (SELECT fold, sum(n) AS nf, sum(s) AS sf FROM cf GROUP BY 1),
+tt AS (SELECT sum(n) AS nt, sum(s) AS st FROM cf)
+SELECT f.event_id, f.event_type, f.value,
+       round(((c.sc - COALESCE(cf.s, 0)) +
+              10 * ((tt.st - ft.sf) / (tt.nt - ft.nf)))
+             / ((c.nc - COALESCE(cf.n, 0)) + 10), 9) AS event_type_te_oof
+FROM f JOIN c USING (event_type)
+LEFT JOIN cf ON cf.event_type = f.event_type AND cf.fold = f.fold
+JOIN ft ON ft.fold = f.fold CROSS JOIN tt
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Three-table analytics pipeline: orders ⨝ customer (ONE
+    co-partitioned hash-join shuffle) with the tiny nation table
+    BROADCAST as a dict (no second shuffle), then per-batch
+    (nation, Σ, n) aggregation partials with a driver merge — the
+    canonical star-join shape: shuffle the two big sides once,
+    broadcast the dimension, pre-aggregate map-side."""
+    from netml_ray.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation",
+                             ["n_nationkey", "n_name"]).take_all()}
+    j = hash_join(orders, cust, "o_custkey", how="inner",
+                  num_partitions=P)
+
+    def _p(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["c_nationkey"].combine_chunks())
+        codes = enc.indices.to_numpy()
+        k = len(enc.dictionary)
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        names = [nation[x] for x in enc.dictionary.to_pylist()]
+        return pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "s": pa.array(np.bincount(codes, weights=v, minlength=k)),
+            "n": pa.array(np.bincount(codes, minlength=k),
+                          type=pa.int64()),
+        })
+
+    agg: dict = {}
+    for r in j.map_batches(_p, batch_format="pyarrow").take_all():
+        e = agg.setdefault(r["n_name"], [0.0, 0])
+        e[0] += r["s"]
+        e[1] += r["n"]
+    names = sorted(agg)
+    return pa.table({
+        "n_name": pa.array(names, type=pa.string()),
+        "revenue": pa.array([round(agg[x][0], 9) for x in names],
+                            type=pa.float64()),
+        "n_orders": pa.array([agg[x][1] for x in names],
+                             type=pa.int64()),
+    })
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 9) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 _FUNNEL_STAGES = ["error", "purchase", "signup"] * 3
 
 
@@ -3486,7 +3580,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_netml_events": q_sessionize_netml_events,
         "session_stats_events": q_session_stats_events,
         "tumbling_window_events": q_tumbling_window_events,
-        "asof_purchase_signup": q_asof_purchase_signup,
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -3531,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_docs": q_edit_distance_docs,
         "funnel_stages_events": q_funnel_stages_events,
         "transitions_events": q_transitions_events,
+        "target_encode_oof_events": q_target_encode_oof_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3613,6 +3707,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window inside curate_corpus_plus_docs / by pytest)
         "pii_scan_docs": q_pii_scan_docs,
         "chunk_docs": q_chunk_docs,
+        # rotated OUT for target_encode_oof_events (green r04 row; the
+        # as-of walk stays pinned in-window by asof_tolerance_events)
+        "asof_purchase_signup": q_asof_purchase_signup,
+        # new in the r5 continuation, tail slot by design: a star-join
+        # demo pipeline whose kernels (hash_join, dict broadcast,
+        # map-side agg partials) are all pinned by in-window entries
+        "revenue_by_nation": q_revenue_by_nation,
         # rotated OUT in the r5 continuation for the moments/corr/
         # grouped-top-k/robust-z additions (green CORRECTNESS_r04 rows;
         # kernels pinned in-window: exact-distinct shuffle by
@@ -3728,4 +3829,6 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_docs": SQL_EDIT_DISTANCE,
         "funnel_stages_events": _build_funnel_sql(),
         "transitions_events": SQL_TRANSITIONS,
+        "target_encode_oof_events": SQL_TARGET_ENCODE_OOF,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
     }

@@ -36,7 +36,8 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "group_zscore", "onehot_encode", "feature_hash",
            "kmeans_fit", "kmeans_predict",
            "group_moments", "group_corr", "robust_zscore",
-           "group_entropy", "group_mode", "mutual_information"]
+           "group_entropy", "group_mode", "mutual_information",
+           "target_encode_oof"]
 
 
 # ---------------------------------------------------------------------------
@@ -955,3 +956,95 @@ def mutual_information(ds, xcol: str, ycol: str, *,
         mi += pxy * np.log(pxy / ((px[x] / tot) * (py[y] / tot)))
     mi = max(mi, 0.0)
     return round(mi, round_to) if round_to is not None else mi
+
+
+def target_encode_oof(ds, cat_col: str, target_col: str, id_col: str, *,
+                      n_folds: int = 5, m: float = 10.0,
+                      suffix: str = "_te_oof",
+                      round_to: int | None = 9):
+    """LEAKAGE-SAFE (out-of-fold) smoothed target encoding: each row's
+    encoding uses only statistics from the OTHER folds —
+    ``enc = (S_c − S_{c,f} + m·gm_f) / (N_c − N_{c,f} + m)`` with
+    ``gm_f`` the out-of-fold global mean — so a row's own target never
+    reaches its own feature (the K-fold rule from the target-encoding
+    literature; naive :func:`target_encode` leaks and overfits on
+    rare categories).
+
+    Fold assignment is a pure function of the row id
+    (``md5(id) mod n_folds`` — the same DuckDB-bit-equal trick as
+    :func:`feature_hash`), so it is deterministic across runs, cluster
+    sizes and partitionings — the property that makes the split
+    reproducible at 10^12 rows with no stored fold table.
+
+    Shape: ONE narrow (fold, cat, n, Σ) partial pass (≤ folds×cats
+    rows per batch), driver reduce, broadcast map — no shuffle."""
+    import hashlib
+
+    def _fold_codes(t: pa.Table) -> np.ndarray:
+        ids = t[id_col].combine_chunks()
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        enc = pc.dictionary_encode(ids)
+        dvals = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % n_folds
+             for s in enc.dictionary.to_pylist()], dtype=np.int64)
+        return (dvals[enc.indices.to_numpy()] if t.num_rows
+                else np.empty(0, dtype=np.int64))
+
+    def _p(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t[cat_col].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        folds = _fold_codes(t)
+        v = t[target_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = len(enc.dictionary)
+        comb = codes * n_folds + folds
+        n = np.bincount(comb, minlength=k * n_folds)
+        s = np.bincount(comb, weights=v, minlength=k * n_folds)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "cat": enc.dictionary.cast(pa.string()).take(
+                pa.array(nz // n_folds)),
+            "fold": pa.array(nz % n_folds, type=pa.int64()),
+            "n": pa.array(n[nz], type=pa.int64()),
+            "s": pa.array(s[nz], type=pa.float64()),
+        })
+
+    agg: dict = {}
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        e = agg.setdefault((r["cat"], r["fold"]), [0, 0.0])
+        e[0] += r["n"]
+        e[1] += r["s"]
+    cats = sorted({c for c, _ in agg})
+    cat_tot = {c: [0, 0.0] for c in cats}
+    fold_tot = [[0, 0.0] for _ in range(n_folds)]
+    nt, st = 0, 0.0
+    for (c, f), (n, s) in agg.items():
+        cat_tot[c][0] += n
+        cat_tot[c][1] += s
+        fold_tot[f][0] += n
+        fold_tot[f][1] += s
+        nt += n
+        st += s
+    # enc_map[(cat, fold)] and per-fold default for unseen cats
+    gm_f = [(st - fs) / max(nt - fn, 1)
+            for fn, fs in fold_tot]
+    enc_map: dict = {}
+    for c in cats:
+        nc, sc = cat_tot[c]
+        for f in range(n_folds):
+            nf, sf = agg.get((c, f), (0, 0.0))
+            enc_map[(c, f)] = ((sc - sf) + m * gm_f[f]) / ((nc - nf) + m)
+
+    def _f(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t[cat_col].combine_chunks())
+        folds = _fold_codes(t)
+        dvals = enc.dictionary.to_pylist()
+        idx = (enc.indices.to_numpy() if t.num_rows
+               else np.empty(0, dtype=np.int64))
+        out = np.array([enc_map.get((dvals[i], f), gm_f[f])
+                        for i, f in zip(idx, folds)], dtype=np.float64)
+        if round_to is not None:
+            out = np.round(out, round_to)
+        return t.append_column(cat_col + suffix, pa.array(out))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

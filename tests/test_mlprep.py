@@ -541,3 +541,57 @@ def test_mutual_information_matches_manual(ray_session):
     hx = float(-(p * np.log(p)).sum())
     assert mutual_information(rd.from_arrow(t2), "x", "y") == \
         pytest.approx(hx, abs=2e-9)
+
+
+def test_target_encode_oof_leakage_safe(ray_session):
+    """Out-of-fold target encoding: (a) matches a pandas reference
+    with the same md5 fold rule; (b) LEAKAGE property — perturbing
+    the targets of fold f leaves fold-f rows' encodings unchanged."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.mlprep import target_encode_oof
+
+    rng = np.random.default_rng(81)
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    cat = rng.choice(["a", "b", "c"], n)
+    y = rng.normal(10, 3, n)
+    folds = np.array([int(hashlib.md5(str(i).encode())
+                          .hexdigest()[:15], 16) % 5 for i in ids])
+    t = pa.table({"i": pa.array(ids), "c": pa.array(cat),
+                  "y": pa.array(y)})
+    out = (target_encode_oof(rd.from_arrow(t).repartition(6),
+                             "c", "y", "i", n_folds=5, m=10.0)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+
+    df = pd.DataFrame({"c": cat, "y": y, "f": folds})
+    cf = df.groupby(["c", "f"])["y"].agg(["count", "sum"])
+    ctot = df.groupby("c")["y"].agg(["count", "sum"])
+    ftot = df.groupby("f")["y"].agg(["count", "sum"])
+    nt, st = len(df), df["y"].sum()
+    exp = []
+    for c, f in zip(cat, folds):
+        nf, sf = (cf.loc[(c, f)] if (c, f) in cf.index
+                  else pd.Series({"count": 0, "sum": 0.0}))[["count", "sum"]]
+        gm = (st - ftot.loc[f, "sum"]) / (nt - ftot.loc[f, "count"])
+        exp.append(((ctot.loc[c, "sum"] - sf) + 10 * gm)
+                   / ((ctot.loc[c, "count"] - nf) + 10))
+    np.testing.assert_allclose(out["c_te_oof"].to_numpy(),
+                               np.round(exp, 9), atol=2e-9)
+
+    # leakage check: shift fold-0 targets by +1000; fold-0 rows'
+    # encodings must be IDENTICAL (they never see their own fold)
+    y2 = np.where(folds == 0, y + 1000.0, y)
+    t2 = pa.table({"i": pa.array(ids), "c": pa.array(cat),
+                   "y": pa.array(y2)})
+    out2 = (target_encode_oof(rd.from_arrow(t2), "c", "y", "i",
+                              n_folds=5, m=10.0)
+            .to_pandas().sort_values("i").reset_index(drop=True))
+    f0 = folds == 0
+    np.testing.assert_array_equal(out.loc[f0, "c_te_oof"].to_numpy(),
+                                  out2.loc[f0, "c_te_oof"].to_numpy())
+    assert (out.loc[~f0, "c_te_oof"].to_numpy()
+            != out2.loc[~f0, "c_te_oof"].to_numpy()).all()
