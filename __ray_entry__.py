@@ -1848,6 +1848,73 @@ GROUP BY n_name
 """
 
 
+def q_interval_sweep_events(sf_dir: str):
+    """Per-type interval concurrency/utilization sweep
+    (sequences.interval_sweep): each event becomes an interval
+    [ts, ts + value seconds) in int64 µs; max concurrency and total
+    covered time per event_type via boundary ±1 events, one narrow
+    (key, t, d) exchange, vectorized per-run cumsum.  Ends sort
+    before starts at equal times (touching ≠ overlapping) — the SQL
+    ORDER BY t, d rule."""
+    from netml_ray.sequences import interval_sweep
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _iv(t: pa.Table) -> pa.Table:
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view("i8"))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        e = ts + np.round(v * 1e6).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "s": pa.array(ts, type=pa.int64()),
+                         "e": pa.array(e, type=pa.int64())})
+
+    return interval_sweep(ev.map_batches(_iv, batch_format="pyarrow"),
+                          "event_type", "s", "e")
+
+
+SQL_INTERVAL_SWEEP = """
+WITH iv AS (SELECT event_type, epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(round(value*1e6) AS BIGINT) AS e
+            FROM events),
+b AS (SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL SELECT event_type, e, -1 FROM iv),
+c AS (SELECT event_type, t, d,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS conc,
+             lead(t) OVER (PARTITION BY event_type
+                           ORDER BY t, d) AS nt
+      FROM b)
+SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+       CAST(sum(CASE WHEN conc > 0 AND nt IS NOT NULL
+                     THEN nt - t ELSE 0 END) AS BIGINT) AS busy_us
+FROM c GROUP BY 1
+"""
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Daily cohort retention triangle
+    (sequences.cohort_retention): each user joins the cohort of its
+    first active day; (cohort, day_offset, n_active) counts.  One
+    narrow distinct-(user, day) pass + one hash exchange on the user;
+    output cardinality is O(days²), never users."""
+    from netml_ray.sequences import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts",
+                            bucket_us=86_400_000_000)
+
+
+SQL_COHORT_RETENTION = """
+WITH ub AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS bucket FROM events),
+c AS (SELECT user_id, min(bucket) AS cohort FROM ub GROUP BY 1)
+SELECT c.cohort, ub.bucket - c.cohort AS "offset",
+       CAST(count(*) AS BIGINT) AS n_active
+FROM ub JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+
 _FUNNEL_STAGES = ["error", "purchase", "signup"] * 3
 
 
@@ -3576,10 +3643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": q_lang_id_docs,
         "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
         # -- relational / windowed / sessionization core
-        "rolling_time_events": q_rolling_time_events,
         "sessionize_netml_events": q_sessionize_netml_events,
         "session_stats_events": q_session_stats_events,
-        "tumbling_window_events": q_tumbling_window_events,
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -3625,6 +3690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages_events": q_funnel_stages_events,
         "transitions_events": q_transitions_events,
         "target_encode_oof_events": q_target_encode_oof_events,
+        "interval_sweep_events": q_interval_sweep_events,
+        "cohort_retention_events": q_cohort_retention_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3710,6 +3777,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT for target_encode_oof_events (green r04 row; the
         # as-of walk stays pinned in-window by asof_tolerance_events)
         "asof_purchase_signup": q_asof_purchase_signup,
+        # rotated OUT for the interval-sweep / cohort-retention
+        # additions (green r03+r04 rows; the _window_partial combine
+        # machinery is shared with hopping_window_events and the
+        # time-RANGE/cumulative kernels with rolling/cumulative — all
+        # green in the tail and under the local full-registry gate)
+        "tumbling_window_events": q_tumbling_window_events,
+        "rolling_time_events": q_rolling_time_events,
         # new in the r5 continuation, tail slot by design: a star-join
         # demo pipeline whose kernels (hash_join, dict broadcast,
         # map-side agg partials) are all pinned by in-window entries
@@ -3831,4 +3905,6 @@ def oracle_sql() -> dict[str, str]:
         "transitions_events": SQL_TRANSITIONS,
         "target_encode_oof_events": SQL_TARGET_ENCODE_OOF,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "interval_sweep_events": SQL_INTERVAL_SWEEP,
+        "cohort_retention_events": SQL_COHORT_RETENTION,
     }

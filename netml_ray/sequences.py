@@ -29,7 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["funnel_stages", "transition_counts"]
+__all__ = ["funnel_stages", "transition_counts", "interval_sweep",
+           "cohort_retention"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -150,3 +151,132 @@ def transition_counts(ds, key_col: str, ts_col: str, type_col: str, *,
             .rename_columns(["from_type", "to_type", "n"])
             .sort_by([("from_type", "ascending"),
                       ("to_type", "ascending")]))
+
+
+def interval_sweep(ds, key_col: str, start_us_col: str, end_us_col: str,
+                   *, out_max: str = "max_concurrent",
+                   out_busy: str = "busy_us"):
+    """Per-key interval aggregation by sweep line: maximum concurrency
+    and total covered ("busy") time of a set of [start, end) intervals
+    — the classic capacity / utilization features.
+
+    Each row becomes two boundary events (+1 at start, −1 at end, an
+    int64-µs timeline); ONE hash exchange co-locates a key's
+    boundaries, then a vectorized per-run (lexsort → cumsum → max /
+    masked-diff sum) pass.  Ends sort before starts at equal times, so
+    touching intervals never count as overlapping (the same ORDER BY
+    t, d rule the SQL oracle states).  The exchange carries
+    (key, t, d) triples — never payloads."""
+    from .partition import partition_map
+
+    def _emit(t: pa.Table) -> pa.Table:
+        s = t[start_us_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_us_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t[key_col]
+        return pa.table({
+            key_col: pa.concat_arrays(
+                [keys.combine_chunks()] * 2) if t.num_rows else keys,
+            "t": pa.array(np.concatenate([s, e]), type=pa.int64()),
+            "d": pa.array(np.concatenate([
+                np.ones(len(s), dtype=np.int64),
+                -np.ones(len(e), dtype=np.int64)])),
+        })
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             out_max: pa.array([], type=pa.int64()),
+                             out_busy: pa.array([], type=pa.int64())})
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        tt = t["t"].to_numpy()
+        d = t["d"].to_numpy()
+        conc = np.cumsum(d)
+        # reset the running sum at run starts: subtract each run's
+        # preceding prefix (d sums to 0 within a complete run, so the
+        # offset is exactly the cumsum at the previous run's end)
+        offs = np.concatenate([[0], conc[starts[1:] - 1]])
+        conc = conc - offs[run_id]
+        mx = np.maximum.reduceat(conc, starts)
+        gap = np.empty_like(tt)
+        gap[:-1] = tt[1:] - tt[:-1]
+        gap[-1] = 0
+        # last row of each run contributes no gap
+        last = np.zeros(len(tt), dtype=bool)
+        last[starts[1:] - 1] = True
+        last[-1] = True
+        busy_term = np.where((conc > 0) & ~last, gap, 0)
+        busy = np.add.reduceat(busy_term, starts)
+        # reduceat on a single-element slice returns the element; busy
+        # terms are already 0 on run-last rows so sums are correct
+        return pa.table({
+            key_col: keys.take(pa.array(starts)),
+            out_max: pa.array(mx, type=pa.int64()),
+            out_busy: pa.array(busy, type=pa.int64()),
+        })
+
+    emitted = ds.map_batches(_emit, batch_format="pyarrow")
+    return partition_map(emitted, key_col, _fn,
+                         sort_by=[key_col, "t", "d"])
+
+
+def cohort_retention(ds, key_col: str, ts_col: str, *,
+                     bucket_us: int = 7 * 24 * 3600 * 1_000_000,
+                     epoch_origin_us: int = 0) -> "object":
+    """Cohort retention counts: assign each entity to the bucket of
+    its FIRST activity (its cohort) and count, for every later bucket
+    offset, how many of that cohort were active — the standard
+    product-analytics retention triangle, as (cohort_bucket,
+    bucket_offset, n_active) rows.
+
+    Shape: one narrow distinct-(key, bucket) pass (per-batch dedup so
+    the exchange carries at most one row per entity per bucket), ONE
+    hash exchange on the key, a vectorized per-run (min-bucket →
+    offsets) pass emitting distinct (cohort, offset) pairs per
+    entity, then a tiny count aggregate — output cardinality is
+    O(#buckets²), never entities."""
+    from .partition import partition_map
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").view("i8")
+        else:
+            ts = ts.astype(np.int64)
+        b = (ts - epoch_origin_us) // bucket_us
+        out = pa.table({key_col: t[key_col],
+                        "bucket": pa.array(b, type=pa.int64())})
+        return out.group_by([key_col, "bucket"]).aggregate([])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"cohort": pa.array([], type=pa.int64()),
+                             "offset": pa.array([], type=pa.int64())})
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        b = t["bucket"].to_numpy()
+        # the per-batch dedup is only batch-local — collapse the
+        # sorted (key, bucket) runs to one row each here
+        first = np.ones(len(b), dtype=bool)
+        first[1:] = (b[1:] != b[:-1]) | (run_id[1:] != run_id[:-1])
+        # sorted by (key, bucket): run first row IS the cohort bucket
+        cohort = b[starts][run_id]
+        return pa.table({
+            "cohort": pa.array(cohort[first], type=pa.int64()),
+            "offset": pa.array((b - cohort)[first], type=pa.int64()),
+        })
+
+    pairs = partition_map(
+        ds.map_batches(_distinct, batch_format="pyarrow"),
+        key_col, _fn, sort_by=[key_col, "bucket"])
+    batches = list(pairs.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+    if not batches:
+        return pa.table({"cohort": pa.array([], type=pa.int64()),
+                         "offset": pa.array([], type=pa.int64()),
+                         "n_active": pa.array([], type=pa.int64())})
+    merged = pa.concat_tables(batches)
+    return (merged.group_by(["cohort", "offset"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cohort", "offset", "n_active"])
+            .sort_by([("cohort", "ascending"), ("offset", "ascending")]))

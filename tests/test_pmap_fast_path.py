@@ -314,3 +314,32 @@ def test_fast_path_sequences(ray_session, monkeypatch):
                                                   "to_type"]),
                                   _norm(fast[1], ["from_type",
                                                   "to_type"]))
+
+
+def test_fast_path_interval_and_cohort(ray_session, monkeypatch):
+    """interval_sweep / cohort_retention are run-segmented
+    partition_map consumers — fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.sequences import cohort_retention, interval_sweep
+
+    rng = np.random.default_rng(17)
+    n = 1500
+    s = rng.integers(0, 500_000, n)
+    t = pa.table({"k": pa.array(rng.integers(0, 31, n)),
+                  "s": pa.array(s, type=pa.int64()),
+                  "e": pa.array(s + rng.integers(1, 9_000, n),
+                                type=pa.int64())})
+
+    def run():
+        sw = interval_sweep(rd.from_arrow(t), "k", "s", "e").to_pandas()
+        cr = cohort_retention(
+            rd.from_arrow(t.select(["k", "s"])), "k", "s",
+            bucket_us=50_000).to_pandas()
+        return sw, cr
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["k"]),
+                                  _norm(fast[0], ["k"]))
+    pd.testing.assert_frame_equal(_norm(dist[1], ["cohort", "offset"]),
+                                  _norm(fast[1], ["cohort", "offset"]))

@@ -95,3 +95,79 @@ def test_transition_counts_match_pandas(ray_session):
             got, ref.sort_values(["from_type", "to_type"])
             .reset_index(drop=True), check_dtype=False)
     assert got["n"].sum() == len(pdf) - pdf["k"].nunique()
+
+
+def test_interval_sweep_matches_reference(ray_session):
+    """Sweep-line max-concurrency and busy time == a per-key python
+    sweep; touching intervals don't overlap; partition-invariant."""
+    import ray.data as rd
+
+    from netml_ray.sequences import interval_sweep
+
+    rng = np.random.default_rng(91)
+    n = 2000
+    s = rng.integers(0, 1_000_000, n)
+    dur = rng.integers(1, 5_000, n)
+    t = pa.table({"k": pa.array(rng.integers(0, 25, n)),
+                  "s": pa.array(s, type=pa.int64()),
+                  "e": pa.array(s + dur, type=pa.int64())})
+    # touching pair: [0,10) then [10,20) -> max_concurrent 1
+    touch = pa.table({"k": pa.array([777, 777]),
+                      "s": pa.array([0, 10], type=pa.int64()),
+                      "e": pa.array([10, 20], type=pa.int64())})
+    full = pa.concat_tables([t, touch])
+    pdf = full.to_pandas()
+
+    def ref(sub):
+        ev = sorted([(x, 1) for x in sub["s"]] +
+                    [(x, -1) for x in sub["e"]],
+                    key=lambda p: (p[0], p[1]))
+        conc = mx = busy = 0
+        for (tt, d), nxt in zip(ev, ev[1:] + [None]):
+            conc += d
+            mx = max(mx, conc)
+            if nxt is not None and conc > 0:
+                busy += nxt[0] - tt
+        return mx, busy
+
+    for parts in (1, 6):
+        out = (interval_sweep(rd.from_arrow(full).repartition(parts),
+                              "k", "s", "e")
+               .to_pandas().set_index("k"))
+        for k, sub in pdf.groupby("k"):
+            mx, busy = ref(sub)
+            assert out.loc[k, "max_concurrent"] == mx
+            assert out.loc[k, "busy_us"] == busy
+    assert out.loc[777, "max_concurrent"] == 1
+    assert out.loc[777, "busy_us"] == 20
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    """(cohort, offset, n_active) == a pandas reference with per-key
+    first-bucket cohorts; cross-batch duplicate (key, bucket) pairs
+    collapse to one."""
+    import ray.data as rd
+
+    from netml_ray.sequences import cohort_retention
+
+    rng = np.random.default_rng(92)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 120, n)),
+        "ts": pa.array(rng.integers(0, 40, n) * 10 + 5,
+                       type=pa.int64()),
+    })
+    out = (cohort_retention(rd.from_arrow(t).repartition(7),
+                            "k", "ts", bucket_us=100)
+           .to_pandas())
+    pdf = t.to_pandas()
+    pdf["bucket"] = pdf["ts"] // 100
+    ub = pdf[["k", "bucket"]].drop_duplicates()
+    cohort = ub.groupby("k")["bucket"].min().rename("cohort")
+    ub = ub.join(cohort, on="k")
+    ref = (ub.assign(offset=ub["bucket"] - ub["cohort"])
+           .groupby(["cohort", "offset"]).size().rename("n_active")
+           .reset_index().sort_values(["cohort", "offset"])
+           .reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
