@@ -331,6 +331,60 @@ def run_suite() -> dict:
         textstats["tfidf_docs_per_sec"] = round(
             ts_rows / max(textstats["tfidf_sec"], 1e-9), 1)
 
+    # r5 keyed-statistics / sequence-analytics family: volume
+    # throughput for the grouped-stat and sweep operators over a
+    # deterministic synthetic event stream (hash-derived fields from
+    # the row id — no rng state, identical at any parallelism)
+    seqstats = {}
+    if os.environ.get("GRAFT_SKIP_SEQSTATS") != "1" \
+            and not only_curation:
+        import numpy as _np
+        import pyarrow as _pa
+
+        from netml_ray.mlprep import group_entropy, target_encode_oof
+        from netml_ray.sequences import funnel_stages, interval_sweep
+
+        sq_rows = int(os.environ.get("GRAFT_SEQSTATS_ROWS", "5000000"))
+
+        def _gen(t: _pa.Table) -> _pa.Table:
+            i = t["id"].to_numpy()
+            h = (i * 2654435761) % (1 << 31)
+            ts = ((i * 1103515245 + 12345) % (1 << 31)).astype(_np.int64)
+            et = _pa.array(_np.array(["view", "click", "purchase",
+                                      "signup", "error"])[h % 5])
+            return _pa.table({
+                "user_id": _pa.array((h % 50000).astype(_np.int64)),
+                "ts": _pa.array(ts * 1000),
+                "event_id": _pa.array(i.astype(_np.int64)),
+                "event_type": et,
+                "value": _pa.array((h % 10007).astype(_np.float64)),
+            })
+
+        sev = (rd.range(sq_rows, override_num_blocks=NUM_CPUS * 4)
+               .map_batches(_gen, batch_format="pyarrow").materialize())
+        for label, fn in [
+            ("entropy", lambda: group_entropy(sev, "user_id",
+                                              "event_type")),
+            ("funnel", lambda: funnel_stages(
+                sev, "user_id", "ts", "event_type",
+                ["view", "click", "purchase"], tiebreak="event_id")),
+            ("sweep", lambda: interval_sweep(
+                sev.map_batches(
+                    lambda t: _pa.table(
+                        {"event_type": t["event_type"], "s": t["ts"],
+                         "e": _pa.compute.add(t["ts"], 10_000_000)}),
+                    batch_format="pyarrow"),
+                "event_type", "s", "e")),
+            ("te_oof", lambda: target_encode_oof(
+                sev, "event_type", "value", "event_id")),
+        ]:
+            t0 = time.time()
+            _consume(fn(), label)
+            seqstats[f"{label}_sec"] = round(time.time() - t0, 3)
+            seqstats[f"{label}_rows_per_sec"] = round(
+                sq_rows / max(seqstats[f"{label}_sec"], 1e-9), 1)
+        seqstats["seqstats_rows"] = sq_rows
+
     crawl_docs = crawl_rows
     result = {
         "metric": "headline pipelines wall time (crawl flagship + operator suite)",
@@ -349,6 +403,7 @@ def run_suite() -> dict:
         **skew,
         **curation,
         **textstats,
+        **seqstats,
     }
     ray.shutdown()
     return result
@@ -366,6 +421,7 @@ def run_child(ncpu: int) -> dict:
         env["GRAFT_CRAWL_ROWS"] = str(SCALING_ROWS)
         env["GRAFT_SKIP_SKEW"] = "1"
         env["GRAFT_SKIP_CURATION"] = "1"
+        env["GRAFT_SKIP_SEQSTATS"] = "1"
     if "--scaling-curation" in sys.argv:
         env["GRAFT_ONLY_CURATION"] = "1"
         env.setdefault("GRAFT_CURATION_ROWS", "2000000")
