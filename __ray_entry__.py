@@ -1915,6 +1915,34 @@ FROM ub JOIN c USING (user_id) GROUP BY 1, 2
 """
 
 
+def q_ewma_events(sf_dir: str):
+    """Per-user exponentially-weighted moving average of value
+    (windows.add_ewma, pandas adjust=True semantics y_i =
+    Σ x_j q^{i-j} / Σ q^{i-j}, alpha = 0.1): one co-locating hash
+    exchange, then pandas' C groupby-ewm kernel over the whole
+    partition frame.  The SQL oracle states the weighted sum
+    explicitly (O(run²) self-join — an oracle-only shape)."""
+    from netml_ray.windows import add_ewma
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = add_ewma(ev, "user_id", "ts", "value", alpha=0.1,
+                   tiebreak="event_id")
+    return out.select_columns(["event_id", "user_id", "value_ewm"])
+
+
+SQL_EWMA = """
+WITH o AS (SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT a.event_id, a.user_id,
+       round(sum(b.value * pow(0.9, a.rn - b.rn))
+             / sum(pow(0.9, a.rn - b.rn)), 9) AS value_ewm
+FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn <= a.rn
+GROUP BY a.event_id, a.user_id
+"""
+
+
 _FUNNEL_STAGES = ["error", "purchase", "signup"] * 3
 
 
@@ -3648,7 +3676,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text / curation / dedup / similarity
         "gopher_quality_docs": q_gopher_quality_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
-        "curate_mixed_docs": q_curate_mixed_docs,
         # -- round-4 op family (corpus stats / retrieval / ML prep)
         "lm_bits_docs": q_lm_bits_docs,
         "heavy_hitters_docs": q_heavy_hitters_docs,
@@ -3692,6 +3719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_oof_events": q_target_encode_oof_events,
         "interval_sweep_events": q_interval_sweep_events,
         "cohort_retention_events": q_cohort_retention_events,
+        "ewma_events": q_ewma_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3784,6 +3812,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green in the tail and under the local full-registry gate)
         "tumbling_window_events": q_tumbling_window_events,
         "rolling_time_events": q_rolling_time_events,
+        # rotated OUT for ewma_events (green r04 row; the mixing op is
+        # per-source weighted hash sampling + union — both pinned by
+        # the tail-green weighted_sample/cap_per_source rows and the
+        # in-window curate_corpus_plus chain)
+        "curate_mixed_docs": q_curate_mixed_docs,
         # new in the r5 continuation, tail slot by design: a star-join
         # demo pipeline whose kernels (hash_join, dict broadcast,
         # map-side agg partials) are all pinned by in-window entries
@@ -3907,4 +3940,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "interval_sweep_events": SQL_INTERVAL_SWEEP,
         "cohort_retention_events": SQL_COHORT_RETENTION,
+        "ewma_events": SQL_EWMA,
     }

@@ -46,16 +46,18 @@ def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def funnel_stages(ds, key_col: str, ts_col: str, type_col: str,
                   stages: list[str], *, tiebreak: str,
-                  out_col: str = "stages_completed"):
+                  max_gap=None, out_col: str = "stages_completed"):
     """Per-key ordered funnel: the number of ``stages`` completed in
     order, each strictly after the previous completion.
 
     Semantics (mirrored verbatim by the SQL oracle): t₀ = min ts of
-    stage 0; tᵢ = min ts of stage i with ts > tᵢ₋₁; the answer is the
-    longest prefix with a defined tᵢ.  Vectorized per partition: one
-    segment-min (``np.minimum.reduceat`` over masked +inf candidates)
-    per stage — no per-key Python loop.  Returns (key, stages_completed)
-    for every key present."""
+    stage 0; tᵢ = min ts of stage i with ts > tᵢ₋₁ (and, when
+    ``max_gap`` is given, ts ≤ tᵢ₋₁ + max_gap — the conversion-window
+    rule, in the ts column's units); the answer is the longest prefix
+    with a defined tᵢ.  Vectorized per partition: one segment-min
+    (``np.minimum.reduceat`` over masked +inf candidates) per stage —
+    no per-key Python loop.  Returns (key, stages_completed) for
+    every key present."""
     from .partition import partition_map
 
     def _fn(t: pa.Table) -> pa.Table:
@@ -83,6 +85,9 @@ def funnel_stages(ds, key_col: str, ts_col: str, type_col: str,
         for i, stage in enumerate(stages):
             sc = vocab.get(stage, -1)
             mask = (codes == sc) & (ts > prev[run_id]) & alive[run_id]
+            if max_gap is not None and i > 0:
+                # dead runs wrap at the sentinel — already masked out
+                mask &= ts <= prev[run_id] + max_gap
             cand = np.where(mask, ts, hi)
             smin = np.minimum.reduceat(cand, starts)
             hit = (smin != hi) & alive

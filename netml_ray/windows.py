@@ -709,3 +709,36 @@ def resample_ffill(
 
     return partition_map(ds, key, _fn, sort_by=sort_by,
                          num_partitions=num_partitions)
+
+
+def add_ewma(ds, key: str, order_by: str, col: str, *,
+             alpha: float, tiebreak: str, suffix: str = "_ewm",
+             round_to: int | None = 9):
+    """Per-key exponentially-weighted moving average (pandas
+    ``adjust=True`` semantics: ``y_i = Σ_j x_j q^{i-j} / Σ_j q^{i-j}``
+    with ``q = 1−alpha``) — the classic recency-weighted feature for
+    event streams.
+
+    ONE hash exchange co-locates each key's rows; inside a partition
+    the whole frame goes through pandas' C ``groupby(...).ewm`` kernel
+    in one call — no Python loop over keys.  The SQL oracle states the
+    identical weighted sum explicitly (O(run²) per key — fine for an
+    oracle, which is why the engine side exists)."""
+    import pandas as pd  # noqa: F401  (pandas ewm kernel)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column(col + suffix,
+                                   pa.array([], type=pa.float64()))
+        df = t.select([key, col]).to_pandas()
+        ew = (df.groupby(key, sort=False)[col]
+              .ewm(alpha=alpha, adjust=True).mean()
+              .reset_index(level=0, drop=True).sort_index()
+              .to_numpy())
+        if round_to is not None:
+            ew = np.round(ew, round_to)
+        return t.append_column(col + suffix,
+                               pa.array(ew, type=pa.float64()))
+
+    return partition_map(ds, key, _fn,
+                         sort_by=[key, order_by, tiebreak])

@@ -343,3 +343,21 @@ def test_fast_path_interval_and_cohort(ray_session, monkeypatch):
                                   _norm(fast[0], ["k"]))
     pd.testing.assert_frame_equal(_norm(dist[1], ["cohort", "offset"]),
                                   _norm(fast[1], ["cohort", "offset"]))
+
+
+def test_fast_path_ewma(ray_session, monkeypatch):
+    """add_ewma is a run-segmented partition_map consumer — fast ==
+    distributed."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_ewma
+
+    t = _events()
+
+    def run():
+        return (add_ewma(rd.from_arrow(t), "user_id", "ts", "value",
+                         alpha=0.3, tiebreak="event_id").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
+                                  _norm(fast[0], ["event_id"]))

@@ -312,3 +312,34 @@ def test_resample_ffill_matches_pandas(ray_session):
     assert (out["grid_ts"].to_numpy() == exp["grid_ts"].to_numpy()).all()
     np.testing.assert_allclose(out["value_ffill"].to_numpy(),
                                exp["value_ffill"].to_numpy())
+
+
+def test_add_ewma_matches_pandas(ray_session):
+    """Per-key EWMA == pandas groupby.ewm(adjust=True) on the
+    (ts, tiebreak)-sorted frame, partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.windows import add_ewma
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 60, n)),
+        "ts": pa.array(rng.uniform(0, 1e6, n).round(3)),
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.normal(5, 2, n)),
+    })
+    pdf = t.to_pandas().sort_values(["k", "ts", "i"])
+    exp = (pdf.groupby("k", sort=False)["v"]
+           .ewm(alpha=0.2, adjust=True).mean()
+           .reset_index(level=0, drop=True))
+    pdf["want"] = exp
+    want = pdf.sort_values("i")["want"].to_numpy()
+    for parts in (1, 7):
+        out = (add_ewma(rd.from_arrow(t).repartition(parts),
+                        "k", "ts", "v", alpha=0.2, tiebreak="i")
+               .to_pandas().sort_values("i"))
+        np.testing.assert_allclose(out["v_ewm"].to_numpy(),
+                                   np.round(want, 9), atol=2e-9)

@@ -171,3 +171,29 @@ def test_cohort_retention_matches_pandas(ray_session):
            .reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_funnel_max_gap_window(ray_session):
+    """Conversion-window funnel: a stage beyond max_gap of the
+    previous completion doesn't count, and a LATER in-window event
+    can't rescue it (min-ts picks the earliest candidate in-window)."""
+    import ray.data as rd
+
+    from netml_ray.sequences import funnel_stages
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 2]),
+        "ts": pa.array([0, 100, 150, 0, 5, 8], type=pa.int64()),
+        "et": pa.array(["A", "B", "C", "A", "B", "C"]),
+        "i": pa.array(np.arange(6, dtype=np.int64)),
+    })
+    # no gap: both keys complete all 3
+    out = (funnel_stages(rd.from_arrow(t), "k", "ts", "et",
+                         ["A", "B", "C"], tiebreak="i")
+           .to_pandas().set_index("k")["stages_completed"])
+    assert out[1] == 3 and out[2] == 3
+    # gap 10: key 1's B at t=100 is out of window -> stalls at 1
+    out = (funnel_stages(rd.from_arrow(t), "k", "ts", "et",
+                         ["A", "B", "C"], tiebreak="i", max_gap=10)
+           .to_pandas().set_index("k")["stages_completed"])
+    assert out[1] == 1 and out[2] == 3
