@@ -1915,6 +1915,29 @@ FROM ub JOIN c USING (user_id) GROUP BY 1, 2
 """
 
 
+def q_autocorr_events(sf_dir: str):
+    """Per-user lag-1 autocorrelation of value
+    (sequences.group_autocorr) — the burstiness/persistence feature:
+    sample Pearson r between x_t and x_{t+1} ordered by
+    (ts, event_id).  One co-locating hash exchange, six bincount
+    segment sums per partition.  SQL: corr(value, lead(value))."""
+    from netml_ray.sequences import group_autocorr
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return group_autocorr(ev, "user_id", "ts", "value", lag=1,
+                          tiebreak="event_id")
+
+
+SQL_AUTOCORR = """
+WITH o AS (SELECT user_id, value,
+                  lead(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT user_id, round(corr(value, nxt), 9) AS autocorr_value
+FROM o WHERE nxt IS NOT NULL GROUP BY user_id
+"""
+
+
 def q_ewma_events(sf_dir: str):
     """Per-user exponentially-weighted moving average of value
     (windows.add_ewma, pandas adjust=True semantics y_i =
@@ -3674,7 +3697,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_netml_events": q_sessionize_netml_events,
         "session_stats_events": q_session_stats_events,
         # -- text / curation / dedup / similarity
-        "gopher_quality_docs": q_gopher_quality_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         # -- round-4 op family (corpus stats / retrieval / ML prep)
         "lm_bits_docs": q_lm_bits_docs,
@@ -3720,6 +3742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_sweep_events": q_interval_sweep_events,
         "cohort_retention_events": q_cohort_retention_events,
         "ewma_events": q_ewma_events,
+        "autocorr_events": q_autocorr_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "pack_docs": q_pack_docs,
@@ -3817,6 +3840,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the tail-green weighted_sample/cap_per_source rows and the
         # in-window curate_corpus_plus chain)
         "curate_mixed_docs": q_curate_mixed_docs,
+        # rotated OUT for autocorr_events (green r04 row; the Gopher
+        # rule kernels run verbatim inside the in-window
+        # curate_corpus_plus_docs chain, curation.py:690,815)
+        "gopher_quality_docs": q_gopher_quality_docs,
         # new in the r5 continuation, tail slot by design: a star-join
         # demo pipeline whose kernels (hash_join, dict broadcast,
         # map-side agg partials) are all pinned by in-window entries
@@ -3941,4 +3968,5 @@ def oracle_sql() -> dict[str, str]:
         "interval_sweep_events": SQL_INTERVAL_SWEEP,
         "cohort_retention_events": SQL_COHORT_RETENTION,
         "ewma_events": SQL_EWMA,
+        "autocorr_events": SQL_AUTOCORR,
     }

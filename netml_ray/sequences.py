@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
-           "cohort_retention"]
+           "cohort_retention", "group_autocorr"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -285,3 +285,61 @@ def cohort_retention(ds, key_col: str, ts_col: str, *,
             .aggregate([([], "count_all")])
             .rename_columns(["cohort", "offset", "n_active"])
             .sort_by([("cohort", "ascending"), ("offset", "ascending")]))
+
+
+def group_autocorr(ds, key_col: str, order_by: str, col: str, *,
+                   lag: int = 1, tiebreak: str,
+                   out_col: str | None = None,
+                   round_to: int | None = 9):
+    """Per-key lag-``k`` autocorrelation of an ordered series —
+    sample Pearson r between ``x_t`` and ``x_{t+lag}`` within each
+    key, ordered by (order_by, tiebreak).  The standard
+    burstiness / persistence feature for event streams (the SQL rule
+    is ``corr(value, lead(value, lag) OVER ...)``).
+
+    ONE co-locating hash exchange, then a vectorized per-run pass:
+    the shifted pairing plus six ``np.bincount`` segment sums — no
+    per-key Python loop.  Keys with fewer than ``lag+2`` points or a
+    zero-variance side get NULL (the SQL ``corr`` rule)."""
+    from .partition import partition_map
+
+    out_col = out_col or f"autocorr_{col}"
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             out_col: pa.array([], type=pa.float64())})
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        nruns = len(starts)
+        a = x[:-lag] if lag else x
+        b = x[lag:] if lag else x
+        rid = run_id[:-lag] if lag else run_id
+        valid = (run_id[:-lag] == run_id[lag:]) if lag else \
+            np.ones(len(x), dtype=bool)
+        rv = rid[valid]
+        av = a[valid]
+        bv = b[valid]
+        n = np.bincount(rv, minlength=nruns).astype(np.float64)
+        sa = np.bincount(rv, weights=av, minlength=nruns)
+        sb = np.bincount(rv, weights=bv, minlength=nruns)
+        saa = np.bincount(rv, weights=av * av, minlength=nruns)
+        sbb = np.bincount(rv, weights=bv * bv, minlength=nruns)
+        sab = np.bincount(rv, weights=av * bv, minlength=nruns)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            va = saa - sa * sa / np.where(n > 0, n, 1)
+            vb = sbb - sb * sb / np.where(n > 0, n, 1)
+            cov = sab - sa * sb / np.where(n > 0, n, 1)
+            r = cov / np.sqrt(va * vb)
+        ok = (n >= 2) & (va > 0) & (vb > 0)
+        if round_to is not None:
+            r = np.round(r, round_to)
+        return pa.table({
+            key_col: keys.take(pa.array(starts)),
+            out_col: pa.array(np.where(ok, r, np.nan),
+                              type=pa.float64(), from_pandas=True),
+        })
+
+    return partition_map(ds, key_col, _fn,
+                         sort_by=[key_col, order_by, tiebreak])

@@ -361,3 +361,22 @@ def test_fast_path_ewma(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
                                   _norm(fast[0], ["event_id"]))
+
+
+def test_fast_path_autocorr(ray_session, monkeypatch):
+    """group_autocorr is a run-segmented partition_map consumer —
+    fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.sequences import group_autocorr
+
+    t = _events()
+
+    def run():
+        return (group_autocorr(rd.from_arrow(t), "user_id", "ts",
+                               "value", lag=1,
+                               tiebreak="event_id").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["user_id"]),
+                                  _norm(fast[0], ["user_id"]))

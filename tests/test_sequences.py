@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 
 def _mk(n=4000, seed=9, nkeys=80):
@@ -197,3 +198,43 @@ def test_funnel_max_gap_window(ray_session):
                          ["A", "B", "C"], tiebreak="i", max_gap=10)
            .to_pandas().set_index("k")["stages_completed"])
     assert out[1] == 1 and out[2] == 3
+
+
+def test_group_autocorr_matches_pandas(ray_session):
+    """Lag-k autocorr == pandas per-key shifted corr; short /
+    constant keys NULL; partition-invariant; lag=2 exercised."""
+    import ray.data as rd
+
+    from netml_ray.sequences import group_autocorr
+
+    rng = np.random.default_rng(95)
+    n = 2500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 50, n)),
+        "o": pa.array(rng.uniform(0, 1e5, n).round(2)),
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.cumsum(rng.normal(0, 1, n))),  # persistent
+    })
+    edge = pa.table({"k": pa.array([901, 902, 902, 903, 903, 903]),
+                     "o": pa.array([1.0, 1.0, 2.0, 1.0, 2.0, 3.0]),
+                     "i": pa.array(np.arange(6, dtype=np.int64) + n),
+                     "v": pa.array([5.0, 7.0, 7.0, 4.0, 4.0, 4.0])})
+    full = pa.concat_tables([t, edge])
+    pdf = full.to_pandas().sort_values(["k", "o", "i"])
+    for lag in (1, 2):
+        for parts in (1, 6):
+            out = (group_autocorr(
+                rd.from_arrow(full).repartition(parts), "k", "o", "v",
+                lag=lag, tiebreak="i")
+                .to_pandas().set_index("k")["autocorr_v"])
+            for k, sub in pdf.groupby("k"):
+                exp = sub["v"].corr(sub["v"].shift(-lag))
+                got = out[k]
+                if np.isnan(exp):
+                    assert np.isnan(got)
+                else:
+                    assert got == pytest.approx(round(exp, 9),
+                                                abs=2e-9)
+    # single-pair and zero-variance keys are NULL at lag 1
+    assert np.isnan(out[901])
+    assert np.isnan(out[903])
