@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import inspect
 import json
+import os
 import pickle
 import sys
 
@@ -203,6 +204,60 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Keyed statistics over a parquet table: one narrow-exchange op
+    per requested stat (entropy/mode for a categorical, moments/
+    autocorr for a numeric) written as one parquet file per stat —
+    the new keyed-statistics family behind a user surface."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_entropy, group_mode, group_moments
+    from netml_ray.sequences import group_autocorr
+
+    cols = [args.key]
+    if args.cat:
+        cols.append(args.cat)
+    if args.value:
+        cols.append(args.value)
+    if args.order_by and args.order_by not in cols:
+        cols.append(args.order_by)
+    if args.tiebreak and args.tiebreak not in cols:
+        cols.append(args.tiebreak)
+    ds = rd.read_parquet(args.corpus, columns=cols)
+    os.makedirs(args.out, exist_ok=True)
+    wanted = [s for s in args.stats.split(",") if s]
+    for s in wanted:
+        if s == "entropy":
+            if not args.cat:
+                raise SystemExit("entropy needs --cat")
+            out = group_entropy(ds, args.key, args.cat)
+        elif s == "mode":
+            if not args.cat:
+                raise SystemExit("mode needs --cat")
+            out = group_mode(ds, args.key, args.cat)
+        elif s == "moments":
+            if not args.value:
+                raise SystemExit("moments needs --value")
+            out = group_moments(ds, args.key, args.value)
+        elif s == "autocorr":
+            if not (args.value and args.order_by and args.tiebreak):
+                raise SystemExit(
+                    "autocorr needs --value, --order-by and --tiebreak")
+            out = group_autocorr(ds, args.key, args.order_by,
+                                 args.value, lag=args.lag,
+                                 tiebreak=args.tiebreak)
+        else:
+            raise SystemExit(f"unknown stat {s!r}")
+        dest = os.path.join(args.out, f"{s}.parquet")
+        t = out if isinstance(out, pa.Table) else \
+            pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+        pq.write_table(t, dest)
+        print(f"{s}: {t.num_rows} rows -> {dest}", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="netml_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -268,6 +323,20 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--mode", choices=["and", "or"], default="and")
     se.add_argument("--limit", type=int, default=20)
     se.set_defaults(func=cmd_search)
+
+    st = sub.add_parser("stats", help="keyed statistics over a "
+                        "parquet table (entropy/mode/moments/autocorr)")
+    st.add_argument("--corpus", required=True, help="parquet path")
+    st.add_argument("--out", required=True, help="output dir")
+    st.add_argument("--key", required=True)
+    st.add_argument("--stats", required=True,
+                    help="comma list of entropy,mode,moments,autocorr")
+    st.add_argument("--cat", help="categorical column (entropy/mode)")
+    st.add_argument("--value", help="numeric column (moments/autocorr)")
+    st.add_argument("--order-by", help="ordering column (autocorr)")
+    st.add_argument("--tiebreak", help="unique tiebreak col (autocorr)")
+    st.add_argument("--lag", type=int, default=1)
+    st.set_defaults(func=cmd_stats)
     return p
 
 

@@ -4,6 +4,7 @@ end-to-end learn/classify runs + arg-validation errors."""
 import os
 import pickle
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -151,3 +152,43 @@ def test_cli_curate_scorer_flags(ray_session, tmp_path):
         main(["curate", "--corpus", corpus, "--out", str(tmp_path / "x"),
               "--resume-dir", str(tmp_path / "ckpt"),
               "--max-lm-bits", "5.0"])
+
+
+def test_cli_stats(ray_session, tmp_path):
+    """stats subcommand writes one parquet per requested keyed stat
+    and the values match the library ops."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netml_ray.cli import main
+
+    rng = np.random.default_rng(7)
+    n = 800
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 12, n)),
+        "c": pa.array(rng.choice(list("xyz"), n)),
+        "v": pa.array(rng.normal(3, 1, n)),
+        "o": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    src = tmp_path / "in.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "stats"
+    rc = main(["stats", "--corpus", str(src), "--out", str(out),
+               "--key", "k", "--stats", "entropy,mode,moments,autocorr",
+               "--cat", "c", "--value", "v",
+               "--order-by", "o", "--tiebreak", "o"])
+    assert rc == 0
+    ent = pq.read_table(out / "entropy.parquet")
+    assert ent.num_rows == 12 and "entropy" in ent.column_names
+    mom = pq.read_table(out / "moments.parquet").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("SELECT k, round(avg(v), 9) AS m FROM t "
+                  "GROUP BY k ORDER BY k").df()
+    got = mom.sort_values("k")["mean_v"].to_numpy()
+    np.testing.assert_allclose(got, exp["m"].to_numpy(), atol=2e-9)
+    ac = pq.read_table(out / "autocorr.parquet")
+    assert ac.num_rows == 12
+    mo = pq.read_table(out / "mode.parquet")
+    assert set(mo["mode_c"].to_pylist()) <= {"x", "y", "z"}
