@@ -1089,6 +1089,54 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_pmi_collocations_docs(sf_dir: str):
+    """PMI collocations (word2vec-style phrase detection): every
+    bigram with corpus count >= 5, scored log2(p12 / (p1*p2)).  One
+    narrow count exchange with unigram token counts riding along,
+    totals from 2-doubles-per-block partials, pruned unigram table
+    broadcast once, vectorized scoring over surviving bigram rows
+    (textstats.pmi_collocations).  Row membership is integer-decided
+    (no float threshold), so the SQL oracle is exact."""
+    from netml_ray.textstats import pmi_collocations
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pmi_collocations(docs, min_count=5)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return _hedge_round_cols(t, ["pmi"], 9)
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_PMI = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS pos
+  FROM d
+), bg AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2
+), uc AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS cu FROM tok GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok) AS t,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM bg) AS b
+)
+SELECT bc.w1, bc.w2, bc.n,
+       round(log2((bc.n / tot.b) / ((u1.cu / tot.t) * (u2.cu / tot.t))), 9)
+         AS pmi
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+CROSS JOIN tot
+WHERE bc.n >= 5
+"""
+
+
 def _doc_index(sf_dir: str):
     """The per-corpus cached inverted index (content-fingerprint key),
     built ONCE with positions + BM25 payload and shared by the
@@ -3697,7 +3745,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_netml_events": q_sessionize_netml_events,
         "session_stats_events": q_session_stats_events,
         # -- text / curation / dedup / similarity
-        "dedup_exact_docs": q_dedup_exact_docs,
+        # (dedup_exact_docs rotated to the tail for pmi_collocations_docs:
+        # green r01-r04 driver rows; the exact-dedup kernel stays pinned
+        # in-window through curate_corpus_plus_docs' dedup stage)
+        "pmi_collocations_docs": q_pmi_collocations_docs,
         # -- round-4 op family (corpus stats / retrieval / ML prep)
         "lm_bits_docs": q_lm_bits_docs,
         "heavy_hitters_docs": q_heavy_hitters_docs,
@@ -3760,6 +3811,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_normed_events": q_time_normed_events,
         "session_type_counts": q_session_type_counts,
         "props_extract_events": q_props_extract_events,
+        # rotated OUT for pmi_collocations_docs (green r01-r04 rows;
+        # kernel pinned by curate_corpus_plus_docs' dedup stage)
+        "dedup_exact_docs": q_dedup_exact_docs,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -3969,4 +4023,5 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_events": SQL_COHORT_RETENTION,
         "ewma_events": SQL_EWMA,
         "autocorr_events": SQL_AUTOCORR,
+        "pmi_collocations_docs": SQL_PMI,
     }

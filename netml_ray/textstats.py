@@ -44,7 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
-           "doc_frequency", "tfidf_top_terms"]
+           "doc_frequency", "pmi_collocations", "tfidf_top_terms"]
 
 
 def _tok(col):
@@ -578,3 +578,127 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_Score, batch_format="pyarrow",
                           concurrency=auto_concurrency())
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5):
+    """Pointwise-mutual-information collocations: every bigram with
+    corpus count >= ``min_count`` scored
+
+        pmi(w1, w2) = log2( (n12 / B) / ((n1 / T) * (n2 / T)) )
+
+    where n12 = bigram count, n1/n2 = unigram TOKEN counts, T = total
+    tokens, B = total bigrams — the word2vec-style phrase-detection
+    statistic (Mikolov et al. 2013 use the same ratio with a discount;
+    the discount here is the hard ``min_count`` prune).  Returns a
+    Dataset ``(w1, w2, n, pmi)``; row membership is decided by integer
+    counts only (no float threshold), so results are exactly
+    reproducible in SQL.
+
+    Scale shape (the module-docstring two-phase pattern): ONE narrow
+    ``(kind, w1, w2, n)`` count exchange — unigram token counts ride
+    along as ``kind=0`` rows, same trick as ``bigram_counts
+    (with_vocab=True)`` — totals reduced from 2-doubles-per-block
+    partials, and the unigram side pruned to ``n >= min_count`` before
+    the driver collect.  The prune is sound for lookups: a surviving
+    bigram implies both its unigrams appear >= min_count times
+    (n(w) >= n(w1, w2) for either side).  The pruned unigram table
+    broadcasts once; scoring is a vectorized per-batch searchsorted
+    pass over the surviving bigram rows (no second shuffle).
+
+    Reference analog: netml has no corpus statistics; this extends the
+    engine's LLM-curation family (collocation mining is the standard
+    preprocessing step for phrase-aware tokenization).
+    """
+    import ray
+
+    from netml_ray.partition import auto_concurrency, partition_map
+
+    empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                      "w1": pa.array([], type=pa.string()),
+                      "w2": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def _partial(t: pa.Table) -> pa.Table:
+        tok = _tok(t[text_col])
+        live = tok.n_words[tok.rowid] > 0
+        codes, rowid = tok.codes[live], tok.rowid[live]
+        if not len(codes):
+            return empty
+        d = max(len(tok.dictionary), 1)
+        same = rowid[1:] == rowid[:-1]
+        pair = codes[:-1][same] * d + codes[1:][same]
+        u, n = (np.unique(pair, return_counts=True) if len(pair)
+                else (np.empty(0, dtype=np.int64),
+                      np.empty(0, dtype=np.int64)))
+        uu, un = np.unique(codes, return_counts=True)
+        return pa.concat_tables([
+            pa.table({
+                "kind": pa.array(np.ones(len(u), dtype=np.int8)),
+                "w1": tok.dictionary.take(pa.array(u // d)).cast(pa.string()),
+                "w2": tok.dictionary.take(pa.array(u % d)).cast(pa.string()),
+                "n": pa.array(n.astype(np.int64))}),
+            pa.table({
+                "kind": pa.array(np.zeros(len(uu), dtype=np.int8)),
+                "w1": tok.dictionary.take(pa.array(uu)).cast(pa.string()),
+                "w2": pa.array([""] * len(uu), type=pa.string()),
+                "n": pa.array(un.astype(np.int64))}),
+        ])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        out = (t.select(["kind", "w1", "w2", "n"])
+               .group_by(["kind", "w1", "w2"]).aggregate([("n", "sum")]))
+        return out.rename_columns(["kind", "w1", "w2", "n"])
+
+    agg = partition_map(ds.map_batches(_partial, batch_format="pyarrow"),
+                        "w1", _combine).materialize()
+
+    # totals over the UNpruned table: 2 doubles per block -> driver sum
+    def _tots(t: pa.Table) -> pa.Table:
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"t_uni": pa.array([int(n[k == 0].sum())]),
+                         "t_bi": pa.array([int(n[k == 1].sum())])})
+
+    rows = agg.map_batches(_tots, batch_format="pyarrow").take_all()
+    T = float(sum(r["t_uni"] for r in rows))
+    B = float(sum(r["t_bi"] for r in rows))
+
+    big = (agg.filter(expr="kind == 1")
+           .filter(expr=f"n >= {min_count}").drop_columns(["kind"]))
+    if B == 0 or T == 0:
+        return big.map_batches(
+            lambda t: t.append_column(
+                "pmi", pa.array([], type=pa.float64())),
+            batch_format="pyarrow")
+
+    uni = (agg.filter(expr="kind == 0")
+           .filter(expr=f"n >= {min_count}")
+           .select_columns(["w1", "n"]).take_all())
+    words = np.asarray([r["w1"] for r in uni], dtype=object)
+    cnts = np.asarray([r["n"] for r in uni], dtype=np.float64)
+    order = np.argsort(words, kind="stable")
+    ref = ray.put((words[order], cnts[order], T, B))
+
+    class _Score:
+        def __init__(self):
+            self.words, self.cnts, self.T, self.B = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t.append_column("pmi",
+                                       pa.array([], type=pa.float64()))
+            w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
+            w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
+            n12 = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            n1 = self.cnts[np.searchsorted(self.words, w1)]
+            n2 = self.cnts[np.searchsorted(self.words, w2)]
+            # same expression shape as the SQL oracle
+            pmi = np.log2((n12 / self.B) / ((n1 / self.T) * (n2 / self.T)))
+            return t.append_column("pmi", pa.array(pmi, type=pa.float64()))
+
+    return big.map_batches(_Score, batch_format="pyarrow",
+                           concurrency=auto_concurrency())

@@ -199,3 +199,59 @@ def test_prune_thresholds(ray_session):
     df_pruned = doc_frequency(ds, min_df=2).to_pandas()
     assert set(df_pruned["token"]) == {"a", "b"}
     assert len(df_full) > len(df_pruned)
+
+
+def _brute_pmi(docs, min_count):
+    toks = [d.split() for d in docs]
+    uc, bc = {}, {}
+    for t in toks:
+        for w in t:
+            uc[w] = uc.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    T = sum(uc.values())
+    B = sum(bc.values())
+    return {(a, b): (n, math.log2((n / B) / ((uc[a] / T) * (uc[b] / T))))
+            for (a, b), n in bc.items() if n >= min_count}
+
+
+def test_pmi_collocations_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from netml_ray.textstats import pmi_collocations
+
+    docs = DOCS * 3 + ["new york new york city", "  "]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs)}))
+    got = (pmi_collocations(ds, min_count=2).to_pandas()
+           .sort_values(["w1", "w2"]).reset_index(drop=True))
+    exp = _brute_pmi(docs, 2)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n, p = exp[(r["w1"], r["w2"])]
+        assert r["n"] == n
+        assert r["pmi"] == pytest.approx(p, abs=1e-12)
+    # a bigram that ALWAYS co-occurs ("new york") scores higher than
+    # one whose parts are frequent independently ("the cat")
+    ny = got.set_index(["w1", "w2"]).loc[("new", "york"), "pmi"]
+    tc = got.set_index(["w1", "w2"]).loc[("the", "cat"), "pmi"]
+    assert ny > tc
+
+
+def test_pmi_collocations_empty_and_prune(ray_session):
+    import ray.data as rd
+
+    from netml_ray.textstats import pmi_collocations
+
+    # all-empty corpus -> empty result, no crash
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["", "   "])}))
+    assert pmi_collocations(ds, min_count=1).count() == 0
+    # min_count prunes: each bigram appears once -> nothing at 2
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["a b c d"])}))
+    assert pmi_collocations(ds2, min_count=2).count() == 0
+    assert pmi_collocations(ds2, min_count=1).count() == 3
