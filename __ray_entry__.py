@@ -419,6 +419,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 """
 
 
+def q_rolling_corr_events(sf_dir: str):
+    """Rolling local-trend feature: Pearson corr of value vs within-key
+    row position over the trailing 5 rows (+1 locally rising, -1
+    falling, NULL on <2-row windows / constant value).  Position is a
+    small exact integer so the centered kernel stays cancellation-free
+    (raw-epoch x loses ~6 digits at epoch~1.7e9 vs the checker's
+    rtol=1e-6) — windows.add_rolling_corr."""
+    from netml_ray.windows import add_rolling_corr
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_rolling_corr(ev, "user_id", "ts", "value", window=5,
+                           tiebreak="event_id", num_partitions=P)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return _hedge_round_cols(t, ["roll_corr"], 9)
+
+    out = out.map_batches(_round, batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "roll_corr"])
+
+
+SQL_ROLLING_CORR = """
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS DOUBLE) AS rn
+  FROM events
+)
+SELECT event_id, user_id,
+       round(corr(value, rn) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 9) AS roll_corr
+FROM e
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -3750,7 +3785,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window through curate_corpus_plus_docs' dedup stage)
         "pmi_collocations_docs": q_pmi_collocations_docs,
         # -- round-4 op family (corpus stats / retrieval / ML prep)
-        "lm_bits_docs": q_lm_bits_docs,
+        # (lm_bits_docs rotated to the tail for rolling_corr_events:
+        # green r04 driver row; the lm-bits kernel stays pinned
+        # in-window through curate_corpus_plus_docs' lm_bits stage)
+        "rolling_corr_events": q_rolling_corr_events,
         "heavy_hitters_docs": q_heavy_hitters_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
@@ -3814,6 +3852,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT for pmi_collocations_docs (green r01-r04 rows;
         # kernel pinned by curate_corpus_plus_docs' dedup stage)
         "dedup_exact_docs": q_dedup_exact_docs,
+        # rotated OUT for rolling_corr_events (green r04 row; kernel
+        # pinned by curate_corpus_plus_docs' lm_bits stage)
+        "lm_bits_docs": q_lm_bits_docs,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4024,4 +4065,5 @@ def oracle_sql() -> dict[str, str]:
         "ewma_events": SQL_EWMA,
         "autocorr_events": SQL_AUTOCORR,
         "pmi_collocations_docs": SQL_PMI,
+        "rolling_corr_events": SQL_ROLLING_CORR,
     }

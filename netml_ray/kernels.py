@@ -567,3 +567,52 @@ def rolling_stats(
     std = np.sqrt(var)
     return {"count": cnt, "sum": sm, "mean": mean, "min": mn, "max": mx,
             "std": std}
+
+
+def rolling_corr(
+    seg_codes: np.ndarray, x: np.ndarray, y: np.ndarray, window: int
+) -> np.ndarray:
+    """Rolling Pearson correlation of ``(x, y)`` over the current row
+    and the ``window - 1`` preceding rows, restarting at segment
+    boundaries — SQL ``corr(x, y) OVER (... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)`` parity, NaN where SQL yields NULL
+    (fewer than 2 rows in the window, or zero variance on either
+    side; corr = covar_samp / (stddev_samp·stddev_samp) =
+    sxy / sqrt(sxx·syy), so the (n-1) factors cancel).
+
+    Numerically the deviations are taken AROUND THE WINDOW MEANS via
+    <= window shifted vectorized adds (the same cancellation-free
+    treatment as ``rolling_stats``'s std) — O(n·window), fine for the
+    small feature windows this engine targets.
+    """
+    n = len(x)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    starts, _ends = _seg_bounds(seg_codes)
+    seg_of = np.zeros(n, dtype=np.int64)
+    seg_of[starts] = 1
+    seg_of = np.cumsum(seg_of) - 1
+    pos = np.arange(n) - starts[seg_of]
+    lo = np.maximum(0, pos - (window - 1)) + starts[seg_of]
+    idx = np.arange(n)
+    cnt = (idx - lo + 1).astype(np.float64)
+    csx = np.r_[0.0, np.cumsum(x)]
+    csy = np.r_[0.0, np.cumsum(y)]
+    mx_ = (csx[idx + 1] - csx[lo]) / cnt
+    my_ = (csy[idx + 1] - csy[lo]) / cnt
+    sxx = np.zeros(n)
+    syy = np.zeros(n)
+    sxy = np.zeros(n)
+    for k in range(window):
+        idxk = idx - k
+        valid = idxk >= lo
+        iv = idxk[valid]
+        dx = x[iv] - mx_[valid]
+        dy = y[iv] - my_[valid]
+        sxx[valid] += dx * dx
+        syy[valid] += dy * dy
+        sxy[valid] += dx * dy
+    out = np.full(n, np.nan)
+    ok = (cnt >= 2) & (sxx > 0) & (syy > 0)
+    out[ok] = sxy[ok] / np.sqrt(sxx[ok] * syy[ok])
+    return out

@@ -742,3 +742,46 @@ def add_ewma(ds, key: str, order_by: str, col: str, *,
 
     return partition_map(ds, key, _fn,
                          sort_by=[key, order_by, tiebreak])
+
+
+def add_rolling_corr(
+    ds,
+    key: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str | None = None,
+    *,
+    window: int = 5,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Append ``roll_corr`` — rolling Pearson correlation over the
+    current + window-1 preceding rows per key.  With ``y_col=None``
+    the second series is the within-key ROW POSITION (1-based
+    row_number), making ``roll_corr`` the LOCAL TREND feature: +1 when
+    x is locally monotonically rising, -1 falling, NaN where SQL corr
+    is NULL (window < 2 rows or zero variance).  Position is a small
+    exact integer, so the kernel's centered sums stay cancellation-
+    free regardless of the timestamp magnitudes (the raw-epoch
+    variant loses ~6 digits to cancellation at epoch~1.7e9).
+
+    Same partition/sort shape as ``add_rolling``: ONE hash partition
+    on ``key``, per-partition sort on (key, ts, tiebreak), vectorized
+    kernel — no second exchange.
+    """
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        x = t[x_col].to_numpy().astype(np.float64)
+        if y_col is None:
+            starts = _seg_starts_per_row(codes)
+            y = (np.arange(len(codes)) - starts + 1).astype(np.float64)
+        else:
+            y = t[y_col].to_numpy().astype(np.float64)
+        r = kernels.rolling_corr(codes, x, y, window)
+        return t.append_column("roll_corr", pa.array(r, type=pa.float64()))
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

@@ -144,3 +144,53 @@ def test_add_cumulative_vs_bruteforce(ray_session):
                                exp["cum_sum"] / exp["cum_count"], atol=1e-9)
     np.testing.assert_allclose(got["since_first_sec"], exp["since"],
                                atol=0)
+
+
+def test_add_rolling_corr_vs_pandas(ray_session):
+    """roll_corr == pandas groupby-rolling corr of value vs within-key
+    row position; NaN rules match SQL (n<2 or constant value)."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_rolling_corr
+
+    rng = np.random.default_rng(11)
+    n = 600
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 9, n)),
+        "ts": pa.array(np.sort(rng.uniform(0, 1000, n))),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        # quantized values so constant-value windows actually occur
+        "value": pa.array(rng.integers(0, 3, n).astype(np.float64)),
+    })
+    got = (add_rolling_corr(rd.from_arrow(t), "k", "ts", "value",
+                            window=5, tiebreak="id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = t.to_pandas().sort_values(["k", "ts", "id"])
+    exp = []
+    for _, g in df.groupby("k", sort=False):
+        v = g["value"].to_numpy()
+        rn = np.arange(1, len(g) + 1, dtype=np.float64)
+        for i in range(len(g)):
+            w0 = max(0, i - 4)
+            x, y = v[w0:i + 1], rn[w0:i + 1]
+            if len(x) < 2 or np.ptp(x) == 0 or np.ptp(y) == 0:
+                exp.append((g["id"].iloc[i], np.nan))
+            else:
+                exp.append((g["id"].iloc[i], np.corrcoef(x, y)[0, 1]))
+    exp = (pd.DataFrame(exp, columns=["id", "c"])
+           .sort_values("id").reset_index(drop=True))
+    gv = got["roll_corr"].to_numpy()
+    ev = exp["c"].to_numpy()
+    nan_g, nan_e = np.isnan(gv), np.isnan(ev)
+    assert (nan_g == nan_e).all()
+    np.testing.assert_allclose(gv[~nan_g], ev[~nan_e], atol=1e-12)
+    # a strictly increasing run pins +1
+    t2 = pa.table({"k": pa.array([0] * 6),
+                   "ts": pa.array(np.arange(6.0)),
+                   "id": pa.array(np.arange(6, dtype=np.int64)),
+                   "value": pa.array(np.arange(6.0))})
+    g2 = (add_rolling_corr(rd.from_arrow(t2), "k", "ts", "value",
+                           window=3, tiebreak="id")
+          .to_pandas().sort_values("id"))
+    assert np.isnan(g2["roll_corr"].iloc[0])
+    np.testing.assert_allclose(g2["roll_corr"].iloc[1:], 1.0, atol=1e-12)

@@ -380,3 +380,22 @@ def test_fast_path_autocorr(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist[0], ["user_id"]),
                                   _norm(fast[0], ["user_id"]))
+
+
+def test_fast_path_rolling_corr(ray_session, monkeypatch):
+    """add_rolling_corr is a run-segmented partition_map consumer —
+    fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_rolling_corr
+
+    t = _events()
+
+    def run():
+        return (add_rolling_corr(rd.from_arrow(t), "user_id", "ts",
+                                 "value", window=4,
+                                 tiebreak="event_id").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
+                                  _norm(fast[0], ["event_id"]))
