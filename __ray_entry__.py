@@ -454,6 +454,117 @@ FROM e
 """
 
 
+def q_forward_window_events(sf_dir: str):
+    """Forward-looking label features: per-user count/sum of value over
+    [ts, ts+1h] (SQL RANGE CURRENT ROW AND 3600 FOLLOWING on epoch
+    seconds) — the supervised-target mirror of rolling_time_events;
+    windows.add_forward_window."""
+    from netml_ray.windows import add_forward_window
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_forward_window(ev, "user_id", "ts", "value",
+                             horizon_sec=3600.0, num_partitions=P)
+    out = out.map_batches(
+        lambda t: _hedge_round_cols(t, ("fwd_sum",), 9),
+        batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "fwd_count",
+                               "fwd_sum"])
+
+
+SQL_FORWARD_WINDOW = """
+SELECT event_id, user_id,
+       count(*) OVER w AS fwd_count,
+       round(sum(value) OVER w, 9) AS fwd_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
+"""
+
+
+def q_seasonal_dev_events(sf_dir: str):
+    """De-seasonalization feature: the user's mean value at the row's
+    hour-of-day and the row's deviation from it (SQL avg OVER
+    (PARTITION BY user_id, hour(ts))) — windows.add_seasonal_deviation."""
+    from netml_ray.windows import add_seasonal_deviation
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = add_seasonal_deviation(ev, "user_id", "ts", "value",
+                                 num_partitions=P)
+    out = out.map_batches(
+        lambda t: _hedge_round_cols(t, ("season_mean", "season_dev"), 9),
+        batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "season_mean",
+                               "season_dev"])
+
+
+SQL_SEASONAL_DEV = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 9) AS season_mean,
+       round(value - avg(value) OVER w, 9) AS season_dev
+FROM events
+WINDOW w AS (PARTITION BY user_id, hour(ts))
+"""
+
+
+def q_pagerank_partsupp(sf_dir: str):
+    """PageRank (3 damped iterations) over the symmetrized bipartite
+    part<->supplier graph from lineitem: nodes 'p<partkey>' /
+    's<suppkey>', one edge per DISTINCT (part, supplier) pair in each
+    direction.  graph.pagerank — edges stay a distributed Dataset
+    (one dedup exchange + narrow contribution passes), only the rank
+    vector is broadcast."""
+    from netml_ray.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        p = (t["l_partkey"].to_numpy() * 2).astype(np.int64)
+        s = (t["l_suppkey"].to_numpy() * 2 + 1).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([p, s])),
+                         "dst": pa.array(np.concatenate([s, p]))})
+
+    edges = li.map_batches(_edges, batch_format="pyarrow")
+    pr = pagerank(edges, iters=3, damping=0.85, num_partitions=P)
+    node = pr["node"].to_numpy()
+    prefix = pa.array(np.where(node % 2 == 0, "p", "s"))
+    num = pa.array((node // 2).astype(str))
+    label = pc.binary_join_element_wise(prefix, num, "")
+    rank = pa.array(np.round(pr["pagerank"].to_numpy(), 9))
+    return pa.table({"node": label, "pagerank": rank})
+
+
+SQL_PAGERANK = """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pe
+  UNION ALL
+  SELECT 2 * s + 1 AS src, 2 * p AS dst FROM pe),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.dst AS node, sum(r.r / deg.d) AS c
+       FROM edges e JOIN r0 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r1 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c1.c, 0) AS r
+       FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN nn),
+c2 AS (SELECT e.dst AS node, sum(r.r / deg.d) AS c
+       FROM edges e JOIN r1 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r2 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c2.c, 0) AS r
+       FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN nn),
+c3 AS (SELECT e.dst AS node, sum(r.r / deg.d) AS c
+       FROM edges e JOIN r2 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r3 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c3.c, 0) AS r
+       FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
+SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       round(r, 9) AS pagerank
+FROM r3
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -3774,11 +3885,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "embedding_near_dups": q_embedding_near_dups,
         "simhash_near_docs": q_simhash_near_docs,
-        "lang_id_docs": q_lang_id_docs,
+        # (lang_id_docs / session_stats_events / heavy_hitters_docs
+        # rotated to the tail for the r5 forward-window / seasonal /
+        # pagerank additions: all three hold green r04 driver rows and
+        # their kernels stay pytest-oracle-pinned; session STATS also
+        # rides the rows-only netml_two_stage_events chain)
+        "forward_window_events": q_forward_window_events,
         "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
         # -- relational / windowed / sessionization core
         "sessionize_netml_events": q_sessionize_netml_events,
-        "session_stats_events": q_session_stats_events,
+        "seasonal_dev_events": q_seasonal_dev_events,
         # -- text / curation / dedup / similarity
         # (dedup_exact_docs rotated to the tail for pmi_collocations_docs:
         # green r01-r04 driver rows; the exact-dedup kernel stays pinned
@@ -3789,7 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green r04 driver row; the lm-bits kernel stays pinned
         # in-window through curate_corpus_plus_docs' lm_bits stage)
         "rolling_corr_events": q_rolling_corr_events,
-        "heavy_hitters_docs": q_heavy_hitters_docs,
+        "pagerank_partsupp": q_pagerank_partsupp,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -3855,6 +3971,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT for rolling_corr_events (green r04 row; kernel
         # pinned by curate_corpus_plus_docs' lm_bits stage)
         "lm_bits_docs": q_lm_bits_docs,
+        # rotated OUT for forward_window/seasonal_dev/pagerank (green
+        # r04 rows; lang-id kernel pytest-pinned, STATS 12-vector
+        # pinned by netml_two_stage_events + pytest, Misra-Gries
+        # pinned by its error-bound pytest)
+        "lang_id_docs": q_lang_id_docs,
+        "session_stats_events": q_session_stats_events,
+        "heavy_hitters_docs": q_heavy_hitters_docs,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4066,4 +4189,7 @@ def oracle_sql() -> dict[str, str]:
         "autocorr_events": SQL_AUTOCORR,
         "pmi_collocations_docs": SQL_PMI,
         "rolling_corr_events": SQL_ROLLING_CORR,
+        "forward_window_events": SQL_FORWARD_WINDOW,
+        "seasonal_dev_events": SQL_SEASONAL_DEV,
+        "pagerank_partsupp": SQL_PAGERANK,
     }

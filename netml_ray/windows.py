@@ -785,3 +785,105 @@ def add_rolling_corr(
 
     return partition_map(ds, key, _fn, sort_by=sort_by,
                          num_partitions=num_partitions)
+
+
+def add_forward_window(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    horizon_sec: float,
+    tiebreak: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Forward-looking time-RANGE aggregates per key: count/sum of
+    ``value_col`` over ``[ts, ts + horizon_sec]`` (SQL ``RANGE BETWEEN
+    CURRENT ROW AND h FOLLOWING`` on epoch seconds — both endpoints
+    inclusive, equal-``ts`` peers included on BOTH sides, exactly the
+    value-based SQL frame).  The label-engineering mirror of
+    :func:`add_rolling_time`: "activity in the NEXT hour" is the
+    standard supervised target for churn / burst prediction, and
+    building it here (instead of in training code) keeps the
+    time-travel boundary in one audited kernel.
+
+    Same scale shape as the trailing op: ONE hash partition on
+    ``key``, two segmented-searchsorted passes + one prefix-cumsum
+    gather — no per-key loop, no second exchange.
+    """
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            for c, typ in (("fwd_count", pa.int64()),
+                           ("fwd_sum", pa.float64())):
+                t = t.append_column(c, pa.array([], type=typ))
+            return t
+        codes = _key_codes(t, key)
+        tsf = t[TS_SEC].to_numpy()
+        v = t[value_col].to_numpy().astype(np.float64)
+        seg0 = _seg_starts_per_row(codes)
+        lo = seg0 + _seg_searchsorted(codes, tsf, tsf, "left")
+        hi = seg0 + _seg_searchsorted(codes, tsf, tsf + horizon_sec,
+                                      "right")
+        cnt = hi - lo
+        csum = np.r_[0.0, np.cumsum(v)]
+        s = csum[hi] - csum[lo]
+        t = t.append_column("fwd_count", pa.array(cnt.astype(np.int64)))
+        t = t.append_column("fwd_sum", pa.array(s))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)
+
+
+def add_seasonal_deviation(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+):
+    """Per-(key, hour-of-day) seasonal baseline and deviation:
+    ``season_mean`` = the key's mean of ``value_col`` over ALL its
+    rows sharing the row's hour-of-day (SQL ``avg(v) OVER (PARTITION
+    BY key, hour(ts))``), ``season_dev`` = value - season_mean.  The
+    classic de-seasonalization feature: "is this event big FOR THIS
+    USER AT THIS TIME OF DAY".
+
+    ONE hash partition on ``key``; inside a partition the (key-run x
+    24-hour) group means come from two ``np.bincount`` calls over the
+    combined code ``run*24 + hour`` — run-segmented (groups never span
+    key runs), so the driver fast path stays valid.  Hour is taken
+    from the timestamp column directly (``pc.hour``), not the float
+    epoch, for exact SQL parity.
+    """
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            for c in ("season_mean", "season_dev"):
+                t = t.append_column(c, pa.array([], type=pa.float64()))
+            return t
+        codes = _key_codes(t, key)
+        if pa.types.is_temporal(t.schema.field(ts_col).type):
+            hour = pc.hour(t[ts_col]).to_numpy().astype(np.int64)
+        else:  # numeric epoch seconds: hour-of-day by modular floor
+            hour = (np.floor_divide(
+                t[ts_col].to_numpy().astype(np.int64), 3600) % 24)
+        v = t[value_col].to_numpy().astype(np.float64)
+        gid = codes * 24 + hour
+        m = int(gid.max()) + 1
+        sums = np.bincount(gid, weights=v, minlength=m)
+        cnts = np.bincount(gid, minlength=m)
+        with np.errstate(invalid="ignore"):
+            means = sums / cnts
+        sm = means[gid]
+        t = t.append_column("season_mean", pa.array(sm))
+        t = t.append_column("season_dev", pa.array(v - sm))
+        return t
+
+    return partition_map(ds, key, _fn, sort_by=[key],
+                         num_partitions=num_partitions)

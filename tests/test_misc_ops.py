@@ -194,3 +194,63 @@ def test_add_rolling_corr_vs_pandas(ray_session):
           .to_pandas().sort_values("id"))
     assert np.isnan(g2["roll_corr"].iloc[0])
     np.testing.assert_allclose(g2["roll_corr"].iloc[1:], 1.0, atol=1e-12)
+
+
+def test_add_forward_window_vs_bruteforce(ray_session):
+    """fwd_count/fwd_sum == per-key brute force over [ts, ts+h]
+    (value-based frame, equal-ts peers included on both sides)."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_forward_window
+
+    rng = np.random.default_rng(21)
+    n = 500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 7, n)),
+        # integer-ish seconds so exact-tie peers occur
+        "ts": pa.array(np.sort(rng.integers(0, 400, n)).astype(np.float64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(rng.normal(size=n).round(3)),
+    })
+    h = 50.0
+    got = (add_forward_window(rd.from_arrow(t), "k", "ts", "value",
+                              horizon_sec=h, tiebreak="id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = t.to_pandas()
+    cnt = np.empty(n, dtype=np.int64)
+    sm = np.empty(n)
+    for i in range(n):
+        m = ((df["k"] == df["k"][i]) & (df["ts"] >= df["ts"][i])
+             & (df["ts"] <= df["ts"][i] + h))
+        cnt[i] = int(m.sum())
+        sm[i] = df.loc[m, "value"].sum()
+    assert (got["fwd_count"].to_numpy() == cnt).all()
+    np.testing.assert_allclose(got["fwd_sum"], sm, atol=1e-9)
+
+
+def test_add_seasonal_deviation_vs_pandas(ray_session):
+    """season_mean == groupby (key, hour-of-day) transform('mean') on a
+    real timestamp column; season_dev = value - season_mean."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_seasonal_deviation
+
+    rng = np.random.default_rng(22)
+    n = 800
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + (rng.integers(0, 14 * 86400, n) * 1_000_000).astype(
+        "timedelta64[us]")
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 11, n)),
+        "ts": pa.array(np.sort(ts)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(rng.normal(size=n).round(3)),
+    })
+    got = (add_seasonal_deviation(rd.from_arrow(t), "k", "ts", "value")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = t.to_pandas()
+    df["hour"] = df["ts"].dt.hour
+    exp = df.groupby(["k", "hour"])["value"].transform("mean")
+    np.testing.assert_allclose(got["season_mean"], exp, atol=1e-12)
+    np.testing.assert_allclose(got["season_dev"], df["value"] - exp,
+                               atol=1e-12)

@@ -399,3 +399,62 @@ def test_fast_path_rolling_corr(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
                                   _norm(fast[0], ["event_id"]))
+
+
+def test_fast_path_forward_window(ray_session, monkeypatch):
+    """add_forward_window is a run-segmented partition_map consumer —
+    fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_forward_window
+
+    t = _events()
+
+    def run():
+        return (add_forward_window(rd.from_arrow(t), "user_id", "ts",
+                                   "value", horizon_sec=100.0,
+                                   tiebreak="event_id").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
+                                  _norm(fast[0], ["event_id"]))
+
+
+def test_fast_path_seasonal_deviation(ray_session, monkeypatch):
+    """add_seasonal_deviation groups by run x hour within a key —
+    run-segmented; fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_seasonal_deviation
+
+    t = _events()
+
+    def run():
+        return (add_seasonal_deviation(rd.from_arrow(t), "user_id",
+                                       "ts", "value").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
+                                  _norm(fast[0], ["event_id"]))
+
+
+def test_fast_path_pagerank_dedupe(ray_session, monkeypatch):
+    """dedupe_edges_with_degree's per-partition pair-dedup is exact on
+    both paths (a pair lives in exactly one src-hash partition), so the
+    whole pagerank result is path-invariant."""
+    import ray.data as rd
+
+    from netml_ray.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 50, 900).astype(np.int64)
+    dst = rng.integers(0, 50, 900).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def run():
+        return (pagerank(rd.from_arrow(t), iters=3,
+                         num_partitions=4).to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["node"]),
+                                  _norm(fast[0], ["node"]))
