@@ -565,6 +565,55 @@ FROM r3
 """
 
 
+def q_time_to_purchase_events(sf_dir: str):
+    """Survival / churn label: per event, EXACT int64 microseconds
+    until the user's NEXT 'purchase' strictly after it in
+    (ts, event_id) order, typed NULL when the user never purchases
+    again — windows.add_time_to_event(out_unit='us'); zero float
+    arithmetic on either side so parity is bitwise."""
+    from netml_ray.windows import add_time_to_event
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = add_time_to_event(ev, "user_id", "ts", "event_type",
+                            "purchase", tiebreak="event_id",
+                            out_col="tte_us", out_unit="us",
+                            num_partitions=P)
+    return out.select_columns(["event_id", "user_id", "tte_us"])
+
+
+SQL_TIME_TO_PURCHASE = """
+SELECT event_id, user_id,
+       min(CASE WHEN event_type = 'purchase'
+                THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           - epoch_us(ts) AS tte_us
+FROM events
+"""
+
+
+def q_freq_encode_events(sf_dir: str):
+    """Frequency (count) encoding of event_type: global category count
+    and relative frequency attached per row — mlprep.frequency_encode
+    (map-side value-count partials + broadcast lookup, no shuffle)."""
+    from netml_ray.mlprep import frequency_encode
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    out = frequency_encode(ev, "event_type", round_to=9)
+    return out.select_columns(["event_id", "event_type",
+                               "event_type_count", "event_type_freq"])
+
+
+SQL_FREQ_ENCODE = """
+SELECT event_id, event_type,
+       count(*) OVER (PARTITION BY event_type) AS event_type_count,
+       round(count(*) OVER (PARTITION BY event_type)
+             / (1.0 * count(*) OVER ()), 9) AS event_type_freq
+FROM events
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -3891,7 +3940,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # their kernels stay pytest-oracle-pinned; session STATS also
         # rides the rows-only netml_two_stage_events chain)
         "forward_window_events": q_forward_window_events,
-        "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
+        # (knn_cosine_ivf_batch rotated to the tail for
+        # time_to_purchase_events: the IVF family holds TWO green r04
+        # driver rows — knn_cosine_ivf + the batch variant — and the
+        # batched union-of-probes kernel stays pytest-pinned)
+        "time_to_purchase_events": q_time_to_purchase_events,
         # -- relational / windowed / sessionization core
         "sessionize_netml_events": q_sessionize_netml_events,
         "seasonal_dev_events": q_seasonal_dev_events,
@@ -3911,7 +3964,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_orders": q_semi_join_orders,
         "anti_join_orders": q_anti_join_orders,
         "rank_events": q_rank_events,
-        "centroid_distance": q_centroid_distance,
+        # (centroid_distance rotated to the tail for freq_encode_events:
+        # judge-run ok in r4; the broadcast-centroid distance kernel is
+        # pinned in-window by kmeans_embeddings' assignment step)
+        "freq_encode_events": q_freq_encode_events,
         "approx_quantiles_events": q_approx_quantiles_events,
         "bm25_indexed_docs": q_bm25_indexed_docs,
         "despan_docs": q_despan_docs,
@@ -3978,6 +4034,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": q_lang_id_docs,
         "session_stats_events": q_session_stats_events,
         "heavy_hitters_docs": q_heavy_hitters_docs,
+        # rotated OUT for time_to_purchase/freq_encode (see in-window
+        # comments; both hold r4 verification — driver row for the IVF
+        # batch, judge-run ok for centroid_distance)
+        "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
+        "centroid_distance": q_centroid_distance,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4192,4 +4253,6 @@ def oracle_sql() -> dict[str, str]:
         "forward_window_events": SQL_FORWARD_WINDOW,
         "seasonal_dev_events": SQL_SEASONAL_DEV,
         "pagerank_partsupp": SQL_PAGERANK,
+        "time_to_purchase_events": SQL_TIME_TO_PURCHASE,
+        "freq_encode_events": SQL_FREQ_ENCODE,
     }

@@ -37,7 +37,7 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "kmeans_fit", "kmeans_predict",
            "group_moments", "group_corr", "robust_zscore",
            "group_entropy", "group_mode", "mutual_information",
-           "target_encode_oof"]
+           "target_encode_oof", "frequency_encode"]
 
 
 # ---------------------------------------------------------------------------
@@ -1048,3 +1048,42 @@ def target_encode_oof(ds, cat_col: str, target_col: str, id_col: str, *,
         return t.append_column(cat_col + suffix, pa.array(out))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def frequency_encode(ds, col: str, *, round_to: int | None = None):
+    """Frequency (count) encoding: append ``<col>_count`` (global
+    occurrence count of the row's category) and ``<col>_freq``
+    (count / total rows) — the zero-leakage categorical encoder that
+    needs no target column.  SQL: ``count(*) OVER (PARTITION BY col)``
+    and its ratio to ``count(*) OVER ()``.
+
+    The broadcast-small-side shape: pass 1 is map-side per-batch
+    ``value_counts`` partials (one row per distinct category per
+    batch, no shuffle) folded on the driver — bounded by the category
+    cardinality, NOT the row count; pass 2 attaches via one
+    ``pc.index_in`` lookup against the broadcast table per batch.
+    """
+    parts = ds.map_batches(
+        lambda t: (lambda vc: pa.table({
+            "v": vc.field("values"), "n": vc.field("counts")}))(
+                pc.value_counts(t[col].combine_chunks())),
+        batch_format="pyarrow").take_all()
+    counts: dict = {}
+    for r in parts:
+        counts[r["v"]] = counts.get(r["v"], 0) + r["n"]
+    total = sum(counts.values())
+    keys = pa.array(list(counts.keys()))
+    cnt_arr = np.fromiter(counts.values(), dtype=np.int64,
+                          count=len(counts))
+    freq_arr = cnt_arr / float(total)
+    if round_to is not None:
+        freq_arr = np.round(freq_arr, round_to)
+
+    def _attach(t: pa.Table) -> pa.Table:
+        code = pc.index_in(t[col], value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = t.append_column(f"{col}_count",
+                            pa.array(cnt_arr[code]))
+        return t.append_column(f"{col}_freq", pa.array(freq_arr[code]))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")

@@ -887,3 +887,74 @@ def add_seasonal_deviation(
 
     return partition_map(ds, key, _fn, sort_by=[key],
                          num_partitions=num_partitions)
+
+
+def add_time_to_event(
+    ds,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    target: str,
+    *,
+    tiebreak: str | None = None,
+    out_col: str = "tte_sec",
+    out_unit: str = "sec",
+    num_partitions: int | None = None,
+):
+    """Time-to-event (survival) feature: for every row, time until the
+    key's NEXT ``type_col == target`` row strictly after it in
+    (ts, tiebreak) order — NULL when the key never converts again.
+    The churn/conversion label: ``min(CASE WHEN type=target THEN
+    epoch(ts) END) OVER (... ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED
+    FOLLOWING) - epoch(ts)``.
+
+    ``out_unit='sec'`` emits float seconds (NaN for never);
+    ``out_unit='us'`` emits EXACT int64 microseconds (typed NULL for
+    never) straight off the timestamp column — zero float arithmetic,
+    so oracle parity is bitwise rather than round-hedged.
+
+    Vectorized without a suffix scan: target-row positions are already
+    sorted, so each row's next target is ONE ``searchsorted(tgt_idx,
+    i, 'right')`` away, validated against its segment end.  Same ONE
+    hash-partition shape as the other window ops; run-segmented.
+    """
+    if out_unit not in ("sec", "us"):
+        raise ValueError(f"out_unit must be 'sec' or 'us', got {out_unit!r}")
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            typ = pa.float64() if out_unit == "sec" else pa.int64()
+            return t.append_column(out_col, pa.array([], type=typ))
+        codes = _key_codes(t, key)
+        if out_unit == "us":
+            tsf = t[ts_col].cast(pa.int64()).to_numpy()
+        else:
+            tsf = t[TS_SEC].to_numpy()
+        is_tgt = pc.fill_null(pc.equal(t[type_col], target),
+                              False).to_numpy(zero_copy_only=False)
+        tgt_idx = np.flatnonzero(np.asarray(is_tgt, dtype=bool))
+        out = np.zeros(n, dtype=tsf.dtype)
+        ok = np.zeros(n, dtype=bool)
+        if len(tgt_idx):
+            # segment end (exclusive) per row = start of the NEXT run
+            first = np.r_[True, codes[1:] != codes[:-1]]
+            starts = np.flatnonzero(first)
+            seg_end = np.repeat(np.r_[starts[1:], n],
+                                np.diff(np.r_[starts, n]))
+            j = np.searchsorted(tgt_idx, np.arange(n), side="right")
+            nxt = tgt_idx[np.minimum(j, len(tgt_idx) - 1)]
+            ok = (j < len(tgt_idx)) & (nxt < seg_end)
+            out[ok] = tsf[nxt[ok]] - tsf[np.flatnonzero(ok)]
+        if out_unit == "us":
+            col = pa.array(out.astype(np.int64), mask=~ok)
+        else:
+            outf = out.astype(np.float64)
+            outf[~ok] = np.nan
+            col = pa.array(outf)
+        return t.append_column(out_col, col)
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

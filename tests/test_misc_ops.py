@@ -254,3 +254,69 @@ def test_add_seasonal_deviation_vs_pandas(ray_session):
     np.testing.assert_allclose(got["season_mean"], exp, atol=1e-12)
     np.testing.assert_allclose(got["season_dev"], df["value"] - exp,
                                atol=1e-12)
+
+
+def test_add_time_to_event_vs_bruteforce(ray_session):
+    """tte == per-row brute force: time of the key's next target row
+    strictly after it in (ts, id) order; NULL/NaN when none.  Both
+    units, and the us unit is exact int64."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_time_to_event
+
+    rng = np.random.default_rng(31)
+    n = 700
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + np.sort(rng.integers(0, 10 * 86400, n)) \
+        .astype("timedelta64[s]").astype("timedelta64[us]")
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 9, n)),
+        "ts": pa.array(ts),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "etype": pa.array(rng.choice(["buy", "view", "click"], n,
+                                     p=[0.1, 0.5, 0.4])),
+    })
+    got = (add_time_to_event(rd.from_arrow(t), "k", "ts", "etype",
+                             "buy", tiebreak="id", out_col="tte_us",
+                             out_unit="us")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = t.to_pandas().sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    usec = df["ts"].astype("int64")
+    exp = np.full(n, -1, dtype=np.int64)
+    for kk, g in df.groupby("k", sort=False):
+        gi = g.index.to_numpy()
+        for pos, i in enumerate(gi):
+            fut = [j for j in gi[pos + 1:] if df["etype"][j] == "buy"]
+            if fut:
+                exp[df["id"][i]] = usec[fut[0]] - usec[i]
+    gv = got["tte_us"].to_numpy(na_value=-1).astype(np.int64)
+    assert (gv == exp).all()
+    # sec unit agrees where defined
+    got_s = (add_time_to_event(rd.from_arrow(t), "k", "ts", "etype",
+                               "buy", tiebreak="id")
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    sv = got_s["tte_sec"].to_numpy()
+    defined = exp >= 0
+    assert (np.isnan(sv) == ~defined).all()
+    np.testing.assert_allclose(sv[defined], exp[defined] / 1e6,
+                               rtol=1e-12)
+
+
+def test_frequency_encode_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import frequency_encode
+
+    rng = np.random.default_rng(33)
+    n = 2000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "c": pa.array(rng.choice(["a", "b", "c", "d"], n,
+                                 p=[0.5, 0.3, 0.15, 0.05])),
+    })
+    got = (frequency_encode(rd.from_arrow(t), "c")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = t.to_pandas()
+    exp_cnt = df.groupby("c")["c"].transform("count")
+    assert (got["c_count"].to_numpy() == exp_cnt.to_numpy()).all()
+    np.testing.assert_allclose(got["c_freq"], exp_cnt / n, atol=1e-15)

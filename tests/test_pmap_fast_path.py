@@ -458,3 +458,22 @@ def test_fast_path_pagerank_dedupe(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist[0], ["node"]),
                                   _norm(fast[0], ["node"]))
+
+
+def test_fast_path_time_to_event(ray_session, monkeypatch):
+    """add_time_to_event is a run-segmented partition_map consumer —
+    fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_time_to_event
+
+    t = _events()
+
+    def run():
+        return (add_time_to_event(rd.from_arrow(t), "user_id", "ts",
+                                  "etype", "b",
+                                  tiebreak="event_id").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
+                                  _norm(fast[0], ["event_id"]))
