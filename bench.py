@@ -377,6 +377,15 @@ def run_suite() -> dict:
                 "event_type", "s", "e")),
             ("te_oof", lambda: target_encode_oof(
                 sev, "event_type", "value", "event_id")),
+            ("tte", lambda: __import__(
+                "netml_ray.windows", fromlist=["add_time_to_event"])
+                .add_time_to_event(sev, "user_id", "ts", "event_type",
+                                   "purchase", tiebreak="event_id")),
+            ("fwd_window", lambda: __import__(
+                "netml_ray.windows", fromlist=["add_forward_window"])
+                .add_forward_window(sev, "user_id", "ts", "value",
+                                    horizon_sec=50_000_000.0,
+                                    tiebreak="event_id")),
         ]:
             t0 = time.time()
             _consume(fn(), label)
@@ -384,6 +393,31 @@ def run_suite() -> dict:
             seqstats[f"{label}_rows_per_sec"] = round(
                 sq_rows / max(seqstats[f"{label}_sec"], 1e-9), 1)
         seqstats["seqstats_rows"] = sq_rows
+
+        # graph family: PageRank over a deterministic synthetic edge
+        # stream (2M parallel-edge rows, 100k nodes, 3 iterations —
+        # one dedup exchange + 4 narrow passes)
+        if os.environ.get("GRAFT_SKIP_GRAPH") != "1":
+            from netml_ray.graph import pagerank as _pagerank
+
+            g_rows = int(os.environ.get("GRAFT_GRAPH_ROWS", "2000000"))
+
+            def _edges(t: _pa.Table) -> _pa.Table:
+                i = t["id"].to_numpy()
+                h1 = (i * 2654435761) % (1 << 31)
+                h2 = (i * 1103515245 + 12345) % (1 << 31)
+                return _pa.table({
+                    "src": _pa.array((h1 % 100_000).astype(_np.int64)),
+                    "dst": _pa.array((h2 % 100_000).astype(_np.int64))})
+
+            eds = (rd.range(g_rows, override_num_blocks=NUM_CPUS * 4)
+                   .map_batches(_edges, batch_format="pyarrow"))
+            t0 = time.time()
+            pr = _pagerank(eds, iters=3, num_partitions=NUM_CPUS * 2)
+            seqstats["pagerank_sec"] = round(time.time() - t0, 3)
+            seqstats["pagerank_edges_per_sec"] = round(
+                g_rows / max(seqstats["pagerank_sec"], 1e-9), 1)
+            seqstats["pagerank_nodes"] = pr.num_rows
 
     crawl_docs = crawl_rows
     result = {

@@ -93,11 +93,16 @@ def pagerank(edges, src: str = "src", dst: str = "dst", *,
                 [cs, np.zeros(len(ud), dtype=np.int64)]).astype(np.int64)),
         })
 
-    parts = ds.map_batches(_nodes_deg, batch_format="pyarrow").take_all()
-    nodes_arr = np.fromiter((r["node"] for r in parts), dtype=np.int64,
-                            count=len(parts))
-    cnt_arr = np.fromiter((r["out_cnt"] for r in parts), dtype=np.int64,
-                          count=len(parts))
+    nd_parts, cnt_parts = [], []
+    for bt in ds.map_batches(_nodes_deg, batch_size=None,
+                             batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        nd_parts.append(bt["node"].to_numpy())
+        cnt_parts.append(bt["out_cnt"].to_numpy())
+    nodes_arr = np.concatenate(nd_parts) if nd_parts else \
+        np.empty(0, dtype=np.int64)
+    cnt_arr = np.concatenate(cnt_parts) if cnt_parts else \
+        np.empty(0, dtype=np.int64)
     nodes, inv = np.unique(nodes_arr, return_inverse=True)
     n = len(nodes)
     if n > max_nodes:
@@ -123,13 +128,12 @@ def pagerank(edges, src: str = "src", dst: str = "dst", *,
             return pa.table({"code": pa.array(nz.astype(np.int64)),
                              "c": pa.array(c[nz])})
 
-        rows = ds.map_batches(_contrib, batch_format="pyarrow").take_all()
-        codes = np.fromiter((r["code"] for r in rows), dtype=np.int64,
-                            count=len(rows))
-        vals = np.fromiter((r["c"] for r in rows), dtype=np.float64,
-                           count=len(rows))
         total = np.zeros(n)
-        np.add.at(total, codes, vals)
+        for bt in ds.map_batches(_contrib, batch_size=None,
+                        batch_format="pyarrow") \
+                    .iter_batches(batch_size=None, batch_format="pyarrow"):
+            np.add.at(total, bt["code"].to_numpy(),
+                      bt["c"].to_numpy())
         rank = (1.0 - damping) / n + damping * total
 
     return pa.table({"node": pa.array(nodes),
