@@ -614,6 +614,64 @@ FROM events
 """
 
 
+def q_rolling_distinct_events(sf_dir: str):
+    """Behavioral-diversity feature: DISTINCT event types among the
+    user's trailing 5 events — exact int64 (bitwise oracle parity);
+    windows.add_rolling_distinct."""
+    from netml_ray.windows import add_rolling_distinct
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    out = add_rolling_distinct(ev, "user_id", "ts", "event_type",
+                               window=5, tiebreak="event_id",
+                               num_partitions=P)
+    return out.select_columns(["event_id", "user_id", "roll_distinct"])
+
+
+SQL_ROLLING_DISTINCT = """
+SELECT event_id, user_id,
+       count(DISTINCT event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS roll_distinct
+FROM events
+"""
+
+
+def q_welch_ttest_events(sf_dir: str):
+    """A/B statistical testing: Welch two-sample t between purchase
+    and click values (one narrow 6-doubles-per-batch partial pass) —
+    mlprep.welch_ttest.  Round-6 hedge: the power-sum variance route
+    and DuckDB's streaming var_samp agree to ~1e-9 relative, so a
+    1e-6 quantum is safely above both sides' noise."""
+    from netml_ray.mlprep import welch_ttest
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return welch_ttest(ev, "event_type", "value", "purchase", "click",
+                       round_to=6)
+
+
+SQL_WELCH_TTEST = """
+WITH s AS (
+  SELECT
+    count(*) FILTER (WHERE event_type = 'purchase') AS n_a,
+    count(*) FILTER (WHERE event_type = 'click') AS n_b,
+    avg(value) FILTER (WHERE event_type = 'purchase') AS ma,
+    avg(value) FILTER (WHERE event_type = 'click') AS mb,
+    var_samp(value) FILTER (WHERE event_type = 'purchase') AS va,
+    var_samp(value) FILTER (WHERE event_type = 'click') AS vb
+  FROM events)
+SELECT n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(va, 6) AS var_a, round(vb, 6) AS var_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+       round(pow(va / n_a + vb / n_b, 2)
+             / (pow(va / n_a, 2) / (n_a - 1)
+                + pow(vb / n_b, 2) / (n_b - 1)), 6) AS df
+FROM s
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -3988,11 +4046,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         # -- new in the r5 continuation (rotated-out slots below)
         "moments_events": q_moments_events,
-        "corr_events": q_corr_events,
+        # (corr_events / mode_events rotated to the tail for the
+        # rolling_distinct / welch_ttest additions: both are
+        # checker-verified r5 entries whose underlying machinery
+        # stays in-window — power-sum partials via moments_events,
+        # cat-count partials via entropy_events)
+        "rolling_distinct_events": q_rolling_distinct_events,
         "topk_per_group_events": q_topk_per_group_events,
         "robust_zscore_events": q_robust_zscore_events,
         "entropy_events": q_entropy_events,
-        "mode_events": q_mode_events,
+        "welch_ttest_events": q_welch_ttest_events,
         "mutual_info_docs": q_mutual_info_docs,
         "histogram_events": q_histogram_events,
         "char_entropy_docs": q_char_entropy_docs,
@@ -4039,6 +4102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch, judge-run ok for centroid_distance)
         "knn_cosine_ivf_batch": q_knn_cosine_ivf_batch,
         "centroid_distance": q_centroid_distance,
+        # rotated OUT for rolling_distinct/welch_ttest (see in-window
+        # comments; checker-verified, machinery pinned in-window)
+        "corr_events": q_corr_events,
+        "mode_events": q_mode_events,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4255,4 +4322,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_partsupp": SQL_PAGERANK,
         "time_to_purchase_events": SQL_TIME_TO_PURCHASE,
         "freq_encode_events": SQL_FREQ_ENCODE,
+        "rolling_distinct_events": SQL_ROLLING_DISTINCT,
+        "welch_ttest_events": SQL_WELCH_TTEST,
     }

@@ -37,7 +37,7 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "kmeans_fit", "kmeans_predict",
            "group_moments", "group_corr", "robust_zscore",
            "group_entropy", "group_mode", "mutual_information",
-           "target_encode_oof", "frequency_encode"]
+           "target_encode_oof", "frequency_encode", "welch_ttest"]
 
 
 # ---------------------------------------------------------------------------
@@ -1087,3 +1087,56 @@ def frequency_encode(ds, col: str, *, round_to: int | None = None):
         return t.append_column(f"{col}_freq", pa.array(freq_arr[code]))
 
     return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def welch_ttest(ds, group_col: str, value_col: str, a, b,
+                *, round_to: int | None = None) -> pa.Table:
+    """Two-sample Welch t-test between groups ``a`` and ``b`` of
+    ``group_col`` on ``value_col`` — the A/B-metrics primitive.
+    Returns ONE row: n/mean/sample-variance per group, the Welch t
+    statistic and the Welch–Satterthwaite degrees of freedom,
+    computed exactly as the SQL oracle states them (avg / var_samp;
+    t = (ma-mb)/sqrt(va/na + vb/nb)).
+
+    Scale shape: one narrow pass of per-batch (n, Σ, Σx²) partials for
+    each group — six doubles per batch, no shuffle, driver combine.
+    Sample variance from the power sums: var = (Σx² - n·mean²)/(n-1),
+    adequate at double precision for feature columns and EXACTLY the
+    mergeable-partial route every other moments op here uses.
+    """
+    def _partial(t: pa.Table) -> pa.Table:
+        out = []
+        for g in (a, b):
+            m = pc.fill_null(pc.equal(t[group_col], g), False)
+            v = pc.filter(t[value_col], m).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            out.append((len(v), v.sum() if len(v) else 0.0,
+                        (v * v).sum() if len(v) else 0.0))
+        return pa.table({
+            "g": pa.array([0, 1], type=pa.int64()),
+            "n": pa.array([out[0][0], out[1][0]], type=pa.int64()),
+            "s": pa.array([out[0][1], out[1][1]]),
+            "sq": pa.array([out[0][2], out[1][2]])})
+
+    agg = np.zeros((2, 3))
+    for bt in ds.map_batches(_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        g = bt["g"].to_numpy()
+        agg[g, 0] += bt["n"].to_numpy()
+        agg[g, 1] += bt["s"].to_numpy()
+        agg[g, 2] += bt["sq"].to_numpy()
+    (na, sa, qa), (nb, sb, qb) = agg
+    ma, mb = sa / na, sb / nb
+    va = (qa - na * ma * ma) / (na - 1.0)
+    vb = (qb - nb * mb * mb) / (nb - 1.0)
+    se2 = va / na + vb / nb
+    tstat = (ma - mb) / np.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1.0)
+                      + (vb / nb) ** 2 / (nb - 1.0))
+    vals = {"n_a": int(na), "n_b": int(nb), "mean_a": ma, "mean_b": mb,
+            "var_a": va, "var_b": vb, "t_stat": tstat, "df": df}
+    if round_to is not None:
+        for k in ("mean_a", "mean_b", "var_a", "var_b", "t_stat", "df"):
+            vals[k] = float(np.round(vals[k], round_to))
+    return pa.table({k: pa.array([v]) for k, v in vals.items()})

@@ -958,3 +958,64 @@ def add_time_to_event(
 
     return partition_map(ds, key, _fn, sort_by=sort_by,
                          num_partitions=num_partitions)
+
+
+def add_rolling_distinct(
+    ds,
+    key: str,
+    ts_col: str,
+    cat_col: str,
+    *,
+    window: int = 5,
+    tiebreak: str | None = None,
+    out_col: str = "roll_distinct",
+    num_partitions: int | None = None,
+):
+    """Rolling DISTINCT count of ``cat_col`` over the current +
+    window-1 preceding rows per key (SQL ``count(DISTINCT c) OVER
+    (... ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``) — the
+    behavioral-diversity feature ("how many different actions in the
+    user's last 5 events").  Exact int64, so oracle parity is bitwise.
+
+    Vectorized via the last-occurrence rule: position j counts toward
+    window [lo_i, i] iff j's NEXT same-category occurrence inside its
+    key run lands after i.  ``nxt`` comes from one lexsort of
+    (run, category, position); the window sum is <= ``window`` shifted
+    vectorized compares — O(n·window), the same regime as
+    ``rolling_corr``.  ONE hash exchange; run-segmented.
+    """
+    ds = with_ts_sec(ds, ts_col)
+    sort_by = [key, TS_SEC] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col,
+                                   pa.array([], type=pa.int64()))
+        codes = _key_codes(t, key)
+        cat = t[cat_col].combine_chunks() if isinstance(
+            t[cat_col], pa.ChunkedArray) else t[cat_col]
+        ccode = pc.dictionary_encode(cat).indices.to_numpy().astype(
+            np.int64)
+        pos = np.arange(n, dtype=np.int64)
+        order = np.lexsort((pos, ccode, codes))
+        oc, ok_, op = codes[order], ccode[order], pos[order]
+        same = np.r_[(oc[:-1] == oc[1:]) & (ok_[:-1] == ok_[1:]), False]
+        # next same-(run,cat) position: the following entry in the
+        # lexsort order where the (run, cat) pair repeats
+        nxt_sorted = np.full(n, n, dtype=np.int64)
+        nxt_sorted[:-1] = np.where(same[:-1], op[1:], n)
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[op] = nxt_sorted
+        seg0 = _seg_starts_per_row(codes)
+        lo = np.maximum(seg0, pos - (window - 1))
+        cnt = np.zeros(n, dtype=np.int64)
+        for k in range(window):
+            j = pos - k
+            valid = j >= lo
+            jv = j[valid]
+            cnt[valid] += (nxt[jv] > pos[valid]).astype(np.int64)
+        return t.append_column(out_col, pa.array(cnt))
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

@@ -320,3 +320,57 @@ def test_frequency_encode_vs_pandas(ray_session):
     exp_cnt = df.groupby("c")["c"].transform("count")
     assert (got["c_count"].to_numpy() == exp_cnt.to_numpy()).all()
     np.testing.assert_allclose(got["c_freq"], exp_cnt / n, atol=1e-15)
+
+
+def test_add_rolling_distinct_vs_bruteforce(ray_session):
+    """roll_distinct == len(set(...)) over the trailing-5 window per
+    key, exact int64."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_rolling_distinct
+
+    rng = np.random.default_rng(41)
+    n = 900
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 8, n)),
+        "ts": pa.array(np.sort(rng.integers(0, 300, n))
+                       .astype(np.float64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "c": pa.array(rng.choice(["a", "b", "c", "d", "e"], n)),
+    })
+    got = (add_rolling_distinct(rd.from_arrow(t), "k", "ts", "c",
+                                window=5, tiebreak="id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = t.to_pandas().sort_values(["k", "ts", "id"])
+    exp = np.empty(n, dtype=np.int64)
+    for _, g in df.groupby("k", sort=False):
+        cs = g["c"].to_list()
+        ids = g["id"].to_list()
+        for i in range(len(cs)):
+            exp[ids[i]] = len(set(cs[max(0, i - 4):i + 1]))
+    assert (got["roll_distinct"].to_numpy() == exp).all()
+
+
+def test_welch_ttest_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import welch_ttest
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    g = rng.choice(["x", "y", "z"], n, p=[0.4, 0.4, 0.2])
+    v = rng.normal(loc=np.where(g == "x", 5.0, 4.5), scale=2.0)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    got = welch_ttest(rd.from_arrow(t), "g", "v", "x", "y").to_pandas()
+    xa, xb = v[g == "x"], v[g == "y"]
+    ma, mb = xa.mean(), xb.mean()
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    se2 = va / len(xa) + vb / len(xb)
+    tstat = (ma - mb) / np.sqrt(se2)
+    df = se2 ** 2 / ((va / len(xa)) ** 2 / (len(xa) - 1)
+                     + (vb / len(xb)) ** 2 / (len(xb) - 1))
+    assert got["n_a"][0] == len(xa) and got["n_b"][0] == len(xb)
+    np.testing.assert_allclose(
+        got[["mean_a", "mean_b", "var_a", "var_b", "t_stat", "df"]]
+        .iloc[0].to_numpy(),
+        [ma, mb, va, vb, tstat, df], rtol=1e-9)

@@ -477,3 +477,22 @@ def test_fast_path_time_to_event(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
                                   _norm(fast[0], ["event_id"]))
+
+
+def test_fast_path_rolling_distinct(ray_session, monkeypatch):
+    """add_rolling_distinct is a run-segmented partition_map consumer —
+    fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.windows import add_rolling_distinct
+
+    t = _events()
+
+    def run():
+        return (add_rolling_distinct(rd.from_arrow(t), "user_id", "ts",
+                                     "etype", window=4,
+                                     tiebreak="event_id").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
+                                  _norm(fast[0], ["event_id"]))
