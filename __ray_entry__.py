@@ -515,22 +515,11 @@ def q_pagerank_partsupp(sf_dir: str):
     vector is broadcast."""
     from netml_ray.graph import pagerank
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-
-    def _edges(t: pa.Table) -> pa.Table:
-        p = (t["l_partkey"].to_numpy() * 2).astype(np.int64)
-        s = (t["l_suppkey"].to_numpy() * 2 + 1).astype(np.int64)
-        return pa.table({"src": pa.array(np.concatenate([p, s])),
-                         "dst": pa.array(np.concatenate([s, p]))})
-
-    edges = li.map_batches(_edges, batch_format="pyarrow")
-    pr = pagerank(edges, iters=3, damping=0.85, num_partitions=P)
+    pr = pagerank(_partsupp_edges(sf_dir, symmetric=True), iters=3,
+                  damping=0.85, num_partitions=P)
     node = pr["node"].to_numpy()
-    prefix = pa.array(np.where(node % 2 == 0, "p", "s"))
-    num = pa.array((node // 2).astype(str))
-    label = pc.binary_join_element_wise(prefix, num, "")
     rank = pa.array(np.round(pr["pagerank"].to_numpy(), 9))
-    return pa.table({"node": label, "pagerank": rank})
+    return pa.table({"node": _node_labels(node), "pagerank": rank})
 
 
 SQL_PAGERANK = """
@@ -670,6 +659,123 @@ SELECT n_a, n_b,
                 + pow(vb / n_b, 2) / (n_b - 1)), 6) AS df
 FROM s
 """
+
+
+def _partsupp_edges(sf_dir: str, symmetric: bool):
+    """Namespaced int64 edge Dataset over DISTINCT lineitem
+    (part, supplier) pairs: part -> 2*p, supplier -> 2*s+1."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        p = (t["l_partkey"].to_numpy() * 2).astype(np.int64)
+        s = (t["l_suppkey"].to_numpy() * 2 + 1).astype(np.int64)
+        if symmetric:
+            return pa.table({"src": pa.array(np.concatenate([p, s])),
+                             "dst": pa.array(np.concatenate([s, p]))})
+        return pa.table({"src": pa.array(p), "dst": pa.array(s)})
+
+    return li.map_batches(_edges, batch_format="pyarrow")
+
+
+def _node_labels(node: np.ndarray) -> pa.Array:
+    prefix = pa.array(np.where(node % 2 == 0, "p", "s"))
+    num = pa.array((node // 2).astype(str))
+    return pc.binary_join_element_wise(prefix, num, "")
+
+
+def q_hits_partsupp(sf_dir: str):
+    """HITS hubs & authorities (2 L1-normalized iterations) over the
+    DIRECTED part->supplier graph — parts are pure hubs, suppliers
+    pure authorities; graph.hits."""
+    from netml_ray.graph import hits
+
+    h = hits(_partsupp_edges(sf_dir, symmetric=False), iters=2,
+             num_partitions=P)
+    node = h["node"].to_numpy()
+    return pa.table({
+        "node": _node_labels(node),
+        "hub": pa.array(np.round(h["hub"].to_numpy(), 9)),
+        "auth": pa.array(np.round(h["auth"].to_numpy(), 9))})
+
+
+SQL_HITS = """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pe),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+a1u AS (SELECT e.dst AS node, sum(h.r) AS c
+        FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+a1 AS (SELECT nodes.node,
+              coalesce(a1u.c, 0) / (SELECT sum(c) FROM a1u) AS r
+       FROM nodes LEFT JOIN a1u ON a1u.node = nodes.node),
+h1u AS (SELECT e.src AS node, sum(a.r) AS c
+        FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+h1 AS (SELECT nodes.node,
+              coalesce(h1u.c, 0) / (SELECT sum(c) FROM h1u) AS r
+       FROM nodes LEFT JOIN h1u ON h1u.node = nodes.node),
+a2u AS (SELECT e.dst AS node, sum(h.r) AS c
+        FROM edges e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+a2 AS (SELECT nodes.node,
+              coalesce(a2u.c, 0) / (SELECT sum(c) FROM a2u) AS r
+       FROM nodes LEFT JOIN a2u ON a2u.node = nodes.node),
+h2u AS (SELECT e.src AS node, sum(a.r) AS c
+        FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+h2 AS (SELECT nodes.node,
+              coalesce(h2u.c, 0) / (SELECT sum(c) FROM h2u) AS r
+       FROM nodes LEFT JOIN h2u ON h2u.node = nodes.node)
+SELECT CASE WHEN h2.node % 2 = 0 THEN 'p' || CAST(h2.node // 2 AS VARCHAR)
+            ELSE 's' || CAST(h2.node // 2 AS VARCHAR) END AS node,
+       round(h2.r, 9) AS hub, round(a2.r, 9) AS auth
+FROM h2 JOIN a2 ON a2.node = h2.node
+"""
+
+
+def q_cooccur_suppliers(sf_dir: str):
+    """Link prediction: common-neighbor Jaccard between suppliers
+    sharing parts (pairs over distinct memberships, degrees over all
+    memberships, max_group quadratic guard) —
+    graph.cooccurrence_similarity."""
+    from netml_ray.graph import cooccurrence_similarity
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    out = cooccurrence_similarity(li, "l_partkey", "l_suppkey",
+                                  max_group=4096, num_partitions=P)
+    return out.map_batches(
+        lambda t: _hedge_round_cols(t, ("jaccard",), 9),
+        batch_format="pyarrow")
+
+
+SQL_COOCCUR = """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+ok_groups AS (SELECT p FROM pe GROUP BY p HAVING count(*) <= 4096),
+pe2 AS (SELECT pe.p, pe.s FROM pe JOIN ok_groups USING (p)),
+deg AS (SELECT s, count(*) AS d FROM pe GROUP BY s),
+pairs AS (SELECT a.s AS item_a, b.s AS item_b, count(*) AS common
+          FROM pe2 a JOIN pe2 b ON a.p = b.p AND a.s < b.s
+          GROUP BY a.s, b.s)
+SELECT item_a, item_b, common,
+       round(common / (1.0 * (d1.d + d2.d - common)), 9) AS jaccard
+FROM pairs JOIN deg d1 ON d1.s = item_a JOIN deg d2 ON d2.s = item_b
+"""
+
+
+def q_components_partsupp(sf_dir: str):
+    """Connected components of the part<->supplier graph via the
+    dedup family's iterated min-label propagation (rows-only: the
+    fixpoint iteration count is data-dependent, so no bounded SQL
+    oracle; the kernel is pytest-pinned driver==distributed)."""
+    from netml_ray.dedup import connected_components
+
+    eds = _partsupp_edges(sf_dir, symmetric=False)
+    pairs = eds.map_batches(
+        lambda t: pa.table({"id_a": t["src"], "id_b": t["dst"]}),
+        batch_format="pyarrow")
+    comp = connected_components(pairs).to_pandas()
+    comp["node"] = np.where(comp["doc_id"] % 2 == 0, "p", "s") \
+        + (comp["doc_id"] // 2).astype(str)
+    return comp[["node", "cluster"]].sort_values("node") \
+        .reset_index(drop=True)
 
 
 def q_cumulative_events(sf_dir: str):
@@ -4053,7 +4159,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cat-count partials via entropy_events)
         "rolling_distinct_events": q_rolling_distinct_events,
         "topk_per_group_events": q_topk_per_group_events,
-        "robust_zscore_events": q_robust_zscore_events,
+        # (robust_zscore_events / transitions_events rotated to the
+        # tail for the hits/cooccur graph additions: both
+        # checker-verified r5 entries; median/MAD machinery pinned by
+        # the in-window exact-quantile family, bincount transition
+        # partials by entropy_events/mutual_info_docs)
+        "hits_partsupp": q_hits_partsupp,
         "entropy_events": q_entropy_events,
         "welch_ttest_events": q_welch_ttest_events,
         "mutual_info_docs": q_mutual_info_docs,
@@ -4061,7 +4172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_docs": q_char_entropy_docs,
         "edit_distance_docs": q_edit_distance_docs,
         "funnel_stages_events": q_funnel_stages_events,
-        "transitions_events": q_transitions_events,
+        "cooccur_suppliers": q_cooccur_suppliers,
         "target_encode_oof_events": q_target_encode_oof_events,
         "interval_sweep_events": q_interval_sweep_events,
         "cohort_retention_events": q_cohort_retention_events,
@@ -4069,6 +4180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_events": q_autocorr_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
+        "components_partsupp": q_components_partsupp,
         "pack_docs": q_pack_docs,
         "pca_embeddings": q_pca_embeddings,
         "anomaly_scores": q_anomaly_scores,
@@ -4106,6 +4218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # comments; checker-verified, machinery pinned in-window)
         "corr_events": q_corr_events,
         "mode_events": q_mode_events,
+        # rotated OUT for hits/cooccur (see in-window comments)
+        "robust_zscore_events": q_robust_zscore_events,
+        "transitions_events": q_transitions_events,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4324,4 +4439,6 @@ def oracle_sql() -> dict[str, str]:
         "freq_encode_events": SQL_FREQ_ENCODE,
         "rolling_distinct_events": SQL_ROLLING_DISTINCT,
         "welch_ttest_events": SQL_WELCH_TTEST,
+        "hits_partsupp": SQL_HITS,
+        "cooccur_suppliers": SQL_COOCCUR,
     }

@@ -71,3 +71,107 @@ def test_pagerank_sink_and_source(ray_session):
     assert np.isclose(r[0], floor) and np.isclose(r[2], floor)
     # sink: floor + d * (two sources at floor, deg 1 each)
     assert np.isclose(r[1], floor + 0.85 * 2 * floor)
+
+
+def test_hits_vs_dense(ray_session):
+    """hub/auth == dense L1-normalized iteration on a random directed
+    graph; on a bipartite left->right graph, left nodes are pure hubs
+    (auth 0) and right pure authorities (hub 0)."""
+    import ray.data as rd
+
+    from netml_ray.graph import hits
+
+    rng = np.random.default_rng(7)
+    edges = set()
+    while len(edges) < 120:
+        s, d = rng.integers(0, 25, 2)
+        if s != d:
+            edges.add((int(s), int(d)))
+    edges = sorted(edges)
+    present = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(present)}
+    n = len(present)
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[idx[d], idx[s]] = 1.0  # A[dst, src]
+    h = np.full(n, 1.0 / n)
+    for _ in range(3):
+        a = A @ h
+        a = a / a.sum() if a.sum() > 0 else a
+        h = A.T @ a
+        h = h / h.sum() if h.sum() > 0 else h
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(np.array([e[0] for e in edges], dtype=np.int64)),
+        "dst": pa.array(np.array([e[1] for e in edges], dtype=np.int64))}))
+    got = hits(ds, iters=3, num_partitions=4)
+    assert list(got["node"].to_numpy()) == present
+    np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-12)
+    np.testing.assert_allclose(got["auth"].to_numpy(), a, atol=1e-12)
+
+    # bipartite purity
+    ds2 = rd.from_arrow(pa.table({
+        "src": pa.array(np.array([0, 2, 4], dtype=np.int64)),
+        "dst": pa.array(np.array([1, 1, 3], dtype=np.int64))}))
+    g2 = hits(ds2, iters=2)
+    d2 = {int(r["node"]): (r["hub"], r["auth"])
+          for r in g2.to_pylist()}
+    assert d2[1][0] == 0 and d2[3][0] == 0        # sinks: no hub score
+    assert d2[0][1] == 0 and d2[2][1] == 0 and d2[4][1] == 0
+
+
+def test_cooccurrence_similarity_vs_bruteforce(ray_session):
+    """pair common counts + jaccard == brute-force over distinct
+    memberships, with duplicated input rows ignored."""
+    import itertools
+
+    import ray.data as rd
+
+    from netml_ray.graph import cooccurrence_similarity
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    g = rng.integers(0, 60, n)
+    it = rng.integers(0, 15, n)
+    t = pa.table({"g": pa.array(g.astype(np.int64)),
+                  "i": pa.array(it.astype(np.int64))})
+    got = (cooccurrence_similarity(rd.from_arrow(t), "g", "i",
+                                   num_partitions=4)
+           .to_pandas().sort_values(["item_a", "item_b"])
+           .reset_index(drop=True))
+    member = {}
+    for gg, ii in set(zip(g.tolist(), it.tolist())):
+        member.setdefault(gg, set()).add(ii)
+    deg = {}
+    for gg, s in member.items():
+        for ii in s:
+            deg[ii] = deg.get(ii, 0) + 1
+    common = {}
+    for gg, s in member.items():
+        for x, y in itertools.combinations(sorted(s), 2):
+            common[(x, y)] = common.get((x, y), 0) + 1
+    exp = sorted((x, y, c, c / (deg[x] + deg[y] - c))
+                 for (x, y), c in common.items())
+    assert len(got) == len(exp)
+    for row, (x, y, c, j) in zip(got.itertuples(index=False), exp):
+        assert (row.item_a, row.item_b, row.common) == (x, y, c)
+        assert abs(row.jaccard - j) < 1e-12
+
+
+def test_cooccurrence_max_group_skip(ray_session):
+    """groups above max_group contribute no pairs but still count
+    toward degrees."""
+    import ray.data as rd
+
+    from netml_ray.graph import cooccurrence_similarity
+
+    # group 0 has 4 members (skipped at max_group=3); group 1 has 2
+    t = pa.table({"g": pa.array([0, 0, 0, 0, 1, 1], type=pa.int64()),
+                  "i": pa.array([1, 2, 3, 4, 1, 2], type=pa.int64())})
+    got = (cooccurrence_similarity(rd.from_arrow(t), "g", "i",
+                                   max_group=3)
+           .to_pandas())
+    assert len(got) == 1
+    r = got.iloc[0]
+    # deg over ALL memberships: deg(1)=2, deg(2)=2; common=1 (group 1)
+    assert (r["item_a"], r["item_b"], r["common"]) == (1, 2, 1)
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12

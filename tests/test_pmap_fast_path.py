@@ -496,3 +496,26 @@ def test_fast_path_rolling_distinct(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist[0], ["event_id"]),
                                   _norm(fast[0], ["event_id"]))
+
+
+def test_fast_path_cooccurrence(ray_session, monkeypatch):
+    """cooccurrence_similarity's three partition_map stages compose to
+    a path-invariant final result (pair partials may differ per path;
+    the combine re-aggregates them)."""
+    import ray.data as rd
+
+    from netml_ray.graph import cooccurrence_similarity
+
+    rng = np.random.default_rng(13)
+    t = pa.table({"g": pa.array(rng.integers(0, 40, 1500)
+                                .astype(np.int64)),
+                  "i": pa.array(rng.integers(0, 12, 1500)
+                                .astype(np.int64))})
+
+    def run():
+        return (cooccurrence_similarity(rd.from_arrow(t), "g", "i",
+                                        num_partitions=4).to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["item_a", "item_b"]),
+                                  _norm(fast[0], ["item_a", "item_b"]))
