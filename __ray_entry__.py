@@ -778,6 +778,34 @@ def q_components_partsupp(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_random_projection_embeddings(sf_dir: str):
+    """JL signed random projection 64 -> 8 dims with the md5-parity
+    sign matrix the SQL oracle rebuilds from scratch —
+    mlprep.random_projection."""
+    from netml_ray.mlprep import random_projection
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return random_projection(emb, "embedding", "vec_id", d_in=64,
+                             d_out=8, round_to=6)
+
+
+SQL_RANDOM_PROJECTION = """
+WITH dims AS (
+  SELECT vec_id, CAST(u.idx - 1 AS BIGINT) AS i,
+         CAST(embedding[u.idx] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(idx)),
+signs AS (
+  SELECT d.i, r.j,
+         CASE WHEN ('0x' || substr(md5(d.i || '_' || r.j), 1, 15))::BIGINT
+                   % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT DISTINCT i FROM dims) d
+  CROSS JOIN (SELECT CAST(r AS BIGINT) AS j FROM range(8) t(r)) r)
+SELECT vec_id, j, round(sum(x * sgn) / sqrt(8.0), 6) AS proj
+FROM dims JOIN signs USING (i)
+GROUP BY vec_id, j
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -4146,7 +4174,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bin_events": q_quantile_bin_events,
         "target_encode_events": q_target_encode_events,
         "asof_tolerance_events": q_asof_tolerance_events,
-        "group_zscore_events": q_group_zscore_events,
+        # (group_zscore_events rotated to the tail for the JL random
+        # projection: checker-verified r5 entry; its group mean/std
+        # machinery is pinned in-window by moments_events and by the
+        # r04-green scaled_events driver row)
+        "random_projection_embeddings": q_random_projection_embeddings,
         "onehot_events": q_onehot_events,
         "feature_hash_events": q_feature_hash_events,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -4221,6 +4253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated OUT for hits/cooccur (see in-window comments)
         "robust_zscore_events": q_robust_zscore_events,
         "transitions_events": q_transitions_events,
+        # rotated OUT for random_projection_embeddings
+        "group_zscore_events": q_group_zscore_events,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4441,4 +4475,5 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest_events": SQL_WELCH_TTEST,
         "hits_partsupp": SQL_HITS,
         "cooccur_suppliers": SQL_COOCCUR,
+        "random_projection_embeddings": SQL_RANDOM_PROJECTION,
     }

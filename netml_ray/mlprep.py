@@ -37,7 +37,8 @@ __all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
            "kmeans_fit", "kmeans_predict",
            "group_moments", "group_corr", "robust_zscore",
            "group_entropy", "group_mode", "mutual_information",
-           "target_encode_oof", "frequency_encode", "welch_ttest"]
+           "target_encode_oof", "frequency_encode", "welch_ttest",
+           "random_projection"]
 
 
 # ---------------------------------------------------------------------------
@@ -1140,3 +1141,53 @@ def welch_ttest(ds, group_col: str, value_col: str, a, b,
         for k in ("mean_a", "mean_b", "var_a", "var_b", "t_stat", "df"):
             vals[k] = float(np.round(vals[k], round_to))
     return pa.table({k: pa.array([v]) for k, v in vals.items()})
+
+
+def _jl_signs(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic ±1 sign matrix keyed by md5(f"{i}_{j}") parity —
+    the same DuckDB-bit-equal construction as ``feature_hash`` (
+    ``('0x' || substr(md5(i || '_' || j), 1, 15))::BIGINT % 2``), so
+    the SQL oracle regenerates the IDENTICAL matrix from scratch."""
+    import hashlib
+
+    s = np.empty((d_in, d_out), dtype=np.float64)
+    for i in range(d_in):
+        for j in range(d_out):
+            h = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:15], 16)
+            s[i, j] = 1.0 if h % 2 == 0 else -1.0
+    return s
+
+
+def random_projection(ds, col: str, id_col: str, *, d_in: int,
+                      d_out: int = 8, round_to: int | None = None):
+    """Johnson–Lindenstrauss-style signed random projection of an
+    embedding ``list<float>`` column to ``d_out`` dims:
+    ``proj_j = Σ_i x_i · sign(i,j) / sqrt(d_out)`` with the
+    deterministic md5-parity sign matrix (Achlioptas 2003's ±1
+    database-friendly variant, seeded so SQL can rebuild it) — the
+    stateless dimensionality reducer for when PCA's fit pass is too
+    expensive or must be reproducible across disjoint runs.
+
+    Returns LONG format ``(id, j, proj)``.  One stateless vectorized
+    pass: the d_in × d_out matrix ships in the task closure
+    (kilobytes); per batch one float64 matmul.
+    """
+    S = _jl_signs(d_in, d_out) / np.sqrt(float(d_out))
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = _kmeans_matrix(t, col).astype(np.float64)
+        if m.shape[1] != d_in:
+            raise ValueError(
+                f"random_projection: expected {d_in}-dim vectors, "
+                f"got {m.shape[1]}")
+        proj = m @ S
+        if round_to is not None:
+            proj = np.round(proj, round_to)
+        n = len(m)
+        ids = np.repeat(t[id_col].to_numpy(), d_out)
+        return pa.table({
+            id_col: pa.array(ids),
+            "j": pa.array(np.tile(np.arange(d_out, dtype=np.int64), n)),
+            "proj": pa.array(proj.reshape(-1))})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
