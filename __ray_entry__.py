@@ -806,6 +806,33 @@ GROUP BY vec_id, j
 """
 
 
+def q_rollup_events(sf_dir: str):
+    """OLAP ROLLUP(event_type, hour-of-day): all three levels from one
+    exchange — windows.rollup_agg."""
+    from netml_ray.windows import rollup_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _hr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hr": pc.hour(t["ts"]).cast(pa.int64()),
+            "value": t["value"]})
+
+    out = rollup_agg(ev.map_batches(_hr, batch_format="pyarrow"),
+                     "event_type", "hr", "value", num_partitions=P)
+    return out.map_batches(lambda t: _hedge_round_cols(t, ("s",), 9),
+                           batch_format="pyarrow")
+
+
+SQL_ROLLUP = """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+       count(*) AS n, round(sum(value), 9) AS s
+FROM events
+GROUP BY ROLLUP(event_type, hour(ts))
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -4200,8 +4227,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_events": q_entropy_events,
         "welch_ttest_events": q_welch_ttest_events,
         "mutual_info_docs": q_mutual_info_docs,
+        # (char_entropy_docs rotated to the tail for rollup_events:
+        # checker-verified r5 entry; the doc-byte bincount kernel is a
+        # sibling of the in-window histogram/entropy count machinery)
+        "rollup_events": q_rollup_events,
         "histogram_events": q_histogram_events,
-        "char_entropy_docs": q_char_entropy_docs,
         "edit_distance_docs": q_edit_distance_docs,
         "funnel_stages_events": q_funnel_stages_events,
         "cooccur_suppliers": q_cooccur_suppliers,
@@ -4255,6 +4285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions_events": q_transitions_events,
         # rotated OUT for random_projection_embeddings
         "group_zscore_events": q_group_zscore_events,
+        # rotated OUT for rollup_events (see in-window comment)
+        "char_entropy_docs": q_char_entropy_docs,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4476,4 +4508,5 @@ def oracle_sql() -> dict[str, str]:
         "hits_partsupp": SQL_HITS,
         "cooccur_suppliers": SQL_COOCCUR,
         "random_projection_embeddings": SQL_RANDOM_PROJECTION,
+        "rollup_events": SQL_ROLLUP,
     }

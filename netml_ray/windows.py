@@ -1019,3 +1019,106 @@ def add_rolling_distinct(
 
     return partition_map(ds, key, _fn, sort_by=sort_by,
                          num_partitions=num_partitions)
+
+
+def rollup_agg(
+    ds,
+    key_a: str,
+    key_b: str,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+):
+    """OLAP ROLLUP over two grouping columns: one pass emits ALL
+    levels — ``(a, b)``, ``(a, NULL)`` and the ``(NULL, NULL)`` grand
+    total — with ``n`` (count) and ``s`` (sum of ``value_col``),
+    exactly SQL ``GROUP BY ROLLUP(a, b)``.
+
+    Scale shape: map-side (a, b, n, s) partials per batch (one row per
+    distinct pair per batch), ONE hash exchange on ``a`` — which
+    co-locates everything both the (a,b) and the (a) levels need, so
+    both are finalized in the same partition pass — and the grand
+    total folds from O(partitions) partial rows on the driver.  No
+    second exchange, no sort.
+    """
+    import ray.data as rd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        a = t[key_a].combine_chunks() if isinstance(
+            t[key_a], pa.ChunkedArray) else t[key_a]
+        ea = pc.dictionary_encode(a)
+        ca = ea.indices.to_numpy().astype(np.int64)
+        b = t[key_b].to_numpy()
+        v = t[value_col].to_numpy().astype(np.float64)
+        order = np.lexsort((b, ca))
+        ca, bs, vs = ca[order], b[order], v[order]
+        first = np.r_[True, (ca[1:] != ca[:-1]) | (bs[1:] != bs[:-1])]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            key_a: pc.take(ea.dictionary, pa.array(ca[starts])),
+            key_b: pa.array(bs[starts]),
+            "n": pa.array(np.diff(np.r_[starts, len(ca)])
+                          .astype(np.int64)),
+            "s": pa.array(np.add.reduceat(vs, starts)),
+        })
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        atype = t.schema.field(key_a).type
+        btype = t.schema.field(key_b).type
+        if t.num_rows == 0:
+            return pa.table({key_a: pa.array([], type=atype),
+                             key_b: pa.array([], type=btype),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        ea = pc.dictionary_encode(t[key_a].combine_chunks())
+        ca = ea.indices.to_numpy().astype(np.int64)
+        b = t[key_b].to_numpy()
+        nn = t["n"].to_numpy()
+        ss = t["s"].to_numpy()
+        order = np.lexsort((b, ca))
+        ca, bs = ca[order], b[order]
+        nn, ss = nn[order], ss[order]
+        first = np.r_[True, (ca[1:] != ca[:-1]) | (bs[1:] != bs[:-1])]
+        st = np.flatnonzero(first)
+        lvl2 = pa.table({
+            key_a: pc.take(ea.dictionary, pa.array(ca[st])),
+            key_b: pa.array(bs[st], type=btype),
+            "n": pa.array(np.add.reduceat(nn, st).astype(np.int64)),
+            "s": pa.array(np.add.reduceat(ss, st)),
+        })
+        fa = np.r_[True, ca[1:] != ca[:-1]]
+        sa = np.flatnonzero(fa)
+        lvl1 = pa.table({
+            key_a: pc.take(ea.dictionary, pa.array(ca[sa])),
+            key_b: pa.array([None] * len(sa), type=btype),
+            "n": pa.array(np.add.reduceat(nn, sa).astype(np.int64)),
+            "s": pa.array(np.add.reduceat(ss, sa)),
+        })
+        return pa.concat_tables([lvl2, lvl1])
+
+    levels = partition_map(partial, key_a, _finalize,
+                           num_partitions=num_partitions).materialize()
+
+    # grand total: fold the finalized (a,b) rows' (n, s) on the driver
+    tot_n, tot_s = 0, 0.0
+    out_schema = None
+    for bt in levels.iter_batches(batch_size=None,
+                                  batch_format="pyarrow"):
+        if out_schema is None:
+            out_schema = bt.schema
+        m = pc.is_valid(bt[key_b]).to_numpy(zero_copy_only=False)
+        tot_n += int(bt["n"].to_numpy()[m].sum())
+        tot_s += float(bt["s"].to_numpy()[m].sum())
+    if out_schema is None:
+        return levels
+    total = pa.table({
+        out_schema.field(0).name: pa.array([None],
+                                           type=out_schema.field(0).type),
+        out_schema.field(1).name: pa.array([None],
+                                           type=out_schema.field(1).type),
+        "n": pa.array([tot_n], type=pa.int64()),
+        "s": pa.array([tot_s], type=pa.float64()),
+    })
+    return levels.union(rd.from_arrow(total))

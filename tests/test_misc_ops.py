@@ -374,3 +374,40 @@ def test_welch_ttest_vs_numpy(ray_session):
         got[["mean_a", "mean_b", "var_a", "var_b", "t_stat", "df"]]
         .iloc[0].to_numpy(),
         [ma, mb, va, vb, tstat, df], rtol=1e-9)
+
+
+def test_rollup_agg_vs_pandas(ray_session):
+    """rollup levels == pandas groupby at each level; NULL markers on
+    rolled-up columns; grand total counts each row once."""
+    import ray.data as rd
+
+    from netml_ray.windows import rollup_agg
+
+    rng = np.random.default_rng(51)
+    n = 2000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.integers(0, 6, n).astype(np.int64)),
+        "v": pa.array(rng.normal(size=n).round(3)),
+    })
+    got = (rollup_agg(rd.from_arrow(t), "a", "b", "v")
+           .to_pandas())
+    df = t.to_pandas()
+    l2 = got[got["b"].notna() & got["a"].notna()]
+    exp2 = df.groupby(["a", "b"]).agg(n=("v", "size"), s=("v", "sum"))
+    assert len(l2) == len(exp2)
+    for row in l2.itertuples(index=False):
+        e = exp2.loc[(row.a, row.b)]
+        assert row.n == e["n"]
+        assert abs(row.s - e["s"]) < 1e-9
+    l1 = got[got["b"].isna() & got["a"].notna()]
+    exp1 = df.groupby("a").agg(n=("v", "size"), s=("v", "sum"))
+    assert len(l1) == len(exp1)
+    for row in l1.itertuples(index=False):
+        e = exp1.loc[row.a]
+        assert row.n == e["n"]
+        assert abs(row.s - e["s"]) < 1e-9
+    l0 = got[got["a"].isna()]
+    assert len(l0) == 1 and l0["b"].isna().all()
+    assert l0["n"].iloc[0] == n
+    assert abs(l0["s"].iloc[0] - df["v"].sum()) < 1e-9

@@ -519,3 +519,22 @@ def test_fast_path_cooccurrence(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist[0], ["item_a", "item_b"]),
                                   _norm(fast[0], ["item_a", "item_b"]))
+
+
+def test_fast_path_rollup(ray_session, monkeypatch):
+    """rollup_agg's finalize is a-complete on both paths — fast ==
+    distributed (incl. the driver-folded grand total)."""
+    import ray.data as rd
+
+    from netml_ray.windows import rollup_agg
+
+    t = _events()
+
+    def run():
+        return (rollup_agg(rd.from_arrow(t), "etype", "user_id",
+                           "value").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(
+        _norm(dist[0], ["etype", "user_id"]),
+        _norm(fast[0], ["etype", "user_id"]))
