@@ -833,6 +833,34 @@ GROUP BY ROLLUP(event_type, hour(ts))
 """
 
 
+def q_cube_events(sf_dir: str):
+    """OLAP CUBE(event_type, hour-of-day): ROLLUP's levels + the
+    (NULL, hr) marginal derived from the finalized (a,b) rows —
+    windows.cube_agg."""
+    from netml_ray.windows import cube_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _hr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hr": pc.hour(t["ts"]).cast(pa.int64()),
+            "value": t["value"]})
+
+    out = cube_agg(ev.map_batches(_hr, batch_format="pyarrow"),
+                   "event_type", "hr", "value", num_partitions=P)
+    return out.map_batches(lambda t: _hedge_round_cols(t, ("s",), 9),
+                           batch_format="pyarrow")
+
+
+SQL_CUBE = """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+       count(*) AS n, round(sum(value), 9) AS s
+FROM events
+GROUP BY CUBE(event_type, hour(ts))
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -4287,6 +4315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_zscore_events": q_group_zscore_events,
         # rotated OUT for rollup_events (see in-window comment)
         "char_entropy_docs": q_char_entropy_docs,
+        # tail by design: cube's only code path beyond the in-window
+        # rollup_events is the b-level exchange, pinned by pytest
+        "cube_events": q_cube_events,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4509,4 +4540,5 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_suppliers": SQL_COOCCUR,
         "random_projection_embeddings": SQL_RANDOM_PROJECTION,
         "rollup_events": SQL_ROLLUP,
+        "cube_events": SQL_CUBE,
     }

@@ -1122,3 +1122,55 @@ def rollup_agg(
         "s": pa.array([tot_s], type=pa.float64()),
     })
     return levels.union(rd.from_arrow(total))
+
+
+def cube_agg(
+    ds,
+    key_a: str,
+    key_b: str,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+):
+    """OLAP CUBE over two grouping columns: ROLLUP's three levels plus
+    the ``(NULL, b)`` marginal — SQL ``GROUP BY CUBE(a, b)``.
+
+    The (b) level is derived from the already-finalized (a, b) rows
+    (cardinality |a×b|, thousands — not the raw row count), so the
+    extra cost over ROLLUP is one narrow exchange over that small set,
+    never a second pass of the data.
+    """
+    rolled = rollup_agg(ds, key_a, key_b, value_col,
+                        num_partitions=num_partitions).materialize()
+
+    def _lvl2(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[key_a]), pc.is_valid(t[key_b]))
+        return t.filter(m)
+
+    def _b_level(t: pa.Table) -> pa.Table:
+        atype = t.schema.field(key_a).type
+        btype = t.schema.field(key_b).type
+        if t.num_rows == 0:
+            return pa.table({key_a: pa.array([], type=atype),
+                             key_b: pa.array([], type=btype),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        b = t[key_b].to_numpy()
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        nn = t["n"].to_numpy()[order]
+        ss = t["s"].to_numpy()[order]
+        first = np.r_[True, bs[1:] != bs[:-1]]
+        st = np.flatnonzero(first)
+        k = len(st)
+        return pa.table({
+            key_a: pa.array([None] * k, type=atype),
+            key_b: pa.array(bs[st], type=btype),
+            "n": pa.array(np.add.reduceat(nn, st).astype(np.int64)),
+            "s": pa.array(np.add.reduceat(ss, st)),
+        })
+
+    b_rows = partition_map(
+        rolled.map_batches(_lvl2, batch_format="pyarrow"),
+        key_b, _b_level, num_partitions=num_partitions)
+    return rolled.union(b_rows)

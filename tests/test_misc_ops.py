@@ -411,3 +411,30 @@ def test_rollup_agg_vs_pandas(ray_session):
     assert len(l0) == 1 and l0["b"].isna().all()
     assert l0["n"].iloc[0] == n
     assert abs(l0["s"].iloc[0] - df["v"].sum()) < 1e-9
+
+
+def test_cube_agg_vs_pandas(ray_session):
+    """cube adds the (NULL, b) marginal on top of rollup's levels."""
+    import ray.data as rd
+
+    from netml_ray.windows import cube_agg
+
+    rng = np.random.default_rng(53)
+    n = 1500
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y"], n)),
+        "b": pa.array(rng.integers(0, 4, n).astype(np.int64)),
+        "v": pa.array(rng.normal(size=n).round(3)),
+    })
+    got = cube_agg(rd.from_arrow(t), "a", "b", "v").to_pandas()
+    df = t.to_pandas()
+    # level counts: |a x b| + |a| + |b| + 1
+    na, nb = df["a"].nunique(), df["b"].nunique()
+    nab = df.groupby(["a", "b"]).ngroups
+    assert len(got) == nab + na + nb + 1
+    bl = got[got["a"].isna() & got["b"].notna()]
+    expb = df.groupby("b").agg(n=("v", "size"), s=("v", "sum"))
+    assert len(bl) == nb
+    for row in bl.itertuples(index=False):
+        e = expb.loc[row.b]
+        assert row.n == e["n"] and abs(row.s - e["s"]) < 1e-9

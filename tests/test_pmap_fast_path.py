@@ -538,3 +538,21 @@ def test_fast_path_rollup(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         _norm(dist[0], ["etype", "user_id"]),
         _norm(fast[0], ["etype", "user_id"]))
+
+
+def test_fast_path_cube(ray_session, monkeypatch):
+    """cube_agg (rollup + derived b-level) is path-invariant."""
+    import ray.data as rd
+
+    from netml_ray.windows import cube_agg
+
+    t = _events()
+
+    def run():
+        return (cube_agg(rd.from_arrow(t), "etype", "user_id",
+                         "value").to_pandas(),)
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(
+        _norm(dist[0], ["etype", "user_id"]),
+        _norm(fast[0], ["etype", "user_id"]))
