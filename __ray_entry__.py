@@ -821,13 +821,15 @@ def q_rollup_events(sf_dir: str):
 
     out = rollup_agg(ev.map_batches(_hr, batch_format="pyarrow"),
                      "event_type", "hr", "value", num_partitions=P)
-    return out.map_batches(lambda t: _hedge_round_cols(t, ("s",), 9),
+    # round-6: level sums reach ~5e6 at sf0.1, where fp summation-order
+    # noise (~1e-8) exceeds a 1e-9 quantum; 1e-6 sits safely above it
+    return out.map_batches(lambda t: _hedge_round_cols(t, ("s",), 6),
                            batch_format="pyarrow")
 
 
 SQL_ROLLUP = """
 SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
-       count(*) AS n, round(sum(value), 9) AS s
+       count(*) AS n, round(sum(value), 6) AS s
 FROM events
 GROUP BY ROLLUP(event_type, hour(ts))
 """
@@ -849,13 +851,13 @@ def q_cube_events(sf_dir: str):
 
     out = cube_agg(ev.map_batches(_hr, batch_format="pyarrow"),
                    "event_type", "hr", "value", num_partitions=P)
-    return out.map_batches(lambda t: _hedge_round_cols(t, ("s",), 9),
+    return out.map_batches(lambda t: _hedge_round_cols(t, ("s",), 6),
                            batch_format="pyarrow")
 
 
 SQL_CUBE = """
 SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
-       count(*) AS n, round(sum(value), 9) AS s
+       count(*) AS n, round(sum(value), 6) AS s
 FROM events
 GROUP BY CUBE(event_type, hour(ts))
 """
