@@ -386,6 +386,9 @@ def run_suite() -> dict:
                 .add_forward_window(sev, "user_id", "ts", "value",
                                     horizon_sec=50_000_000.0,
                                     tiebreak="event_id")),
+            ("rollup", lambda: __import__(
+                "netml_ray.windows", fromlist=["rollup_agg"])
+                .rollup_agg(sev, "event_type", "user_id", "value")),
         ]:
             t0 = time.time()
             _consume(fn(), label)
