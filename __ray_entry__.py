@@ -863,6 +863,55 @@ GROUP BY CUBE(event_type, hour(ts))
 """
 
 
+def q_pagerank_weighted_partsupp(sf_dir: str):
+    """Weighted PageRank: edge weight = (part, supplier) pair
+    multiplicity in lineitem (how often the supplier actually shipped
+    the part); W(u)-normalized contributions — graph.pagerank(
+    weight='count')."""
+    from netml_ray.graph import pagerank
+
+    pr = pagerank(_partsupp_edges(sf_dir, symmetric=True), iters=3,
+                  damping=0.85, weight="count", num_partitions=P)
+    node = pr["node"].to_numpy()
+    rank = pa.array(np.round(pr["pagerank"].to_numpy(), 9))
+    return pa.table({"node": _node_labels(node), "pagerank": rank})
+
+
+SQL_PAGERANK_WEIGHTED = """
+WITH pw AS (SELECT l_partkey AS p, l_suppkey AS s, count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2),
+edges AS (
+  SELECT 2 * p AS src, 2 * s + 1 AS dst, CAST(cnt AS DOUBLE) AS w
+  FROM pw
+  UNION ALL
+  SELECT 2 * s + 1 AS src, 2 * p AS dst, CAST(cnt AS DOUBLE) AS w
+  FROM pw),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, sum(w) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.dst AS node, sum(r.r * e.w / deg.d) AS c
+       FROM edges e JOIN r0 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r1 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c1.c, 0) AS r
+       FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN nn),
+c2 AS (SELECT e.dst AS node, sum(r.r * e.w / deg.d) AS c
+       FROM edges e JOIN r1 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r2 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c2.c, 0) AS r
+       FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN nn),
+c3 AS (SELECT e.dst AS node, sum(r.r * e.w / deg.d) AS c
+       FROM edges e JOIN r2 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r3 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c3.c, 0) AS r
+       FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
+SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       round(r, 9) AS pagerank
+FROM r3
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding per-user stats (running count/sum/mean) plus
     since_first_sec (seconds since the user's first event — session
@@ -4320,6 +4369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail by design: cube's only code path beyond the in-window
         # rollup_events is the b-level exchange, pinned by pytest
         "cube_events": q_cube_events,
+        # tail by design: weighted pagerank's only new path beyond the
+        # in-window pagerank_partsupp is the w-multiply / W(u)
+        # normalization, pinned by the dense weighted-reference pytest
+        "pagerank_weighted_partsupp": q_pagerank_weighted_partsupp,
         "explode_embeddings": q_explode_embeddings,
         # rotated out of the window in r4 (green CORRECTNESS_r03 rows;
         # kernels covered by in-window entries)
@@ -4543,4 +4596,5 @@ def oracle_sql() -> dict[str, str]:
         "random_projection_embeddings": SQL_RANDOM_PROJECTION,
         "rollup_events": SQL_ROLLUP,
         "cube_events": SQL_CUBE,
+        "pagerank_weighted_partsupp": SQL_PAGERANK_WEIGHTED,
     }

@@ -45,20 +45,40 @@ __all__ = ["pagerank", "hits", "cooccurrence_similarity",
 
 
 def dedupe_edges_with_degree(edges, src: str, dst: str, *,
+                             weight: str | None = None,
                              num_partitions: int | None = None):
     """Globally distinct (src, dst) pairs via ONE hash exchange on
     ``src`` (all of a source's rows co-locate, so per-partition dedup
     is exact).  Returns the deduped edge Dataset, materialized so the
-    iteration passes replay blocks instead of lineage."""
+    iteration passes replay blocks instead of lineage.
+
+    ``weight``: ``None`` drops multiplicity (plain distinct pairs);
+    ``"count"`` emits a ``w`` column = the pair's multiplicity in the
+    input; any other string sums that input column per pair."""
     def _dedup(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            if weight is not None and "w" not in t.column_names:
+                cols = {src: t[src], dst: t[dst],
+                        "w": pa.array([], type=pa.float64())}
+                return pa.table(cols)
             return t
         s = t[src].to_numpy()
         d = t[dst].to_numpy()
         order = np.lexsort((d, s))
         ss, dd = s[order], d[order]
         keep = np.r_[True, (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])]
-        return pa.table({src: pa.array(ss[keep]), dst: pa.array(dd[keep])})
+        if weight is None:
+            return pa.table({src: pa.array(ss[keep]),
+                             dst: pa.array(dd[keep])})
+        starts = np.flatnonzero(keep)
+        if weight == "count":
+            wv = np.diff(np.r_[starts, len(ss)]).astype(np.float64)
+        else:
+            vals = t[weight].to_numpy().astype(np.float64)[order]
+            wv = np.add.reduceat(vals, starts)
+        return pa.table({src: pa.array(ss[keep]),
+                         dst: pa.array(dd[keep]),
+                         "w": pa.array(wv)})
 
     return partition_map(edges, src, _dedup,
                          num_partitions=num_partitions).materialize()
@@ -66,32 +86,51 @@ def dedupe_edges_with_degree(edges, src: str, dst: str, *,
 
 def pagerank(edges, src: str = "src", dst: str = "dst", *,
              damping: float = 0.85, iters: int = 3,
-             dedupe: bool = True, max_nodes: int = 200_000_000,
+             dedupe: bool = True, weight: str | None = None,
+             max_nodes: int = 200_000_000,
              num_partitions: int | None = None) -> pa.Table:
     """PageRank over an int64 edge Dataset; returns a
     ``pa.Table(node, pagerank)`` with one row per distinct node.
 
     ``dedupe=True`` runs the exact pair-dedup exchange first (parallel
     edges would otherwise double-count contributions AND degrees).
+    ``weight``: ``None`` = classic unweighted; ``"count"`` = weighted
+    by pair multiplicity in the input (requires ``dedupe=True``); any
+    other string = weighted by that column (summed per distinct pair
+    under dedupe).  Weighted semantics: r_{i+1}(v) = (1-d)/N +
+    d·Σ_{(u,v)} r_i(u)·w(u,v)/W(u) with W(u) the sum of u's out-edge
+    weights — the SQL oracle states the identical formula.
     ``iters`` is fixed (not convergence-tested) so the unrolled SQL
     oracle states the identical computation.
     """
     import ray
 
-    ds = dedupe_edges_with_degree(edges, src, dst,
+    if weight == "count" and not dedupe:
+        raise ValueError("weight='count' requires dedupe=True (the "
+                         "multiplicity comes from the dedup exchange)")
+    wcol = None if weight is None else "w"
+    ds = dedupe_edges_with_degree(edges, src, dst, weight=weight,
                                   num_partitions=num_partitions) \
         if dedupe else edges.materialize()
+    if not dedupe and weight not in (None, "count"):
+        wcol = weight
 
-    # Pass 1: per-batch (node, out_cnt) partials -> node set + degrees.
+    # Pass 1: per-batch (node, out-weight) partials -> nodes + degrees.
     def _nodes_deg(t: pa.Table) -> pa.Table:
         s = t[src].to_numpy()
         d = t[dst].to_numpy()
-        us, cs = np.unique(s, return_counts=True)
+        if wcol is None:
+            us, cs = np.unique(s, return_counts=True)
+            cs = cs.astype(np.float64)
+        else:
+            us = np.unique(s)
+            cs = np.zeros(len(us))
+            np.add.at(cs, np.searchsorted(us, s),
+                      t[wcol].to_numpy().astype(np.float64))
         ud = np.setdiff1d(np.unique(d), us, assume_unique=True)
         return pa.table({
             "node": pa.array(np.concatenate([us, ud])),
-            "out_cnt": pa.array(np.concatenate(
-                [cs, np.zeros(len(ud), dtype=np.int64)]).astype(np.int64)),
+            "out_cnt": pa.array(np.concatenate([cs, np.zeros(len(ud))])),
         })
 
     nd_parts, cnt_parts = [], []
@@ -124,7 +163,10 @@ def pagerank(edges, src: str = "src", dst: str = "dst", *,
             nd, wt = ray.get(_ref)
             sc = np.searchsorted(nd, t[src].to_numpy())
             dc = np.searchsorted(nd, t[dst].to_numpy())
-            c = np.bincount(dc, weights=wt[sc], minlength=len(nd))
+            contrib = wt[sc]
+            if wcol is not None:
+                contrib = contrib * t[wcol].to_numpy().astype(np.float64)
+            c = np.bincount(dc, weights=contrib, minlength=len(nd))
             nz = np.flatnonzero(c)
             return pa.table({"code": pa.array(nz.astype(np.int64)),
                              "c": pa.array(c[nz])})

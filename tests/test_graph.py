@@ -175,3 +175,50 @@ def test_cooccurrence_max_group_skip(ray_session):
     # deg over ALL memberships: deg(1)=2, deg(2)=2; common=1 (group 1)
     assert (r["item_a"], r["item_b"], r["common"]) == (1, 2, 1)
     assert abs(r["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_pagerank_weighted_vs_dense(ray_session):
+    """weight='count': duplicated input pairs become edge weights;
+    ranks match a dense weighted power iteration."""
+    import ray.data as rd
+
+    from netml_ray.graph import pagerank
+
+    rng = np.random.default_rng(19)
+    n = 20
+    base = []
+    while len(set(base)) < 60:
+        s, d = rng.integers(0, n, 2)
+        if s != d:
+            base.append((int(s), int(d)))
+    # multiplicity: each distinct pair appears 1-3 times
+    w = {}
+    for e in base:
+        w[e] = min(w.get(e, 0) + 1, 3)
+    rows = [e for e, k in w.items() for _ in range(k)]
+    rng.shuffle(rows)
+    src = np.array([e[0] for e in rows], dtype=np.int64)
+    dst = np.array([e[1] for e in rows], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)}))
+    got = pagerank(ds, iters=4, damping=0.85, weight="count",
+                   num_partitions=3)
+    present = sorted({e[0] for e in w} | {e[1] for e in w})
+    idx = {v: i for i, v in enumerate(present)}
+    m = len(present)
+    W = np.zeros((m, m))
+    for (s, d), k in w.items():
+        W[idx[d], idx[s]] += k
+    wdeg = W.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        P = np.where(wdeg > 0, W / wdeg, 0.0)
+    r = np.full(m, 1.0 / m)
+    for _ in range(4):
+        r = 0.15 / m + 0.85 * (P @ r)
+    assert list(got["node"].to_numpy()) == present
+    np.testing.assert_allclose(got["pagerank"].to_numpy(), r,
+                               atol=1e-12)
+    # unweighted on the same input treats duplicates as one edge:
+    # different result unless all weights are equal
+    got_u = pagerank(ds, iters=4, damping=0.85, num_partitions=3)
+    assert not np.allclose(got_u["pagerank"].to_numpy(), r, atol=1e-9)
