@@ -273,3 +273,51 @@ def test_tokenized_word_hashes_match_direct(texts):
         data, offs = _utf8_segments(pa.array(flat_words, type=pa.string()))
         exp = _rolling_hash_segments(data, offs)
         assert np.array_equal(got, exp)
+
+
+@st.composite
+def segmented_series(draw, max_segs=5, max_rows=30):
+    segs, xs, ys = [], [], []
+    for s in range(draw(st.integers(1, max_segs))):
+        n = draw(st.integers(1, max_rows))
+        for _ in range(n):
+            segs.append(s)
+            # quantized values so zero-variance windows occur
+            xs.append(float(draw(st.integers(-2, 2))))
+            ys.append(float(draw(st.integers(-2, 2))))
+    return (np.asarray(segs, dtype=np.int64),
+            np.asarray(xs), np.asarray(ys))
+
+
+@given(segmented_series(), st.integers(2, 6))
+def test_prop_rolling_corr(data, window):
+    segs, x, y = data
+    got = kernels.rolling_corr(segs, x, y, window)
+    for i in range(len(x)):
+        s0 = np.searchsorted(segs, segs[i], "left")
+        lo = max(s0, i - window + 1)
+        xs, ys = x[lo:i + 1], y[lo:i + 1]
+        if len(xs) < 2 or np.ptp(xs) == 0 or np.ptp(ys) == 0:
+            assert np.isnan(got[i])
+        else:
+            exp = np.corrcoef(xs, ys)[0, 1]
+            assert abs(got[i] - exp) < 1e-9
+
+
+@given(segmented_series(), st.sampled_from(["left", "right"]))
+def test_prop_seg_searchsorted(data, side):
+    from netml_ray.windows import _seg_searchsorted
+
+    segs, x, _ = data
+    # data array must ascend within each segment
+    a = np.concatenate([
+        np.sort(x[segs == s]) for s in np.unique(segs)])
+    got = _seg_searchsorted(segs, a, x, side)
+    pos = 0
+    for s in np.unique(segs):
+        m = segs == s
+        seg_a = a[m]
+        for i in np.flatnonzero(m):
+            exp = np.searchsorted(seg_a, x[i], side)
+            assert got[i] == exp
+        pos += int(m.sum())
