@@ -4205,6 +4205,217 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+# -- round-5 distributional / audit feature family (featstats.py) ---------
+
+def q_decayed_sum_events(sf_dir: str):
+    """Exponentially time-decayed sum/count/mean per user (half-life
+    1 day, decayed to the global max ts) — the feature-store freshness
+    aggregate.  Narrow per-batch partials, ONE pre-aggregated hash
+    exchange (featstats.decayed_agg)."""
+    from netml_ray.featstats import decayed_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return decayed_agg(ev, "user_id", "ts", "value", half_life_s=86400.0)
+
+
+SQL_DECAYED_SUM = """
+WITH tm AS (SELECT max(epoch_us(ts)) AS t FROM events),
+w AS (
+  SELECT user_id, value,
+         power(0.5, (tm.t / 1000000.0 - epoch_us(ts) / 1000000.0)
+                    / 86400.0) AS w
+  FROM events, tm
+)
+SELECT user_id,
+       round(sum(value * w), 9) AS decayed_sum,
+       round(sum(w), 9) AS decayed_n,
+       round(sum(value * w) / sum(w), 9) AS decayed_mean
+FROM w GROUP BY user_id
+"""
+
+
+def q_burstiness_events(sf_dir: str):
+    """Per-user burstiness of arrivals over 1h buckets: Fano factor
+    (var/mean of bucket counts) + Goh-Barabasi index.  (key, bucket,
+    n) partials through one pre-aggregated exchange
+    (featstats.burstiness)."""
+    from netml_ray.featstats import burstiness
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return burstiness(ev, "user_id", "ts", bucket_s=3600.0)
+
+
+SQL_BURSTINESS = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 1000000.0 / 3600.0) AS BIGINT) AS b,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, count(*) AS cnt, sum(n) AS s1, sum(n * n) AS s2
+  FROM b GROUP BY user_id
+)
+SELECT user_id, CAST(cnt AS BIGINT) AS n_buckets,
+  round(greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0.0)
+        / (s1 / cnt), 9) AS fano,
+  round((sqrt(greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0.0)) - s1 / cnt)
+        / (sqrt(greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0.0)) + s1 / cnt),
+        9) AS burstiness
+FROM s
+"""
+
+
+def q_gini_docs(sf_dir: str):
+    """Per-source Gini coefficient of document length — the
+    concentration/inequality feature (featstats.gini; keyed exchange,
+    vectorized segmented rank formula)."""
+    from netml_ray.featstats import gini
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return gini(docs, "source", "n_chars")
+
+
+SQL_GINI = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+              AS DOUBLE) AS i
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+  round(2.0 * sum(i * x) / (count(*) * sum(x))
+        - (count(*) + 1.0) / count(*), 9) AS gini
+FROM r GROUP BY source
+"""
+
+
+def q_winsorize_events(sf_dir: str):
+    """Per-event-type stats of value AFTER clipping to the global
+    exact [p5, p95] quantiles — outlier winsorization before scaling
+    (featstats.winsorized_group_stats: exact-quantile pass + narrow
+    clipped partials, no shuffle)."""
+    from netml_ray.featstats import winsorized_group_stats
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return winsorized_group_stats(ev, "value", "event_type",
+                                  p_lo=0.05, p_hi=0.95)
+
+
+SQL_WINSORIZE = """
+WITH q AS (SELECT quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi FROM events),
+w AS (SELECT event_type, least(greatest(value, q.lo), q.hi) AS v
+      FROM events, q)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(v) / count(*), 9) AS mean_w,
+       round(min(v), 9) AS min_w,
+       round(max(v), 9) AS max_w
+FROM w GROUP BY event_type
+"""
+
+
+def q_chi2_docs(sf_dir: str):
+    """Pearson chi-squared independence statistic for lang x source —
+    the feature-selection screen beside mutual_info (narrow count
+    partials, driver reduce over the contingency table)."""
+    from netml_ray.featstats import chi2_independence
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    return chi2_independence(docs, "lang", "source")
+
+
+SQL_CHI2 = """
+WITH c AS (SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM c),
+rx AS (SELECT x, CAST(sum(n) AS DOUBLE) AS nx FROM c GROUP BY x),
+ry AS (SELECT y, CAST(sum(n) AS DOUBLE) AS ny FROM c GROUP BY y),
+cell AS (
+  SELECT COALESCE(c.n, 0) AS o, rx.nx * ry.ny / tot.n AS e
+  FROM rx CROSS JOIN ry CROSS JOIN tot
+  LEFT JOIN c ON c.x = rx.x AND c.y = ry.y
+)
+SELECT round(sum((o - e) * (o - e) / e), 9) AS chi2,
+       CAST((SELECT count(*) - 1 FROM rx)
+            * (SELECT count(*) - 1 FROM ry) AS BIGINT) AS dof,
+       CAST((SELECT sum(n) FROM c) AS BIGINT) AS n
+FROM cell
+"""
+
+
+def q_benford_orders(sf_dir: str):
+    """First-significant-digit histogram of o_totalprice vs Benford's
+    law with per-digit chi-squared components — the data-quality /
+    fraud audit (narrow 9-int partials per batch)."""
+    from netml_ray.featstats import benford_digits
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return benford_digits(orders, "o_totalprice")
+
+
+SQL_BENFORD = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+               / power(10.0, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+      WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+digits AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+comp AS (
+  SELECT digits.digit AS digit, COALESCE(c.n, 0) AS n,
+         COALESCE(c.n, 0) / t.tot AS p_obs,
+         log10(1.0 + 1.0 / digits.digit) AS p_ben, t.tot AS tot
+  FROM digits LEFT JOIN c USING (digit) CROSS JOIN t
+)
+SELECT digit, n, round(p_obs, 9) AS p_obs, round(p_ben, 9) AS p_benford,
+       round((p_obs - p_ben) * (p_obs - p_ben) / p_ben * tot, 9)
+         AS chi2_component
+FROM comp
+"""
+
+
+def q_zipf_slope_docs(sf_dir: str):
+    """OLS slope of ln(count) on ln(rank) over the corpus's top-200
+    tokens — the Zipf corpus-quality gate (top_tokens select_k
+    exchange + O(200) driver regression)."""
+    from netml_ray.featstats import zipf_slope
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return zipf_slope(docs, "text", top_n=200)
+
+
+SQL_ZIPF = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY token),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE) AS rank,
+         CAST(n AS DOUBLE) AS n
+  FROM c ORDER BY n DESC, token LIMIT 200
+),
+l AS (SELECT ln(rank) AS lx, ln(n) AS ly FROM top),
+m AS (SELECT avg(lx) AS mx, avg(ly) AS my FROM l),
+d AS (
+  SELECT sum((lx - mx) * (ly - my)) AS sxy,
+         sum((lx - mx) * (lx - mx)) AS sxx,
+         sum((ly - my) * (ly - my)) AS syy,
+         any_value(mx) AS mx, any_value(my) AS my,
+         CAST(count(*) AS BIGINT) AS k
+  FROM l, m GROUP BY mx, my
+)
+SELECT round(sxy / sxx, 9) AS slope,
+       round(my - sxy / sxx * mx, 9) AS intercept,
+       round((sxy / sqrt(sxx * syy)) * (sxy / sqrt(sxx * syy)), 9) AS r2,
+       k AS n_terms
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -4257,6 +4468,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window through curate_corpus_plus_docs' lm_bits stage)
         "rolling_corr_events": q_rolling_corr_events,
         "pagerank_partsupp": q_pagerank_partsupp,
+        # -- r5 final-session distributional/audit family (newest
+        # kernels — in-window per the rotation discipline; displaced:
+        # target_encode_events, welch_ttest_events, mutual_info_docs,
+        # histogram_events, cohort_retention_events, ewma_events,
+        # autocorr_events — all long-green locally, their moment/
+        # window/contingency machinery stays pinned in-window via
+        # moments_events / rolling_corr / seasonal_dev / chi2_docs /
+        # interval_sweep / target_encode_oof)
+        "decayed_sum_events": q_decayed_sum_events,
+        "burstiness_events": q_burstiness_events,
+        "gini_docs": q_gini_docs,
+        "winsorize_events": q_winsorize_events,
+        "chi2_docs": q_chi2_docs,
+        "benford_orders": q_benford_orders,
+        "zipf_slope_docs": q_zipf_slope_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -4278,7 +4504,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "split_events": q_split_events,
         "quantile_bin_events": q_quantile_bin_events,
-        "target_encode_events": q_target_encode_events,
         "asof_tolerance_events": q_asof_tolerance_events,
         # (group_zscore_events rotated to the tail for the JL random
         # projection: checker-verified r5 entry; its group mean/std
@@ -4304,24 +4529,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials by entropy_events/mutual_info_docs)
         "hits_partsupp": q_hits_partsupp,
         "entropy_events": q_entropy_events,
-        "welch_ttest_events": q_welch_ttest_events,
-        "mutual_info_docs": q_mutual_info_docs,
         # (char_entropy_docs rotated to the tail for rollup_events:
         # checker-verified r5 entry; the doc-byte bincount kernel is a
         # sibling of the in-window histogram/entropy count machinery)
         "rollup_events": q_rollup_events,
-        "histogram_events": q_histogram_events,
         "edit_distance_docs": q_edit_distance_docs,
         "funnel_stages_events": q_funnel_stages_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "target_encode_oof_events": q_target_encode_oof_events,
         "interval_sweep_events": q_interval_sweep_events,
-        "cohort_retention_events": q_cohort_retention_events,
-        "ewma_events": q_ewma_events,
-        "autocorr_events": q_autocorr_events,
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
+        # -- rotated OUT in the r5 final session for the
+        # distributional/audit family above (all green under the
+        # local full-registry checker each round)
+        "target_encode_events": q_target_encode_events,
+        "welch_ttest_events": q_welch_ttest_events,
+        "mutual_info_docs": q_mutual_info_docs,
+        "histogram_events": q_histogram_events,
+        "cohort_retention_events": q_cohort_retention_events,
+        "ewma_events": q_ewma_events,
+        "autocorr_events": q_autocorr_events,
         "pack_docs": q_pack_docs,
         "pca_embeddings": q_pca_embeddings,
         "anomaly_scores": q_anomaly_scores,
@@ -4545,6 +4774,13 @@ def oracle_sql() -> dict[str, str]:
         "scaled_events": SQL_SCALED_EVENTS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
+        "decayed_sum_events": SQL_DECAYED_SUM,
+        "burstiness_events": SQL_BURSTINESS,
+        "gini_docs": SQL_GINI,
+        "winsorize_events": SQL_WINSORIZE,
+        "chi2_docs": SQL_CHI2,
+        "benford_orders": SQL_BENFORD,
+        "zipf_slope_docs": SQL_ZIPF,
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,

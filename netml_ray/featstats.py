@@ -1,0 +1,419 @@
+"""Distributional / statistical feature operators.
+
+The round-5 feature-engineering additions a training-data pipeline
+wants once the basic keyed moments exist: time-decayed aggregates
+(feature-store freshness weighting), contingency chi-squared,
+Benford first-digit audit, per-key burstiness (Fano factor),
+per-key Gini concentration, Zipf rank-frequency slope, and
+winsorized (quantile-clipped) statistics.
+
+Scale shapes (north_rule: same job on N and 4N nodes):
+
+- ``decayed_agg`` / ``burstiness``: per-batch pre-aggregated partials
+  (one row per key present per batch) through ONE ``partition_map``
+  hash exchange — the shuffle moves partial rows, never events.
+- ``chi2_independence`` / ``benford_digits`` / ``zipf_slope``: narrow
+  count partials, driver reduce over O(categories) rows — no shuffle.
+- ``gini``: needs every key's values sorted in one place; rides the
+  keyed hash exchange and documents the bounded-group assumption
+  (same contract as the sessionizer: P sized so the largest key fits
+  a worker).
+
+All recast netml's per-flow distributional features (reference
+parser.py STATS family, src/netml/pparser/parser.py:307-330) as
+corpus-scale keyed statistics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "decayed_agg", "chi2_independence", "benford_digits",
+    "burstiness", "gini", "zipf_slope", "winsorized_group_stats",
+]
+
+
+# ---------------------------------------------------------------------------
+# time-decayed aggregates
+# ---------------------------------------------------------------------------
+
+def max_timestamp(ds, ts_col: str) -> float:
+    """Global max of a timestamp column in epoch seconds — one narrow
+    partial pass (one float per batch), no shuffle."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"m": pa.array([], type=pa.float64())})
+        v = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([float(v.max()) / 1e6])})
+
+    best = -np.inf
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        best = max(best, r["m"])
+    if not np.isfinite(best):
+        raise ValueError("max_timestamp of empty dataset")
+    return best
+
+
+def decayed_agg(ds, key_col: str, ts_col: str, val_col: str, *,
+                half_life_s: float, t_ref: float | None = None,
+                round_to: int | None = 9):
+    """Exponentially time-decayed sum / count / mean per key, decayed
+    to ``t_ref`` (default: the global max timestamp): each event
+    contributes ``value * 0.5 ** ((t_ref - ts) / half_life_s)``.
+
+    The feature-store staple ("how active was this url, weighted
+    toward now") netml approximates with fixed windows; the decay
+    form needs no window boundary and composes in one pass: per-batch
+    per-key partial (wsum, wn) rows → ONE pre-aggregated hash
+    exchange → vectorized finalize.  Exact associativity: the decay
+    weight is computed per event against the fixed ``t_ref``, so
+    partial sums commute."""
+    from .partition import partition_map
+
+    if t_ref is None:
+        t_ref = max_timestamp(ds, ts_col)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=t[key_col].type),
+                          "ws": pa.array([], type=pa.float64()),
+                          "wn": pa.array([], type=pa.float64())})
+        if not t.num_rows:
+            return empty
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64) / 1e6
+        w = np.power(0.5, (t_ref - ts) / half_life_s)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key_col: enc.dictionary,
+            "ws": pa.array(np.bincount(codes, weights=w * v, minlength=k)),
+            "wn": pa.array(np.bincount(codes, weights=w, minlength=k)),
+        })
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             "decayed_sum": pa.array([], type=pa.float64()),
+                             "decayed_n": pa.array([], type=pa.float64()),
+                             "decayed_mean": pa.array([], type=pa.float64())})
+        agg = (t.group_by([key_col])
+               .aggregate([("ws", "sum"), ("wn", "sum")]))
+        ws = agg["ws_sum"].to_numpy()
+        wn = agg["wn_sum"].to_numpy()
+        mean = np.divide(ws, wn, out=np.full_like(ws, np.nan), where=wn > 0)
+        if round_to is not None:
+            ws, wn = np.round(ws, round_to), np.round(wn, round_to)
+            mean = np.round(mean, round_to)
+        return pa.table({key_col: agg[key_col],
+                         "decayed_sum": pa.array(ws),
+                         "decayed_n": pa.array(wn),
+                         "decayed_mean": pa.array(mean)})
+
+    return partition_map(
+        ds.map_batches(_partial, batch_format="pyarrow"), key_col, _fin)
+
+
+# ---------------------------------------------------------------------------
+# contingency chi-squared
+# ---------------------------------------------------------------------------
+
+def chi2_independence(ds, xcol: str, ycol: str,
+                      *, round_to: int | None = 9) -> pa.Table:
+    """Pearson chi-squared statistic of independence for two
+    categoricals: ``sum((O - E)^2 / E)`` over the contingency table,
+    ``E = row_total * col_total / n``.  Narrow (x, y, n) count
+    partials, driver reduce over O(|X|·|Y|) distinct pairs — the
+    feature-selection screen companion to ``mutual_information``.
+
+    Returns a one-row table ``(chi2, dof, n)``."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"x": pa.array([], type=pa.string()),
+                             "y": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        g = (t.select([xcol, ycol]).group_by([xcol, ycol])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["x", "y", "n"])
+
+    agg: dict = {}
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        k = (r["x"], r["y"])
+        agg[k] = agg.get(k, 0) + r["n"]
+
+    xs = sorted({k[0] for k in agg})
+    ys = sorted({k[1] for k in agg})
+    obs = np.zeros((len(xs), len(ys)))
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    for (x, y), n in agg.items():
+        obs[xi[x], yi[y]] = n
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (len(xs) - 1) * (len(ys) - 1)
+    if round_to is not None:
+        chi2 = round(chi2, round_to)
+    return pa.table({"chi2": pa.array([chi2]),
+                     "dof": pa.array([dof], type=pa.int64()),
+                     "n": pa.array([int(n)], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+def benford_digits(ds, col: str, *, round_to: int | None = 9) -> pa.Table:
+    """First-significant-digit distribution of a positive numeric
+    column vs Benford's law: 9 rows ``(digit, n, p_obs, p_benford,
+    chi2_component)``.  The classic data-quality / fraud screen.
+    Narrow per-batch digit histograms (9 ints per batch), driver sum.
+
+    First digit via the same float formula the SQL oracle uses —
+    ``floor(x / 10 ** floor(log10(x)))`` — and BOTH sides then keep
+    only digits in 1..9, so the rare float-log boundary value (e.g.
+    999.9999999999999 normalizing to digit 0 or 10) is dropped by the
+    identical rule on each side rather than patched on one."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"digit": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[v > 0]
+        if not len(v):
+            return pa.table({"digit": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        e = np.floor(np.log10(v))
+        d = np.floor(v / np.power(10.0, e)).astype(np.int64)
+        d = d[(d >= 1) & (d <= 9)]
+        return pa.table({"digit": pa.array(np.arange(1, 10)),
+                         "n": pa.array(np.bincount(d, minlength=10)[1:10]
+                                       .astype(np.int64))})
+
+    counts = np.zeros(10, dtype=np.int64)
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        counts[r["digit"]] += r["n"]
+    n = counts[1:10]
+    tot = int(n.sum())
+    p_obs = n / tot
+    digits = np.arange(1, 10)
+    p_ben = np.log10(1.0 + 1.0 / digits)
+    chi2 = (p_obs - p_ben) ** 2 / p_ben * tot
+    if round_to is not None:
+        p_obs, p_ben = np.round(p_obs, round_to), np.round(p_ben, round_to)
+        chi2 = np.round(chi2, round_to)
+    return pa.table({"digit": pa.array(digits.astype(np.int64)),
+                     "n": pa.array(n),
+                     "p_obs": pa.array(p_obs),
+                     "p_benford": pa.array(p_ben),
+                     "chi2_component": pa.array(chi2)})
+
+
+# ---------------------------------------------------------------------------
+# burstiness (Fano factor over time buckets)
+# ---------------------------------------------------------------------------
+
+def burstiness(ds, key_col: str, ts_col: str, *, bucket_s: float,
+               round_to: int | None = 9):
+    """Per-key burstiness of event arrivals over fixed time buckets:
+    count events per ``(key, floor(ts / bucket_s))``, then per key the
+    Fano factor ``var_pop / mean`` and the Goh–Barabási burstiness
+    index ``(sigma - mu) / (sigma + mu)`` over the key's NON-EMPTY
+    buckets.  Poisson arrivals → Fano ≈ 1; bursty crawl/bot traffic
+    → Fano >> 1.  One (key, bucket, n) partial pass, ONE hash
+    exchange of pre-aggregated rows, vectorized per-run reduce."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _p(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=t[key_col].type),
+                             "b": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        ts = t[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64) / 1e6
+        b = np.floor(ts / bucket_s).astype(np.int64)
+        tt = pa.table({key_col: t[key_col], "b": pa.array(b)})
+        return (tt.group_by([key_col, "b"])
+                .aggregate([([], "count_all")])
+                .rename_columns([key_col, "b", "n"]))
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            f = pa.array([], type=pa.float64())
+            return pa.table({key_col: t[key_col], "n_buckets": pa.array(
+                [], type=pa.int64()), "fano": f, "burstiness": f})
+        agg = (t.group_by([key_col, "b"]).aggregate([("n", "sum")])
+               .sort_by([(key_col, "ascending"), ("b", "ascending")]))
+        starts, run_id = _run_bounds(agg[key_col].combine_chunks())
+        n = agg["n_sum"].to_numpy().astype(np.float64)
+        cnt = np.bincount(run_id).astype(np.float64)
+        mu = np.bincount(run_id, weights=n) / cnt
+        m2 = np.bincount(run_id, weights=n * n) / cnt - mu * mu
+        m2 = np.maximum(m2, 0.0)  # fp guard
+        sigma = np.sqrt(m2)
+        fano = np.divide(m2, mu, out=np.full_like(mu, np.nan),
+                         where=mu > 0)
+        bidx = np.divide(sigma - mu, sigma + mu,
+                         out=np.full_like(mu, np.nan),
+                         where=(sigma + mu) > 0)
+        if round_to is not None:
+            fano, bidx = np.round(fano, round_to), np.round(bidx, round_to)
+        return pa.table({
+            key_col: agg[key_col].combine_chunks().take(pa.array(starts)),
+            "n_buckets": pa.array(cnt.astype(np.int64)),
+            "fano": pa.array(fano),
+            "burstiness": pa.array(bidx)})
+
+    return partition_map(ds.map_batches(_p, batch_format="pyarrow"),
+                         key_col, _fin, sort_by=[key_col, "b"])
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration
+# ---------------------------------------------------------------------------
+
+def gini(ds, key_col: str, val_col: str, *,
+         round_to: int | None = 9):
+    """Per-key Gini coefficient of a non-negative value column:
+    ``G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n`` with
+    ``x`` ascending, ``i`` 1-based.  The concentration feature
+    (inequality of bytes per url, spend per user).
+
+    Needs each key's values sorted together → rides the keyed hash
+    exchange with a partition-local sort; assumes the bounded-group
+    contract (largest key fits a worker — the sessionizer's
+    assumption).  Vectorized across all keys in a partition via one
+    lexsort + segmented cumulative ranks."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             "n": pa.array([], type=pa.int64()),
+                             "gini": pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        x = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.bincount(run_id).astype(np.float64)
+        # 1-based rank within each run (input sorted by key, val)
+        idx = np.arange(len(x), dtype=np.float64)
+        i = idx - idx[starts][run_id] + 1.0
+        sx = np.bincount(run_id, weights=x)
+        six = np.bincount(run_id, weights=i * x)
+        g = np.where(sx > 0, 2.0 * six / (n * sx) - (n + 1.0) / n, 0.0)
+        if round_to is not None:
+            g = np.round(g, round_to)
+        return pa.table({
+            key_col: t[key_col].combine_chunks().take(pa.array(starts)),
+            "n": pa.array(n.astype(np.int64)),
+            "gini": pa.array(g)})
+
+    return partition_map(ds, key_col, _fin, sort_by=[key_col, val_col])
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope
+# ---------------------------------------------------------------------------
+
+def zipf_slope(ds, text_col: str = "text", *, top_n: int = 200,
+               round_to: int | None = 9) -> pa.Table:
+    """OLS slope/intercept of ``ln(count)`` on ``ln(rank)`` over the
+    corpus's ``top_n`` most frequent whitespace tokens (ties broken by
+    token ascending, the deterministic SQL rule).  Natural text tracks
+    slope ≈ -1 (Zipf); far-off corpora flag template/spam skew — a
+    corpus-level quality gate beside the per-doc Gopher rules.
+
+    Shape: the ``top_tokens`` count exchange (narrow, pre-aggregated
+    token partials + per-partition select_k — the vocabulary never
+    rides a global sort), then an O(top_n) driver regression."""
+    from .textops import top_tokens
+
+    top = top_tokens(ds, text_col=text_col, k=top_n)
+    top = top.to_pandas()  # O(top_n) rows
+    n = top["n"].to_numpy().astype(np.float64)
+    rank = np.arange(1, len(n) + 1, dtype=np.float64)
+    lx, ly = np.log(rank), np.log(n)
+    mx, my = lx.mean(), ly.mean()
+    slope = float(((lx - mx) * (ly - my)).sum() / ((lx - mx) ** 2).sum())
+    intercept = float(my - slope * mx)
+    r = float(((lx - mx) * (ly - my)).sum()
+              / np.sqrt(((lx - mx) ** 2).sum() * ((ly - my) ** 2).sum()))
+    out = {"slope": slope, "intercept": intercept, "r2": r * r,
+           "n_terms": len(n)}
+    if round_to is not None:
+        for k in ("slope", "intercept", "r2"):
+            out[k] = round(out[k], round_to)
+    return pa.table({k: pa.array([v], type=pa.int64()
+                     if k == "n_terms" else pa.float64())
+                     for k, v in out.items()})
+
+
+# ---------------------------------------------------------------------------
+# winsorized (quantile-clipped) group statistics
+# ---------------------------------------------------------------------------
+
+def winsorized_group_stats(ds, val_col: str, key_col: str, *,
+                           p_lo: float = 0.05, p_hi: float = 0.95,
+                           round_to: int | None = 9) -> pa.Table:
+    """Per-key count / mean / min / max of ``val_col`` AFTER clipping
+    to the GLOBAL exact [p_lo, p_hi] quantiles — the standard outlier
+    winsorization before scaling/encoding.  Two narrow passes: the
+    exact-quantile machinery (collect under threshold, distributed
+    order-stat pick above — ``sessionize.exact_quantiles``), then
+    per-batch per-key clipped partials (n, sum, min, max — four
+    numbers per key per batch) reduced on the driver, O(batches ×
+    keys).  No shuffle."""
+    from .sessionize import exact_quantiles
+
+    lo, hi = exact_quantiles(ds, val_col, [p_lo, p_hi])
+
+    def _p(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=t[key_col].type),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        v = np.clip(t[val_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64), lo, hi)
+        mn = np.full(k, np.inf)
+        np.minimum.at(mn, codes, v)
+        mx = np.full(k, -np.inf)
+        np.maximum.at(mx, codes, v)
+        return pa.table({
+            key_col: enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=v, minlength=k)),
+            "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    agg: dict = {}
+    for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+        e = agg.setdefault(r[key_col], [0, 0.0, np.inf, -np.inf])
+        e[0] += r["n"]
+        e[1] += r["s"]
+        e[2] = min(e[2], r["mn"])
+        e[3] = max(e[3], r["mx"])
+
+    keys = sorted(agg)
+    n = np.array([agg[k][0] for k in keys], dtype=np.int64)
+    s = np.array([agg[k][1] for k in keys])
+    mn = np.array([agg[k][2] for k in keys])
+    mx = np.array([agg[k][3] for k in keys])
+    mean = s / n
+    if round_to is not None:
+        mean = np.round(mean, round_to)
+        mn, mx = np.round(mn, round_to), np.round(mx, round_to)
+    return pa.table({key_col: pa.array(keys), "n": pa.array(n),
+                     "mean_w": pa.array(mean), "min_w": pa.array(mn),
+                     "max_w": pa.array(mx)})

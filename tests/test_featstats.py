@@ -1,0 +1,214 @@
+"""featstats operators vs driver-side brute force (numpy/pandas)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events_table(n=6000, seed=11):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.uniform(0, 90 * 86400, n)) * 1e6
+    return pa.table({
+        "user_id": pa.array(rng.integers(0, 120, n)),
+        "ts": pa.array(np.round(ts).astype(np.int64)).cast(
+            pa.timestamp("us")),
+        "value": pa.array(rng.normal(50, 20, n).round(3)),
+        "etype": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+    })
+
+
+def test_decayed_agg_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import decayed_agg
+
+    t = _events_table()
+    ds = rd.from_arrow(t).repartition(8)
+    out = decayed_agg(ds, "user_id", "ts", "value",
+                      half_life_s=7 * 86400.0).to_pandas()
+
+    df = t.to_pandas()
+    ts = df["ts"].astype("int64").to_numpy() / 1e6
+    t_ref = ts.max()
+    w = 0.5 ** ((t_ref - ts) / (7 * 86400.0))
+    df = df.assign(w=w, wv=w * df["value"].to_numpy())
+    exp = df.groupby("user_id").agg(ws=("wv", "sum"), wn=("w", "sum"))
+    out = out.set_index("user_id").sort_index()
+    assert np.allclose(out["decayed_sum"], exp["ws"])
+    assert np.allclose(out["decayed_n"], exp["wn"])
+    assert np.allclose(out["decayed_mean"], exp["ws"] / exp["wn"])
+
+
+def test_decayed_agg_recency_direction(ray_session):
+    """A key whose mass is all at t_ref dominates an equal-total key
+    whose mass is old — the point of the decay weighting."""
+    import ray.data as rd
+
+    from netml_ray.featstats import decayed_agg
+
+    day = 86400.0 * 1e6
+    t = pa.table({
+        "k": pa.array(["new"] * 5 + ["old"] * 5),
+        "ts": pa.array(([int(90 * day)] * 5 + [int(1 * day)] * 5),
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "v": pa.array([10.0] * 10),
+    })
+    out = decayed_agg(rd.from_arrow(t), "k", "ts", "v",
+                      half_life_s=86400.0).to_pandas().set_index("k")
+    assert out.loc["new", "decayed_sum"] == 50.0
+    assert out.loc["old", "decayed_sum"] < 1e-20
+
+
+def test_chi2_independence_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import chi2_independence
+
+    rng = np.random.default_rng(5)
+    x = rng.choice(["en", "de", "fr"], 4000, p=[0.6, 0.25, 0.15])
+    # dependent y: distribution shifts with x
+    y = np.where(x == "en", rng.choice(["web", "book"], 4000, p=[0.8, 0.2]),
+                 rng.choice(["web", "book"], 4000, p=[0.3, 0.7]))
+    t = pa.table({"lang": pa.array(x), "source": pa.array(y)})
+    out = chi2_independence(rd.from_arrow(t).repartition(6),
+                            "lang", "source").to_pandas()
+
+    obs = pd.crosstab(pd.Series(x), pd.Series(y)).to_numpy().astype(float)
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert np.isclose(out["chi2"][0], chi2)
+    assert out["dof"][0] == 2
+    assert out["n"][0] == 4000
+    assert out["chi2"][0] > 100  # clearly dependent
+
+
+def test_benford_digits(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import benford_digits
+
+    rng = np.random.default_rng(7)
+    # log-uniform data follows Benford closely
+    v = 10 ** rng.uniform(0, 5, 20000)
+    t = pa.table({"x": pa.array(v)})
+    out = benford_digits(rd.from_arrow(t).repartition(5),
+                         "x").to_pandas()
+    assert list(out["digit"]) == list(range(1, 10))
+    assert out["n"].sum() == 20000
+    assert np.allclose(out["p_obs"].sum(), 1.0)
+    # observed tracks Benford within sampling noise
+    assert np.abs(out["p_obs"] - out["p_benford"]).max() < 0.02
+    # per-digit first-digit extraction matches string brute force
+    brute = np.array([int(f"{x:e}"[0]) for x in v])
+    bn = np.bincount(brute, minlength=10)[1:10]
+    assert list(out["n"]) == list(bn)
+
+
+def test_burstiness_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import burstiness
+
+    t = _events_table(seed=13)
+    out = burstiness(rd.from_arrow(t).repartition(7), "user_id", "ts",
+                     bucket_s=86400.0).to_pandas().set_index("user_id")
+
+    df = t.to_pandas()
+    sec = df["ts"].astype("int64").to_numpy() / 1e6
+    df = df.assign(b=np.floor(sec / 86400.0).astype(np.int64))
+    cnt = df.groupby(["user_id", "b"]).size().rename("n").reset_index()
+    for uid, g in cnt.groupby("user_id"):
+        n = g["n"].to_numpy().astype(float)
+        mu, m2 = n.mean(), n.var()
+        sigma = np.sqrt(m2)
+        assert out.loc[uid, "n_buckets"] == len(n)
+        assert np.isclose(out.loc[uid, "fano"], m2 / mu)
+        assert np.isclose(out.loc[uid, "burstiness"],
+                          (sigma - mu) / (sigma + mu))
+
+
+def test_gini_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import gini
+
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "src": pa.array(rng.choice(["a", "b", "c"], 3000)),
+        "x": pa.array(rng.pareto(2.0, 3000) * 100 + 1),
+    })
+    out = gini(rd.from_arrow(t).repartition(5), "src",
+               "x").to_pandas().set_index("src")
+    df = t.to_pandas()
+    for src, g in df.groupby("src"):
+        x = np.sort(g["x"].to_numpy())
+        n = len(x)
+        i = np.arange(1, n + 1)
+        expect = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+        assert np.isclose(out.loc[src, "gini"], expect)
+        assert 0.0 < out.loc[src, "gini"] < 1.0
+
+
+def test_gini_extremes(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import gini
+
+    t = pa.table({
+        "k": pa.array(["eq"] * 100 + ["conc"] * 100),
+        "x": pa.array([5.0] * 100 + [0.0] * 99 + [1000.0]),
+    })
+    out = gini(rd.from_arrow(t), "k", "x").to_pandas().set_index("k")
+    assert np.isclose(out.loc["eq", "gini"], 0.0)       # perfect equality
+    assert np.isclose(out.loc["conc", "gini"], 0.99)    # (n-1)/n
+
+
+def test_zipf_slope_vs_polyfit(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import zipf_slope
+
+    rng = np.random.default_rng(9)
+    # Zipf-distributed token stream over a 500-word vocabulary
+    vocab = np.array([f"w{i}" for i in range(500)])
+    freq = 1.0 / np.arange(1, 501)
+    tok = rng.choice(vocab, size=(2000, 30), p=freq / freq.sum())
+    docs = pa.table({"text": pa.array([" ".join(r) for r in tok])})
+    out = zipf_slope(rd.from_arrow(docs).repartition(4), "text",
+                     top_n=100).to_pandas()
+
+    counts = pd.Series(tok.ravel()).value_counts()
+    top = counts.sort_values(ascending=False).head(100)
+    # tie-break parity: (count desc, token asc)
+    top = (top.rename_axis("tok").reset_index(name="n")
+           .sort_values(["n", "tok"], ascending=[False, True]).head(100))
+    lx = np.log(np.arange(1, 101))
+    ly = np.log(top["n"].to_numpy().astype(float))
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert np.isclose(out["slope"][0], slope, atol=1e-6)
+    assert np.isclose(out["intercept"][0], intercept, atol=1e-6)
+    assert out["n_terms"][0] == 100
+    assert -1.35 < out["slope"][0] < -0.65  # Zipf-ish corpus
+    assert out["r2"][0] > 0.9
+
+
+def test_winsorized_group_stats(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import winsorized_group_stats
+
+    t = _events_table(seed=17)
+    out = winsorized_group_stats(
+        rd.from_arrow(t).repartition(6), "value", "etype",
+        p_lo=0.05, p_hi=0.95).to_pandas().set_index("etype")
+
+    df = t.to_pandas()
+    lo, hi = np.quantile(df["value"], [0.05, 0.95])
+    df = df.assign(v=df["value"].clip(lo, hi))
+    exp = df.groupby("etype")["v"].agg(["count", "mean", "min", "max"])
+    assert np.array_equal(out["n"], exp["count"])
+    assert np.allclose(out["mean_w"], exp["mean"])
+    assert np.allclose(out["min_w"], exp["min"])
+    assert np.allclose(out["max_w"], exp["max"])
+    assert out["min_w"].min() >= lo - 1e-9
+    assert out["max_w"].max() <= hi + 1e-9

@@ -556,3 +556,38 @@ def test_fast_path_cube(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         _norm(dist[0], ["etype", "user_id"]),
         _norm(fast[0], ["etype", "user_id"]))
+
+
+def test_fast_path_featstats(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from netml_ray.featstats import burstiness, decayed_agg, gini
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 60, n)),
+        "ts": pa.array(np.sort(rng.integers(0, 30 * 86400_000_000, n))
+                       ).cast(pa.timestamp("us")),
+        "v": pa.array(rng.normal(10, 4, n).round(3)),
+    })
+
+    def run_decayed():
+        return decayed_agg(rd.from_arrow(t).repartition(6), "k", "ts",
+                           "v", half_life_s=86400.0).to_pandas()
+
+    def run_burst():
+        return burstiness(rd.from_arrow(t).repartition(6), "k", "ts",
+                          bucket_s=3600.0).to_pandas()
+
+    def run_gini():
+        tt = t.set_column(2, "v", pa.array(
+            np.abs(t["v"].to_numpy(zero_copy_only=False))))
+        return gini(rd.from_arrow(tt).repartition(6), "k",
+                    "v").to_pandas()
+
+    for run, keys in ((run_decayed, ["k"]), (run_burst, ["k"]),
+                      (run_gini, ["k"])):
+        dist, fast = _both_ways(monkeypatch, run)
+        pd.testing.assert_frame_equal(_norm(dist, keys),
+                                      _norm(fast, keys))
