@@ -4416,6 +4416,77 @@ FROM d
 """
 
 
+def q_attribution_events(sf_dir: str):
+    """Last-touch marketing attribution: each purchase is attributed
+    to the user's most recent NON-purchase event at-or-before it
+    (point-in-time, zero leakage — the north-star as-of shape), then
+    conversions are counted per channel; purchases with no prior
+    touch fall into 'none'.  One co-partitioned as-of exchange + a
+    narrow O(channels) count fold."""
+    from netml_ray.asof import asof_join
+    from netml_ray.partition import partition_map
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"])
+    touches = ev.filter(expr="event_type != 'purchase'")
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        # per (user, ts) keep the max event_id (the SQL row_number
+        # DESC rule), so the as-of pick is deterministic under ties
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy()
+        tsv = pc.cast(t["ts"], pa.int64()).to_numpy()
+        last = np.r_[(uid[1:] != uid[:-1]) | (tsv[1:] != tsv[:-1]), True]
+        return pa.table({
+            "user_id": t["user_id"].filter(pa.array(last)),
+            "touch_ts": t["ts"].filter(pa.array(last)),
+            "channel": t["event_type"].filter(pa.array(last)),
+        })
+
+    tded = partition_map(touches, "user_id", _dedup, num_partitions=P)
+    j = asof_join(purchases, tded, key="user_id", left_ts="ts",
+                  right_ts="touch_ts", left_tiebreak="event_id",
+                  num_partitions=P)
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        ch = pc.fill_null(t["channel"], "none")
+        g = pa.table({"channel": ch}).group_by(["channel"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["channel", "conversions"])
+
+    agg: dict = {}
+    for r in j.map_batches(_cnt, batch_format="pyarrow").take_all():
+        agg[r["channel"]] = agg.get(r["channel"], 0) + r["conversions"]
+    chans = sorted(agg)
+    return pa.table({"channel": pa.array(chans),
+                     "conversions": pa.array(
+                         [agg[c] for c in chans], type=pa.int64())})
+
+
+SQL_ATTRIBUTION = """
+WITH touches AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type <> 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+),
+purch AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.event_id, t.event_type AS channel
+  FROM purch p ASOF LEFT JOIN touches t
+    ON p.user_id = t.user_id AND t.ts <= p.ts
+)
+SELECT COALESCE(channel, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS conversions
+FROM j GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -4483,6 +4554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_docs": q_chi2_docs,
         "benford_orders": q_benford_orders,
         "zipf_slope_docs": q_zipf_slope_docs,
+        "attribution_events": q_attribution_events,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -4510,7 +4582,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery is pinned in-window by moments_events and by the
         # r04-green scaled_events driver row)
         "random_projection_embeddings": q_random_projection_embeddings,
-        "onehot_events": q_onehot_events,
         "feature_hash_events": q_feature_hash_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         # -- new in the r5 continuation (rotated-out slots below)
@@ -4541,6 +4612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
+        "onehot_events": q_onehot_events,
         # -- rotated OUT in the r5 final session for the
         # distributional/audit family above (all green under the
         # local full-registry checker each round)
@@ -4781,6 +4853,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_docs": SQL_CHI2,
         "benford_orders": SQL_BENFORD,
         "zipf_slope_docs": SQL_ZIPF,
+        "attribution_events": SQL_ATTRIBUTION,
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,

@@ -115,6 +115,7 @@ def hash_join(
     how: str = "inner",
     suffix: str = "_r",
     num_partitions: int | None = None,
+    bloom: bool = False,
 ):
     """Large-large equi-join: co-partition both sides by ``hash(key)``
     (ONE shuffle over the union, the same exchange the as-of join
@@ -130,11 +131,22 @@ def hash_join(
     typed NULLs for the other left columns.  NULL keys never match
     (SQL semantics).  For small build sides prefer ``broadcast_join``
     (no shuffle at all).
+
+    ``bloom=True`` (inner only): build a Bloom filter over the right
+    side's keys (one narrow pass) and drop left rows that definitely
+    can't match BEFORE the co-partitioning exchange — the all-to-all
+    then carries only plausible matches (``netml_ray.bloom``); false
+    positives are resolved exactly by the join itself, so the result
+    is bit-identical (pinned by pytest).
     """
     from netml_ray.partition import partition_map2
 
     if how not in ("inner", "left", "full"):
         raise ValueError(f"how={how!r} not supported (inner|left|full)")
+    if bloom and how == "inner":
+        from netml_ray.bloom import bloom_prefilter, build_bloom
+
+        left = bloom_prefilter(left, key, build_bloom(right, key))
 
     def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         nl, nr = lt.num_rows, rt.num_rows
@@ -347,7 +359,7 @@ def semi_join_broadcast(ds, keys_iterable, key: str, *, anti: bool = False):
 
 
 def semi_join(left, right, key: str, *, anti: bool = False,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None, bloom: bool = False):
     """SQL EXISTS / NOT EXISTS: keep left rows whose ``key`` does
     (``anti=False``) or does not (``anti=True``) appear among the
     right side's non-NULL keys.  Same co-partitioned exchange as
@@ -355,10 +367,19 @@ def semi_join(left, right, key: str, *, anti: bool = False,
     ships ONLY its key column into the shuffle, and output carries
     only left columns (never wider than the input).  NULL left keys
     never match, so they are dropped by the semi and kept by the anti
-    (SQL NOT EXISTS semantics, not NOT IN's NULL poisoning)."""
+    (SQL NOT EXISTS semantics, not NOT IN's NULL poisoning).
+
+    ``bloom=True`` (semi only — an anti must see every probe row):
+    Bloom-prefilter the left side before the exchange; a bloom
+    negative is exact ("key definitely absent"), a false positive is
+    resolved by the exact membership test."""
     from netml_ray.partition import partition_map2
 
     right_keys = right.select_columns([key])
+    if bloom and not anti:
+        from netml_ray.bloom import bloom_prefilter, build_bloom
+
+        left = bloom_prefilter(left, key, build_bloom(right_keys, key))
 
     def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         if lt.num_rows == 0:

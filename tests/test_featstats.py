@@ -212,3 +212,35 @@ def test_winsorized_group_stats(ray_session):
     assert np.allclose(out["max_w"], exp["max"])
     assert out["min_w"].min() >= lo - 1e-9
     assert out["max_w"].max() <= hi + 1e-9
+
+
+def test_attribution_last_touch_semantics(ray_session, tmp_path):
+    """Crafted stream: purchase attributed to the latest touch at-or-
+    before it; same-ts touches break ties by max event_id; a purchase
+    with no prior touch lands in 'none'."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+        "ts": pa.array([1 * us, 2 * us, 2 * us, 3 * us,
+                        1 * us, 5 * us, 9 * us],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([10, 10, 10, 10, 20, 20, 30],
+                            type=pa.int64()),
+        "event_type": pa.array(["click", "view", "click", "purchase",
+                                "purchase", "purchase", "purchase"]),
+        "value": pa.array([0.0] * 7),
+        "props": pa.array([""] * 7),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (entrymod.q_attribution_events(str(tmp_path))
+           .to_pandas().set_index("channel"))
+    # user 10: purchase@3 sees click(1), view(2,id=2), click(2,id=3)
+    #   → latest ts=2, tie by max event_id → click
+    # user 20: purchase@1 has no prior touch (purchase@5 is not a
+    #   touch) → none; user 30 likewise → none
+    assert out.loc["click", "conversions"] == 1
+    assert out.loc["none", "conversions"] == 3
