@@ -4487,6 +4487,31 @@ FROM j GROUP BY 1
 """
 
 
+def q_stratified_sample_docs(sf_dir: str):
+    """EXACT stratified sample: ceil(20%) of every source, chosen by
+    deterministic md5(doc_id) order — per-stratum proportions hit
+    exactly (hard token-budget mixing), unlike the binomial per-row
+    hash samplers (curation.stratified_sample)."""
+    from netml_ray.curation import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_sample(docs, "source", "doc_id", 0.2,
+                             num_partitions=P)
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hk
+  FROM documents
+)
+SELECT doc_id, source FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+        <= ceil(0.2 * count(*) OVER (PARTITION BY source))
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -4555,6 +4580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_orders": q_benford_orders,
         "zipf_slope_docs": q_zipf_slope_docs,
         "attribution_events": q_attribution_events,
+        "stratified_sample_docs": q_stratified_sample_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -4572,7 +4598,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events": q_ffill_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
-        "resample_events": q_resample_events,
         "embedding_covariance": q_embedding_covariance,
         "split_events": q_split_events,
         "quantile_bin_events": q_quantile_bin_events,
@@ -4612,6 +4637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
+        "resample_events": q_resample_events,
         "onehot_events": q_onehot_events,
         # -- rotated OUT in the r5 final session for the
         # distributional/audit family above (all green under the
@@ -4854,6 +4880,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_orders": SQL_BENFORD,
         "zipf_slope_docs": SQL_ZIPF,
         "attribution_events": SQL_ATTRIBUTION,
+        "stratified_sample_docs": SQL_STRATIFIED_SAMPLE,
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,

@@ -262,6 +262,60 @@ def limit_per_key(ds, key: str, n: int, *, order_by: list[str],
                          num_partitions=num_partitions)
 
 
+def stratified_sample(ds, key: str, id_col: str, frac: float, *,
+                      num_partitions: int | None = None):
+    """EXACT stratified sampling: keep ``ceil(frac * n_k)`` rows of
+    every stratum ``k`` — unlike the per-row hash samplers above
+    (whose per-stratum counts are only binomially close to ``frac``),
+    the proportion is hit exactly per stratum, which is what a
+    data-mixing recipe with hard token budgets wants.  Rows are chosen
+    deterministically by md5(id) order (ties by id), so the sample is
+    reproducible and partition-invariant.  One keyed hash exchange +
+    a vectorized per-run rank pass (the ``limit_per_key`` shape with a
+    per-run threshold).  md5 parity with DuckDB's
+    ``('0x' || substr(md5(id), 1, 15))::BIGINT`` (the repo's standard
+    bit-equal trick)."""
+    import hashlib
+
+    from netml_ray.partition import partition_map
+
+    def _pre(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in ids.to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return t.append_column("__md5", pa.array(h))
+
+    def _fn(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        if m == 0:
+            return t.drop_columns(["__md5"])
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            starts[1:] = pc.not_equal(
+                arr.slice(1, m - 1), arr.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False)
+        sidx = np.flatnonzero(starts)
+        runlen = np.diff(np.append(sidx, m))
+        start_rep = np.repeat(sidx, runlen)
+        rank = np.arange(m, dtype=np.int64) - start_rep
+        keep_n = np.ceil(frac * runlen.astype(np.float64))
+        return t.filter(pa.array(rank < np.repeat(keep_n, runlen))) \
+                .drop_columns(["__md5"])
+
+    return partition_map(ds.map_batches(_pre, batch_format="pyarrow"),
+                         key, _fn, sort_by=[key, "__md5", id_col],
+                         num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # Document chunking (embedding / RAG prep)
 # ---------------------------------------------------------------------------

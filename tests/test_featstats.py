@@ -244,3 +244,46 @@ def test_attribution_last_touch_semantics(ray_session, tmp_path):
     #   touch) → none; user 30 likewise → none
     assert out.loc["click", "conversions"] == 1
     assert out.loc["none", "conversions"] == 3
+
+
+def test_stratified_sample_exact_proportions(ray_session, monkeypatch):
+    """Every stratum yields EXACTLY ceil(frac * n_k) rows, the chosen
+    ids are the md5-order prefix, and fast == distributed."""
+    import hashlib
+
+    import ray.data as rd
+
+    from netml_ray.curation import stratified_sample
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(rng.choice(["cc", "wiki", "code"], n,
+                                      p=[0.7, 0.2, 0.1])),
+    })
+
+    def run():
+        return stratified_sample(rd.from_arrow(t).repartition(5),
+                                 "source", "doc_id", 0.25).to_pandas()
+
+    monkeypatch.setenv("NETML_RAY_PMAP_DRIVER_BYTES", "0")
+    dist = run()
+    monkeypatch.setenv("NETML_RAY_PMAP_DRIVER_BYTES", str(1 << 40))
+    fast = run()
+    for out in (dist, fast):
+        df = t.to_pandas()
+        sizes = df.groupby("source").size()
+        got = out.groupby("source").size()
+        for src, nk in sizes.items():
+            assert got[src] == int(np.ceil(0.25 * nk))
+            g = df[df.source == src].assign(
+                hk=lambda d: [int(hashlib.md5(str(i).encode())
+                                  .hexdigest()[:15], 16)
+                              for i in d.doc_id])
+            want = set(g.sort_values(["hk", "doc_id"])
+                       .head(int(np.ceil(0.25 * nk)))["doc_id"])
+            assert set(out[out.source == src]["doc_id"]) == want
+    pd.testing.assert_frame_equal(
+        dist.sort_values(["source", "doc_id"]).reset_index(drop=True),
+        fast.sort_values(["source", "doc_id"]).reset_index(drop=True))
