@@ -4512,6 +4512,47 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
 """
 
 
+def q_jaro_winkler_docs(sf_dir: str):
+    """Jaro-Winkler near-dup pairs (record linkage) over docs ∪
+    one-char-mutated copies (+1M id, char 10 replaced by 'Z'), scored
+    on the 64-prefix with the edit-distance family's blocking rule —
+    dedup.jaro_winkler_pairs, fuzz-pinned bit-compatible with DuckDB's
+    jaro_winkler_similarity."""
+    from netml_ray.dedup import jaro_winkler_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _mutate(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("doc_id"), "doc_id",
+                         pc.add(t["doc_id"], 1_000_000))
+        head = pc.utf8_slice_codeunits(t["text"], 0, 9)
+        tail = pc.utf8_slice_codeunits(t["text"], 10, 1 << 30)
+        return t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(head, "Z", tail, ""))
+
+    both = docs.union(docs.map_batches(_mutate, batch_format="pyarrow"))
+    return jaro_winkler_pairs(both, block_col="source", min_sim=0.9,
+                              prefix_len=64, bucket_width=32)
+
+
+SQL_JARO_WINKLER = """
+WITH u AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, 9) || 'Z' || substr(text, 11) AS text, source
+  FROM documents),
+d AS (SELECT doc_id, substr(text, 1, 64) AS p, source,
+             CAST(floor(length(text) / 32) AS BIGINT) AS b FROM u)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       round(jaro_winkler_similarity(a.p, c.p), 9) AS sim
+FROM d a JOIN d c ON a.doc_id < c.doc_id AND a.source = c.source
+                 AND abs(a.b - c.b) <= 1
+WHERE jaro_winkler_similarity(a.p, c.p) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -4581,6 +4622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_docs": q_zipf_slope_docs,
         "attribution_events": q_attribution_events,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "jaro_winkler_docs": q_jaro_winkler_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -4598,7 +4640,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events": q_ffill_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
-        "embedding_covariance": q_embedding_covariance,
         "split_events": q_split_events,
         "quantile_bin_events": q_quantile_bin_events,
         "asof_tolerance_events": q_asof_tolerance_events,
@@ -4637,6 +4678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
+        "embedding_covariance": q_embedding_covariance,
         "resample_events": q_resample_events,
         "onehot_events": q_onehot_events,
         # -- rotated OUT in the r5 final session for the
@@ -4881,6 +4923,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope_docs": SQL_ZIPF,
         "attribution_events": SQL_ATTRIBUTION,
         "stratified_sample_docs": SQL_STRATIFIED_SAMPLE,
+        "jaro_winkler_docs": SQL_JARO_WINKLER,
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,

@@ -287,3 +287,57 @@ def test_stratified_sample_exact_proportions(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         dist.sort_values(["source", "doc_id"]).reset_index(drop=True),
         fast.sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+def test_jaro_winkler_batch_duckdb_parity():
+    """Fuzz the vectorized JW kernel against DuckDB's native
+    jaro_winkler_similarity (the oracle scorer) — classic edges plus
+    random strings incl. empties and repeats."""
+    import random
+    import string
+
+    import duckdb
+
+    from netml_ray.dedup import jaro_winkler_pairs_batch
+
+    random.seed(123)
+    pairs = [("martha", "marhta"), ("dixon", "dicksonx"),
+             ("prefixaaaa", "prefixbbbb"), ("", ""), ("a", ""),
+             ("abcdef", "abcdef"), ("ab", "ba"), ("xabcde", "yabcde"),
+             ("aaaa", "aaaaaaaaaa")]
+    for _ in range(1500):
+        a = "".join(random.choices(string.ascii_lowercase[:5],
+                                   k=random.randint(0, 24)))
+        b = "".join(random.choices(string.ascii_lowercase[:5],
+                                   k=random.randint(0, 24)))
+        pairs.append((a, b))
+    got = jaro_winkler_pairs_batch([p[0] for p in pairs],
+                                   [p[1] for p in pairs])
+    con = duckdb.connect()
+    exp = np.array([con.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs])
+    assert np.allclose(got, exp, atol=1e-12)
+
+
+def test_jaro_winkler_pairs_finds_planted_mutations(ray_session):
+    import ray.data as rd
+
+    from netml_ray.dedup import jaro_winkler_pairs
+
+    rng = np.random.default_rng(2)
+    texts = ["the quick brown fox number %d jumps over the lazy dog" % i
+             for i in range(200)]
+    mut = [t[:9] + "Z" + t[10:] for t in texts]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "text": pa.array(texts + mut),
+        "source": pa.array(["s"] * 400),
+    })
+    out = jaro_winkler_pairs(rd.from_arrow(t).repartition(4),
+                             block_col="source", min_sim=0.9,
+                             prefix_len=64).to_pandas()
+    planted = set(zip(range(200), range(200, 400)))
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert planted <= got           # every mutation found
+    assert (out["sim"] >= 0.9).all()
