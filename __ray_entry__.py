@@ -4553,6 +4553,20 @@ WHERE jaro_winkler_similarity(a.p, c.p) >= 0.9
 """
 
 
+def q_kll_quantiles_events(sf_dir: str):
+    """KLL sketch quantiles of events.value (one narrow pass, O(k)
+    state per block) — rows-only: the sketch is an approximation by
+    construction; pytest pins the 3/k rank-error envelope and the
+    exact serialization round-trip."""
+    from netml_ray.sketches import kll_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    vals = kll_quantiles(ev, "value", qs, k=200)
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value_approx": pa.array(vals, type=pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -4693,6 +4707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_events": q_autocorr_events,
         "pack_docs": q_pack_docs,
         "pca_embeddings": q_pca_embeddings,
+        "kll_quantiles_events": q_kll_quantiles_events,
         "anomaly_scores": q_anomaly_scores,
         "crawl_flagship": q_crawl_flagship,
         "netml_two_stage_events": q_netml_two_stage_events,

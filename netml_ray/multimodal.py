@@ -321,6 +321,53 @@ class AudioDecode:
         return t
 
 
+class SpectralFeatures:
+    """Actor-pool stage: WAV PCM binary column → spectral features
+    ``[dominant_hz, centroid_hz, bandwidth_hz, rolloff85_hz]`` (one
+    rFFT per row over the mono signal, DC excluded) — the multimodal
+    analog of the session FFT extractor (reference parser.py FFT
+    feature, W6): dominant = argmax-magnitude bin, centroid =
+    magnitude-weighted mean frequency, bandwidth = magnitude-weighted
+    std around the centroid, rolloff85 = frequency below which 85% of
+    spectral energy lies."""
+
+    def __init__(self, media_col: str = "audio",
+                 drop_payload: bool = True):
+        self.media_col = media_col
+        self.drop_payload = drop_payload
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.media_col].to_pylist()
+        feats = np.zeros((len(payloads), 4), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            rate, x = decode_wav(p)
+            mono = x.astype(np.float64).mean(axis=1)
+            n = len(mono)
+            if n < 2 or not rate:
+                continue
+            mag = np.abs(np.fft.rfft(mono))
+            freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+            mag[0] = 0.0  # drop DC
+            tot = mag.sum()
+            if tot <= 0:
+                continue
+            dom = float(freqs[int(np.argmax(mag))])
+            cent = float((freqs * mag).sum() / tot)
+            bw = float(np.sqrt(((freqs - cent) ** 2 * mag).sum() / tot))
+            energy = mag ** 2
+            cums = np.cumsum(energy)
+            roll = float(freqs[int(np.searchsorted(
+                cums, 0.85 * cums[-1]))])
+            feats[i] = [dom, cent, bw, roll]
+        t = t.append_column(
+            "spectral_features",
+            pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()), 4),
+        )
+        if self.drop_payload:
+            t = t.drop_columns([self.media_col])
+        return t
+
+
 class FrameSample:
     """Video-style stage: sample every k-th frame index from a frames
     metadata column (decode itself stubbed as above)."""

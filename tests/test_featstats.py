@@ -341,3 +341,70 @@ def test_jaro_winkler_pairs_finds_planted_mutations(ray_session):
     got = set(zip(out["id_a"], out["id_b"]))
     assert planted <= got           # every mutation found
     assert (out["sim"] >= 0.9).all()
+
+
+def test_kll_sketch_error_bound_and_merge(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sketches import KLLSketch, kll_quantiles
+
+    rng = np.random.default_rng(14)
+    data = np.concatenate([rng.normal(0, 1, 120_000),
+                           rng.exponential(5, 80_000)])
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+    # driver-side: stream in chunks, rank error < 3/k
+    s = KLLSketch(200)
+    for c in np.array_split(data, 37):
+        s.update(c)
+    for g, q in zip(s.quantiles(qs), qs):
+        assert abs((data < g).mean() - q) < 3.0 / 200
+
+    # merge of disjoint sketches stays in the envelope
+    a, b = KLLSketch(200), KLLSketch(200)
+    a.update(data[:70_000])
+    b.update(data[70_000:])
+    a.merge(b)
+    for g, q in zip(a.quantiles(qs), qs):
+        assert abs((data < g).mean() - q) < 3.0 / 200
+
+    # distributed one-pass partials over a Dataset
+    ds = rd.from_arrow(pa.table({"v": pa.array(data)})).repartition(16)
+    got = kll_quantiles(ds, "v", qs, k=200)
+    for g, q in zip(got, qs):
+        assert abs((data < g).mean() - q) < 3.0 / 200
+
+    # serialization round-trip is exact
+    clone = KLLSketch.from_bytes(s.to_bytes())
+    assert clone.quantiles(qs) == s.quantiles(qs)
+
+
+def test_spectral_features_actor_stage(ray_session):
+    """Pure sine at f -> dominant bin == f (within bin width) through
+    the full actor-pool Dataset stage; rolloff/centroid near f."""
+    import ray.data as rd
+
+    from netml_ray.multimodal import SpectralFeatures, encode_wav
+
+    rate = 16000
+    freqs = [250.0, 440.0, 1000.0, 3000.0]
+    rows = []
+    for f in freqs:
+        ts = np.arange(8000) / rate
+        x = (10000 * np.sin(2 * np.pi * f * ts)).astype(np.int16)
+        rows.append(encode_wav(x, rate))
+    t = pa.table({
+        "audio_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "audio": pa.array(rows, type=pa.binary()),
+    })
+    out = (rd.from_arrow(t)
+           .map_batches(SpectralFeatures, batch_size=2, concurrency=2,
+                        batch_format="pyarrow")
+           .to_pandas().sort_values("audio_id"))
+    bin_hz = rate / 8000
+    for f, feats in zip(freqs, out["spectral_features"]):
+        dom, cent, bw, roll = feats
+        assert abs(dom - f) <= bin_hz
+        assert abs(cent - f) < 25  # leakage skews slightly
+        assert abs(roll - f) <= 2 * bin_hz
+        assert bw < 200
