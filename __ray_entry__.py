@@ -4567,6 +4567,52 @@ def q_kll_quantiles_events(sf_dir: str):
                      "value_approx": pa.array(vals, type=pa.float64())})
 
 
+def q_psi_events(sf_dir: str):
+    """Population Stability Index of events.value between the stream's
+    first and second time halves, bin edges = the reference half's
+    exact deciles — the ML-ops drift monitor (featstats.psi: one
+    min/max pass, the exact-quantile machinery, one narrow 2×10-int
+    binned-count pass; no shuffle)."""
+    from netml_ray.featstats import psi
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    return psi(ev, "value", "ts", n_bins=10)
+
+
+SQL_PSI = """
+WITH s AS (SELECT (min(epoch_us(ts)) / 1000000.0
+                 + max(epoch_us(ts)) / 1000000.0) / 2.0 AS split
+           FROM events),
+r AS (SELECT value FROM events, s
+      WHERE epoch_us(ts) / 1000000.0 < s.split),
+edges AS (SELECT unnest(quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS edge
+          FROM r),
+binned AS (
+  SELECT (SELECT count(*) FROM edges WHERE edge <= ev.value) AS bin,
+         (epoch_us(ev.ts) / 1000000.0 >= s.split) AS cur
+  FROM events ev, s
+),
+c AS (SELECT bin, count(*) FILTER (WHERE NOT cur) AS nr,
+             count(*) FILTER (WHERE cur) AS nc
+      FROM binned GROUP BY bin),
+bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+f AS (SELECT bins.bin, COALESCE(c.nr, 0) AS n_ref,
+             COALESCE(c.nc, 0) AS n_cur
+      FROM bins LEFT JOIN c USING (bin)),
+tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+               CAST(sum(n_cur) AS DOUBLE) AS tc FROM f)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(n_ref / tot.tr, 9) AS p_ref,
+       round(n_cur / tot.tc, 9) AS p_cur,
+       round(CASE WHEN n_ref > 0 AND n_cur > 0
+                  THEN (n_cur / tot.tc - n_ref / tot.tr)
+                       * ln((n_cur / tot.tc) / (n_ref / tot.tr)) END,
+             9) AS psi_term
+FROM f CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -4637,6 +4683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_events": q_attribution_events,
         "stratified_sample_docs": q_stratified_sample_docs,
         "jaro_winkler_docs": q_jaro_winkler_docs,
+        "psi_events": q_psi_events,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -4654,7 +4701,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events": q_ffill_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
-        "split_events": q_split_events,
         "quantile_bin_events": q_quantile_bin_events,
         "asof_tolerance_events": q_asof_tolerance_events,
         # (group_zscore_events rotated to the tail for the JL random
@@ -4692,6 +4738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
+        "split_events": q_split_events,
         "embedding_covariance": q_embedding_covariance,
         "resample_events": q_resample_events,
         "onehot_events": q_onehot_events,
@@ -4939,6 +4986,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_events": SQL_ATTRIBUTION,
         "stratified_sample_docs": SQL_STRATIFIED_SAMPLE,
         "jaro_winkler_docs": SQL_JARO_WINKLER,
+        "psi_events": SQL_PSI,
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,

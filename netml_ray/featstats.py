@@ -417,3 +417,88 @@ def winsorized_group_stats(ds, val_col: str, key_col: str, *,
     return pa.table({key_col: pa.array(keys), "n": pa.array(n),
                      "mean_w": pa.array(mean), "min_w": pa.array(mn),
                      "max_w": pa.array(mx)})
+
+
+# ---------------------------------------------------------------------------
+# population stability index (distribution drift)
+# ---------------------------------------------------------------------------
+
+def psi(ds, val_col: str, ts_col: str, *, n_bins: int = 10,
+        split_ts: float | None = None,
+        round_to: int | None = 9) -> pa.Table:
+    """Population Stability Index between a REFERENCE period and a
+    CURRENT period of the same stream — the standard drift monitor
+    for a deployed feature: bin edges = the reference period's exact
+    deciles, ``PSI = Σ (p_cur - p_ref) · ln(p_cur / p_ref)`` over the
+    bins.  PSI < 0.1 ≈ stable, > 0.25 ≈ shifted.
+
+    ``split_ts`` (epoch seconds) divides the periods; default = the
+    midpoint of the stream's [min, max] timestamp.  Shape: one narrow
+    min/max pass, the exact-quantile machinery on the reference
+    period, then ONE narrow binned-count pass over both periods
+    (2·n_bins ints per batch) — no shuffle.
+
+    Returns one row per bin ``(bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term)`` — the total is the sum of ``psi_term`` (kept per-bin
+    so the oracle comparison pins every bin, not just the sum)."""
+    from .sessionize import exact_quantiles
+
+    def _ts_sec(t: pa.Table) -> np.ndarray:
+        return (t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 1e6)
+
+    if split_ts is None:
+        lo_hi = [np.inf, -np.inf]
+        for b in ds.map_batches(
+                lambda t: pa.table({
+                    "lo": pa.array([float(_ts_sec(t).min())]
+                                   if t.num_rows else [],
+                                   type=pa.float64()),
+                    "hi": pa.array([float(_ts_sec(t).max())]
+                                   if t.num_rows else [],
+                                   type=pa.float64())}),
+                batch_format="pyarrow").take_all():
+            lo_hi[0] = min(lo_hi[0], b["lo"])
+            lo_hi[1] = max(lo_hi[1], b["hi"])
+        split_ts = (lo_hi[0] + lo_hi[1]) / 2.0
+
+    ref = ds.map_batches(
+        lambda t: t.filter(pa.array(_ts_sec(t) < split_ts)),
+        batch_format="pyarrow")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = np.asarray(exact_quantiles(ref, val_col, qs),
+                       dtype=np.float64)
+
+    def _counts(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"bin": pa.array([], type=pa.int64()),
+                             "nr": pa.array([], type=pa.int64()),
+                             "nc": pa.array([], type=pa.int64())})
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cur = _ts_sec(t) >= split_ts
+        b = np.searchsorted(edges, v, side="right")
+        nr = np.bincount(b[~cur], minlength=n_bins)
+        nc = np.bincount(b[cur], minlength=n_bins)
+        return pa.table({"bin": pa.array(np.arange(n_bins)),
+                         "nr": pa.array(nr.astype(np.int64)),
+                         "nc": pa.array(nc.astype(np.int64))})
+
+    nr = np.zeros(n_bins, dtype=np.int64)
+    nc = np.zeros(n_bins, dtype=np.int64)
+    for r in ds.map_batches(_counts, batch_format="pyarrow").take_all():
+        nr[r["bin"]] += r["nr"]
+        nc[r["bin"]] += r["nc"]
+    p_ref = nr / nr.sum()
+    p_cur = nc / nc.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = (p_cur - p_ref) * np.log(p_cur / p_ref)
+    dead = ~((p_ref > 0) & (p_cur > 0))
+    term = np.where(dead, 0.0, term)
+    if round_to is not None:
+        p_ref, p_cur = np.round(p_ref, round_to), np.round(p_cur, round_to)
+        term = np.round(term, round_to)
+    return pa.table({"bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                     "n_ref": pa.array(nr), "n_cur": pa.array(nc),
+                     "p_ref": pa.array(p_ref), "p_cur": pa.array(p_cur),
+                     # empty-on-either-side bins are NULL (the SQL CASE)
+                     "psi_term": pa.array(term, mask=dead)})

@@ -408,3 +408,44 @@ def test_spectral_features_actor_stage(ray_session):
         assert abs(cent - f) < 25  # leakage skews slightly
         assert abs(roll - f) <= 2 * bin_hz
         assert bw < 200
+
+
+def test_psi_detects_planted_drift(ray_session):
+    """Second half shifted by +2σ → PSI >> 0.25; identical halves →
+    PSI ≈ 0.  Terms match a pandas brute force."""
+    import ray.data as rd
+
+    from netml_ray.featstats import psi
+
+    rng = np.random.default_rng(19)
+    n = 40_000
+    ts = (np.arange(n) * 1_000_000).astype(np.int64)
+
+    def make(vals):
+        return rd.from_arrow(pa.table({
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "value": pa.array(vals),
+        })).repartition(8)
+
+    stable = rng.normal(0, 1, n)
+    out = psi(make(stable), "value", "ts", n_bins=10).to_pandas()
+    assert out["psi_term"].sum() < 0.01
+
+    drift = np.concatenate([rng.normal(0, 1, n // 2),
+                            rng.normal(2, 1, n // 2)])
+    out2 = psi(make(drift), "value", "ts", n_bins=10).to_pandas()
+    total = out2["psi_term"].sum()
+    assert total > 0.25
+
+    # brute-force term parity
+    ref, cur = drift[:n // 2], drift[n // 2:]
+    edges = np.quantile(ref, np.arange(1, 10) / 10)
+    br = np.bincount(np.searchsorted(edges, ref, side="right"),
+                     minlength=10)
+    bc = np.bincount(np.searchsorted(edges, cur, side="right"),
+                     minlength=10)
+    pr, pc_ = br / br.sum(), bc / bc.sum()
+    expect = (pc_ - pr) * np.log(pc_ / pr)
+    assert np.allclose(out2["psi_term"].to_numpy(), expect, atol=1e-8)
+    assert np.array_equal(out2["n_ref"], br)
+    assert np.array_equal(out2["n_cur"], bc)
