@@ -4613,6 +4613,36 @@ FROM f CROSS JOIN tot
 """
 
 
+def q_sentence_stats_docs(sf_dir: str):
+    """Per-doc sentence statistics (textops.sentence_stats_batch) —
+    the readability/quality signal beside the Gopher ratios: RE2
+    sentence split, vectorized per-doc count/mean/max."""
+    from netml_ray.textops import sentence_stats_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(lambda t: sentence_stats_batch(t),
+                           batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_sentences",
+                               "mean_sentence_chars",
+                               "max_sentence_chars"])
+
+
+SQL_SENTENCE_STATS = r"""
+WITH s AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(text, '[.!?]+\s*')) AS seg
+           FROM documents),
+ne AS (SELECT doc_id, length(seg) AS l FROM s WHERE seg <> ''),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+               round(CAST(sum(l) AS DOUBLE) / count(*), 9)
+                 AS mean_sentence_chars,
+               CAST(max(l) AS BIGINT) AS max_sentence_chars
+        FROM ne GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_sentences, 0) AS n_sentences,
+       a.mean_sentence_chars, a.max_sentence_chars
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -4684,6 +4714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "jaro_winkler_docs": q_jaro_winkler_docs,
         "psi_events": q_psi_events,
+        "sentence_stats_docs": q_sentence_stats_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -4701,7 +4732,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events": q_ffill_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
-        "quantile_bin_events": q_quantile_bin_events,
         "asof_tolerance_events": q_asof_tolerance_events,
         # (group_zscore_events rotated to the tail for the JL random
         # projection: checker-verified r5 entry; its group mean/std
@@ -4738,6 +4768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------- driver window ends here (50 entries above) -------
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
+        "quantile_bin_events": q_quantile_bin_events,
         "split_events": q_split_events,
         "embedding_covariance": q_embedding_covariance,
         "resample_events": q_resample_events,
@@ -4987,6 +5018,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": SQL_STRATIFIED_SAMPLE,
         "jaro_winkler_docs": SQL_JARO_WINKLER,
         "psi_events": SQL_PSI,
+        "sentence_stats_docs": SQL_SENTENCE_STATS,
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,

@@ -420,3 +420,65 @@ def score_dataset(ds, model, feature_col: str = "features", concurrency=None):
             return t.append_column("score", pa.array(scores, mask=~mask))
 
     return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (PAVA)
+# ---------------------------------------------------------------------------
+
+def fit_isotonic(scores: np.ndarray, labels: np.ndarray) -> dict:
+    """Pool-Adjacent-Violators: fit a non-decreasing map from raw
+    anomaly/classifier scores to calibrated P(label=1).  O(n) stack
+    PAVA over the score-sorted labels (ties in score pre-pooled so
+    the fit is input-order invariant).  Driver-side like every
+    ``models.fit`` (the calibration sample is small); the returned
+    dict broadcasts to the cluster via ``apply_calibration``."""
+    s = np.asarray(scores, dtype=np.float64)
+    y = np.asarray(labels, dtype=np.float64)
+    order = np.argsort(s, kind="stable")
+    s, y = s[order], y[order]
+    # pre-pool exact score ties (PAVA blocks may never split a tie)
+    ux, inv, cnt = np.unique(s, return_inverse=True, return_counts=True)
+    ysum = np.bincount(inv, weights=y)
+    # stack PAVA over (mean, weight) blocks
+    means: list[float] = []
+    weights: list[float] = []
+    starts: list[int] = []
+    for i in range(len(ux)):
+        m, w = ysum[i] / cnt[i], float(cnt[i])
+        st = i
+        while means and means[-1] >= m:
+            m = (means[-1] * weights[-1] + m * w) / (weights[-1] + w)
+            w += weights[-1]
+            st = starts[-1]
+            means.pop(); weights.pop(); starts.pop()
+        means.append(m); weights.append(w); starts.append(st)
+    block_of = np.repeat(np.arange(len(means)),
+                         np.diff(np.append(starts, len(ux))))
+    return {"x": ux, "y": np.asarray(means)[block_of]}
+
+
+def calibrate_scores(scores: np.ndarray, fit: dict) -> np.ndarray:
+    """Apply an isotonic fit: step interpolation at the fitted score
+    points (right-continuous — a score equal to a knot gets that
+    knot's value; outside the range clamps to the edge values)."""
+    x, y = fit["x"], fit["y"]
+    idx = np.clip(np.searchsorted(x, scores, side="right") - 1,
+                  0, len(x) - 1)
+    return y[idx]
+
+
+def apply_calibration(ds, fit: dict, score_col: str = "score",
+                      out_col: str = "calibrated"):
+    """Broadcast the (small) isotonic table once and map batches."""
+    import ray
+
+    ref = ray.put(fit)
+
+    def _f(t):
+        f = ray.get(ref)
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        return t.append_column(out_col,
+                               pa.array(calibrate_scores(s, f)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

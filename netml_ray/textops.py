@@ -680,3 +680,36 @@ def char_entropy_batch(t: pa.Table, text_col: str = "text", *,
     return t.append_column(
         out_col, pa.array(np.where(tot > 0, h, np.nan), type=pa.float64(),
                           from_pandas=True))
+
+
+def sentence_stats_batch(t: pa.Table, text_col: str = "text", *,
+                         round_to: int | None = 9) -> pa.Table:
+    """Per-document sentence statistics: split on ``[.!?]+\\s*`` (RE2,
+    same engine DuckDB uses), a sentence = a non-empty segment.
+    Emits (n_sentences, mean_sentence_chars, max_sentence_chars) —
+    docs with no sentences get 0 / NULL / NULL (the SQL LEFT JOIN
+    rule).  Fully vectorized: one split_pattern_regex + flat
+    utf8_length + per-doc bincounts."""
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    segs = pc.split_pattern_regex(col, r"[.!?]+\s*")
+    n_per = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+    rowid = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_per)
+    flat = pc.list_flatten(segs)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    live = lens > 0
+    n = np.bincount(rowid[live], minlength=t.num_rows).astype(np.int64)
+    tot = np.bincount(rowid[live], weights=lens[live],
+                      minlength=t.num_rows)
+    mx = np.zeros(t.num_rows, dtype=np.int64)
+    np.maximum.at(mx, rowid[live], lens[live])
+    empty = n == 0
+    mean = np.divide(tot, n, out=np.zeros_like(tot), where=~empty)
+    if round_to is not None:
+        mean = np.round(mean, round_to)
+    out = t.append_column("n_sentences", pa.array(n))
+    out = out.append_column("mean_sentence_chars",
+                            pa.array(mean, mask=empty))
+    return out.append_column("max_sentence_chars",
+                             pa.array(mx, mask=empty))

@@ -449,3 +449,74 @@ def test_psi_detects_planted_drift(ray_session):
     assert np.allclose(out2["psi_term"].to_numpy(), expect, atol=1e-8)
     assert np.array_equal(out2["n_ref"], br)
     assert np.array_equal(out2["n_cur"], bc)
+
+
+def test_isotonic_pava_vs_brute_and_apply(ray_session):
+    import ray.data as rd
+
+    from netml_ray.models import (apply_calibration, calibrate_scores,
+                                  fit_isotonic)
+
+    rng = np.random.default_rng(23)
+    s = np.round(rng.normal(size=800), 2)  # force score ties
+    p = 1 / (1 + np.exp(-3 * s))
+    y = (rng.uniform(size=800) < p).astype(float)
+
+    fit = fit_isotonic(s, y)
+    assert (np.diff(fit["y"]) >= -1e-12).all()  # non-decreasing
+
+    # brute-force PAVA: pool ANY adjacent violator until monotone
+    ux, inv, cnt = np.unique(s, return_inverse=True, return_counts=True)
+    vals = (np.bincount(inv, weights=y) / cnt).tolist()
+    w = cnt.astype(float).tolist()
+    while True:
+        for i in range(len(vals) - 1):
+            if vals[i] > vals[i + 1] + 1e-15:
+                m = ((vals[i] * w[i] + vals[i + 1] * w[i + 1])
+                     / (w[i] + w[i + 1]))
+                vals[i:i + 2] = [m]
+                w[i:i + 2] = [w[i] + w[i + 1]]
+                break
+        else:
+            break
+    brute = np.repeat(vals, [int(x) for x in np.round(
+        np.array(w) / 1)])  # expand by pooled unique-count weights
+    # expand brute blocks back to unique-score granularity
+    out, k = [], 0
+    for v, ww in zip(vals, w):
+        take = 0
+        acc = 0.0
+        while acc < ww - 1e-9:
+            acc += cnt[k + take]
+            take += 1
+        out.extend([v] * take)
+        k += take
+    assert np.allclose(fit["y"], out)
+
+    # perfectly separable scores → a clean 0/1 step
+    s2 = np.arange(100, dtype=float)
+    y2 = (s2 >= 50).astype(float)
+    f2 = fit_isotonic(s2, y2)
+    assert np.allclose(calibrate_scores(np.array([10.0, 90.0]), f2),
+                       [0.0, 1.0])
+
+    # distributed apply matches the driver-side map
+    t = pa.table({"score": pa.array(s)})
+    got = (apply_calibration(rd.from_arrow(t).repartition(5), fit)
+           .to_pandas())
+    assert np.allclose(np.sort(got["calibrated"]),
+                       np.sort(calibrate_scores(s, fit)))
+
+
+def test_sentence_stats_edges():
+    from netml_ray.textops import sentence_stats_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(["Hi there. Bye! Ok?", "",
+                                    "no punct at all", "..."])})
+    out = sentence_stats_batch(t).to_pandas().set_index("doc_id")
+    assert list(out["n_sentences"]) == [3, 0, 1, 0]
+    assert np.isclose(out.loc[1, "mean_sentence_chars"], (8 + 3 + 2) / 3)
+    assert out.loc[1, "max_sentence_chars"] == 8
+    assert pd.isna(out.loc[2, "mean_sentence_chars"])
+    assert pd.isna(out.loc[4, "max_sentence_chars"])  # punct-only
