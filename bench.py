@@ -389,6 +389,17 @@ def run_suite() -> dict:
             ("rollup", lambda: __import__(
                 "netml_ray.windows", fromlist=["rollup_agg"])
                 .rollup_agg(sev, "event_type", "user_id", "value")),
+            # r5 final-session distributional family (featstats.py)
+            ("decayed", lambda: __import__(
+                "netml_ray.featstats", fromlist=["decayed_agg"])
+                .decayed_agg(sev, "user_id", "ts", "value",
+                             half_life_s=10_000.0)),
+            ("burstiness", lambda: __import__(
+                "netml_ray.featstats", fromlist=["burstiness"])
+                .burstiness(sev, "user_id", "ts", bucket_s=1_000.0)),
+            ("psi", lambda: __import__(
+                "netml_ray.featstats", fromlist=["psi"])
+                .psi(sev, "value", "ts", n_bins=10)),
         ]:
             t0 = time.time()
             _consume(fn(), label)
