@@ -51,5 +51,17 @@ from netml_ray.similarity import (  # noqa: F401
     knn_cosine,
     knn_cosine_ivf,
 )
+from netml_ray.bloom import BloomFilter, bloom_prefilter, build_bloom  # noqa: F401
+from netml_ray.featstats import (  # noqa: F401
+    benford_digits,
+    burstiness,
+    chi2_independence,
+    decayed_agg,
+    gini,
+    psi,
+    winsorized_group_stats,
+    zipf_slope,
+)
+from netml_ray.sketches import KLLSketch, kll_quantiles  # noqa: F401
 
 __version__ = "0.1.0"

@@ -88,6 +88,13 @@ def build_bloom(ds, key: str, *, num_bits: int | None = None,
         m, k = _params_for(ds.count(), bits_per_key=bits_per_key)
         num_bits = num_bits or m
         num_hashes = num_hashes or k
+    if num_bits > (1 << 33):  # 1 GiB of bitmap
+        raise ValueError(
+            f"bloom bitmap would be {num_bits / 8 / 2**20:.0f} MiB — the "
+            "build side is too large to bloom-filter profitably (the "
+            "driver folds one bitmap per batch); use the plain "
+            "co-partitioned join, or pass num_bits explicitly to accept "
+            "a higher false-positive rate")
 
     def _p(t: pa.Table) -> pa.Table:
         bf = BloomFilter(num_bits, num_hashes)

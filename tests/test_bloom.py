@@ -89,3 +89,15 @@ def test_bloom_prefilter_drops_null_keys(ray_session):
     kept = bloom_prefilter(rd.from_arrow(left), "k", bf).to_pandas()
     assert set(kept["k"].dropna()) == {1, 2}
     assert not kept["k"].isna().any()
+
+
+def test_build_bloom_size_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from netml_ray.bloom import build_bloom
+
+    tiny = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3],
+                                                 type=pa.int64())}))
+    with pytest.raises(ValueError, match="too large to bloom-filter"):
+        build_bloom(tiny, "k", num_bits=1 << 34, num_hashes=4)
