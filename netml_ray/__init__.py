@@ -56,6 +56,7 @@ from netml_ray.featstats import (  # noqa: F401
     benford_digits,
     burstiness,
     chi2_independence,
+    cusum_stat,
     decayed_agg,
     gini,
     psi,
@@ -63,5 +64,8 @@ from netml_ray.featstats import (  # noqa: F401
     zipf_slope,
 )
 from netml_ray.sketches import KLLSketch, kll_quantiles  # noqa: F401
+from netml_ray.skyline import pareto_front  # noqa: F401
+from netml_ray.textstats import readability_profile  # noqa: F401
+from netml_ray.urlops import add_url_features, url_feature_table  # noqa: F401
 
 __version__ = "0.1.0"

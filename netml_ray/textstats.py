@@ -44,7 +44,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
-           "doc_frequency", "pmi_collocations", "tfidf_top_terms"]
+           "doc_frequency", "pmi_collocations", "readability_profile",
+           "tfidf_top_terms"]
 
 
 def _tok(col):
@@ -702,3 +703,90 @@ def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5):
 
     return big.map_batches(_Score, batch_format="pyarrow",
                            concurrency=auto_concurrency())
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease profile
+# ---------------------------------------------------------------------------
+
+def readability_profile(ds, text_col: str, group_col: str, *,
+                        round_to: int = 6) -> "pa.Table":
+    """Per-group Flesch reading-ease profile: for each ``group_col``
+    value, the doc count and the group means of the Flesch score,
+    words-per-sentence and syllables-per-word.
+
+    Flesch (1948) reading ease with fully vectorizable proxies: words
+    = ``\\S+`` runs, sentences = ``max(1, [.!?]+ runs)``, syllables =
+    ``[aeiouy]+`` vowel-group runs of the lowercased text (vowel runs
+    never cross whitespace/punctuation, so the document-level count
+    equals the per-word sum).  ``flesch = 206.835 - 1.015 * w/s -
+    84.6 * y/w``; docs with zero words are excluded.
+
+    Scale shape: ONE narrow ``map_batches`` partial pass — three RE2
+    ``count_substring_regex`` kernels per batch, then an O(groups)
+    partial row per batch — and a driver combine over O(groups) rows.
+    No shuffle; mean-of-sums association differs from the oracle's
+    sequential AVG, hence the documented round-6 hedge (same as
+    ``welch_ttest``).  Recasts reference parser.py's per-flow
+    readability-like summary scalars (STATS family, reference
+    src/netml/pparser/parser.py:307-330) for text corpora.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "sf": pa.array([], pa.float64()),
+                          "swps": pa.array([], pa.float64()),
+                          "sspw": pa.array([], pa.float64())})
+        if not t.num_rows:
+            return empty
+        txt = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        w = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(txt, r"[.!?]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        y = pc.count_substring_regex(
+            pc.utf8_lower(txt), r"[aeiouy]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ok = w > 0
+        if not ok.any():
+            return empty
+        w, y = w[ok], y[ok]
+        s = np.maximum(s[ok], 1.0)
+        wps = w / s
+        spw = y / w
+        fl = 206.835 - 1.015 * wps - 84.6 * spw
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)[ok]
+        keys, inv = np.unique(g, return_inverse=True)
+        return pa.table({
+            group_col: pa.array(keys.tolist(), pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sf": pa.array(np.bincount(inv, weights=fl)),
+            "swps": pa.array(np.bincount(inv, weights=wps)),
+            "sspw": pa.array(np.bincount(inv, weights=spw)),
+        })
+
+    parts = pa.concat_tables(
+        [b for b in ds.map_batches(_partial, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="none")
+    g = np.asarray(parts[group_col].to_pylist(), dtype=object)
+    keys, inv = np.unique(g, return_inverse=True)
+    n = np.bincount(inv, weights=parts["n"].to_numpy(
+        zero_copy_only=False).astype(np.float64))
+    sf = np.bincount(inv, weights=parts["sf"].to_numpy(zero_copy_only=False))
+    swps = np.bincount(inv, weights=parts["swps"].to_numpy(
+        zero_copy_only=False))
+    sspw = np.bincount(inv, weights=parts["sspw"].to_numpy(
+        zero_copy_only=False))
+    return pa.table({
+        group_col: pa.array(keys.tolist(), pa.string()),
+        "n_docs": pa.array(n.astype(np.int64)),
+        "avg_flesch": pa.array(np.round(sf / n, round_to)),
+        "avg_wps": pa.array(np.round(swps / n, round_to)),
+        "avg_spw": pa.array(np.round(sspw / n, round_to)),
+    })
