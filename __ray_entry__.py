@@ -4803,6 +4803,43 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_assoc_rules_events(sf_dir: str):
+    """Market-basket association rules over (user -> distinct event
+    types): directed support/confidence/lift — ONE basket-hash
+    exchange emitting O(items²) partials, driver fold."""
+    from netml_ray.basket import association_rules
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return association_rules(ev, "user_id", "event_type")
+
+
+SQL_ASSOC_RULES = """
+WITH m AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+nb AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM m),
+ones AS (SELECT event_type, count(*) AS n FROM m GROUP BY 1),
+pairs AS (
+  SELECT x.event_type AS antecedent, y.event_type AS consequent,
+         count(*) AS n_joint
+  FROM m x JOIN m y
+    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+  GROUP BY 1, 2)
+SELECT p.antecedent, p.consequent,
+       CAST(p.n_joint AS BIGINT) AS n_joint,
+       CAST(oa.n AS BIGINT) AS n_ante,
+       CAST(oc.n AS BIGINT) AS n_cons,
+       round(p.n_joint / nb.n, 9) AS support,
+       round(CAST(p.n_joint AS DOUBLE) / oa.n, 9) AS confidence,
+       round(p.n_joint * nb.n / (oa.n * oc.n), 9) AS lift
+FROM pairs p
+JOIN ones oa ON oa.event_type = p.antecedent
+JOIN ones oc ON oc.event_type = p.consequent
+CROSS JOIN nb
+ORDER BY 1, 2
+"""
+
+
 SQL_CUSUM = """
 WITH s AS (
   SELECT user_id,
@@ -4859,6 +4896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features_docs": q_url_features_docs,
         "readability_docs": q_readability_docs,
         "cusum_events": q_cusum_events,
+        "assoc_rules_events": q_assoc_rules_events,
         # (lang_id_docs / session_stats_events / heavy_hitters_docs
         # rotated to the tail for the r5 forward-window / seasonal /
         # pagerank additions: all three hold green r04 driver rows and
@@ -4957,8 +4995,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages_events": q_funnel_stages_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "target_encode_oof_events": q_target_encode_oof_events,
-        "interval_sweep_events": q_interval_sweep_events,
         # ------- driver window ends here (50 entries above) -------
+        # (interval_sweep_events rotated to the tail for
+        # assoc_rules_events: green in this session's full-registry
+        # gate at sf0.01, sweep kernel pytest-pinned)
+        "interval_sweep_events": q_interval_sweep_events,
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
         "quantile_bin_events": q_quantile_bin_events,
@@ -5198,6 +5239,7 @@ def oracle_sql() -> dict[str, str]:
         "url_features_docs": SQL_URL_FEATURES,
         "readability_docs": SQL_READABILITY,
         "cusum_events": SQL_CUSUM,
+        "assoc_rules_events": SQL_ASSOC_RULES,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,
