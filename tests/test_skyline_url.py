@@ -272,3 +272,63 @@ def test_cusum_detects_shift(ray_session):
         .set_index("user_id")
     assert out.loc[2, "cusum"] > 3 * out.loc[1, "cusum"]
     assert out.loc[2, "cusum"] > 1.3
+
+
+# ---------------------------------------------------------------------------
+# trend_slope
+# ---------------------------------------------------------------------------
+
+def test_trend_slope_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import trend_slope
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 60, n)),
+        "ts": pa.array(np.sort(rng.integers(0, 90 * 86400 * 10**6, n))
+                       ).cast(pa.timestamp("us")),
+        "value": pa.array(rng.normal(50, 20, n).round(3)),
+    })
+    out = trend_slope(rd.from_arrow(t).repartition(7), "user_id", "ts",
+                      "value").to_pandas().set_index("user_id") \
+        .sort_index()
+
+    df = t.to_pandas()
+    df["x"] = df["ts"].astype("int64") / 1e6
+    rows = []
+    for k, g in df.groupby("user_id"):
+        if len(g) < 2 or g["x"].var(ddof=0) == 0:
+            continue
+        slope, icept = np.polyfit(g["x"], g["value"], 1)
+        rows.append((k, len(g), slope * 86400, icept))
+    exp = pd.DataFrame(rows, columns=["user_id", "n", "slope_per_day",
+                                      "intercept"]) \
+        .set_index("user_id").sort_index()
+    assert (out["n"] == exp["n"]).all()
+    assert np.allclose(out["slope_per_day"], exp["slope_per_day"],
+                       rtol=1e-6, atol=1e-9)
+    assert np.allclose(out["intercept"], exp["intercept"],
+                       rtol=1e-6, atol=1e-5)
+
+
+def test_trend_slope_planted(ray_session):
+    """A key with a planted positive drift recovers the exact slope;
+    a constant-time key is dropped."""
+    import ray.data as rd
+
+    from netml_ray.featstats import trend_slope
+
+    day_us = 86400 * 10**6
+    xs = np.arange(100, dtype=np.int64) * day_us
+    t = pa.table({
+        "user_id": pa.array([1] * 100 + [2] * 3),
+        "ts": pa.array(np.r_[xs, [5, 5, 5]]).cast(pa.timestamp("us")),
+        "value": pa.array(np.r_[3.0 + 2.0 * np.arange(100), [1., 2., 3.]]),
+    })
+    out = trend_slope(rd.from_arrow(t), "user_id", "ts", "value") \
+        .to_pandas().set_index("user_id")
+    assert np.isclose(out.loc[1, "slope_per_day"], 2.0)
+    assert np.isclose(out.loc[1, "intercept"], 3.0)
+    assert 2 not in out.index
