@@ -4803,6 +4803,44 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_woe_iv_events(sf_dir: str):
+    """Weight-of-evidence + information value of event_type against
+    the binary label (value > 55): one narrow count-partial pass,
+    O(cats) driver math.  iv repeats per row (the SQL window sum)."""
+    from netml_ray.mlprep import woe_iv
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    lab = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "y": pc.cast(pc.greater(t["value"], 55.0), pa.int64())}),
+        batch_format="pyarrow")
+    table, iv = woe_iv(lab, "event_type", "y")
+    return table.append_column(
+        "iv", pa.array([iv] * table.num_rows, pa.float64()))
+
+
+SQL_WOE_IV = """
+WITH c AS (
+  SELECT event_type, CASE WHEN value > 55 THEN 1 ELSE 0 END AS y,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT sum(CASE WHEN y = 0 THEN n ELSE 0 END) AS t0,
+         sum(CASE WHEN y = 1 THEN n ELSE 0 END) AS t1 FROM c),
+p AS (
+  SELECT event_type,
+         sum(CASE WHEN y = 0 THEN n ELSE 0 END) AS n0,
+         sum(CASE WHEN y = 1 THEN n ELSE 0 END) AS n1
+  FROM c GROUP BY 1 HAVING n0 > 0 AND n1 > 0)
+SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(ln((n1 / t1) / (n0 / t0)), 9) AS woe,
+       round(sum((n1 / t1 - n0 / t0) * ln((n1 / t1) / (n0 / t0)))
+             OVER (), 9) AS iv
+FROM p CROSS JOIN tot ORDER BY 1
+"""
+
+
 def q_trend_events(sf_dir: str):
     """Per-user OLS time trend of value (slope per day + intercept):
     ONE keyed exchange, run-segmented centered sums."""
@@ -5021,6 +5059,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window by cusum_events, and it is checker-verified at
         # sf0.01 + sf0.1 + distributed path this session)
         "trend_events": q_trend_events,
+        # (woe_iv_events likewise just outside the window: its
+        # count-partial machinery is pinned in-window via the
+        # entropy/moments family; checker-verified this session)
+        "woe_iv_events": q_woe_iv_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5266,6 +5308,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": SQL_CUSUM,
         "assoc_rules_events": SQL_ASSOC_RULES,
         "trend_events": SQL_TREND,
+        "woe_iv_events": SQL_WOE_IV,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -29,7 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["fit_scaler", "transform_scaled", "misra_gries_partials",
+__all__ = ["fit_scaler", "transform_scaled", "woe_iv",
+           "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk",
            "pca_partials", "fit_pca", "transform_pca",
            "grouped_split", "add_quantile_bins", "target_encode",
@@ -1191,3 +1192,49 @@ def random_projection(ds, col: str, id_col: str, *, d_in: int,
             "proj": pa.array(proj.reshape(-1))})
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def woe_iv(ds, cat_col: str, label_col: str, *,
+           round_to: int | None = 9):
+    """Weight-of-evidence encoding + information value of a
+    categorical feature against a binary label — the classic
+    credit-scoring / feature-screening pair (Siddiqi, "Credit Risk
+    Scorecards", 2006): for each category c,
+    ``woe_c = ln((n1_c/N1) / (n0_c/N0))`` and the feature's
+    ``iv = Σ_c (n1_c/N1 − n0_c/N0) · woe_c``.
+
+    Categories seen on only one label side carry infinite WOE; they
+    are DROPPED from both the per-category table and the IV sum (the
+    standard practice absent smoothing) — the SQL oracle must state
+    the identical ``HAVING n0 > 0 AND n1 > 0`` rule.
+
+    Returns ``(pa.Table with (cat, n0, n1, woe), iv)``.  Shape: ONE
+    narrow (cat, label, n) count-partial pass (``_cat_count_partials``
+    — O(cats×2) rows per batch, no shuffle), O(cats) driver math.
+    netml analog: the label-conditioned categorical tallies its
+    supervised feature selection implies (reference
+    src/netml/ndm/_base.py label handling)."""
+    agg: dict = {}
+    for r in _cat_count_partials(ds, cat_col, label_col).take_all():
+        kk = (r[cat_col], int(r[label_col]))
+        agg[kk] = agg.get(kk, 0) + r["n"]
+    cats = sorted({c for c, _ in agg})
+    n0 = np.array([agg.get((c, 0), 0) for c in cats], dtype=np.float64)
+    n1 = np.array([agg.get((c, 1), 0) for c in cats], dtype=np.float64)
+    tot0, tot1 = n0.sum(), n1.sum()
+    ok = (n0 > 0) & (n1 > 0)
+    cats = [c for c, k in zip(cats, ok) if k]
+    n0, n1 = n0[ok], n1[ok]
+    p0, p1 = n0 / tot0, n1 / tot1
+    woe = np.log(p1 / p0)
+    iv = float(((p1 - p0) * woe).sum())
+    if round_to is not None:
+        woe = np.round(woe, round_to)
+        iv = round(iv, round_to)
+    table = pa.table({
+        cat_col: pa.array(cats),
+        "n0": pa.array(n0.astype(np.int64)),
+        "n1": pa.array(n1.astype(np.int64)),
+        "woe": pa.array(woe),
+    })
+    return table, iv

@@ -630,3 +630,40 @@ def test_random_projection_vs_numpy(ray_session):
     with _pytest.raises(Exception):
         random_projection(rd.from_arrow(t), "embedding", "vec_id",
                           d_in=d_in + 1, d_out=d_out).materialize()
+
+
+def test_woe_iv_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import woe_iv
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    cats = rng.choice(["a", "b", "c", "d", "only0"], n,
+                      p=[0.3, 0.3, 0.2, 0.15, 0.05])
+    # label depends on category so WOE is non-trivial; 'only0' never 1
+    p1 = {"a": 0.7, "b": 0.4, "c": 0.2, "d": 0.5, "only0": 0.0}
+    y = (rng.random(n) < np.array([p1[c] for c in cats])).astype(np.int64)
+    t = pa.table({"cat": pa.array(cats), "y": pa.array(y)})
+    table, iv = woe_iv(rd.from_arrow(t).repartition(6), "cat", "y")
+    out = table.to_pandas().set_index("cat")
+
+    df = t.to_pandas()
+    t0 = (df["y"] == 0).sum()
+    t1 = (df["y"] == 1).sum()
+    exp_iv = 0.0
+    seen = set()
+    for c, g in df.groupby("cat"):
+        n0 = (g["y"] == 0).sum()
+        n1 = (g["y"] == 1).sum()
+        if n0 == 0 or n1 == 0:
+            continue
+        seen.add(c)
+        woe = np.log((n1 / t1) / (n0 / t0))
+        assert np.isclose(out.loc[c, "woe"], woe, atol=2e-9)
+        assert out.loc[c, "n0"] == n0 and out.loc[c, "n1"] == n1
+        exp_iv += (n1 / t1 - n0 / t0) * woe
+    assert set(out.index) == seen            # one-sided cat dropped
+    assert "only0" not in out.index
+    assert np.isclose(iv, exp_iv, atol=2e-9)
+    assert iv > 0
