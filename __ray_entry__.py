@@ -4803,6 +4803,35 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_spearman_events(sf_dir: str):
+    """Per-user Spearman rank correlation of value vs time (the
+    robust monotonic-drift feature): ONE keyed exchange, vectorized
+    fractional ranks + segmented Pearson."""
+    from netml_ray.featstats import spearman_corr
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return spearman_corr(ev, "user_id", "ts", "value")
+
+
+SQL_SPEARMAN = """
+WITH r AS (
+  SELECT user_id,
+         rank() OVER (PARTITION BY user_id ORDER BY ts)
+           + (count(*) OVER (PARTITION BY user_id, ts) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY user_id ORDER BY value)
+           + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0
+           AS ry
+  FROM events),
+s AS (
+  SELECT user_id, count(*) AS n, corr(ry, rx) AS rho,
+         var_pop(rx) AS vx, var_pop(ry) AS vy
+  FROM r GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n, round(rho, 6) AS spearman
+FROM s WHERE n >= 2 AND vx > 0 AND vy > 0
+ORDER BY user_id
+"""
+
+
 def q_woe_iv_events(sf_dir: str):
     """Weight-of-evidence + information value of event_type against
     the binary label (value > 55): one narrow count-partial pass,
@@ -5063,6 +5092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-partial machinery is pinned in-window via the
         # entropy/moments family; checker-verified this session)
         "woe_iv_events": q_woe_iv_events,
+        # (spearman_events likewise just outside the window: same
+        # partition_map + segmented-bincount machinery as the
+        # in-window cusum_events; checker-verified this session)
+        "spearman_events": q_spearman_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5309,6 +5342,7 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules_events": SQL_ASSOC_RULES,
         "trend_events": SQL_TREND,
         "woe_iv_events": SQL_WOE_IV,
+        "spearman_events": SQL_SPEARMAN,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

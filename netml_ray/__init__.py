@@ -60,6 +60,7 @@ from netml_ray.featstats import (  # noqa: F401
     decayed_agg,
     gini,
     psi,
+    spearman_corr,
     trend_slope,
     winsorized_group_stats,
     zipf_slope,

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 __all__ = [
     "decayed_agg", "chi2_independence", "benford_digits",
-    "burstiness", "cusum_stat", "gini", "trend_slope", "zipf_slope",
+    "burstiness", "cusum_stat", "gini", "spearman_corr",
+    "trend_slope", "zipf_slope",
     "winsorized_group_stats",
 ]
 
@@ -624,5 +625,81 @@ def trend_slope(ds, key_col: str, ts_col: str, val_col: str, *,
         return out.filter(pa.array(ok))
 
     cols = [key_col, ts_col, val_col]
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=[key_col])
+
+
+# ---------------------------------------------------------------------------
+# Per-key Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+def spearman_corr(ds, key_col: str, xcol: str, ycol: str, *,
+                  min_n: int = 2, round_to: int = 6):
+    """Per-key Spearman rank correlation between two numeric columns —
+    the monotonic-association feature (e.g. x = time, y = value gives
+    "is this key's value drifting monotonically", robust to outliers
+    where :func:`trend_slope` is not).  Ties get AVERAGE ranks (the
+    standard fractional-rank rule: ``RANK() + (ties-1)/2``), then the
+    statistic is the Pearson correlation of the two rank vectors.
+    Keys with ``n < min_n`` or a zero-variance rank vector on either
+    side are dropped.
+
+    Scale shape: ONE ``partition_map`` hash exchange on ``key_col``;
+    inside a partition everything is vectorized — two lexsorts for the
+    per-run fractional ranks (tie-group bounds via reduceat-style
+    first/last positions, scatter back by inverse permutation) and one
+    ``np.bincount`` centered-moment pass for the segmented Pearson.
+    Round-6 hedge on the float association (same as welch_ttest)."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _frac_ranks(run_id: np.ndarray, starts: np.ndarray,
+                    v: np.ndarray) -> np.ndarray:
+        """Average-tie ranks of v within each run (1-based)."""
+        order = np.lexsort((v, run_id))
+        rs, vs = run_id[order], v[order]
+        # tie-group starts within the (run, value) sort
+        tie_first = np.r_[True, (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])]
+        tf = np.flatnonzero(tie_first)
+        tlen = np.diff(np.r_[tf, len(vs)])
+        pos = np.arange(len(vs)) - starts[rs]          # 0-based in run
+        first_pos = pos[tf]
+        avg = first_pos + (tlen - 1) / 2.0 + 1.0       # 1-based avg rank
+        ranks_sorted = np.repeat(avg, tlen)
+        out = np.empty(len(v), dtype=np.float64)
+        out[order] = ranks_sorted
+        return out
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=t[key_col].type),
+                             "n": pa.array([], type=pa.int64()),
+                             "spearman": pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        xs = t[xcol]
+        if pa.types.is_timestamp(xs.type):
+            xs = xs.cast(pa.int64())
+        x = xs.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[ycol].to_numpy(zero_copy_only=False).astype(np.float64)
+        rx = _frac_ranks(run_id, starts, x)
+        ry = _frac_ranks(run_id, starts, y)
+        cnt = np.bincount(run_id).astype(np.float64)
+        mx = np.bincount(run_id, weights=rx) / cnt
+        my = np.bincount(run_id, weights=ry) / cnt
+        dx = rx - mx[run_id]
+        dy = ry - my[run_id]
+        sxx = np.bincount(run_id, weights=dx * dx)
+        syy = np.bincount(run_id, weights=dy * dy)
+        sxy = np.bincount(run_id, weights=dx * dy)
+        ok = (cnt >= min_n) & (sxx > 0) & (syy > 0)
+        rho = np.divide(sxy, np.sqrt(sxx * syy),
+                        out=np.zeros_like(sxy), where=ok)
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({key_col: keys,
+                        "n": pa.array(cnt.astype(np.int64)),
+                        "spearman": pa.array(np.round(rho, round_to))})
+        return out.filter(pa.array(ok))
+
+    cols = [key_col, xcol, ycol]
     return partition_map(ds.select_columns(cols), key_col, _fin,
                          sort_by=[key_col])

@@ -520,3 +520,59 @@ def test_sentence_stats_edges():
     assert out.loc[1, "max_sentence_chars"] == 8
     assert pd.isna(out.loc[2, "mean_sentence_chars"])
     assert pd.isna(out.loc[4, "max_sentence_chars"])  # punct-only
+
+
+def test_spearman_vs_scipy_style_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import spearman_corr
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    # integer values force ties; ts collisions force x-ties too
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 70, n)),
+        "ts": pa.array(rng.integers(0, 500, n) * 10**6).cast(
+            pa.timestamp("us")),
+        "value": pa.array(rng.integers(0, 40, n).astype(np.float64)),
+    })
+    out = spearman_corr(rd.from_arrow(t).repartition(7), "user_id",
+                        "ts", "value").to_pandas() \
+        .set_index("user_id").sort_index()
+
+    df = t.to_pandas()
+    df["x"] = df["ts"].astype("int64")
+    rows = []
+    for k, g in df.groupby("user_id"):
+        rx = pd.Series(g["x"]).rank(method="average").to_numpy()
+        ry = pd.Series(g["value"]).rank(method="average").to_numpy()
+        if len(g) < 2 or rx.var() == 0 or ry.var() == 0:
+            continue
+        rho = np.corrcoef(rx, ry)[0, 1]
+        rows.append((k, len(g), rho))
+    exp = pd.DataFrame(rows, columns=["user_id", "n", "spearman"]) \
+        .set_index("user_id").sort_index()
+    assert (out["n"] == exp["n"]).all()
+    assert np.allclose(out["spearman"], exp["spearman"], atol=2e-6)
+
+
+def test_spearman_monotonic_extremes(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import spearman_corr
+
+    n = 50
+    ts = (np.arange(n, dtype=np.int64) * 10**6)
+    t = pa.table({
+        "user_id": pa.array([1] * n + [2] * n + [3] * n),
+        "ts": pa.array(np.tile(ts, 3)).cast(pa.timestamp("us")),
+        "value": pa.array(np.r_[
+            np.exp(np.arange(n) / 7.0),          # monotone up (nonlinear)
+            -np.arange(n, dtype=np.float64),     # monotone down
+            np.ones(n)]),                        # constant -> dropped
+    })
+    out = spearman_corr(rd.from_arrow(t), "user_id", "ts", "value") \
+        .to_pandas().set_index("user_id")
+    assert np.isclose(out.loc[1, "spearman"], 1.0)
+    assert np.isclose(out.loc[2, "spearman"], -1.0)
+    assert 3 not in out.index
