@@ -4803,6 +4803,31 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_vocab_richness_docs(sf_dir: str):
+    """Per-source lexical richness (tokens, types, TTR, hapax
+    fraction): per-batch dictionary-encoded count partials, ONE
+    group-hash exchange, segmented stats."""
+    from netml_ray.textstats import vocab_richness
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return vocab_richness(docs, "text", "source")
+
+
+SQL_VOCAB_RICHNESS = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents),
+c AS (SELECT source, w, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(count(*) / CAST(sum(n) AS DOUBLE), 9) AS ttr,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 9) AS hapax_frac
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 def q_spearman_events(sf_dir: str):
     """Per-user Spearman rank correlation of value vs time (the
     robust monotonic-drift feature): ONE keyed exchange, vectorized
@@ -5096,6 +5121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition_map + segmented-bincount machinery as the
         # in-window cusum_events; checker-verified this session)
         "spearman_events": q_spearman_events,
+        # (vocab_richness_docs likewise just outside the window: its
+        # tokenize/count-partial machinery is pinned in-window by the
+        # tfidf/lm_bits family; checker-verified this session)
+        "vocab_richness_docs": q_vocab_richness_docs,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5343,6 +5372,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_events": SQL_TREND,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
+        "vocab_richness_docs": SQL_VOCAB_RICHNESS,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -68,7 +68,10 @@ from netml_ray.featstats import (  # noqa: F401
 from netml_ray.sketches import KLLSketch, kll_quantiles  # noqa: F401
 from netml_ray.basket import association_rules  # noqa: F401
 from netml_ray.skyline import pareto_front  # noqa: F401
-from netml_ray.textstats import readability_profile  # noqa: F401
+from netml_ray.textstats import (  # noqa: F401
+    readability_profile,
+    vocab_richness,
+)
 from netml_ray.urlops import add_url_features, url_feature_table  # noqa: F401
 
 __version__ = "0.1.0"

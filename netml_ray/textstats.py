@@ -45,7 +45,7 @@ import pyarrow.compute as pc
 
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
            "doc_frequency", "pmi_collocations", "readability_profile",
-           "tfidf_top_terms"]
+           "tfidf_top_terms", "vocab_richness"]
 
 
 def _tok(col):
@@ -790,3 +790,89 @@ def readability_profile(ds, text_col: str, group_col: str, *,
         "avg_wps": pa.array(np.round(swps / n, round_to)),
         "avg_spw": pa.array(np.round(sspw / n, round_to)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Per-group vocabulary richness
+# ---------------------------------------------------------------------------
+
+def vocab_richness(ds, text_col: str, group_col: str):
+    """Per-group lexical-richness profile: total token count, distinct
+    type count, type-token ratio (TTR) and hapax-legomenon fraction
+    (share of types occurring exactly once in the group) — the
+    classic corpus-linguistics vocabulary statistics (Baayen, "Word
+    Frequency Distributions", 2001), and a practical LLM-data signal:
+    boilerplate-heavy or template-generated sources show low TTR and
+    low hapax share.
+
+    Tokens are whitespace words (``textops.Tokenized``; the SQL mirror
+    is ``regexp_extract_all(text, '\\S+')``), counted over the whole
+    group.
+
+    Scale shape: per-batch dictionary-encoded (group, token, n) count
+    partials (one combined bincount — rows shrink to distinct pairs
+    per batch), ONE hash exchange on ``group_col`` (``partition_map``),
+    then an in-partition Arrow group-by + run-segmented numpy stats.
+    The exchange carries the per-batch distinct-pair partials, never
+    the token stream."""
+    import numpy as np
+
+    from netml_ray.partition import partition_map
+    from netml_ray.textops import Tokenized
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "w": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        tok = Tokenized(t[text_col])
+        codes = np.asarray(tok.codes, dtype=np.int64)
+        ge = pc.dictionary_encode(t[group_col].combine_chunks()
+                                  if isinstance(t[group_col],
+                                                pa.ChunkedArray)
+                                  else t[group_col])
+        gcodes = ge.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[tok.rowid]
+        # drop the empty-string token Tokenized emits for empty rows
+        # (regexp_extract_all('\S+') semantics)
+        wlen = pc.utf8_length(tok.dictionary).to_numpy(
+            zero_copy_only=False)
+        keep = wlen[codes] > 0
+        codes, gcodes = codes[keep], gcodes[keep]
+        if not len(codes):
+            return empty
+        d = len(tok.dictionary)
+        comb = gcodes * d + codes
+        u, n = np.unique(comb, return_counts=True)
+        return pa.table({
+            group_col: ge.dictionary.take(pa.array(u // d)).cast(
+                pa.string()),
+            "w": tok.dictionary.take(pa.array(u % d)).cast(pa.string()),
+            "n": pa.array(n.astype(np.int64))})
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64()),
+                             "ttr": pa.array([], pa.float64()),
+                             "hapax_frac": pa.array([], pa.float64())})
+        agg = (t.group_by([group_col, "w"]).aggregate([("n", "sum")])
+               .sort_by(group_col))
+        from netml_ray.mlprep import _run_bounds
+        starts, run_id = _run_bounds(agg[group_col].combine_chunks())
+        n = agg["n_sum"].to_numpy().astype(np.int64)
+        n_tokens = np.bincount(run_id, weights=n.astype(np.float64))
+        n_types = np.bincount(run_id).astype(np.float64)
+        hapax = np.bincount(run_id, weights=(n == 1).astype(np.float64))
+        keys = agg[group_col].combine_chunks().take(pa.array(starts))
+        return pa.table({
+            group_col: keys,
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "n_types": pa.array(n_types.astype(np.int64)),
+            "ttr": pa.array(np.round(n_types / n_tokens, 9)),
+            "hapax_frac": pa.array(np.round(hapax / n_types, 9))})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return partition_map(parts, group_col, _fin)

@@ -255,3 +255,33 @@ def test_pmi_collocations_empty_and_prune(ray_session):
         "text": pa.array(["a b c d"])}))
     assert pmi_collocations(ds2, min_count=2).count() == 0
     assert pmi_collocations(ds2, min_count=1).count() == 3
+
+
+def test_vocab_richness_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.textstats import vocab_richness
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(200)]
+    docs, grp = [], []
+    for i in range(600):
+        n = int(rng.integers(0, 30))
+        docs.append(" ".join(rng.choice(vocab, n)) if n else "")
+        grp.append(f"s{i % 3}")
+    t = pa.table({"text": pa.array(docs), "source": pa.array(grp)})
+    out = vocab_richness(rd.from_arrow(t).repartition(6), "text",
+                         "source").to_pandas() \
+        .set_index("source").sort_index()
+
+    from collections import Counter
+    for g in ["s0", "s1", "s2"]:
+        c = Counter(w for txt, s in zip(docs, grp) if s == g
+                    for w in txt.split())
+        n_tokens = sum(c.values())
+        n_types = len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        assert out.loc[g, "n_tokens"] == n_tokens
+        assert out.loc[g, "n_types"] == n_types
+        assert np.isclose(out.loc[g, "ttr"], n_types / n_tokens)
+        assert np.isclose(out.loc[g, "hapax_frac"], hapax / n_types)
