@@ -4803,6 +4803,50 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_gains_table_events(sf_dir: str):
+    """Cumulative gains/lift by exact score decile (value as score,
+    purchase as positive): one quantile pass + one narrow binned
+    count pass, O(n_bins) driver math."""
+    from netml_ray.mlprep import gains_table
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    lab = ev.map_batches(
+        lambda t: pa.table({
+            "value": t["value"],
+            "y": pc.cast(pc.equal(t["event_type"], "purchase"),
+                         pa.int64())}),
+        batch_format="pyarrow")
+    return gains_table(lab, "value", "y")
+
+
+SQL_GAINS = """
+WITH edges AS (
+  SELECT unnest(quantile_cont(value,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS edge
+  FROM events),
+b AS (
+  SELECT (SELECT count(*) FROM edges WHERE edge <= ev.value) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events ev),
+c AS (SELECT bin, count(*) AS n, sum(y) AS n_pos FROM b GROUP BY 1),
+bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+f AS (SELECT bins.bin, COALESCE(c.n, 0) AS n,
+             COALESCE(c.n_pos, 0) AS n_pos
+      FROM bins LEFT JOIN c USING (bin)),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn,
+               CAST(sum(n_pos) AS DOUBLE) AS tp FROM f),
+w AS (SELECT bin, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY bin DESC) AS DOUBLE) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS DOUBLE)
+               AS cum_pos
+      FROM f)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(cum_pos / tot.tp, 9) AS capture,
+       round((cum_pos / cum_n) / (tot.tp / tot.tn), 9) AS lift
+FROM w CROSS JOIN tot ORDER BY bin DESC
+"""
+
+
 def q_vocab_richness_docs(sf_dir: str):
     """Per-source lexical richness (tokens, types, TTR, hapax
     fraction): per-batch dictionary-encoded count partials, ONE
@@ -5125,6 +5169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenize/count-partial machinery is pinned in-window by the
         # tfidf/lm_bits family; checker-verified this session)
         "vocab_richness_docs": q_vocab_richness_docs,
+        # (gains_table_events likewise just outside the window: its
+        # exact-quantile + binned-count machinery is pinned in-window
+        # by psi_events; checker-verified this session)
+        "gains_table_events": q_gains_table_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5373,6 +5421,7 @@ def oracle_sql() -> dict[str, str]:
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,
+        "gains_table_events": SQL_GAINS,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

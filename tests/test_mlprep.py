@@ -667,3 +667,37 @@ def test_woe_iv_vs_brute(ray_session):
     assert "only0" not in out.index
     assert np.isclose(iv, exp_iv, atol=2e-9)
     assert iv > 0
+
+
+def test_gains_table_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import gains_table
+
+    rng = np.random.default_rng(37)
+    n = 8000
+    score = rng.normal(0, 1, n)
+    # positives concentrate at high scores -> lift > 1 in the top bin
+    y = (rng.random(n) < 1 / (1 + np.exp(-2 * score))).astype(np.int64)
+    t = pa.table({"s": pa.array(score), "y": pa.array(y)})
+    out = gains_table(rd.from_arrow(t).repartition(6), "s", "y") \
+        .to_pandas()
+
+    edges = np.quantile(score, [i / 10 for i in range(1, 10)])
+    b = np.searchsorted(edges, score, side="right")
+    en = np.bincount(b, minlength=10)
+    ep = np.bincount(b, weights=y, minlength=10).astype(np.int64)
+    order = np.arange(9, -1, -1)
+    cn = np.cumsum(en[order])
+    cp = np.cumsum(ep[order])
+    assert (out["bin"].to_numpy() == order).all()
+    assert (out["n"].to_numpy() == en[order]).all()
+    assert (out["n_pos"].to_numpy() == ep[order]).all()
+    assert np.allclose(out["capture"], cp / ep.sum(), atol=2e-9)
+    assert np.allclose(out["lift"],
+                       (cp / cn) / (ep.sum() / n), atol=2e-9)
+    # sanity: top decile captures more than 10% of positives
+    assert out.loc[0, "capture"] > 0.15 and out.loc[0, "lift"] > 1.2
+    # the full table always ends at capture 1, lift 1
+    assert np.isclose(out["capture"].iloc[-1], 1.0)
+    assert np.isclose(out["lift"].iloc[-1], 1.0)
