@@ -4803,6 +4803,49 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_rfm_events(sf_dir: str):
+    """RFM segmentation of users (recency/frequency/monetary quintile
+    scores + combined segment code): one keyed aggregate exchange,
+    one quantile pass over the O(keys) table, vectorized scoring."""
+    from netml_ray.featstats import rfm_segment
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return rfm_segment(ev, "user_id", "ts", "value")
+
+
+SQL_RFM = """
+WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+a AS (
+  SELECT user_id,
+         (g.gmax - max(epoch_us(ts))) / 86400e6 AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM events, g GROUP BY user_id, g.gmax),
+er AS (SELECT unnest(quantile_cont(recency_days,
+         [0.2, 0.4, 0.6, 0.8])) AS e FROM a),
+ef AS (SELECT unnest(quantile_cont(CAST(frequency AS DOUBLE),
+         [0.2, 0.4, 0.6, 0.8])) AS e FROM a),
+em AS (SELECT unnest(quantile_cont(monetary,
+         [0.2, 0.4, 0.6, 0.8])) AS e FROM a),
+s AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         5 - (SELECT count(*) FROM er WHERE e <= a.recency_days)
+           AS r_score,
+         (SELECT count(*) FROM ef WHERE e <= a.frequency) + 1
+           AS f_score,
+         (SELECT count(*) FROM em WHERE e <= a.monetary) + 1
+           AS m_score
+  FROM a)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT)
+         AS segment
+FROM s ORDER BY user_id
+"""
+
+
 def q_gains_table_events(sf_dir: str):
     """Cumulative gains/lift by exact score decile (value as score,
     purchase as positive): one quantile pass + one narrow binned
@@ -5173,6 +5216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-quantile + binned-count machinery is pinned in-window
         # by psi_events; checker-verified this session)
         "gains_table_events": q_gains_table_events,
+        # (rfm_events likewise just outside the window: keyed
+        # aggregate + quantile-bin machinery pinned in-window by
+        # cusum_events + psi_events; checker-verified this session)
+        "rfm_events": q_rfm_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5422,6 +5469,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,
         "gains_table_events": SQL_GAINS,
+        "rfm_events": SQL_RFM,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -60,6 +60,7 @@ from netml_ray.featstats import (  # noqa: F401
     decayed_agg,
     gini,
     psi,
+    rfm_segment,
     spearman_corr,
     trend_slope,
     winsorized_group_stats,

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 __all__ = [
     "decayed_agg", "chi2_independence", "benford_digits",
-    "burstiness", "cusum_stat", "gini", "spearman_corr",
+    "burstiness", "cusum_stat", "gini", "rfm_segment", "spearman_corr",
     "trend_slope", "zipf_slope",
     "winsorized_group_stats",
 ]
@@ -703,3 +703,87 @@ def spearman_corr(ds, key_col: str, xcol: str, ycol: str, *,
     cols = [key_col, xcol, ycol]
     return partition_map(ds.select_columns(cols), key_col, _fin,
                          sort_by=[key_col])
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+def rfm_segment(ds, key_col: str, ts_col: str, val_col: str, *,
+                n_bins: int = 5, round_monetary: int = 6):
+    """Classic RFM (recency / frequency / monetary) customer
+    segmentation (Hughes, "Strategic Database Marketing", 1994): per
+    key, days since last event (vs the global max timestamp), event
+    count, and value sum; each scored 1..n_bins by exact quantile
+    bins of the PER-KEY aggregate distribution (recency inverted so
+    most-recent scores highest), plus the combined
+    ``segment = 100·r + 10·f + m`` code.
+
+    Binning rule: ``bin = #(edges <= v)`` over exact interior
+    quantiles of the aggregate columns — the same deterministic
+    value-based rule as PSI / gains_table, stated identically in the
+    SQL oracle.  ``monetary`` is rounded to ``round_monetary`` BEFORE
+    binning on both sides (the sum-order hedge: a 1e-12 association
+    difference must not flip a quantile edge).
+
+    Scale shape: ONE keyed exchange for the per-key aggregates
+    (narrow 3-column input, run-segmented bincount reduce), one
+    global ts-max narrow pass, one exact-quantile pass over the
+    O(keys) aggregate table, then a vectorized searchsorted score
+    pass — no further shuffle."""
+    import pyarrow.compute as pc
+
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+    from .sessionize import exact_quantiles_multi
+
+    gmax = ds.select_columns([ts_col]).max(ts_col)
+    gmax_us = int(pa.scalar(gmax).cast(pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=t[key_col].type),
+                             "recency_days": pa.array([], pa.float64()),
+                             "frequency": pa.array([], pa.int64()),
+                             "monetary": pa.array([], pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(run_id).astype(np.int64)
+        last = np.maximum.reduceat(ts, starts)
+        mon = np.round(np.bincount(run_id, weights=v), round_monetary)
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        return pa.table({
+            key_col: keys,
+            "recency_days": pa.array(
+                (gmax_us - last) / 86400e6),
+            "frequency": pa.array(cnt),
+            "monetary": pa.array(mon)})
+
+    agg = partition_map(ds.select_columns([key_col, ts_col, val_col]),
+                        key_col, _agg,
+                        sort_by=[key_col]).materialize()
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = exact_quantiles_multi(
+        agg, {"recency_days": qs, "frequency": qs, "monetary": qs})
+    e_r = np.asarray(edges["recency_days"], dtype=np.float64)
+    e_f = np.asarray(edges["frequency"], dtype=np.float64)
+    e_m = np.asarray(edges["monetary"], dtype=np.float64)
+
+    def _score(t: pa.Table) -> pa.Table:
+        r = t["recency_days"].to_numpy(zero_copy_only=False)
+        f = t["frequency"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = t["monetary"].to_numpy(zero_copy_only=False)
+        rs = n_bins - np.searchsorted(e_r, r, side="right")
+        fs = np.searchsorted(e_f, f, side="right") + 1
+        ms = np.searchsorted(e_m, m, side="right") + 1
+        t = t.append_column("r_score", pa.array(rs.astype(np.int64)))
+        t = t.append_column("f_score", pa.array(fs.astype(np.int64)))
+        t = t.append_column("m_score", pa.array(ms.astype(np.int64)))
+        return t.append_column(
+            "segment", pa.array((100 * rs + 10 * fs + ms)
+                                .astype(np.int64)))
+
+    return agg.map_batches(_score, batch_format="pyarrow")

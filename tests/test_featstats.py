@@ -576,3 +576,49 @@ def test_spearman_monotonic_extremes(ray_session):
     assert np.isclose(out.loc[1, "spearman"], 1.0)
     assert np.isclose(out.loc[2, "spearman"], -1.0)
     assert 3 not in out.index
+
+
+def test_rfm_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import rfm_segment
+
+    rng = np.random.default_rng(43)
+    n = 6000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 100, n)),
+        "ts": pa.array(rng.integers(0, 90 * 86400 * 10**6, n)).cast(
+            pa.timestamp("us")),
+        "value": pa.array(rng.gamma(2, 30, n).round(3)),
+    })
+    out = rfm_segment(rd.from_arrow(t).repartition(7), "user_id",
+                      "ts", "value").to_pandas() \
+        .set_index("user_id").sort_index()
+
+    df = t.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    gmax = df["us"].max()
+    a = df.groupby("user_id").agg(last=("us", "max"),
+                                  frequency=("us", "size"),
+                                  monetary=("value", "sum"))
+    a["recency_days"] = (gmax - a["last"]) / 86400e6
+    a["monetary"] = a["monetary"].round(6)
+    qs = [0.2, 0.4, 0.6, 0.8]
+    e_r = np.quantile(a["recency_days"], qs)
+    e_f = np.quantile(a["frequency"].astype(float), qs)
+    e_m = np.quantile(a["monetary"], qs)
+    rs = 5 - np.searchsorted(e_r, a["recency_days"], side="right")
+    fs = np.searchsorted(e_f, a["frequency"], side="right") + 1
+    ms = np.searchsorted(e_m, a["monetary"], side="right") + 1
+    a = a.sort_index()
+    assert np.allclose(out["recency_days"], a["recency_days"])
+    assert (out["frequency"] == a["frequency"]).all()
+    assert np.allclose(out["monetary"], a["monetary"])
+    assert (out["r_score"].to_numpy() == rs).all()
+    assert (out["f_score"].to_numpy() == fs).all()
+    assert (out["m_score"].to_numpy() == ms).all()
+    assert (out["segment"] == 100 * out["r_score"]
+            + 10 * out["f_score"] + out["m_score"]).all()
+    # scores span the full 1..5 range on a 100-key gamma population
+    assert out["r_score"].min() == 1 and out["r_score"].max() == 5
+    assert out["m_score"].min() == 1 and out["m_score"].max() == 5
