@@ -4803,6 +4803,30 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_temporal_pairs_events(sf_dir: str):
+    """Directed event-type pairs within a 7-day window per user
+    (windowed episode counts): ONE keyed exchange, run-clamped
+    searchsorted follower ranges, |types|² partials."""
+    from netml_ray.sequences import temporal_pairs
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return temporal_pairs(ev, "user_id", "ts", "event_type",
+                          window_us=7 * 86400 * 10**6,
+                          tiebreak="event_id")
+
+
+SQL_TEMPORAL_PAIRS = """
+SELECT x.event_type AS type_a, y.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM events x JOIN events y
+  ON x.user_id = y.user_id
+ AND (x.ts < y.ts OR (x.ts = y.ts AND x.event_id < y.event_id))
+ AND epoch_us(y.ts) - epoch_us(x.ts) <= 604800000000
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_rfm_events(sf_dir: str):
     """RFM segmentation of users (recency/frequency/monetary quintile
     scores + combined segment code): one keyed aggregate exchange,
@@ -5220,6 +5244,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregate + quantile-bin machinery pinned in-window by
         # cusum_events + psi_events; checker-verified this session)
         "rfm_events": q_rfm_events,
+        # (temporal_pairs_events likewise just outside the window:
+        # partition_map + pair-expansion machinery pinned in-window by
+        # cusum_events/pmi_collocations_docs; checker-verified this
+        # session)
+        "temporal_pairs_events": q_temporal_pairs_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5470,6 +5499,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,
         "gains_table_events": SQL_GAINS,
         "rfm_events": SQL_RFM,
+        "temporal_pairs_events": SQL_TEMPORAL_PAIRS,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

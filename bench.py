@@ -400,6 +400,17 @@ def run_suite() -> dict:
             ("psi", lambda: __import__(
                 "netml_ray.featstats", fromlist=["psi"])
                 .psi(sev, "value", "ts", n_bins=10)),
+            # r5 continuation-2 keyed-feature family
+            ("cusum", lambda: __import__(
+                "netml_ray.featstats", fromlist=["cusum_stat"])
+                .cusum_stat(sev, "user_id", "ts", "value",
+                            tiebreak_col="event_id")),
+            ("spearman", lambda: __import__(
+                "netml_ray.featstats", fromlist=["spearman_corr"])
+                .spearman_corr(sev, "user_id", "ts", "value")),
+            ("rfm", lambda: __import__(
+                "netml_ray.featstats", fromlist=["rfm_segment"])
+                .rfm_segment(sev, "user_id", "ts", "value")),
         ]:
             t0 = time.time()
             _consume(fn(), label)

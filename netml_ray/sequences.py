@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
-           "cohort_retention", "group_autocorr"]
+           "cohort_retention", "group_autocorr", "temporal_pairs"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -343,3 +343,92 @@ def group_autocorr(ds, key_col: str, order_by: str, col: str, *,
 
     return partition_map(ds, key_col, _fn,
                          sort_by=[key_col, order_by, tiebreak])
+
+
+def temporal_pairs(ds, key_col: str, ts_col: str, type_col: str, *,
+                   window_us: int, tiebreak: str,
+                   max_pairs_per_partition: int = 50_000_000
+                   ) -> pa.Table:
+    """Global (type_a, type_b, n) counts of DIRECTED event pairs where
+    b follows a within ``window_us`` microseconds in the same key's
+    stream — temporal co-occurrence mining (the windowed
+    generalization of :func:`transition_counts`, which only counts
+    ADJACENT pairs; this is the "episode mining" count of Mannila et
+    al., KDD 1997).  Pair order is (ts, tiebreak): a pair (i, j) is
+    counted when i precedes j in that order AND ``ts_j − ts_i <=
+    window_us`` (ties at the same timestamp are ordered — and counted
+    one way — by the tiebreak, the rule the SQL oracle states).
+
+    Scale shape: ONE hash exchange co-locates each key's rows sorted
+    by (key, ts, tiebreak); inside a partition the follower range per
+    row comes from ONE run-clamped ``np.searchsorted`` over the int64
+    timestamps, the pair expansion is the repeat/arange kernel
+    (cooccurrence shape), and the partial is a ≤ |types|² bincount —
+    the exchange output is bounded by type cardinality, never rows.
+    A partition whose pair expansion would exceed
+    ``max_pairs_per_partition`` raises (loud-fail quadratic guard:
+    window × rate decides the blowup, same contract as the
+    n-gram-Jaccard family)."""
+    from .partition import partition_map
+
+    empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                      "type_b": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        ends = np.r_[starts[1:], len(run_id)]
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        x = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(t[type_col].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        k = len(enc.dictionary)
+        # follower range per row: (i, hi_i) with ts <= ts_i + window,
+        # clamped to the row's run end.  searchsorted is on the FULL
+        # sorted-by-(key,ts) array; the clamp keeps it in-run.
+        hi = np.searchsorted(x, x + window_us, side="right")
+        hi = np.minimum(hi, ends[run_id])
+        cnt_i = hi - np.arange(len(x)) - 1
+        total = int(cnt_i.sum())
+        if total > max_pairs_per_partition:
+            raise ValueError(
+                f"temporal_pairs: pair expansion {total} exceeds "
+                f"max_pairs_per_partition={max_pairs_per_partition}; "
+                "shrink window_us or raise the cap")
+        if total == 0:
+            return empty
+        i_row = np.repeat(np.arange(len(x)), cnt_i)
+        j_off = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(cnt_i)[:-1]], cnt_i)
+        a = codes[i_row]
+        b = codes[i_row + 1 + j_off]
+        cnt = np.bincount(a * k + b, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "type_a": enc.dictionary.take(pa.array(nz // k)),
+            "type_b": enc.dictionary.take(pa.array(nz % k)),
+            "n": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    partials = partition_map(ds.select_columns(
+        [key_col, ts_col, type_col, tiebreak]), key_col, _fn,
+        sort_by=[key_col, ts_col, tiebreak])
+    batches = list(partials.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    if not batches:
+        return empty
+    merged = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in batches])
+    if not merged.num_rows:
+        return empty
+    return (merged.group_by(["type_a", "type_b"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["type_a", "type_b", "n"])
+            .sort_by([("type_a", "ascending"),
+                      ("type_b", "ascending")]))

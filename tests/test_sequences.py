@@ -238,3 +238,75 @@ def test_group_autocorr_matches_pandas(ray_session):
     # single-pair and zero-variance keys are NULL at lag 1
     assert np.isnan(out[901])
     assert np.isnan(out[903])
+
+
+def test_temporal_pairs_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sequences import temporal_pairs
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    w = 500
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n)),
+        "ts": pa.array(rng.integers(0, 5000, n).astype(np.int64)).cast(
+            pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+    })
+    out = temporal_pairs(rd.from_arrow(t).repartition(6), "user_id",
+                         "ts", "event_type", window_us=w,
+                         tiebreak="event_id").to_pandas() \
+        .set_index(["type_a", "type_b"])
+
+    df = t.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    from collections import Counter
+    exp = Counter()
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
+        us = g["us"].to_numpy()
+        et = g["event_type"].to_numpy()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if us[j] - us[i] > w:
+                    break
+                exp[(et[i], et[j])] += 1
+    assert len(out) == len(exp)
+    for k, v in exp.items():
+        assert out.loc[k, "n"] == v
+
+
+def test_temporal_pairs_guard_and_tie_order(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sequences import temporal_pairs
+
+    # two same-timestamp events: counted ONE way, by tiebreak order
+    t = pa.table({
+        "user_id": pa.array([1, 1]),
+        "ts": pa.array([100, 100], type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_id": pa.array([7, 3]),
+        "event_type": pa.array(["x", "y"]),
+    })
+    out = temporal_pairs(rd.from_arrow(t), "user_id", "ts",
+                         "event_type", window_us=10,
+                         tiebreak="event_id").to_pandas()
+    # event_id 3 ('y') precedes 7 ('x')
+    assert len(out) == 1
+    assert out.loc[0, "type_a"] == "y" and out.loc[0, "type_b"] == "x"
+
+    # quadratic guard fails loudly
+    big = pa.table({
+        "user_id": pa.array([1] * 200),
+        "ts": pa.array(np.zeros(200, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "event_id": pa.array(np.arange(200)),
+        "event_type": pa.array(["a"] * 200),
+    })
+    with pytest.raises(Exception, match="max_pairs_per_partition"):
+        temporal_pairs(rd.from_arrow(big), "user_id", "ts",
+                       "event_type", window_us=10, tiebreak="event_id",
+                       max_pairs_per_partition=1000)
