@@ -380,7 +380,6 @@ def temporal_pairs(ds, key_col: str, ts_col: str, type_col: str, *,
             return empty
         keys = t[key_col].combine_chunks()
         starts, run_id = _runs(keys)
-        ends = np.r_[starts[1:], len(run_id)]
         ts = t[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.int64())
@@ -388,11 +387,14 @@ def temporal_pairs(ds, key_col: str, ts_col: str, type_col: str, *,
         enc = pc.dictionary_encode(t[type_col].combine_chunks())
         codes = enc.indices.to_numpy().astype(np.int64)
         k = len(enc.dictionary)
-        # follower range per row: (i, hi_i) with ts <= ts_i + window,
-        # clamped to the row's run end.  searchsorted is on the FULL
-        # sorted-by-(key,ts) array; the clamp keeps it in-run.
-        hi = np.searchsorted(x, x + window_us, side="right")
-        hi = np.minimum(hi, ends[run_id])
+        # follower range per row: (i, hi_i) with ts <= ts_i + window
+        # WITHIN the row's own run — timestamps are sorted per run but
+        # reset across runs, so this must be the segmented kernel
+        # (windows._seg_searchsorted, one 2n lexsort), not a flat
+        # np.searchsorted over the whole partition.
+        from netml_ray.windows import _seg_searchsorted
+        hi = starts[run_id] + _seg_searchsorted(
+            run_id, x, x + window_us, "right")
         cnt_i = hi - np.arange(len(x)) - 1
         total = int(cnt_i.sum())
         if total > max_pairs_per_partition:
