@@ -4803,6 +4803,72 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_kaplan_meier_events(sf_dir: str):
+    """Kaplan-Meier survival curve of time-to-first-purchase per user
+    (right-censored at the user's last event): one keyed exchange for
+    the durations, O(distinct durations) driver product-limit math."""
+    import numpy as np
+
+    from netml_ray.featstats import kaplan_meier
+    from netml_ray.mlprep import _run_bounds
+    from netml_ray.partition import partition_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _dur(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"t": pa.array([], pa.int64()),
+                             "obs": pa.array([], pa.int64())})
+        starts, run_id = _run_bounds(t["user_id"].combine_chunks())
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        t0 = np.minimum.reduceat(ts, starts)
+        tl = np.maximum.reduceat(ts, starts)
+        big = np.iinfo(np.int64).max
+        tp = np.minimum.reduceat(np.where(is_p, ts, big), starts)
+        obs = tp != big
+        dur = np.where(obs, tp, tl) - t0
+        return pa.table({"t": pa.array(dur.astype(np.int64)),
+                         "obs": pa.array(obs.astype(np.int64))})
+
+    durations = partition_map(ev, "user_id", _dur,
+                              sort_by=["user_id"])
+    return kaplan_meier(durations, "t", "obs")
+
+
+SQL_KAPLAN_MEIER = """
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS tl,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS tp
+  FROM events GROUP BY 1),
+dur AS (
+  SELECT CAST(COALESCE(tp, tl) - t0 AS BIGINT) AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM a),
+g AS (SELECT t, count(*) AS n_all, sum(obs) AS d FROM dur GROUP BY 1),
+w AS (
+  SELECT t, d,
+         sum(n_all) OVER (ORDER BY t DESC) AS n_risk
+  FROM g),
+s AS (
+  SELECT t, d, n_risk,
+         1.0 - CAST(d AS DOUBLE) / n_risk AS term
+  FROM w),
+km AS (
+  SELECT t, d, n_risk,
+         exp(sum(ln(CASE WHEN term > 0 THEN term ELSE 1 END))
+             OVER (ORDER BY t)) AS pos_prod,
+         min(term) OVER (ORDER BY t) AS min_term
+  FROM s)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       round(CASE WHEN min_term <= 0 THEN 0.0 ELSE pos_prod END, 9)
+         AS survival
+FROM km WHERE d > 0 ORDER BY t
+"""
+
+
 def q_temporal_pairs_events(sf_dir: str):
     """Directed event-type pairs within a 7-day window per user
     (windowed episode counts): ONE keyed exchange, run-clamped
@@ -5249,6 +5315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cusum_events/pmi_collocations_docs; checker-verified this
         # session)
         "temporal_pairs_events": q_temporal_pairs_events,
+        # (kaplan_meier_events likewise just outside the window:
+        # keyed-aggregate + count-partial machinery pinned in-window;
+        # checker-verified this session)
+        "kaplan_meier_events": q_kaplan_meier_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5500,6 +5570,7 @@ def oracle_sql() -> dict[str, str]:
         "gains_table_events": SQL_GAINS,
         "rfm_events": SQL_RFM,
         "temporal_pairs_events": SQL_TEMPORAL_PAIRS,
+        "kaplan_meier_events": SQL_KAPLAN_MEIER,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

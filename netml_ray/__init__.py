@@ -59,6 +59,7 @@ from netml_ray.featstats import (  # noqa: F401
     cusum_stat,
     decayed_agg,
     gini,
+    kaplan_meier,
     psi,
     rfm_segment,
     spearman_corr,

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 __all__ = [
     "decayed_agg", "chi2_independence", "benford_digits",
-    "burstiness", "cusum_stat", "gini", "rfm_segment", "spearman_corr",
+    "burstiness", "cusum_stat", "gini", "kaplan_meier",
+    "rfm_segment", "spearman_corr",
     "trend_slope", "zipf_slope",
     "winsorized_group_stats",
 ]
@@ -787,3 +788,64 @@ def rfm_segment(ds, key_col: str, ts_col: str, val_col: str, *,
                                 .astype(np.int64)))
 
     return agg.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve
+# ---------------------------------------------------------------------------
+
+def kaplan_meier(ds, dur_col: str, observed_col: str, *,
+                 round_to: int = 9) -> pa.Table:
+    """Kaplan-Meier product-limit survival estimate (Kaplan & Meier,
+    JASA 1958) over right-censored durations: for each distinct
+    duration t carrying at least one OBSERVED event, ``n_risk`` =
+    subjects with duration >= t, ``d`` = observed events at t, and
+    ``survival = Π_{t_i <= t} (1 − d_i / n_risk_i)``.
+
+    The product is computed as ``exp(Σ ln(term))`` with zero terms
+    factored out through a min-flag — the EXACT expression the SQL
+    oracle states (a zero term only occurs at the last event time,
+    where it correctly pins survival to 0; a plain ln would blow up).
+
+    Scale shape: per-batch (duration, n_all, d) count partials (one
+    combined group-by per batch — the exchange carries distinct
+    durations, never subjects), driver fold + one sort over the
+    O(distinct durations) rows.  The input is typically already a
+    per-key aggregate (see ``q_kaplan_meier_events``), so rows are
+    O(keys) to begin with."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"t": pa.array([], pa.int64()),
+                             "n_all": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        g = pa.table({"t": t[dur_col],
+                      "obs": t[observed_col]}) \
+            .group_by(["t"]).aggregate([([], "count_all"),
+                                        ("obs", "sum")])
+        return g.rename_columns(["t", "n_all", "d"])
+
+    parts = pa.concat_tables(
+        [b for b in ds.map_batches(_partial, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="none")
+    agg = parts.group_by(["t"]).aggregate([("n_all", "sum"),
+                                           ("d", "sum")])
+    t = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_all = agg["n_all_sum"].to_numpy().astype(np.int64)
+    d = agg["d_sum"].to_numpy().astype(np.int64)
+    order = np.argsort(t, kind="stable")
+    t, n_all, d = t[order], n_all[order], d[order]
+    total = int(n_all.sum())
+    n_risk = total - np.r_[0, np.cumsum(n_all)[:-1]]
+    term = 1.0 - d / n_risk
+    safe = np.where(term > 0, term, 1.0)
+    logsum = np.cumsum(np.log(safe))
+    zero_seen = np.cumsum(term <= 0) > 0
+    surv = np.where(zero_seen, 0.0, np.exp(logsum))
+    keep = d > 0
+    return pa.table({
+        "t": pa.array(t[keep]),
+        "n_risk": pa.array(n_risk[keep]),
+        "d": pa.array(d[keep]),
+        "survival": pa.array(np.round(surv[keep], round_to))})

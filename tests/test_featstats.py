@@ -622,3 +622,50 @@ def test_rfm_vs_brute(ray_session):
     # scores span the full 1..5 range on a 100-key gamma population
     assert out["r_score"].min() == 1 and out["r_score"].max() == 5
     assert out["m_score"].min() == 1 and out["m_score"].max() == 5
+
+
+def test_kaplan_meier_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import kaplan_meier
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    dur = rng.integers(1, 60, n).astype(np.int64)
+    obs = (rng.random(n) < 0.7).astype(np.int64)
+    t = pa.table({"t": pa.array(dur), "obs": pa.array(obs)})
+    out = kaplan_meier(rd.from_arrow(t).repartition(5), "t", "obs") \
+        .to_pandas().set_index("t")
+
+    # brute product-limit
+    surv = 1.0
+    exp_rows = {}
+    for tt in sorted(set(dur)):
+        at_risk = int((dur >= tt).sum())
+        d = int(obs[dur == tt].sum())
+        surv *= 1 - d / at_risk
+        if d > 0:
+            exp_rows[tt] = (at_risk, d, surv)
+    assert set(out.index) == set(exp_rows)
+    for tt, (nr, d, s) in exp_rows.items():
+        assert out.loc[tt, "n_risk"] == nr
+        assert out.loc[tt, "d"] == d
+        assert np.isclose(out.loc[tt, "survival"], s, atol=2e-9)
+    # survival is non-increasing and within [0, 1]
+    sv = out.sort_index()["survival"].to_numpy()
+    assert (np.diff(sv) <= 1e-12).all()
+    assert sv[0] <= 1.0 and sv[-1] >= 0.0
+
+
+def test_kaplan_meier_all_die_hits_zero(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import kaplan_meier
+
+    t = pa.table({"t": pa.array([1, 2, 2, 3], type=pa.int64()),
+                  "obs": pa.array([1, 1, 1, 1], type=pa.int64())})
+    out = kaplan_meier(rd.from_arrow(t), "t", "obs").to_pandas() \
+        .set_index("t")
+    assert np.isclose(out.loc[1, "survival"], 0.75)
+    assert np.isclose(out.loc[2, "survival"], 0.25)
+    assert out.loc[3, "survival"] == 0.0
