@@ -4803,6 +4803,29 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_active_users_events(sf_dir: str):
+    """Rolling 7-day distinct active users per day (WAU): ONE keyed
+    exchange emitting merged-interval ±1 difference partials, driver
+    cumsum — no day×user blowup."""
+    from netml_ray.sequences import active_users
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return active_users(ev, "user_id", "ts", window_days=7)
+
+
+SQL_ACTIVE_USERS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+days AS (SELECT unnest(generate_series(b.lo, b.hi + 6)) AS day FROM b)
+SELECT d.day AS day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1 HAVING count(DISTINCT e.user_id) > 0
+ORDER BY 1
+"""
+
+
 def q_kaplan_meier_events(sf_dir: str):
     """Kaplan-Meier survival curve of time-to-first-purchase per user
     (right-censored at the user's last event): one keyed exchange for
@@ -5319,6 +5342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyed-aggregate + count-partial machinery pinned in-window;
         # checker-verified this session)
         "kaplan_meier_events": q_kaplan_meier_events,
+        # (active_users_events likewise just outside the window:
+        # partition_map + difference-array machinery pinned in-window
+        # via cusum/interval machinery; checker-verified this session)
+        "active_users_events": q_active_users_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5571,6 +5598,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_events": SQL_RFM,
         "temporal_pairs_events": SQL_TEMPORAL_PAIRS,
         "kaplan_meier_events": SQL_KAPLAN_MEIER,
+        "active_users_events": SQL_ACTIVE_USERS,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -30,7 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
-           "cohort_retention", "group_autocorr", "temporal_pairs"]
+           "cohort_retention", "group_autocorr", "temporal_pairs",
+           "active_users"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -434,3 +435,82 @@ def temporal_pairs(ds, key_col: str, ts_col: str, type_col: str, *,
             .rename_columns(["type_a", "type_b", "n"])
             .sort_by([("type_a", "ascending"),
                       ("type_b", "ascending")]))
+
+
+def active_users(ds, key_col: str, ts_col: str, *,
+                 window_days: int = 7) -> pa.Table:
+    """Rolling active-user counts (WAU-style): for every day d, the
+    number of DISTINCT keys with at least one event in the
+    ``window_days``-day window ending at d (days = floor(epoch_us /
+    86400e6); window inclusive of both ends) — the engagement metric
+    every product pipeline computes, and a classic hard case for
+    naive distribution because it is a distinct count over a SLIDING
+    range.
+
+    Scale shape: the trick is that each key contributes to a UNION OF
+    INTERVALS of days — [d, d+w−1] for each active day d, merged when
+    gaps are < w — so ONE keyed hash exchange (distinct active days
+    per key, merged intervals, all run-segmented numpy) emits ±1
+    difference-array partials keyed by day, and the driver folds
+    O(days) ints and takes one cumulative sum.  No day×key blowup, no
+    per-day distinct pass.  Days with zero coverage are omitted (the
+    SQL states ``HAVING count > 0``)."""
+    from .partition import partition_map
+
+    w = int(window_days)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "delta": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        keys = t[key_col].combine_chunks()
+        _, run_id = _runs(keys)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        day = ts.to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        # distinct (run, day), sorted
+        order = np.lexsort((day, run_id))
+        rs, dys = run_id[order], day[order]
+        keep = np.r_[True, (rs[1:] != rs[:-1]) | (dys[1:] != dys[:-1])]
+        rs, dys = rs[keep], dys[keep]
+        # interval starts: first day of a run, or a gap >= w
+        new_iv = np.r_[True, (rs[1:] != rs[:-1])
+                       | (dys[1:] - dys[:-1] >= w)]
+        iv_id = np.cumsum(new_iv) - 1
+        iv_start = dys[new_iv]
+        iv_last = np.maximum.reduceat(dys, np.flatnonzero(new_iv))
+        del iv_id
+        starts = iv_start
+        ends = iv_last + w          # exclusive end of coverage
+        days = np.r_[starts, ends]
+        deltas = np.r_[np.ones(len(starts), np.int64),
+                       -np.ones(len(ends), np.int64)]
+        # pre-fold per partition: sum deltas per day
+        ud, inv = np.unique(days, return_inverse=True)
+        dl = np.bincount(inv, weights=deltas).astype(np.int64)
+        nz = dl != 0
+        return pa.table({"day": pa.array(ud[nz]),
+                         "delta": pa.array(dl[nz])})
+
+    partials = partition_map(ds.select_columns([key_col, ts_col]),
+                             key_col, _fn, sort_by=[key_col])
+    agg: dict[int, int] = {}
+    for bt in partials.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+        for dday, dv in zip(bt["day"].to_numpy(), bt["delta"].to_numpy()):
+            agg[int(dday)] = agg.get(int(dday), 0) + int(dv)
+    if not agg:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "wau": pa.array([], pa.int64())})
+    dd = np.array(sorted(agg), dtype=np.int64)
+    dv = np.array([agg[k] for k in dd], dtype=np.int64)
+    lo, hi = int(dd.min()), int(dd.max())
+    diff = np.zeros(hi - lo + 1, np.int64)
+    diff[dd - lo] = dv
+    wau = np.cumsum(diff)
+    days_out = np.arange(lo, hi + 1, dtype=np.int64)
+    nz = wau > 0
+    return pa.table({"day": pa.array(days_out[nz]),
+                     "wau": pa.array(wau[nz])})

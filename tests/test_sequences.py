@@ -310,3 +310,58 @@ def test_temporal_pairs_guard_and_tie_order(ray_session):
         temporal_pairs(rd.from_arrow(big), "user_id", "ts",
                        "event_type", window_us=10, tiebreak="event_id",
                        max_pairs_per_partition=1000)
+
+
+def test_active_users_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.sequences import active_users
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    w = 7
+    day_us = 86400 * 10**6
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 60, n)),
+        "ts": pa.array(rng.integers(0, 60 * day_us, n)).cast(
+            pa.timestamp("us")),
+    })
+    out = active_users(rd.from_arrow(t).repartition(6), "user_id",
+                       "ts", window_days=w).to_pandas() \
+        .set_index("day")
+
+    df = t.to_pandas()
+    df["day"] = df["ts"].astype("int64") // day_us
+    lo, hi = df["day"].min(), df["day"].max()
+    exp = {}
+    for d in range(lo, hi + w):
+        u = df.loc[(df["day"] >= d - w + 1) & (df["day"] <= d),
+                   "user_id"].nunique()
+        if u > 0:
+            exp[d] = u
+    assert set(out.index) == set(exp)
+    for d, u in exp.items():
+        assert out.loc[d, "wau"] == u
+
+
+def test_active_users_interval_merge(ray_session):
+    """One user active on days 0 and 3 (gap < w) covers one merged
+    interval; days 0 and 20 cover two."""
+    import ray.data as rd
+
+    from netml_ray.sequences import active_users
+
+    day_us = 86400 * 10**6
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2]),
+        "ts": pa.array(np.array([0, 3, 0, 20]) * day_us).cast(
+            pa.timestamp("us")),
+    })
+    out = active_users(rd.from_arrow(t), "user_id", "ts",
+                       window_days=7).to_pandas().set_index("day")
+    # user 1 covers days 0..9; user 2 covers 0..6 and 20..26
+    assert out.loc[0, "wau"] == 2 and out.loc[6, "wau"] == 2
+    assert out.loc[7, "wau"] == 1 and out.loc[9, "wau"] == 1
+    assert 10 not in out.index and 19 not in out.index
+    assert out.loc[20, "wau"] == 1 and out.loc[26, "wau"] == 1
+    assert 27 not in out.index
