@@ -4803,6 +4803,52 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_profile_events(sf_dir: str):
+    """Column data-quality profile of the events table (distributed
+    describe): one narrow O(columns)-partial pass, driver fold."""
+    from netml_ray.mlprep import profile_table
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value",
+                "props"])
+    return profile_table(ev)
+
+
+SQL_PROFILE = """
+SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       round(CAST(min(event_id) AS DOUBLE), 6) AS vmin,
+       round(CAST(max(event_id) AS DOUBLE), 6) AS vmax,
+       round(avg(event_id), 6) AS vmean
+FROM events
+UNION ALL
+SELECT 'ts', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(ts) AS BIGINT), NULL, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       round(CAST(min(user_id) AS DOUBLE), 6),
+       round(CAST(max(user_id) AS DOUBLE), 6),
+       round(avg(user_id), 6)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT), NULL, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       round(min(value), 6), round(max(value), 6),
+       round(avg(value), 6)
+FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(props) AS BIGINT), NULL, NULL, NULL
+FROM events
+"""
+
+
 def q_active_users_events(sf_dir: str):
     """Rolling 7-day distinct active users per day (WAU): ONE keyed
     exchange emitting merged-interval ±1 difference partials, driver
@@ -5346,6 +5392,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition_map + difference-array machinery pinned in-window
         # via cusum/interval machinery; checker-verified this session)
         "active_users_events": q_active_users_events,
+        # (profile_events likewise just outside the window: a narrow
+        # partial-fold with no new exchange machinery;
+        # checker-verified this session)
+        "profile_events": q_profile_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5599,6 +5649,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_pairs_events": SQL_TEMPORAL_PAIRS,
         "kaplan_meier_events": SQL_KAPLAN_MEIER,
         "active_users_events": SQL_ACTIVE_USERS,
+        "profile_events": SQL_PROFILE,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["fit_scaler", "transform_scaled", "woe_iv", "gains_table",
+           "profile_table",
            "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk",
            "pca_partials", "fit_pca", "transform_pca",
@@ -1304,3 +1305,86 @@ def gains_table(ds, score_col: str, label_col: str, *,
         "n_pos": pa.array(n_pos[order]),
         "capture": pa.array(capture),
         "lift": pa.array(lift)})
+
+
+def profile_table(ds, *, round_to: int = 6) -> pa.Table:
+    """Data-quality column profile — the distributed ``describe()``
+    every ingestion pipeline runs first: one row per column with row
+    count, null count, and (for numeric columns) min / max / mean.
+    Non-numeric columns get NULL min/max/mean (their profile is the
+    null rate; distinct counts are a separate, shuffle-bearing op —
+    see ``sketches`` for the approximate path).
+
+    Scale shape: ONE narrow pass — each batch emits a fixed
+    O(columns) partial row set (count, null count, min, max, sum per
+    column), the driver folds O(batches × columns) tiny rows.  No
+    shuffle, no column materialization.  Mean is sum/count with the
+    documented round hedge (sum-order noise)."""
+
+    fields = list(ds.schema().base_schema)
+    names = [f.name for f in fields]
+    numeric = {f.name for f in fields
+               if pa.types.is_integer(f.type)
+               or pa.types.is_floating(f.type)}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "n_null": [],
+                "vmin": [], "vmax": [], "vsum": []}
+        for name in names:
+            col = t[name]
+            n = len(col)
+            nn = col.null_count
+            if name in numeric:
+                v = col.drop_null().to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                # NaN floats are data values to Arrow but missing to a
+                # profiler: count them as null, keep them out of stats
+                nan = int(np.isnan(v).sum())
+                nn += nan
+                if nan:
+                    v = v[~np.isnan(v)]
+                if len(v):
+                    mn, mx, sm = (float(v.min()), float(v.max()),
+                                  float(v.sum()))
+                else:
+                    mn = mx = sm = None
+            else:
+                mn = mx = sm = None
+            rows["column"].append(name)
+            rows["n"].append(n)
+            rows["n_null"].append(nn)
+            rows["vmin"].append(mn)
+            rows["vmax"].append(mx)
+            rows["vsum"].append(sm)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "vmin": pa.array(rows["vmin"], pa.float64()),
+            "vmax": pa.array(rows["vmax"], pa.float64()),
+            "vsum": pa.array(rows["vsum"], pa.float64())})
+
+    parts = pa.concat_tables(
+        [b for b in ds.map_batches(_partial, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="none").to_pandas()
+    out_rows = []
+    for name in names:
+        g = parts[parts["column"] == name]
+        n = int(g["n"].sum())
+        nn = int(g["n_null"].sum())
+        if name in numeric and g["vmin"].notna().any():
+            mn = float(g["vmin"].min())
+            mx = float(g["vmax"].max())
+            mean = round(float(g["vsum"].sum()) / (n - nn), round_to)
+            mn, mx = round(mn, round_to), round(mx, round_to)
+        else:
+            mn = mx = mean = None
+        out_rows.append((name, n, nn, mn, mx, mean))
+    return pa.table({
+        "column": pa.array([r[0] for r in out_rows], pa.string()),
+        "n": pa.array([r[1] for r in out_rows], pa.int64()),
+        "n_null": pa.array([r[2] for r in out_rows], pa.int64()),
+        "vmin": pa.array([r[3] for r in out_rows], pa.float64()),
+        "vmax": pa.array([r[4] for r in out_rows], pa.float64()),
+        "vmean": pa.array([r[5] for r in out_rows], pa.float64())})

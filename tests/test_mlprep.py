@@ -701,3 +701,35 @@ def test_gains_table_vs_brute(ray_session):
     # the full table always ends at capture 1, lift 1
     assert np.isclose(out["capture"].iloc[-1], 1.0)
     assert np.isclose(out["lift"].iloc[-1], 1.0)
+
+
+def test_profile_table_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import profile_table
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    vals = rng.normal(10, 5, n)
+    vals[rng.random(n) < 0.1] = np.nan
+    t = pa.table({
+        "a": pa.array(rng.integers(-5, 100, n)),
+        "b": pa.array(vals),
+        "s": pa.array(rng.choice(["x", "y", None], n).tolist()),
+    })
+    out = profile_table(rd.from_arrow(t).repartition(6)).to_pandas() \
+        .set_index("column")
+
+    df = t.to_pandas()
+    assert (out["n"] == n).all()
+    assert out.loc["a", "n_null"] == 0
+    assert out.loc["b", "n_null"] == int(df["b"].isna().sum())
+    assert out.loc["s", "n_null"] == int(df["s"].isna().sum())
+    assert out.loc["a", "vmin"] == df["a"].min()
+    assert out.loc["a", "vmax"] == df["a"].max()
+    assert np.isclose(out.loc["a", "vmean"], df["a"].mean(), atol=1e-6)
+    assert np.isclose(out.loc["b", "vmin"], df["b"].min(skipna=True))
+    assert np.isclose(out.loc["b", "vmean"], df["b"].mean(skipna=True),
+                      atol=1e-6)
+    import pandas as pd
+    assert pd.isna(out.loc["s", "vmin"]) and pd.isna(out.loc["s", "vmean"])
