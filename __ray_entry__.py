@@ -4803,6 +4803,33 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_source_divergence_docs(sf_dir: str):
+    """Per-source KL divergence from the corpus unigram distribution
+    (domain-shift diagnostic): token-count partials, one token-keyed
+    fold broadcast once, one group-keyed scoring exchange."""
+    from netml_ray.textstats import source_divergence
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return source_divergence(docs, "text", "source")
+
+
+SQL_SOURCE_DIVERGENCE = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents),
+c AS (SELECT source, w, count(*) AS n FROM tok GROUP BY 1, 2),
+g AS (SELECT w, sum(n) AS ng FROM c GROUP BY 1),
+ts AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+tg AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM c)
+SELECT c.source, CAST(any_value(ts.ns) AS BIGINT) AS n_tokens,
+       round(sum((c.n / CAST(ts.ns AS DOUBLE))
+                 * ln((c.n / CAST(ts.ns AS DOUBLE))
+                      / (g.ng / tg.ntot))), 6) AS kl
+FROM c JOIN g USING (w) JOIN ts USING (source) CROSS JOIN tg
+GROUP BY c.source ORDER BY c.source
+"""
+
+
 def q_profile_events(sf_dir: str):
     """Column data-quality profile of the events table (distributed
     describe): one narrow O(columns)-partial pass, driver fold."""
@@ -5396,6 +5423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partial-fold with no new exchange machinery;
         # checker-verified this session)
         "profile_events": q_profile_events,
+        # (source_divergence_docs likewise just outside the window:
+        # its exchange shapes are pinned in-window by the tfidf/
+        # lm_bits family; checker-verified this session)
+        "source_divergence_docs": q_source_divergence_docs,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5650,6 +5681,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier_events": SQL_KAPLAN_MEIER,
         "active_users_events": SQL_ACTIVE_USERS,
         "profile_events": SQL_PROFILE,
+        "source_divergence_docs": SQL_SOURCE_DIVERGENCE,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -73,6 +73,7 @@ from netml_ray.sequences import active_users, temporal_pairs  # noqa: F401
 from netml_ray.skyline import pareto_front  # noqa: F401
 from netml_ray.textstats import (  # noqa: F401
     readability_profile,
+    source_divergence,
     vocab_richness,
 )
 from netml_ray.urlops import add_url_features, url_feature_table  # noqa: F401

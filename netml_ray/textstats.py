@@ -45,7 +45,7 @@ import pyarrow.compute as pc
 
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
            "doc_frequency", "pmi_collocations", "readability_profile",
-           "tfidf_top_terms", "vocab_richness"]
+           "source_divergence", "tfidf_top_terms", "vocab_richness"]
 
 
 def _tok(col):
@@ -876,3 +876,107 @@ def vocab_richness(ds, text_col: str, group_col: str):
 
     parts = ds.map_batches(_partial, batch_format="pyarrow")
     return partition_map(parts, group_col, _fin)
+
+
+# ---------------------------------------------------------------------------
+# Per-group KL divergence vs the corpus
+# ---------------------------------------------------------------------------
+
+def source_divergence(ds, text_col: str, group_col: str, *,
+                      round_to: int = 6) -> "pa.Table":
+    """Per-group KL divergence of the group's unigram distribution
+    from the whole corpus: ``KL(p_g || p_corpus) = Σ_w p_g(w) ·
+    ln(p_g(w) / p_c(w))`` over whitespace tokens — the
+    domain-shift / contamination diagnostic (a source whose language
+    diverges from the mixture scores high; CCNet uses the same notion
+    with an external LM, this is the self-referential exact form).
+    ``p_c(w) > 0`` whenever ``p_g(w) > 0`` because the group is part
+    of the corpus, so the sum is total.
+
+    Scale shape: per-batch dictionary-encoded (group, token, n)
+    partials (the ``vocab_richness`` exchange shape), ONE token-keyed
+    exchange folds global token counts to an O(vocab) table collected
+    and BROADCAST once (the tfidf idf-table precedent; at web scale,
+    bound it with a documented min-count prune), then ONE group-keyed
+    exchange computes each group's sum with an ``index_in`` dictionary
+    lookup — vectorized, no token-stream reshuffle.  Round-6 hedge on
+    the |vocab|-term float sum (same reasoning as welch_ttest)."""
+    import numpy as np
+
+    from netml_ray.partition import partition_map
+    from netml_ray.textops import Tokenized
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "w": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        tok = Tokenized(t[text_col])
+        codes = np.asarray(tok.codes, dtype=np.int64)
+        ge = pc.dictionary_encode(t[group_col].combine_chunks()
+                                  if isinstance(t[group_col],
+                                                pa.ChunkedArray)
+                                  else t[group_col])
+        gcodes = ge.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[tok.rowid]
+        wlen = pc.utf8_length(tok.dictionary).to_numpy(
+            zero_copy_only=False)
+        keep = wlen[codes] > 0
+        codes, gcodes = codes[keep], gcodes[keep]
+        if not len(codes):
+            return empty
+        d = len(tok.dictionary)
+        comb = gcodes * d + codes
+        u, n = np.unique(comb, return_counts=True)
+        return pa.table({
+            group_col: ge.dictionary.take(pa.array(u // d)).cast(
+                pa.string()),
+            "w": tok.dictionary.take(pa.array(u % d)).cast(pa.string()),
+            "n": pa.array(n.astype(np.int64))})
+
+    partials = ds.map_batches(_partial,
+                              batch_format="pyarrow").materialize()
+
+    # global token counts: one token-keyed exchange over the partials,
+    # folded to an O(vocab) table on the driver
+    def _tok_fold(t: pa.Table) -> pa.Table:
+        out = t.select(["w", "n"]).group_by(["w"]).aggregate(
+            [("n", "sum")])
+        return out.rename_columns(["w", "ng"])
+
+    gt = pa.concat_tables(
+        [b for b in partition_map(partials, "w", _tok_fold)
+         .iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="none")
+    # fold once more (partition partials are already disjoint by w,
+    # but stay safe if the exchange ever re-chunks)
+    gt = gt.group_by(["w"]).aggregate([("ng", "sum")])
+    vocab = gt["w"].combine_chunks()
+    ng = gt["ng_sum"].to_numpy().astype(np.float64)
+    ntot = float(ng.sum())
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "kl": pa.array([], pa.float64())})
+        agg = (t.group_by([group_col, "w"]).aggregate([("n", "sum")])
+               .sort_by(group_col))
+        from netml_ray.mlprep import _run_bounds
+        starts, run_id = _run_bounds(agg[group_col].combine_chunks())
+        n = agg["n_sum"].to_numpy().astype(np.float64)
+        idx = pc.index_in(agg["w"], value_set=vocab).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pg_c = ng[idx] / ntot
+        ns = np.bincount(run_id, weights=n)
+        ps = n / ns[run_id]
+        terms = ps * np.log(ps / pg_c)
+        kl = np.bincount(run_id, weights=terms)
+        keys = agg[group_col].combine_chunks().take(pa.array(starts))
+        return pa.table({
+            group_col: keys,
+            "n_tokens": pa.array(ns.astype(np.int64)),
+            "kl": pa.array(np.round(kl, round_to))})
+
+    return partition_map(partials, group_col, _fin)

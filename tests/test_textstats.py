@@ -285,3 +285,38 @@ def test_vocab_richness_vs_brute(ray_session):
         assert out.loc[g, "n_types"] == n_types
         assert np.isclose(out.loc[g, "ttr"], n_types / n_tokens)
         assert np.isclose(out.loc[g, "hapax_frac"], hapax / n_types)
+
+
+def test_source_divergence_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.textstats import source_divergence
+
+    rng = np.random.default_rng(67)
+    # source s0 uses a skewed vocabulary -> higher KL than the mix
+    v_all = [f"w{i}" for i in range(50)]
+    v_skew = [f"w{i}" for i in range(5)]
+    docs, grp = [], []
+    for i in range(600):
+        g = f"s{i % 3}"
+        vocab = v_skew if g == "s0" else v_all
+        docs.append(" ".join(rng.choice(vocab, 25)))
+        grp.append(g)
+    t = pa.table({"text": pa.array(docs), "source": pa.array(grp)})
+    out = source_divergence(rd.from_arrow(t).repartition(6), "text",
+                            "source").to_pandas() \
+        .set_index("source").sort_index()
+
+    from collections import Counter
+    cg = Counter(w for d in docs for w in d.split())
+    ntot = sum(cg.values())
+    for g in ["s0", "s1", "s2"]:
+        cs = Counter(w for d, s in zip(docs, grp) if s == g
+                     for w in d.split())
+        ns = sum(cs.values())
+        kl = sum((n / ns) * np.log((n / ns) / (cg[w] / ntot))
+                 for w, n in cs.items())
+        assert out.loc[g, "n_tokens"] == ns
+        assert np.isclose(out.loc[g, "kl"], kl, atol=2e-6)
+    assert out.loc["s0", "kl"] > 3 * out.loc["s1", "kl"]
+    assert (out["kl"] >= -1e-9).all()
