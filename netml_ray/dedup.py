@@ -1248,9 +1248,34 @@ def simhash_near_duplicates(
     across bands.  Hot buckets cap at ``max_bucket`` distinct
     signatures (logged, not silent).
     """
-    import ray
+    from netml_ray.partition import auto_concurrency
 
-    from netml_ray.partition import auto_concurrency, partition_map
+    sig_ds = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=auto_concurrency(),
+    ).select_columns([id_col, "simhash"])
+    return hamming_near_duplicates(
+        sig_ds, id_col=id_col, hash_col="simhash",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+        num_partitions=num_partitions)
+
+
+def hamming_near_duplicates(
+    sig_ds,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+    num_partitions: int | None = None,
+):
+    """Banded-hamming near-duplicate pairs over ANY ``(id, 64-bit
+    hash)`` signature Dataset — the generic core under
+    :func:`simhash_near_duplicates` (text) and the image dHash dedup
+    (``multimodal.ImageDHash``).  Same pigeonhole banding, star
+    compression, XOR-popcount verification and hot-bucket cap; see
+    the simhash docstring for the scheme and guarantees."""
+    from netml_ray.partition import partition_map
 
     nb = max_hamming + 1
     if not 1 <= nb <= 64:
@@ -1258,14 +1283,9 @@ def simhash_near_duplicates(
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
     shifts = np.cumsum([0] + widths[:-1])
 
-    sig_ds = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=auto_concurrency(),
-    ).select_columns([id_col, "simhash"])
-
     def _explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        s = t["simhash"].to_numpy().astype(np.uint64)
+        s = t[hash_col].to_numpy().astype(np.uint64)
         bk = np.empty((n, nb), dtype=np.int64)
         for i in range(nb):
             bits = (s >> np.uint64(shifts[i])) & np.uint64((1 << widths[i]) - 1)
@@ -1275,13 +1295,13 @@ def simhash_near_duplicates(
         return pa.table({
             id_col: pc.take(t[id_col], pa.array(rep)),
             "bkey": pa.array(bk.ravel()),
-            "simhash": pa.array(np.repeat(t["simhash"].to_numpy(), nb)),
+            "h64": pa.array(np.repeat(t[hash_col].to_numpy(), nb)),
         })
 
     exploded = sig_ds.map_batches(_explode, batch_format="pyarrow")
 
     def _bucket_pairs(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("bkey", "ascending"), ("simhash", "ascending"),
+        t = t.sort_by([("bkey", "ascending"), ("h64", "ascending"),
                        (id_col, "ascending")])
         n = t.num_rows
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),
@@ -1290,7 +1310,7 @@ def simhash_near_duplicates(
         if n == 0:
             return empty
         bk = t["bkey"].to_numpy()
-        sh = t["simhash"].to_numpy()
+        sh = t["h64"].to_numpy()
         ids = t[id_col].to_numpy()
         out_a, out_b, out_h = [], [], []
         bstart = _run_starts(bk)

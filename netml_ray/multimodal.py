@@ -435,3 +435,56 @@ def audio_corpus(n_rows: int, seed: int = 4) -> pa.Table:
         "audio_id": pa.array(np.arange(n_rows, dtype=np.int64)),
         "audio": pa.array(payloads, type=pa.binary()),
     })
+
+
+class ImageDHash:
+    """Actor-pool stage: perceptual difference-hash (dHash, the
+    classic 64-bit gradient fingerprint — Krawetz 2013, public
+    technique) of a binary image column: decode → grayscale → 9×8
+    nearest-neighbour resize → horizontal-gradient bits.  Two images
+    within a few bits of hamming distance are near-duplicates even
+    across re-encodes / mild noise — the multimodal analog of text
+    SimHash, and the standard web-scale image-dedup key.
+
+    Emits ``dhash`` as int64 (the uint64 bit-view, same convention as
+    SimHash) so the output Dataset feeds straight into
+    ``dedup.hamming_near_duplicates(sig_ds, hash_col="dhash")`` — one
+    banded exchange, no pairwise image comparison anywhere.
+
+    Decoder injection works like :class:`MediaDecode`: the real
+    PPM/BMP/TGA/WAV codecs work out of the box; compressed codecs
+    (jpeg/png) raise unless a decoder is injected."""
+
+    def __init__(
+        self,
+        media_col: str = "image",
+        mime_col: str | None = None,
+        decoder: Callable[[bytes, str], np.ndarray] | None = None,
+        drop_payload: bool = True,
+    ):
+        self.media_col = media_col
+        self.mime_col = mime_col
+        self.decoder = decoder or builtin_decoder
+        self.drop_payload = drop_payload
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.media_col].to_pylist()
+        mimes = (
+            t[self.mime_col].to_pylist() if self.mime_col
+            else [""] * len(payloads)
+        )
+        out = np.empty(len(payloads), dtype=np.uint64)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for i, (p, m) in enumerate(zip(payloads, mimes)):
+            img = self.decoder(p or b"", m or "")
+            f = img.astype(np.float64)
+            if f.ndim == 3:                      # RGB -> luma
+                f = (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                     + 0.114 * f[..., 2])
+            g = MediaDecode._resize_nn(f, (8, 9))
+            bits = (g[:, 1:] > g[:, :-1]).ravel()  # 8x8 gradient
+            out[i] = np.dot(bits.astype(np.uint64), weights)
+        t = t.append_column("dhash", pa.array(out.view(np.int64)))
+        if self.drop_payload:
+            t = t.drop_columns([self.media_col])
+        return t

@@ -239,3 +239,76 @@ def test_tga_roundtrip_and_stage(ray_session):
     assert len(out) == len(imgs)
     assert all(len(px) == 8 * 8 * 3 for px in out["pixels"])
     assert "payload" not in out.columns
+
+
+def test_image_dhash_invariances(ray_session):
+    import numpy as np
+
+    from netml_ray.multimodal import ImageDHash, encode_ppm
+
+    rng = np.random.default_rng(71)
+    # smooth gradient image so dHash is noise-stable
+    # strong HORIZONTAL gradient (dHash compares adjacent columns),
+    # so +/-4 pixel noise cannot flip the ~25-level column steps
+    base = np.clip(
+        np.add.outer(np.linspace(0, 55, 64), np.linspace(0, 200, 64))
+        + rng.normal(0, 3, (64, 64)), 0, 255).astype(np.uint8)
+    img = np.stack([base] * 3, axis=-1)
+    noisy = np.clip(img.astype(np.int64)
+                    + rng.integers(-4, 5, img.shape), 0, 255) \
+        .astype(np.uint8)
+    other = rng.integers(0, 256, img.shape, dtype=np.uint8)
+
+    stage = ImageDHash()
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2, 3]),
+        "image": pa.array([encode_ppm(img), encode_ppm(img),
+                           encode_ppm(noisy), encode_ppm(other)],
+                          type=pa.binary()),
+    })
+    out = stage(t).to_pandas().set_index("media_id")
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b) & ((1 << 64) - 1)).count("1")
+
+    h = out["dhash"].astype("uint64")
+    assert h[0] == h[1]                       # identical -> equal
+    assert ham(h[0], h[2]) <= 8               # mild noise -> near
+    assert ham(h[0], h[3]) > 16               # unrelated -> far
+
+
+def test_image_near_dup_pipeline(ray_session):
+    """Planted near-duplicate images found through the generic banded
+    hamming exchange — no pairwise image comparison anywhere."""
+    import numpy as np
+    import ray.data as rd
+
+    from netml_ray.dedup import hamming_near_duplicates
+    from netml_ray.multimodal import ImageDHash, encode_ppm, media_corpus
+
+    rng = np.random.default_rng(73)
+    t = media_corpus(40, seed=5, real=True)
+    # plant: rows 100/101 share a smooth image up to mild noise
+    base = np.clip(
+        np.add.outer(np.linspace(0, 15, 32), np.linspace(10, 240, 32))
+        + rng.normal(0, 2, (32, 32)), 0, 255).astype(np.uint8)
+    img = np.stack([base] * 3, axis=-1)
+    noisy = np.clip(img.astype(np.int64)
+                    + rng.integers(-3, 4, img.shape), 0, 255) \
+        .astype(np.uint8)
+    extra = pa.table({
+        "media_id": pa.array([100, 101], type=pa.int64()),
+        "image": pa.array([encode_ppm(img), encode_ppm(noisy)],
+                          type=pa.binary()),
+        "image_mime": pa.array(["image/x-portable-pixmap"] * 2),
+    })
+    full = pa.concat_tables([t.select(extra.column_names), extra])
+
+    sig = rd.from_arrow(full).repartition(4).map_batches(
+        ImageDHash, batch_format="pyarrow", batch_size=16,
+        concurrency=2)
+    pairs = hamming_near_duplicates(
+        sig, id_col="media_id", hash_col="dhash",
+        max_hamming=8).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 101) in found
