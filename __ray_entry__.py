@@ -4803,6 +4803,34 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_melt_lineitem(sf_dir: str):
+    """Unpivot lineitem's four numeric measures into EAV long format
+    (the pivot inverse): one narrow streamed transform, no shuffle."""
+    from netml_ray.windows import melt
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    return melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"])
+
+
+SQL_MELT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(l_tax AS DOUBLE) FROM lineitem
+"""
+
+
 def q_source_divergence_docs(sf_dir: str):
     """Per-source KL divergence from the corpus unigram distribution
     (domain-shift diagnostic): token-count partials, one token-keyed
@@ -5427,6 +5455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its exchange shapes are pinned in-window by the tfidf/
         # lm_bits family; checker-verified this session)
         "source_divergence_docs": q_source_divergence_docs,
+        # (melt_lineitem likewise just outside the window: a pure
+        # narrow streamed transform; checker-verified this session)
+        "melt_lineitem": q_melt_lineitem,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5682,6 +5713,7 @@ def oracle_sql() -> dict[str, str]:
         "active_users_events": SQL_ACTIVE_USERS,
         "profile_events": SQL_PROFILE,
         "source_divergence_docs": SQL_SOURCE_DIVERGENCE,
+        "melt_lineitem": SQL_MELT,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

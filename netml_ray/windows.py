@@ -1174,3 +1174,40 @@ def cube_agg(
         rolled.map_batches(_lvl2, batch_format="pyarrow"),
         key_b, _b_level, num_partitions=num_partitions)
     return rolled.union(b_rows)
+
+
+def melt(ds, id_cols: list, value_cols: list, *,
+         var_name: str = "variable", value_name: str = "value"):
+    """Unpivot (wide → long): each input row becomes
+    ``len(value_cols)`` rows of ``(*id_cols, variable, value)`` — the
+    inverse of :func:`pivot_agg` and the reshape every
+    feature-matrix-to-EAV export needs.  Values cast to float64 (the
+    common melt type; duckdb UNPIVOT promotes identically when the
+    columns are numeric).
+
+    Scale shape: a pure narrow ``map_batches`` transform — per batch
+    ONE vertical concat of value-column slices with a repeated
+    variable tag, zero-copy takes on the id columns, no shuffle, no
+    state.  Output rows = input rows × len(value_cols), streamed."""
+
+    vcols = list(value_cols)
+    icols = list(id_cols)
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if not n:
+            return pa.table(
+                {c: t[c] for c in icols}
+                | {var_name: pa.array([], pa.string()),
+                   value_name: pa.array([], pa.float64())})
+        parts = []
+        for c in vcols:
+            p = t.select(icols)
+            p = p.append_column(var_name,
+                                pa.array([c] * n, pa.string()))
+            p = p.append_column(value_name, t[c].cast(pa.float64()))
+            parts.append(p)
+        return pa.concat_tables(parts, promote_options="none")
+
+    return ds.select_columns(icols + vcols).map_batches(
+        _f, batch_format="pyarrow")

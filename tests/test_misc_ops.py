@@ -438,3 +438,28 @@ def test_cube_agg_vs_pandas(ray_session):
     for row in bl.itertuples(index=False):
         e = expb.loc[row.b]
         assert row.n == e["n"] and abs(row.s - e["s"]) < 1e-9
+
+
+def test_melt_roundtrip_and_shape(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.windows import melt
+
+    rng = np.random.default_rng(79)
+    n = 2000
+    t = pa.table({
+        "id": pa.array(np.arange(n)),
+        "a": pa.array(rng.normal(0, 1, n)),
+        "b": pa.array(rng.integers(0, 50, n)),
+    })
+    out = melt(rd.from_arrow(t).repartition(5), ["id"], ["a", "b"]) \
+        .to_pandas()
+    assert len(out) == 2 * n
+    assert set(out["variable"]) == {"a", "b"}
+    df = t.to_pandas().set_index("id")
+    wa = out[out["variable"] == "a"].set_index("id")["value"]
+    wb = out[out["variable"] == "b"].set_index("id")["value"]
+    assert np.allclose(wa.sort_index(), df["a"])
+    assert np.allclose(wb.sort_index(), df["b"].astype(float))
