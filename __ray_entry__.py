@@ -4803,6 +4803,51 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_group_auc_events(sf_dir: str):
+    """Per-event-type ROC AUC of value against the props-k parity
+    label (Mann-Whitney rank sum, fractional ties): one keyed
+    exchange on the (key, score)-sorted partition."""
+    from netml_ray.mlprep import group_auc
+
+    ev = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def _lab(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        y = pc.cast(pc.equal(pc.bit_wise_and(k, 1), 1), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value": t["value"], "y": y})
+
+    return group_auc(ev.map_batches(_lab, batch_format="pyarrow"),
+                     "event_type", "value", "y")
+
+
+SQL_GROUP_AUC = r"""
+WITH l AS (
+  SELECT event_type, value,
+         CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+              AS BIGINT) % 2 AS y
+  FROM events),
+r AS (
+  SELECT event_type, y,
+         rank() OVER (PARTITION BY event_type ORDER BY value)
+           + (count(*) OVER (PARTITION BY event_type, value) - 1)
+             / 2.0 AS rk
+  FROM l),
+s AS (
+  SELECT event_type,
+         sum(CASE WHEN y = 1 THEN rk ELSE 0 END) AS r1,
+         CAST(sum(y) AS DOUBLE) AS n1,
+         CAST(count(*) - sum(y) AS DOUBLE) AS n0
+  FROM r GROUP BY 1)
+SELECT event_type, CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       round((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc
+FROM s WHERE n1 >= 1 AND n0 >= 1
+ORDER BY event_type
+"""
+
+
 def q_melt_lineitem(sf_dir: str):
     """Unpivot lineitem's four numeric measures into EAV long format
     (the pivot inverse): one narrow streamed transform, no shuffle."""
@@ -5458,6 +5503,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (melt_lineitem likewise just outside the window: a pure
         # narrow streamed transform; checker-verified this session)
         "melt_lineitem": q_melt_lineitem,
+        # (group_auc_events likewise just outside the window: the
+        # rank machinery is the spearman fast path, pinned in-window
+        # via cusum; checker-verified this session)
+        "group_auc_events": q_group_auc_events,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5714,6 +5763,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": SQL_PROFILE,
         "source_divergence_docs": SQL_SOURCE_DIVERGENCE,
         "melt_lineitem": SQL_MELT,
+        "group_auc_events": SQL_GROUP_AUC,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["fit_scaler", "transform_scaled", "woe_iv", "gains_table",
-           "profile_table",
+           "profile_table", "group_auc",
            "misra_gries_partials",
            "misra_gries_merge", "misra_gries_topk",
            "pca_partials", "fit_pca", "transform_pca",
@@ -1388,3 +1388,56 @@ def profile_table(ds, *, round_to: int = 6) -> pa.Table:
         "vmin": pa.array([r[3] for r in out_rows], pa.float64()),
         "vmax": pa.array([r[4] for r in out_rows], pa.float64()),
         "vmean": pa.array([r[5] for r in out_rows], pa.float64())})
+
+
+def group_auc(ds, key_col: str, score_col: str, label_col: str, *,
+              min_each: int = 1, round_to: int = 6):
+    """Per-group ROC AUC via the Mann-Whitney rank-sum identity:
+    with fractional (average-tie) ranks of the score within the
+    group, ``AUC = (R1 − n1(n1+1)/2) / (n1·n0)`` where ``R1`` is the
+    rank sum of positives — the per-segment model-evaluation staple
+    (a model can be great overall and broken on one segment).
+    Groups missing a class (n1 or n0 below ``min_each``) are dropped;
+    the SQL oracle states the identical rank and drop rules.
+
+    Scale shape: ONE keyed exchange with the partition sorted by
+    (key, score), so fractional ranks are position offsets over
+    contiguous tie groups (no lexsort — the spearman_corr fast path),
+    then one ``np.bincount`` pass.  Round-6 hedge on the rank-sum
+    float division."""
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=t[key_col].type),
+                             "n_pos": pa.array([], pa.int64()),
+                             "n_neg": pa.array([], pa.int64()),
+                             "auc": pa.array([], pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tie_first = np.r_[True, (run_id[1:] != run_id[:-1])
+                          | (s[1:] != s[:-1])]
+        tf = np.flatnonzero(tie_first)
+        tlen = np.diff(np.r_[tf, len(s)])
+        pos = np.arange(len(s)) - starts[run_id]
+        rk = np.repeat(pos[tf] + (tlen - 1) / 2.0 + 1.0, tlen)
+        cnt = np.bincount(run_id).astype(np.float64)
+        n1 = np.bincount(run_id, weights=y)
+        n0 = cnt - n1
+        r1 = np.bincount(run_id, weights=rk * y)
+        ok = (n1 >= min_each) & (n0 >= min_each)
+        auc = np.divide(r1 - n1 * (n1 + 1) / 2.0, n1 * n0,
+                        out=np.zeros_like(r1), where=ok)
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({key_col: keys,
+                        "n_pos": pa.array(n1.astype(np.int64)),
+                        "n_neg": pa.array(n0.astype(np.int64)),
+                        "auc": pa.array(np.round(auc, round_to))})
+        return out.filter(pa.array(ok))
+
+    cols = [key_col, score_col, label_col]
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=[key_col, score_col])

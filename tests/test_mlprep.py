@@ -733,3 +733,49 @@ def test_profile_table_vs_pandas(ray_session):
                       atol=1e-6)
     import pandas as pd
     assert pd.isna(out.loc["s", "vmin"]) and pd.isna(out.loc["s", "vmean"])
+
+
+def test_group_auc_vs_sklearn_style_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_auc
+
+    rng = np.random.default_rng(83)
+    n = 6000
+    g = rng.choice(["a", "b", "c"], n)
+    # per-group signal strength differs; integer scores force ties
+    strength = {"a": 2.0, "b": 0.5, "c": 0.0}
+    y = rng.integers(0, 2, n)
+    s = np.array([strength[gi] for gi in g]) * y \
+        + rng.integers(0, 8, n).astype(np.float64)
+    t = pa.table({"g": pa.array(g), "s": pa.array(s),
+                  "y": pa.array(y.astype(np.int64))})
+    out = group_auc(rd.from_arrow(t).repartition(6), "g", "s", "y") \
+        .to_pandas().set_index("g").sort_index()
+
+    import pandas as pd
+    df = t.to_pandas()
+    for gi, sub in df.groupby("g"):
+        rk = pd.Series(sub["s"]).rank(method="average").to_numpy()
+        n1 = sub["y"].sum()
+        n0 = len(sub) - n1
+        auc = (rk[sub["y"].to_numpy() == 1].sum()
+               - n1 * (n1 + 1) / 2) / (n1 * n0)
+        assert np.isclose(out.loc[gi, "auc"], auc, atol=2e-6)
+        assert out.loc[gi, "n_pos"] == n1 and out.loc[gi, "n_neg"] == n0
+    # direction: stronger signal -> higher AUC; no signal ~ 0.5
+    assert out.loc["a", "auc"] > out.loc["b", "auc"] > 0.5
+    assert abs(out.loc["c", "auc"] - 0.5) < 0.05
+
+
+def test_group_auc_single_class_dropped(ray_session):
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_auc
+
+    t = pa.table({"g": pa.array(["x", "x", "z", "z"]),
+                  "s": pa.array([1.0, 2.0, 1.0, 2.0]),
+                  "y": pa.array([1, 1, 0, 1])})
+    out = group_auc(rd.from_arrow(t), "g", "s", "y").to_pandas()
+    assert set(out["g"]) == {"z"}
+    assert np.isclose(out.loc[0, "auc"], 1.0)
