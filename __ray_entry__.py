@@ -4803,6 +4803,56 @@ def q_cusum_events(sf_dir: str):
                       tiebreak_col="event_id")
 
 
+def q_dup_cluster_sizes_docs(sf_dir: str):
+    """Exact-duplicate cluster-size distribution (how concentrated is
+    the duplication): per-batch (sha64, n) partials, ONE narrow
+    hash-keyed exchange, per-partition count-of-counts, driver fold —
+    the curation diagnostic behind dedup_exact's keep rate."""
+    import numpy as np
+
+    from netml_ray.dedup import add_text_hash
+    from netml_ray.partition import partition_map
+
+    docs = _read(sf_dir, "documents", ["text"])
+    hashed = add_text_hash(docs, "text").select_columns(["text_hash"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, n = np.unique(t["text_hash"].to_numpy(), return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "n": pa.array(n.astype(np.int64))})
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"cluster_size": pa.array([], pa.int64()),
+                             "n_clusters": pa.array([], pa.int64())})
+        agg = t.group_by(["h"]).aggregate([("n", "sum")])
+        k, cnt = np.unique(agg["n_sum"].to_numpy(), return_counts=True)
+        return pa.table({"cluster_size": pa.array(k.astype(np.int64)),
+                         "n_clusters": pa.array(cnt.astype(np.int64))})
+
+    parts = partition_map(
+        hashed.map_batches(_partial, batch_format="pyarrow"), "h", _fin)
+    folded = pa.concat_tables(
+        [b for b in parts.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")],
+        promote_options="none")
+    out = folded.group_by(["cluster_size"]).aggregate(
+        [("n_clusters", "sum")])
+    return out.rename_columns(["cluster_size", "n_clusters"]) \
+        .sort_by([("cluster_size", "ascending")])
+
+
+SQL_DUP_CLUSTER_SIZES = """
+WITH c AS (SELECT text, count(*) AS k FROM documents GROUP BY text)
+SELECT CAST(k AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY k ORDER BY k
+"""
+
+
 def q_group_auc_events(sf_dir: str):
     """Per-event-type ROC AUC of value against the props-k parity
     label (Mann-Whitney rank sum, fractional ties): one keyed
@@ -5507,6 +5557,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank machinery is the spearman fast path, pinned in-window
         # via cusum; checker-verified this session)
         "group_auc_events": q_group_auc_events,
+        # (dup_cluster_sizes_docs likewise just outside the window:
+        # dedup-hash + count-fold machinery pinned in-window via
+        # dedup_exact's family anchors; checker-verified this session)
+        "dup_cluster_sizes_docs": q_dup_cluster_sizes_docs,
         # (interval_sweep_events rotated to the tail for
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
@@ -5764,6 +5818,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence_docs": SQL_SOURCE_DIVERGENCE,
         "melt_lineitem": SQL_MELT,
         "group_auc_events": SQL_GROUP_AUC,
+        "dup_cluster_sizes_docs": SQL_DUP_CLUSTER_SIZES,
         "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
         "embedding_near_dups": SQL_EMBEDDING_NEAR,
         "simhash_docs": SQL_SIMHASH_GROUPS,

@@ -463,3 +463,31 @@ def test_melt_roundtrip_and_shape(ray_session):
     wb = out[out["variable"] == "b"].set_index("id")["value"]
     assert np.allclose(wa.sort_index(), df["a"])
     assert np.allclose(wb.sort_index(), df["b"].astype(float))
+
+
+def test_dup_cluster_sizes_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import __ray_entry__ as m
+
+    # build a corpus with known cluster sizes: 10 singletons,
+    # 3 pairs, 2 triples, 1 cluster of 5
+    docs = [f"unique doc {i}" for i in range(10)]
+    docs += ["pair a"] * 2 + ["pair b"] * 2 + ["pair c"] * 2
+    docs += ["triple a"] * 3 + ["triple b"] * 3
+    docs += ["five"] * 5
+    rng = np.random.default_rng(89)
+    order = rng.permutation(len(docs))
+    t = pa.table({"text": pa.array([docs[i] for i in order])})
+
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="dupclust_")
+    import pyarrow.parquet as pq
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = m.queries()["dup_cluster_sizes_docs"](d).to_pandas() \
+        .set_index("cluster_size")
+    assert out.loc[1, "n_clusters"] == 10
+    assert out.loc[2, "n_clusters"] == 3
+    assert out.loc[3, "n_clusters"] == 2
+    assert out.loc[5, "n_clusters"] == 1
