@@ -321,3 +321,65 @@ def test_prop_seg_searchsorted(data, side):
             exp = np.searchsorted(seg_a, x[i], side)
             assert got[i] == exp
         pos += int(m.sum())
+
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12),
+                          st.integers(0, 12)),
+                min_size=1, max_size=120),
+       st.tuples(st.sampled_from(["max", "min"]),
+                 st.sampled_from(["max", "min"]),
+                 st.sampled_from(["max", "min"])))
+def test_prop_pareto_front_kernel(rows, sense):
+    """_front_of ≡ O(n²) dominance check on small integer grids (ties
+    and duplicated vectors are the hard cases)."""
+    from netml_ray.skyline import _front_of
+
+    m = np.asarray(rows, dtype=np.float64)
+    oriented = m.copy()
+    for c, s in enumerate(sense):
+        if s == "min":
+            oriented[:, c] = -oriented[:, c]
+    got = {tuple(r) for r in _front_of(oriented, 10_000)}
+    uniq = np.unique(oriented, axis=0)
+    exp = set()
+    for i in range(len(uniq)):
+        dominated = any(
+            (uniq[j] >= uniq[i]).all() and (uniq[j] > uniq[i]).any()
+            for j in range(len(uniq)) if j != i)
+        if not dominated:
+            exp.add(tuple(uniq[i]))
+    assert got == exp
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)),
+                min_size=1, max_size=80),
+       st.integers(1, 9))
+def test_prop_active_users_intervals(rows, w):
+    """The merged-interval difference-array construction ≡ per-day
+    distinct count, on hypothesis-generated (user, day) activity."""
+    users = np.array([r[0] for r in rows], dtype=np.int64)
+    days = np.array([r[1] for r in rows], dtype=np.int64)
+
+    # kernel-level re-implementation of active_users' partition fn,
+    # driven over the whole input as one partition (sorted by user)
+    order = np.argsort(users, kind="stable")
+    u, d = users[order], days[order]
+    run_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+    o2 = np.lexsort((d, run_id))
+    rs, dys = run_id[o2], d[o2]
+    keep = np.r_[True, (rs[1:] != rs[:-1]) | (dys[1:] != dys[:-1])]
+    rs, dys = rs[keep], dys[keep]
+    new_iv = np.r_[True, (rs[1:] != rs[:-1]) | (dys[1:] - dys[:-1] >= w)]
+    iv_start = dys[new_iv]
+    iv_last = np.maximum.reduceat(dys, np.flatnonzero(new_iv))
+    lo = int(days.min())
+    hi = int(days.max()) + w
+    diff = np.zeros(hi - lo + 2, np.int64)
+    np.add.at(diff, iv_start - lo, 1)
+    np.add.at(diff, iv_last + w - lo, -1)
+    wau = np.cumsum(diff)[:-1]
+
+    for day in range(lo, hi):
+        exp = len({uu for uu, dd in zip(users, days)
+                   if day - w + 1 <= dd <= day})
+        assert wau[day - lo] == exp
