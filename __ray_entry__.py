@@ -5370,6 +5370,59 @@ ORDER BY user_id
 """
 
 
+def q_kendall_events(sf_dir: str):
+    """Per-user Kendall tau-b of value vs time (the concordance
+    drift feature, tie-corrected): ONE keyed exchange; short runs
+    through a chunked vectorized pair expansion, hot keys through
+    Knight's O(n log n) inversion count (vectorized mergesort)."""
+    from netml_ray.featstats import kendall_tau
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return kendall_tau(ev, "user_id", "ts", "value")
+
+
+SQL_KENDALL = """
+WITH p AS (
+  SELECT a.user_id,
+         sign(epoch(b.ts) - epoch(a.ts)) * sign(b.value - a.value) AS s,
+         CASE WHEN a.ts = b.ts THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.value = b.value THEN 1 ELSE 0 END AS ty
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id),
+g AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+         CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+         CAST(sum(tx) AS DOUBLE) AS n1, CAST(sum(ty) AS DOUBLE) AS n2
+  FROM p GROUP BY 1),
+cnt AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+SELECT g.user_id, CAST(cnt.n AS BIGINT) AS n,
+       round((c - d) / sqrt((n0 - n1) * (n0 - n2)), 6) AS kendall
+FROM g JOIN cnt USING (user_id)
+WHERE n0 - n1 > 0 AND n0 - n2 > 0
+ORDER BY user_id
+"""
+
+
+def q_ecdf_events(sf_dir: str):
+    """Per-user empirical CDF of value (SQL cume_dist parity): ONE
+    keyed exchange sorted by (key, value); tie-group end positions via
+    two diffs + a repeat — no per-row work."""
+    from netml_ray.featstats import group_ecdf
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return group_ecdf(ev, "user_id", "value", "event_id")
+
+
+SQL_ECDF = """
+SELECT event_id, user_id, value,
+       round(cume_dist() OVER (PARTITION BY user_id ORDER BY value),
+             9) AS ecdf
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -5447,7 +5500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_docs": q_gini_docs,
         "winsorize_events": q_winsorize_events,
         "chi2_docs": q_chi2_docs,
-        "benford_orders": q_benford_orders,
+        # (benford_orders rotated to the tail for kendall_events: its
+        # narrow digit-count-partial shape is pinned in-window by
+        # chi2_docs; checker-verified at both SFs since its session)
+        "kendall_events": q_kendall_events,
         "zipf_slope_docs": q_zipf_slope_docs,
         "attribution_events": q_attribution_events,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -5499,7 +5555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checker-verified r5 entry; the doc-byte bincount kernel is a
         # sibling of the in-window histogram/entropy count machinery)
         "rollup_events": q_rollup_events,
-        "edit_distance_docs": q_edit_distance_docs,
+        # (edit_distance_docs rotated to the tail for ecdf_events: its
+        # vectorized pairwise string-distance kernel is pinned
+        # in-window by jaro_winkler_docs; checker-verified since r5)
+        "ecdf_events": q_ecdf_events,
         "funnel_stages_events": q_funnel_stages_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "target_encode_oof_events": q_target_encode_oof_events,
@@ -5565,6 +5624,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assoc_rules_events: green in this session's full-registry
         # gate at sf0.01, sweep kernel pytest-pinned)
         "interval_sweep_events": q_interval_sweep_events,
+        # (benford_orders / edit_distance_docs rotated to the tail in
+        # the r5 closing session for kendall_events / ecdf_events;
+        # both checker-verified at both SFs every session since added)
+        "benford_orders": q_benford_orders,
+        "edit_distance_docs": q_edit_distance_docs,
         # rows-only (non-SQL-expressible)
         "components_partsupp": q_components_partsupp,
         "quantile_bin_events": q_quantile_bin_events,
@@ -5806,6 +5870,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": SQL_CUSUM,
         "assoc_rules_events": SQL_ASSOC_RULES,
         "trend_events": SQL_TREND,
+        "kendall_events": SQL_KENDALL,
+        "ecdf_events": SQL_ECDF,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 __all__ = [
     "decayed_agg", "chi2_independence", "benford_digits",
-    "burstiness", "cusum_stat", "gini", "kaplan_meier",
+    "burstiness", "cusum_stat", "gini", "group_ecdf",
+    "kaplan_meier", "kendall_tau",
     "rfm_segment", "spearman_corr",
     "trend_slope", "zipf_slope",
     "winsorized_group_stats",
@@ -714,6 +715,211 @@ def spearman_corr(ds, key_col: str, xcol: str, ycol: str, *,
     cols = [key_col, xcol, ycol]
     return partition_map(ds.select_columns(cols), key_col, _fin,
                          sort_by=[key_col, xcol])
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank correlation
+# ---------------------------------------------------------------------------
+
+def _inversions_sorted_runs(y: np.ndarray) -> int:
+    """Inversion count (pairs ``i<j`` with ``y[i] > y[j]``) of ONE
+    sequence via a vectorized bottom-up mergesort: at each level the
+    array is sorted within blocks of width ``w``; cross-block
+    inversions between each (left, right) half-pair are counted with a
+    SINGLE global ``searchsorted`` after offsetting every block's
+    values by ``block_id * K`` (the offsets dominate, so the
+    concatenation of per-block-sorted lefts is globally sorted).
+    O(n log n) comparisons, log n numpy passes, no Python inner loop.
+
+    ``y`` must be rank-compressed non-negative ints (caller does this)
+    so the offset arithmetic stays inside int64."""
+    n = len(y)
+    if n < 2:
+        return 0
+    a = y.astype(np.int64, copy=True)
+    K = np.int64(a.max()) + 1
+    inv = 0
+    w = 1
+    idx = np.arange(n)
+    while w < n:
+        block = idx // (2 * w)
+        in_right = (idx % (2 * w)) >= w
+        lefts = a[~in_right] + block[~in_right] * K
+        rights = a[in_right] + block[in_right] * K
+        if len(lefts) and len(rights):
+            # per right element: # left elements in its block > it
+            ss = np.searchsorted(lefts, rights, side="right")
+            # end position of each right element's block within the
+            # lefts concatenation: count greater = block_end - ss
+            lb = block[~in_right]
+            lend = np.searchsorted(lb, block[in_right], side="right")
+            inv += int((lend - ss).sum())
+        # merge: sort values within 2w blocks (offset trick again)
+        order = np.argsort(block * K + a, kind="stable")
+        a = a[order]
+        w *= 2
+    return inv
+
+
+def _tie_pair_count(sorted_vals: np.ndarray) -> int:
+    """Sum of t*(t-1)/2 over tie groups of a SORTED array."""
+    if len(sorted_vals) == 0:
+        return 0
+    first = np.r_[True, sorted_vals[1:] != sorted_vals[:-1]]
+    t = np.diff(np.r_[np.flatnonzero(first), len(sorted_vals)])
+    return int((t * (t - 1) // 2).sum())
+
+
+def kendall_tau(ds, key_col: str, xcol: str, ycol: str, *,
+                min_n: int = 2, round_to: int = 6,
+                knight_threshold: int = 2048,
+                pair_chunk: int = 1 << 24):
+    """Per-key Kendall tau-b rank correlation between two numeric
+    columns — the concordance feature (fraction of event pairs whose
+    x-order agrees with their y-order), more robust to extreme ranks
+    than Spearman.  Tie handling is tau-b:
+    ``tau = (C - D) / sqrt((n0 - n1) * (n0 - n2))`` with ``n0 =
+    n(n-1)/2``, ``n1``/``n2`` the x-/y-tie pair counts.  Keys with
+    ``n < min_n`` or an all-tied side (zero denominator) are dropped.
+
+    Scale shape: ONE ``partition_map`` hash exchange on ``key_col``;
+    inside a partition, SHORT runs (the common case — per-entity event
+    counts) go through a fully vectorized segmented pair expansion
+    (all runs at once, evaluated in ``pair_chunk``-bounded slices so
+    memory stays flat), and runs longer than ``knight_threshold`` are
+    handled individually by Knight's O(n log n) algorithm (sort by
+    (x, y), count y inversions with a vectorized mergesort) so one hot
+    key never triggers a quadratic blowup.  Both paths are exact and
+    agree bitwise on C, D and the tie counts."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _knight_run(x: np.ndarray, y: np.ndarray):
+        """(C - D, n1, n2) for one run, O(n log n)."""
+        n = len(x)
+        n0 = n * (n - 1) // 2
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        # rank-compress y for the int mergesort
+        yr = np.searchsorted(np.sort(y), ys, side="left")
+        swaps = _inversions_sorted_runs(yr)
+        n1 = _tie_pair_count(xs)
+        n2 = _tie_pair_count(np.sort(y))
+        # joint ties: tie groups of the (x, y) lexsorted pairs
+        first = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])]
+        t = np.diff(np.r_[np.flatnonzero(first), n])
+        n3 = int((t * (t - 1) // 2).sum())
+        cmd = n0 - n1 - n2 + n3 - 2 * swaps
+        return cmd, n1, n2
+
+    def _fin(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=(
+            t[key_col].type if t.num_rows or t.column_names else pa.int64())),
+            "n": pa.array([], type=pa.int64()),
+            "kendall": pa.array([], type=pa.float64())})
+        if not t.num_rows:
+            return empty
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        xs = t[xcol]
+        if pa.types.is_timestamp(xs.type):
+            xs = xs.cast(pa.int64())
+        x = xs.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[ycol].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(x)
+        cnt = np.bincount(run_id)
+        nruns = len(cnt)
+        cmd = np.zeros(nruns, dtype=np.int64)   # C - D
+        n1 = np.zeros(nruns, dtype=np.int64)
+        n2 = np.zeros(nruns, dtype=np.int64)
+        big = cnt > knight_threshold
+        # --- long runs: Knight, one at a time (few by contract) ---
+        for r in np.flatnonzero(big):
+            s, ln = starts[r], cnt[r]
+            cmd[r], n1[r], n2[r] = _knight_run(x[s:s + ln], y[s:s + ln])
+        # --- short runs: segmented pair expansion, chunked ---
+        small_mask = ~big[run_id]
+        if small_mask.any():
+            pos = np.arange(n) - starts[run_id]
+            partners = np.where(small_mask, pos, 0)  # pairs where row is j
+            total_pairs = int(partners.sum())
+            block_start = np.cumsum(partners) - partners
+            j_all = np.repeat(np.arange(n), partners)
+            for lo in range(0, total_pairs, pair_chunk):
+                hi = min(lo + pair_chunk, total_pairs)
+                j = j_all[lo:hi]
+                i = np.arange(lo, hi) - block_start[j] + starts[run_id[j]]
+                sx = np.sign(x[j] - x[i])
+                sy = np.sign(y[j] - y[i])
+                s = sx * sy
+                rid = run_id[j]
+                cmd += np.bincount(rid, weights=s,
+                                   minlength=nruns).astype(np.int64)
+                n1 += np.bincount(rid[sx == 0], minlength=nruns)
+                n2 += np.bincount(rid[sy == 0], minlength=nruns)
+        n0 = cnt.astype(np.int64) * (cnt - 1) // 2
+        d1 = (n0 - n1).astype(np.float64)
+        d2 = (n0 - n2).astype(np.float64)
+        ok = (cnt >= min_n) & (d1 > 0) & (d2 > 0)
+        tau = np.divide(cmd.astype(np.float64), np.sqrt(d1 * d2),
+                        out=np.zeros(nruns), where=ok)
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({key_col: keys,
+                        "n": pa.array(cnt.astype(np.int64)),
+                        "kendall": pa.array(np.round(tau, round_to))})
+        return out.filter(pa.array(ok))
+
+    cols = [key_col, xcol, ycol]
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=[key_col, xcol])
+
+
+# ---------------------------------------------------------------------------
+# per-group empirical CDF
+# ---------------------------------------------------------------------------
+
+def group_ecdf(ds, key_col: str, val_col: str, id_col: str, *,
+               out_col: str = "ecdf", round_to: int = 9):
+    """Empirical CDF of ``val_col`` within each key — the
+    distribution-free "how extreme is this value for THIS entity"
+    feature (SQL ``cume_dist() OVER (PARTITION BY key ORDER BY
+    val)``): ``ecdf = #(rows in key with value <= v) / n``, ties
+    sharing the tie group's upper count.  ``id_col`` rides along to
+    keep output rows addressable.
+
+    Scale shape: ONE ``partition_map`` hash exchange sorted by
+    (key, value); inside a partition every row's numerator is the END
+    position of its (run, value) tie group — two diffs and a repeat,
+    no per-row work."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                key_col: pa.array([], type=pa.string()),
+                val_col: pa.array([], type=pa.float64()),
+                out_col: pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        n = len(v)
+        cnt = np.bincount(run_id).astype(np.float64)
+        tie_first = np.r_[True, (run_id[1:] != run_id[:-1])
+                          | (v[1:] != v[:-1])]
+        tf = np.flatnonzero(tie_first)
+        tlen = np.diff(np.r_[tf, n])
+        # end position (1-based, within run) of each tie group
+        end_pos = (tf + tlen - starts[run_id[tf]]).astype(np.float64)
+        ecdf = np.repeat(end_pos, tlen) / cnt[run_id]
+        return pa.table({
+            id_col: t[id_col],
+            key_col: t[key_col],
+            val_col: t[val_col],
+            out_col: pa.array(np.round(ecdf, round_to))})
+
+    cols = [key_col, val_col, id_col]
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=[key_col, val_col])
 
 
 # ---------------------------------------------------------------------------

@@ -669,3 +669,105 @@ def test_kaplan_meier_all_die_hits_zero(ray_session):
     assert np.isclose(out.loc[1, "survival"], 0.75)
     assert np.isclose(out.loc[2, "survival"], 0.25)
     assert out.loc[3, "survival"] == 0.0
+
+
+def test_kendall_tau_vs_brute_both_paths(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import kendall_tau
+
+    rng = np.random.default_rng(57)
+    keys, xs, ys = [], [], []
+    for k in range(40):
+        m = int(rng.integers(2, 50))
+        keys += [k] * m
+        # heavy ties on both sides to exercise tau-b
+        xs += list(rng.integers(0, 8, m).astype(float))
+        ys += list(rng.integers(0, 5, m).astype(float))
+    t = pa.table({"k": pa.array(keys), "x": pa.array(xs),
+                  "y": pa.array(ys)})
+
+    def brute(x, y):
+        n = len(x)
+        C = D = n1 = n2 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = np.sign(x[j] - x[i])
+                sy = np.sign(y[j] - y[i])
+                if sx == 0:
+                    n1 += 1
+                if sy == 0:
+                    n2 += 1
+                if sx * sy > 0:
+                    C += 1
+                elif sx * sy < 0:
+                    D += 1
+        n0 = n * (n - 1) // 2
+        if n0 - n1 <= 0 or n0 - n2 <= 0:
+            return None
+        return (C - D) / np.sqrt((n0 - n1) * (n0 - n2))
+
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "x": xs, "y": ys})
+    exp = {}
+    for k, g in df.groupby("k"):
+        tv = brute(g.x.to_numpy(), g.y.to_numpy())
+        if tv is not None:
+            exp[k] = tv
+
+    # pair-expansion path AND per-run Knight path agree with brute
+    for thr in (2048, 1):
+        out = kendall_tau(rd.from_arrow(t).repartition(5), "k", "x",
+                          "y", knight_threshold=thr).to_pandas() \
+            .set_index("k").sort_index()
+        assert set(out.index) == set(exp)
+        for k, tv in exp.items():
+            assert np.isclose(out.loc[k, "kendall"], round(tv, 6),
+                              atol=1e-6), (thr, k)
+
+
+def test_kendall_tau_hot_key_knight_path(ray_session):
+    """One key far above knight_threshold goes through the
+    O(n log n) mergesort path and matches the quadratic kernel."""
+    import ray.data as rd
+
+    from netml_ray.featstats import kendall_tau
+
+    rng = np.random.default_rng(58)
+    n = 6000
+    t = pa.table({"k": pa.array(np.zeros(n, dtype=np.int64)),
+                  "x": pa.array(rng.integers(0, 500, n).astype(float)),
+                  "y": pa.array(rng.integers(0, 300, n).astype(float))})
+    knight = kendall_tau(rd.from_arrow(t), "k", "x", "y",
+                         knight_threshold=100).to_pandas()
+    quad = kendall_tau(rd.from_arrow(t), "k", "x", "y",
+                       knight_threshold=10**9).to_pandas()
+    assert len(knight) == len(quad) == 1
+    assert knight.loc[0, "kendall"] == quad.loc[0, "kendall"]
+    assert knight.loc[0, "n"] == n
+
+
+def test_group_ecdf_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import group_ecdf
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 30, n)),
+        "v": pa.array(rng.integers(0, 40, n).astype(float)),  # ties
+    })
+    out = group_ecdf(rd.from_arrow(t).repartition(6), "k", "v",
+                     "id").to_pandas().set_index("id").sort_index()
+    import pandas as pd
+    df = pd.DataFrame({"id": np.arange(n), "k": t["k"].to_numpy(),
+                       "v": t["v"].to_numpy()}).set_index("id")
+    exp = df.groupby("k")["v"].transform(
+        lambda s: s.rank(method="max", pct=True))
+    assert len(out) == n
+    assert np.allclose(out["ecdf"], exp[out.index])
+    # every max value has ecdf exactly 1
+    gmax = df.groupby("k")["v"].transform("max")
+    assert (out.loc[df.index[df.v == gmax], "ecdf"] == 1.0).all()

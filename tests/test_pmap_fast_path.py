@@ -586,8 +586,21 @@ def test_fast_path_featstats(ray_session, monkeypatch):
         return gini(rd.from_arrow(tt).repartition(6), "k",
                     "v").to_pandas()
 
+    def run_kendall():
+        from netml_ray.featstats import kendall_tau
+        return kendall_tau(rd.from_arrow(t).repartition(6), "k", "ts",
+                           "v").to_pandas()
+
+    def run_ecdf():
+        from netml_ray.featstats import group_ecdf
+        tt = t.append_column(
+            "id", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+        return group_ecdf(rd.from_arrow(tt).repartition(6), "k", "v",
+                          "id").to_pandas()
+
     for run, keys in ((run_decayed, ["k"]), (run_burst, ["k"]),
-                      (run_gini, ["k"])):
+                      (run_gini, ["k"]), (run_kendall, ["k"]),
+                      (run_ecdf, ["id"])):
         dist, fast = _both_ways(monkeypatch, run)
         pd.testing.assert_frame_equal(_norm(dist, keys),
                                       _norm(fast, keys))
