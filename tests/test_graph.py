@@ -222,3 +222,71 @@ def test_pagerank_weighted_vs_dense(ray_session):
     # different result unless all weights are equal
     got_u = pagerank(ds, iters=4, damping=0.85, num_partitions=3)
     assert not np.allclose(got_u["pagerank"].to_numpy(), r, atol=1e-9)
+
+
+def _brute_triangles(src, dst):
+    """Reference: per-node degree + triangle count over the canonical
+    distinct undirected edge set (self-loops dropped)."""
+    import itertools
+
+    E = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for x in adj:
+        for y, z in itertools.combinations(sorted(adj[x]), 2):
+            if y > x and z > x and (y, z) in E:
+                tri[x] += 1
+                tri[y] += 1
+                tri[z] += 1
+    return adj, tri
+
+
+def test_triangle_census_vs_bruteforce_both_paths(ray_session):
+    """broadcast closure == exchange closure == brute force, incl.
+    the clustering-coefficient formula and duplicate/reversed/self
+    edge handling."""
+    import ray.data as rd
+
+    from netml_ray.graph import triangle_census
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 45, 500).astype(np.int64)
+    dst = rng.integers(0, 45, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)})).repartition(4)
+    adj, tri = _brute_triangles(src, dst)
+    for mode in ("broadcast", "exchange"):
+        out = triangle_census(ds, closure=mode, num_partitions=4)
+        assert list(out["node"].to_numpy()) == sorted(adj)
+        for node, deg, t, c in zip(out["node"].to_numpy(),
+                                   out["degree"].to_numpy(),
+                                   out["triangles"].to_numpy(),
+                                   out["clustering"].to_numpy()):
+            d = len(adj[int(node)])
+            assert deg == d
+            assert t == tri[int(node)]
+            exp_c = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+            assert abs(c - exp_c) < 1e-12
+
+
+def test_triangle_census_wedge_chunking(ray_session):
+    """A tiny wedge_chunk forces the hub-guard slicing through every
+    boundary case (mid-run splits, partially consumed rows) — counts
+    must be identical to the unchunked run."""
+    import ray.data as rd
+
+    from netml_ray.graph import triangle_census
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 25, 400).astype(np.int64)
+    dst = rng.integers(0, 25, 400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)}))
+    big = triangle_census(ds, wedge_chunk=4_000_000, num_partitions=3)
+    for chunk in (1, 3, 7):
+        small = triangle_census(ds, wedge_chunk=chunk,
+                                num_partitions=3)
+        assert small.equals(big)
