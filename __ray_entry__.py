@@ -3143,6 +3143,32 @@ FROM s GROUP BY user_id, sid, event_type
 # --- rows-only checks (non-SQL-expressible; oracle omitted on purpose) -----
 
 
+def q_bpe_vocab_docs(sf_dir: str):
+    """Distributed byte-level BPE tokenizer training over the corpus
+    (bpe.learn_bpe): ONE word-count exchange reduces the corpus to the
+    vocabulary-bounded word table, then the merge loop (max pair
+    count, ties by lowest id pair) — rows-only: the iterative merge
+    selection is not SQL-expressible; semantics pinned by pytest vs a
+    sequential Sennrich-style reference, driver==distributed pinned."""
+    from netml_ray.bpe import learn_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return learn_bpe(docs, "text", num_merges=150, num_partitions=P)
+
+
+def q_bpe_tokens_docs(sf_dir: str):
+    """Per-document BPE token counts under the corpus-trained merge
+    table (bpe.apply_bpe, merge table broadcast once) — the LLM-data
+    token-budgeting number.  Rows-only (BPE application is not SQL);
+    per-doc counts pinned by pytest vs the sequential reference."""
+    from netml_ray.bpe import bpe_token_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    _, counts = bpe_token_counts(docs, "text", "doc_id",
+                                 num_merges=150, num_partitions=P)
+    return counts
+
+
 def q_anomaly_scores(sf_dir: str):
     """ndm analog end-to-end (cli.py:456-583): session STATS features →
     driver-side PCA fit on a sample → distributed scoring actor pool.
@@ -5687,6 +5713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_orders": q_benford_orders,
         "edit_distance_docs": q_edit_distance_docs,
         # rows-only (non-SQL-expressible)
+        "bpe_vocab_docs": q_bpe_vocab_docs,
+        "bpe_tokens_docs": q_bpe_tokens_docs,
         "components_partsupp": q_components_partsupp,
         "quantile_bin_events": q_quantile_bin_events,
         "split_events": q_split_events,
