@@ -809,6 +809,65 @@ FROM deg LEFT JOIN pern ON pern.node = deg.node
 """
 
 
+def q_nbr_degree_partsupp(sf_dir: str):
+    """Per-node average neighbor degree (rich-club / hub-affinity
+    feature) over the part<->supplier graph — graph.
+    neighbor_degree_stats: shared canonical-dedup exchange + degree
+    fold, ONE narrow pass with the degree vector broadcast."""
+    from netml_ray.graph import neighbor_degree_stats
+
+    eds = _partsupp_edges(sf_dir, symmetric=False)
+    out = neighbor_degree_stats(eds, num_partitions=P)
+    out = pa.table({"node": _node_labels(out["node"].to_numpy()),
+                    "degree": out["degree"],
+                    "avg_nbr_degree": out["avg_nbr_degree"]})
+    return _hedge_round_cols(out, ("avg_nbr_degree",), 9)
+
+
+SQL_NBR_DEGREE = """
+WITH pe AS (SELECT DISTINCT l_partkey * 2 AS x, l_suppkey * 2 + 1 AS y
+            FROM lineitem),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM pe),
+deg AS (SELECT node, count(*) AS d FROM
+        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+stubs AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)
+SELECT CASE WHEN u % 2 = 0 THEN 'p' || CAST(u // 2 AS VARCHAR)
+            ELSE 's' || CAST(u // 2 AS VARCHAR) END AS node,
+       d1.d AS degree,
+       round(avg(1.0 * d2.d), 9) AS avg_nbr_degree
+FROM stubs JOIN deg d1 ON d1.node = stubs.u
+           JOIN deg d2 ON d2.node = stubs.v
+GROUP BY u, d1.d
+"""
+
+
+def q_assortativity_partsupp(sf_dir: str):
+    """Degree assortativity (Pearson corr of endpoint degrees over
+    symmetrized stubs) of the part<->supplier graph —
+    graph.degree_assortativity: scalar-moment partials, driver
+    combines five numbers."""
+    from netml_ray.graph import degree_assortativity
+
+    eds = _partsupp_edges(sf_dir, symmetric=False)
+    out = degree_assortativity(eds, num_partitions=P)
+    return _hedge_round_cols(out, ("assortativity",), 9)
+
+
+SQL_ASSORTATIVITY = """
+WITH pe AS (SELECT DISTINCT l_partkey * 2 AS x, l_suppkey * 2 + 1 AS y
+            FROM lineitem),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM pe),
+deg AS (SELECT node, count(*) AS d FROM
+        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+stubs AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)
+SELECT count(*) AS stubs, round(corr(d1.d, d2.d), 9) AS assortativity
+FROM stubs JOIN deg d1 ON d1.node = stubs.u
+           JOIN deg d2 ON d2.node = stubs.v
+"""
+
+
 def q_components_partsupp(sf_dir: str):
     """Connected components of the part<->supplier graph via the
     dedup family's iterated min-label propagation (rows-only: the
@@ -5572,8 +5631,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interval_sweep / target_encode_oof)
         "decayed_sum_events": q_decayed_sum_events,
         "burstiness_events": q_burstiness_events,
-        "gini_docs": q_gini_docs,
-        "winsorize_events": q_winsorize_events,
+        # (gini_docs rotated to the tail for the assortativity graph
+        # addition: checker-verified long-green entry; its sort-cumsum
+        # kernel is pytest-pinned and the count-partial shape stays
+        # in-window via entropy_events)
+        "assortativity_partsupp": q_assortativity_partsupp,
+        # (winsorize_events rotated to the tail for the
+        # nbr_degree graph addition: checker-verified long-green
+        # entry; its exact-quantile clamp kernel is pytest-pinned
+        # (winsorized_group_stats parity) and the quantile family
+        # stays in-window via approx_quantiles_events)
+        "nbr_degree_partsupp": q_nbr_degree_partsupp,
         "chi2_docs": q_chi2_docs,
         # (benford_orders rotated to the tail for kendall_events: its
         # narrow digit-count-partial shape is pinned in-window by
@@ -5646,6 +5714,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # triangle_census rotation: checker-verified at sf0.01 this
         # session; count-partial machinery pinned in-window)
         "freq_encode_events": q_freq_encode_events,
+        # (winsorize_events / gini_docs just outside the window since
+        # the nbr_degree/assortativity rotations: checker-verified at
+        # sf0.01 this session; kernels pytest-pinned as noted above)
+        "winsorize_events": q_winsorize_events,
+        "gini_docs": q_gini_docs,
         # (trend_events sits just outside the window by design: its
         # partition_map + run-segmented-bincount machinery is pinned
         # in-window by cusum_events, and it is checker-verified at
@@ -6044,6 +6117,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_partsupp": SQL_HITS,
         "cooccur_suppliers": SQL_COOCCUR,
         "triangle_census_parts": SQL_TRIANGLE,
+        "nbr_degree_partsupp": SQL_NBR_DEGREE,
+        "assortativity_partsupp": SQL_ASSORTATIVITY,
         "random_projection_embeddings": SQL_RANDOM_PROJECTION,
         "rollup_events": SQL_ROLLUP,
         "cube_events": SQL_CUBE,

@@ -41,7 +41,8 @@ import pyarrow as pa
 from netml_ray.partition import partition_map
 
 __all__ = ["pagerank", "hits", "cooccurrence_similarity",
-           "triangle_census",
+           "triangle_census", "neighbor_degree_stats",
+           "degree_assortativity",
            "dedupe_edges_with_degree"]
 
 
@@ -323,6 +324,47 @@ def _membership_pair_partial(t: pa.Table, group: str, item: str,
         "n": pa.array(np.diff(np.r_[s2, len(lo)]).astype(np.int64))})
 
 
+def _canonical_degrees(edges, src: str, dst: str, *,
+                       num_partitions: int | None):
+    """Shared head of the undirected-graph family: canonicalize
+    (a<b, self-loops dropped), global pair dedup (ONE exchange),
+    driver-folded degree vector.  Returns (deduped Dataset with
+    columns a/b, sorted node ids, int64 degrees)."""
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy()
+        d = t[dst].to_numpy()
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"a": pa.array(np.minimum(s, d)),
+                         "b": pa.array(np.maximum(s, d))})
+
+    canon = edges.map_batches(_canon, batch_format="pyarrow")
+    ded = dedupe_edges_with_degree(canon, "a", "b",
+                                   num_partitions=num_partitions)
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.concatenate([t["a"].to_numpy(),
+                                         t["b"].to_numpy()]),
+                         return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    nd_parts, c_parts = [], []
+    for bt in ded.map_batches(_deg_partial, batch_size=None,
+                              batch_format="pyarrow") \
+                 .iter_batches(batch_size=None, batch_format="pyarrow"):
+        nd_parts.append(bt["node"].to_numpy())
+        c_parts.append(bt["c"].to_numpy())
+    nodes_all = np.concatenate(nd_parts) if nd_parts else \
+        np.empty(0, dtype=np.int64)
+    cnt_all = np.concatenate(c_parts) if c_parts else \
+        np.empty(0, dtype=np.int64)
+    nodes, inv = np.unique(nodes_all, return_inverse=True)
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, inv, cnt_all)
+    return ded, nodes, deg
+
+
 def triangle_census(edges, src: str = "src", dst: str = "dst", *,
                     closure: str = "auto",
                     broadcast_bytes: int = 256 << 20,
@@ -376,39 +418,10 @@ def triangle_census(edges, src: str = "src", dst: str = "dst", *,
 
     from netml_ray.partition import partition_map, partition_map2
 
-    # 1. canonicalize (a<b, self-loops dropped) + global dedup: one
-    #    hash exchange on the low endpoint.
-    def _canon(t: pa.Table) -> pa.Table:
-        s = t[src].to_numpy()
-        d = t[dst].to_numpy()
-        m = s != d
-        s, d = s[m], d[m]
-        return pa.table({"a": pa.array(np.minimum(s, d)),
-                         "b": pa.array(np.maximum(s, d))})
-
-    canon = edges.map_batches(_canon, batch_format="pyarrow")
-    ded = dedupe_edges_with_degree(canon, "a", "b",
-                                   num_partitions=num_partitions)
-
-    # 2. degrees -> driver fold (node table is the small side).
-    def _deg_partial(t: pa.Table) -> pa.Table:
-        u, c = np.unique(np.concatenate([t["a"].to_numpy(),
-                                         t["b"].to_numpy()]),
-                         return_counts=True)
-        return pa.table({"node": pa.array(u),
-                         "c": pa.array(c.astype(np.int64))})
-
-    nd_parts, c_parts = [], []
-    for bt in ded.map_batches(_deg_partial, batch_size=None,
-                              batch_format="pyarrow") \
-                 .iter_batches(batch_size=None, batch_format="pyarrow"):
-        nd_parts.append(bt["node"].to_numpy())
-        c_parts.append(bt["c"].to_numpy())
-    nodes_all = np.concatenate(nd_parts) if nd_parts else \
-        np.empty(0, dtype=np.int64)
-    cnt_all = np.concatenate(c_parts) if c_parts else \
-        np.empty(0, dtype=np.int64)
-    nodes, inv = np.unique(nodes_all, return_inverse=True)
+    # 1+2. canonical dedup exchange + driver-folded degrees (shared
+    #      head of the undirected-graph family).
+    ded, nodes, deg = _canonical_degrees(
+        edges, src, dst, num_partitions=num_partitions)
     n = len(nodes)
     if n == 0:
         return pa.table({"node": pa.array([], type=pa.int64()),
@@ -419,8 +432,6 @@ def triangle_census(edges, src: str = "src", dst: str = "dst", *,
         raise ValueError(
             f"triangle_census: {n} nodes exceeds max_nodes={max_nodes}; "
             "see the pagerank docstring for the scale contract")
-    deg = np.zeros(n, dtype=np.int64)
-    np.add.at(deg, inv, cnt_all)
 
     n_edges = int(deg.sum()) // 2
     if closure == "auto":
@@ -672,3 +683,109 @@ def cooccurrence_similarity(edges, group: str, item: str, *,
 
     return partition_map(partial, "a", _combine,
                          num_partitions=num_partitions)
+
+
+def neighbor_degree_stats(edges, src: str = "src", dst: str = "dst",
+                          *, max_nodes: int = 200_000_000,
+                          num_partitions: int | None = None) -> pa.Table:
+    """Per-node average neighbor degree over the canonical undirected
+    graph — the classic rich-club / hub-affinity feature.  Returns
+    ``pa.Table(node, degree, avg_nbr_degree)`` (degree = distinct
+    neighbors; avg over those neighbors' degrees — the SQL oracle
+    states the identical AVG-over-stubs rule).
+
+    Shape: the shared canonical-dedup exchange + degree fold, then ONE
+    narrow pass over the deduped edges with the degree vector
+    broadcast (``ray.put``) — each edge contributes deg(b) to a's sum
+    and deg(a) to b's; partials are node-bounded and fold on the
+    driver (same broadcast ceiling as :func:`pagerank`)."""
+    import ray
+
+    ded, nodes, deg = _canonical_degrees(
+        edges, src, dst, num_partitions=num_partitions)
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "degree": pa.array([], type=pa.int64()),
+                         "avg_nbr_degree": pa.array(
+                             [], type=pa.float64())})
+    if n > max_nodes:
+        raise ValueError(
+            f"neighbor_degree_stats: {n} nodes exceeds "
+            f"max_nodes={max_nodes}; see the pagerank docstring")
+    ref = ray.put((nodes, deg))
+
+    def _partial(t: pa.Table, _ref=ref) -> pa.Table:
+        nd, dg = ray.get(_ref)
+        ca = np.searchsorted(nd, t["a"].to_numpy())
+        cb = np.searchsorted(nd, t["b"].to_numpy())
+        s = np.bincount(ca, weights=dg[cb].astype(np.float64),
+                        minlength=len(nd))
+        s += np.bincount(cb, weights=dg[ca].astype(np.float64),
+                         minlength=len(nd))
+        nz = np.flatnonzero(s)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "s": pa.array(s[nz])})
+
+    tot = np.zeros(n, dtype=np.float64)
+    for bt in ded.map_batches(_partial, batch_size=None,
+                              batch_format="pyarrow") \
+                 .iter_batches(batch_size=None,
+                               batch_format="pyarrow"):
+        np.add.at(tot, bt["code"].to_numpy(), bt["s"].to_numpy())
+    return pa.table({"node": pa.array(nodes),
+                     "degree": pa.array(deg),
+                     "avg_nbr_degree": pa.array(tot / deg)})
+
+
+def degree_assortativity(edges, src: str = "src", dst: str = "dst",
+                         *, num_partitions: int | None = None
+                         ) -> pa.Table:
+    """Degree assortativity of the canonical undirected graph: the
+    Pearson correlation of endpoint degrees over DIRECTED STUBS (each
+    edge contributes both (deg a, deg b) and (deg b, deg a) — the
+    standard symmetrization; the SQL oracle is a plain ``corr()`` over
+    the same stub union).  Returns one row
+    ``pa.Table(stubs, assortativity)``.
+
+    Shape: shared canonical-dedup exchange + degree fold, then ONE
+    narrow pass emitting five scalar moments per block (Σx, Σx², Σxy
+    over stubs — x and y marginals coincide under symmetrization);
+    the driver combines scalars only."""
+    import ray
+
+    ded, nodes, deg = _canonical_degrees(
+        edges, src, dst, num_partitions=num_partitions)
+    if len(nodes) == 0:
+        return pa.table({"stubs": pa.array([0], type=pa.int64()),
+                         "assortativity": pa.array(
+                             [None], type=pa.float64())})
+    ref = ray.put((nodes, deg))
+
+    def _moments(t: pa.Table, _ref=ref) -> pa.Table:
+        nd, dg = ray.get(_ref)
+        da = dg[np.searchsorted(nd, t["a"].to_numpy())] \
+            .astype(np.float64)
+        db = dg[np.searchsorted(nd, t["b"].to_numpy())] \
+            .astype(np.float64)
+        return pa.table({
+            "m": pa.array([2 * t.num_rows], type=pa.int64()),
+            "s1": pa.array([float((da + db).sum())]),
+            "s2": pa.array([float((da * da + db * db).sum())]),
+            "sp": pa.array([float(2.0 * (da * db).sum())])})
+
+    m = 0
+    s1 = s2 = sp = 0.0
+    for bt in ded.map_batches(_moments, batch_size=None,
+                              batch_format="pyarrow") \
+                 .iter_batches(batch_size=None,
+                               batch_format="pyarrow"):
+        m += int(bt["m"].to_numpy().sum())
+        s1 += float(bt["s1"].to_numpy().sum())
+        s2 += float(bt["s2"].to_numpy().sum())
+        sp += float(bt["sp"].to_numpy().sum())
+    var = m * s2 - s1 * s1
+    r = (m * sp - s1 * s1) / var if var > 0 else None
+    return pa.table({"stubs": pa.array([m], type=pa.int64()),
+                     "assortativity": pa.array([r],
+                                               type=pa.float64())})

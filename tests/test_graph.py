@@ -290,3 +290,42 @@ def test_triangle_census_wedge_chunking(ray_session):
         small = triangle_census(ds, wedge_chunk=chunk,
                                 num_partitions=3)
         assert small.equals(big)
+
+
+def test_neighbor_degree_and_assortativity_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from netml_ray.graph import (degree_assortativity,
+                                 neighbor_degree_stats)
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 30, 300).astype(np.int64)
+    dst = rng.integers(0, 30, 300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)})).repartition(3)
+    adj, _ = _brute_triangles(src, dst)
+    out = neighbor_degree_stats(ds, num_partitions=4)
+    assert list(out["node"].to_numpy()) == sorted(adj)
+    for node, deg, av in zip(out["node"].to_numpy(),
+                             out["degree"].to_numpy(),
+                             out["avg_nbr_degree"].to_numpy()):
+        nbrs = adj[int(node)]
+        assert deg == len(nbrs)
+        exp = sum(len(adj[v]) for v in nbrs) / len(nbrs)
+        assert abs(av - exp) < 1e-12
+    got = degree_assortativity(ds, num_partitions=4)
+    xs, ys = [], []
+    for a, b in {(min(s, d), max(s, d))
+                 for s, d in zip(src, dst) if s != d}:
+        xs += [len(adj[a]), len(adj[b])]
+        ys += [len(adj[b]), len(adj[a])]
+    x, y = np.array(xs, float), np.array(ys, float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["stubs"].to_numpy()[0] == len(x)
+    assert abs(got["assortativity"].to_numpy()[0] - r) < 1e-9
+    # empty graph: null assortativity, zero stubs
+    e0 = rd.from_arrow(pa.table({"src": pa.array([], type=pa.int64()),
+                                 "dst": pa.array([], type=pa.int64())}))
+    g0 = degree_assortativity(e0)
+    assert g0["stubs"].to_numpy()[0] == 0
+    assert g0["assortativity"].null_count == 1
