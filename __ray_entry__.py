@@ -868,6 +868,24 @@ FROM stubs JOIN deg d1 ON d1.node = stubs.u
 """
 
 
+def q_kcore_parts(sf_dir: str):
+    """k-core peel (k=80) of the part-part co-order graph — the
+    spam-farm / low-quality-page curation filter; graph.k_core.
+    Rows-only: the peel's round count is data-dependent (no bounded
+    SQL); semantics pinned by pytest vs a sequential reference peel
+    incl. path/cycle edge cases."""
+    from netml_ray.graph import _membership_pair_partial, k_core
+    from netml_ray.partition import partition_map
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = partition_map(
+        li, "l_orderkey",
+        lambda t: _membership_pair_partial(
+            t, "l_orderkey", "l_partkey", 4096, "q_kcore_parts"),
+        num_partitions=P)
+    return k_core(pairs, 80, "a", "b", num_partitions=P)
+
+
 def q_components_partsupp(sf_dir: str):
     """Connected components of the part<->supplier graph via the
     dedup family's iterated min-label propagation (rows-only: the
@@ -5788,6 +5806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "bpe_vocab_docs": q_bpe_vocab_docs,
         "bpe_tokens_docs": q_bpe_tokens_docs,
+        "kcore_parts": q_kcore_parts,
         "components_partsupp": q_components_partsupp,
         "quantile_bin_events": q_quantile_bin_events,
         "split_events": q_split_events,

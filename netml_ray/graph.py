@@ -42,7 +42,7 @@ from netml_ray.partition import partition_map
 
 __all__ = ["pagerank", "hits", "cooccurrence_similarity",
            "triangle_census", "neighbor_degree_stats",
-           "degree_assortativity",
+           "degree_assortativity", "k_core",
            "dedupe_edges_with_degree"]
 
 
@@ -789,3 +789,65 @@ def degree_assortativity(edges, src: str = "src", dst: str = "dst",
     return pa.table({"stubs": pa.array([m], type=pa.int64()),
                      "assortativity": pa.array([r],
                                                type=pa.float64())})
+
+
+def k_core(edges, k: int, src: str = "src", dst: str = "dst", *,
+           max_nodes: int = 200_000_000, max_iters: int = 10_000,
+           num_partitions: int | None = None) -> pa.Table:
+    """Nodes of the k-core (maximal subgraph where every node has
+    degree >= k, over distinct undirected neighbors) — the classic
+    spam-farm / low-quality-page peel.  Returns
+    ``pa.Table(node, degree)`` with the node's degree INSIDE the core.
+
+    Iterative peel, Ray-Data-shaped: the deduped canonical edge set is
+    materialized ONCE; each round is ONE narrow pass over those blocks
+    with the alive-node bitmask broadcast (``ray.put`` of a bool
+    vector — 1 byte/node, same ceiling as :func:`pagerank`), emitting
+    node-bounded degree partials; the driver drops nodes under k and
+    re-broadcasts.  Round count is data-dependent (worst case a path
+    graph peels one node per round — ``max_iters`` guards it), which
+    is also why there is no bounded SQL oracle: the driver records a
+    rows-only check and semantics are pinned by pytest vs a
+    sequential reference peel."""
+    import ray
+
+    ded, nodes, deg = _canonical_degrees(
+        edges, src, dst, num_partitions=num_partitions)
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "degree": pa.array([], type=pa.int64())})
+    if n > max_nodes:
+        raise ValueError(
+            f"k_core: {n} nodes exceeds max_nodes={max_nodes}; see "
+            "the pagerank docstring for the scale contract")
+    alive = deg >= k
+    cur = deg.copy()
+    for _ in range(max_iters):
+        if not alive.any():
+            break
+        ref = ray.put((nodes, alive))
+
+        def _deg(t: pa.Table, _ref=ref) -> pa.Table:
+            nd, al = ray.get(_ref)
+            ca = np.searchsorted(nd, t["a"].to_numpy())
+            cb = np.searchsorted(nd, t["b"].to_numpy())
+            m = al[ca] & al[cb]
+            c = (np.bincount(ca[m], minlength=len(nd))
+                 + np.bincount(cb[m], minlength=len(nd)))
+            nz = np.flatnonzero(c)
+            return pa.table({"code": pa.array(nz.astype(np.int64)),
+                             "c": pa.array(c[nz].astype(np.int64))})
+
+        cur = np.zeros(n, dtype=np.int64)
+        for bt in ded.map_batches(_deg, batch_size=None,
+                                  batch_format="pyarrow") \
+                     .iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+            np.add.at(cur, bt["code"].to_numpy(), bt["c"].to_numpy())
+        drop = alive & (cur < k)
+        if not drop.any():
+            break
+        alive &= ~drop
+    return pa.table({"node": pa.array(nodes[alive]),
+                     "degree": pa.array(cur[alive])})

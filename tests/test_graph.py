@@ -329,3 +329,43 @@ def test_neighbor_degree_and_assortativity_vs_bruteforce(ray_session):
     g0 = degree_assortativity(e0)
     assert g0["stubs"].to_numpy()[0] == 0
     assert g0["assortativity"].null_count == 1
+
+
+def test_k_core_vs_sequential_peel(ray_session):
+    import ray.data as rd
+
+    from netml_ray.graph import k_core
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 40, 350).astype(np.int64)
+    dst = rng.integers(0, 40, 350).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)})).repartition(3)
+    E = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    for k in (2, 4, 7, 100):
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v in adj if len(adj[v]) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        out = k_core(ds, k, num_partitions=4)
+        assert list(out["node"].to_numpy()) == sorted(adj)
+        for node, deg in zip(out["node"].to_numpy(),
+                             out["degree"].to_numpy()):
+            assert deg == len(adj[int(node)])
+    # path graph peels one endpoint pair per round at k=2 -> empty
+    path = rd.from_arrow(pa.table(
+        {"src": pa.array(np.arange(50, dtype=np.int64)),
+         "dst": pa.array(np.arange(1, 51, dtype=np.int64))}))
+    assert k_core(path, 2).num_rows == 0
+    # cycle is its own 2-core
+    cyc = rd.from_arrow(pa.table(
+        {"src": pa.array(np.arange(50, dtype=np.int64)),
+         "dst": pa.array(np.r_[np.arange(1, 50), 0].astype(np.int64))}))
+    assert k_core(cyc, 2).num_rows == 50
