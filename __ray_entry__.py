@@ -5575,6 +5575,102 @@ FROM events ORDER BY event_id
 """
 
 
+def q_streaks_events(sf_dir: str):
+    """Gaps-and-islands engagement feature (sequences.streaks): per
+    user, distinct active days and the LONGEST consecutive-day streak
+    — ONE keyed exchange; distinct (user, day) via a first-occurrence
+    mask on the sorted pairs, streak runs via day-diff boundaries,
+    per-user longest via maximum.reduceat.  Output is one row per
+    user.  SQL states the same islands idiom (epoch_day − row_number
+    groups consecutive days)."""
+    from netml_ray.sequences import streaks
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return streaks(ev, "user_id", "ts")
+
+
+SQL_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS isl
+  FROM d),
+s AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY user_id, isl)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY user_id
+"""
+
+
+def q_scd2_events(sf_dir: str):
+    """SCD type-2 snapshot build (sequences.scd2_intervals): collapse
+    each user's (ts, event_id)-ordered stream into validity intervals
+    per maximal same-event_type run — valid_from / valid_to (typed
+    NULL open current record) / n_rows.  ONE keyed exchange;
+    dictionary-code shift boundaries; bitwise timestamp parity (no
+    float arithmetic).  SQL states the rn − rnt islands idiom."""
+    from netml_ray.sequences import scd2_intervals
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return scd2_intervals(ev, "user_id", "ts", "event_type",
+                          tiebreak="event_id")
+
+
+SQL_SCD2 = """
+WITH x AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events),
+runs AS (
+  SELECT user_id, event_type, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_rows, min(rn) AS ord
+  FROM x GROUP BY user_id, event_type, rn - rnt)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ord)
+         AS valid_to,
+       n_rows
+FROM runs
+"""
+
+
+def q_time_weighted_avg_events(sf_dir: str):
+    """Duration-weighted mean of value per user
+    (sequences.time_weighted_avg): each value is held until the
+    user's next event, twa = sum(v·Δt)/sum(Δt) over the lead deltas —
+    the feature-store aggregate for state-like signals.  Single-event
+    users emit no row; an all-one-timestamp user would emit typed
+    NULL (SQL NULLIF).  ONE keyed exchange, shifted-array deltas,
+    add.reduceat per-key sums."""
+    from netml_ray.sequences import time_weighted_avg
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "value", "event_id"])
+    return time_weighted_avg(ev, "user_id", "ts", "value",
+                             tiebreak="event_id", round_to=9)
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH x AS (
+  SELECT user_id, value, epoch_us(ts) AS e,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       round(sum(value * (nxt - e)) / NULLIF(sum(nxt - e), 0), 9)
+         AS twa,
+       CAST(count(*) AS BIGINT) AS n_seg
+FROM x WHERE nxt IS NOT NULL GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -5708,7 +5804,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays in-window — power-sum partials via moments_events,
         # cat-count partials via entropy_events)
         "rolling_distinct_events": q_rolling_distinct_events,
-        "topk_per_group_events": q_topk_per_group_events,
+        # (topk_per_group_events rotated to the tail for the
+        # streaks addition: checker-verified r5 entry; per-key
+        # ordered-prefix machinery pinned in-window by rank_events
+        # and the r04-green tail topk_orders partial path)
+        "streaks_events": q_streaks_events,
         # (robust_zscore_events / transitions_events rotated to the
         # tail for the hits/cooccur graph additions: both
         # checker-verified r5 entries; median/MAD machinery pinned by
@@ -5716,18 +5816,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials by entropy_events/mutual_info_docs)
         "hits_partsupp": q_hits_partsupp,
         "entropy_events": q_entropy_events,
-        # (char_entropy_docs rotated to the tail for rollup_events:
-        # checker-verified r5 entry; the doc-byte bincount kernel is a
-        # sibling of the in-window histogram/entropy count machinery)
-        "rollup_events": q_rollup_events,
-        # (edit_distance_docs rotated to the tail for ecdf_events: its
-        # vectorized pairwise string-distance kernel is pinned
-        # in-window by jaro_winkler_docs; checker-verified since r5)
-        "ecdf_events": q_ecdf_events,
+        # (char_entropy_docs rotated to the tail for rollup_events —
+        # then rollup_events itself rotated out for scd2_events:
+        # rollup is checker-verified r5 and its multi-level a-hash
+        # finalize machinery is pinned in-window by the r04-green
+        # tail pivot_user_type_events; scd2 is the NEWER islands
+        # kernel and follows the newest-in-window discipline)
+        "scd2_events": q_scd2_events,
+        # (ecdf_events rotated to the tail for time_weighted_avg:
+        # checker-verified r5 entry; cume_dist tie-group machinery
+        # pinned in-window by rank_events' PERCENT_RANK)
+        "time_weighted_avg_events": q_time_weighted_avg_events,
         "funnel_stages_events": q_funnel_stages_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "target_encode_oof_events": q_target_encode_oof_events,
         # ------- driver window ends here (50 entries above) -------
+        # (topk_per_group_events / rollup_events / ecdf_events just
+        # outside the window since the streaks/scd2/time-weighted-avg
+        # rotations: all checker-verified r5 entries, kernels pinned
+        # in-window as documented at their former slots)
+        "topk_per_group_events": q_topk_per_group_events,
+        "rollup_events": q_rollup_events,
+        "ecdf_events": q_ecdf_events,
         # (freq_encode_events just outside the window since the
         # triangle_census rotation: checker-verified at sf0.01 this
         # session; count-partial machinery pinned in-window)
@@ -6049,6 +6159,9 @@ def oracle_sql() -> dict[str, str]:
         "trend_events": SQL_TREND,
         "kendall_events": SQL_KENDALL,
         "ecdf_events": SQL_ECDF,
+        "streaks_events": SQL_STREAKS,
+        "scd2_events": SQL_SCD2,
+        "time_weighted_avg_events": SQL_TIME_WEIGHTED_AVG,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,

@@ -69,7 +69,9 @@ from netml_ray.featstats import (  # noqa: F401
 )
 from netml_ray.sketches import KLLSketch, kll_quantiles  # noqa: F401
 from netml_ray.basket import association_rules  # noqa: F401
-from netml_ray.sequences import active_users, temporal_pairs  # noqa: F401
+from netml_ray.sequences import (  # noqa: F401
+    active_users, scd2_intervals, streaks, temporal_pairs,
+    time_weighted_avg)
 from netml_ray.skyline import pareto_front  # noqa: F401
 from netml_ray.bpe import apply_bpe, bpe_token_counts, learn_bpe  # noqa: F401
 from netml_ray.textstats import (  # noqa: F401

@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 
 __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "cohort_retention", "group_autocorr", "temporal_pairs",
-           "active_users"]
+           "active_users", "streaks", "scd2_intervals",
+           "time_weighted_avg"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -514,3 +515,176 @@ def active_users(ds, key_col: str, ts_col: str, *,
     nz = wau > 0
     return pa.table({"day": pa.array(days_out[nz]),
                      "wau": pa.array(wau[nz])})
+
+
+def streaks(ds, key_col: str, ts_col: str, *,
+            day_us: int = 86_400 * 10**6):
+    """Per-key activity streaks (the gaps-and-islands classic): for
+    every key, the number of DISTINCT active days and the LONGEST run
+    of consecutive days with at least one event — the engagement /
+    habit feature next to :func:`active_users`.  Days are
+    ``floor(epoch_us / 86400e6)`` (== ``CAST(ts AS DATE)`` for
+    post-epoch timestamps, which is all this engine's corpora carry).
+
+    Scale shape: ONE keyed hash exchange (``partition_map`` sorted by
+    (key, ts)); inside a partition everything is run-segmented numpy —
+    distinct (key, day) via a first-occurrence mask on the already
+    sorted pairs, streak boundaries via ``day[1:] - day[:-1] != 1``,
+    per-key longest via ``np.maximum.reduceat`` over streak lengths.
+    Output is one row per key (tiny), never per day."""
+    from .partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             "n_active_days": pa.array([], pa.int64()),
+                             "longest_streak": pa.array([], pa.int64())})
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        day = ts.to_numpy(zero_copy_only=False) // day_us
+        # distinct (key, day): rows are sorted by (key, ts) so days are
+        # nondecreasing within a run — first occurrence == day change
+        keep = np.r_[True, (run_id[1:] != run_id[:-1])
+                     | (day[1:] != day[:-1])]
+        rs, dys = run_id[keep], day[keep]
+        # streak boundary: key change or a calendar gap
+        new_st = np.r_[True, (rs[1:] != rs[:-1])
+                       | (dys[1:] - dys[:-1] != 1)]
+        st_idx = np.flatnonzero(new_st)
+        st_len = np.diff(np.r_[st_idx, len(rs)])
+        st_key = rs[new_st]                      # run id per streak
+        key_first = np.r_[True, st_key[1:] != st_key[:-1]]
+        longest = np.maximum.reduceat(st_len, np.flatnonzero(key_first))
+        n_days = np.bincount(rs, minlength=len(starts))
+        return pa.table({
+            key_col: keys.take(pa.array(starts)),
+            "n_active_days": pa.array(n_days.astype(np.int64)),
+            "longest_streak": pa.array(longest.astype(np.int64)),
+        })
+
+    return partition_map(ds.select_columns([key_col, ts_col]),
+                         key_col, _fn, sort_by=[key_col, ts_col])
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, type_col: str, *,
+                   tiebreak: str):
+    """Slowly-changing-dimension (type 2) snapshot build: collapse each
+    key's time-ordered event stream into VALIDITY INTERVALS — one row
+    per maximal run of the same ``type_col`` value, carrying
+    ``valid_from`` (first ts of the run), ``valid_to`` (first ts of
+    the key's NEXT run, typed NULL on the key's last run — the open
+    current record) and ``n_rows``.  This is the feature-store /
+    warehouse "dimension history" primitive (the SQL rn − rnt
+    gaps-and-islands idiom, stated verbatim by the oracle).
+
+    Scale shape: ONE keyed hash exchange; run boundaries via
+    dictionary-code shifts, ``valid_from`` by direct take at run
+    starts, ``valid_to`` by shifting run starts within the key — all
+    vectorized, output cardinality = number of value changes."""
+    from .partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                key_col: t[key_col],
+                type_col: t[type_col],
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+                "n_rows": pa.array([], pa.int64())})
+        keys = t[key_col].combine_chunks()
+        _, run_id = _runs(keys)
+        enc = pc.dictionary_encode(t[type_col].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        ts_us = t[ts_col].cast(pa.int64()).to_numpy()
+        new_iv = np.r_[True, (run_id[1:] != run_id[:-1])
+                       | (codes[1:] != codes[:-1])]
+        iv_idx = np.flatnonzero(new_iv)
+        n_rows = np.diff(np.r_[iv_idx, t.num_rows])
+        valid_from = ts_us[iv_idx]
+        iv_key = run_id[iv_idx]
+        # valid_to = next interval's valid_from when it is the SAME key
+        nxt_from = np.r_[valid_from[1:], 0]
+        same_key = np.r_[iv_key[1:] == iv_key[:-1], False]
+        return pa.table({
+            key_col: keys.take(pa.array(iv_idx)),
+            type_col: enc.dictionary.take(
+                pa.array(codes[iv_idx])),
+            "valid_from": pa.array(valid_from, type=pa.timestamp("us")),
+            "valid_to": pa.array(nxt_from, type=pa.timestamp("us"),
+                                 mask=~same_key),
+            "n_rows": pa.array(n_rows.astype(np.int64)),
+        })
+
+    return partition_map(ds, key_col, _fn,
+                         sort_by=[key_col, ts_col, tiebreak])
+
+
+def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str, *,
+                      tiebreak: str, round_to: int | None = 9):
+    """Duration-weighted mean per key: each row's value is HELD until
+    the key's next event, so the average weights each value by its
+    holding time — ``sum(v·Δt) / sum(Δt)`` over the lead deltas, the
+    feature-store aggregate for state-like signals (price, score,
+    level) where arithmetic means over-count bursts.  Keys with a
+    single event (no holding interval) emit no row; a key whose
+    events all share one timestamp emits a typed NULL (0/0 — the SQL
+    states ``NULLIF``).  ``n_seg`` = number of holding intervals.
+
+    Scale shape: ONE keyed hash exchange; inside a partition the lead
+    delta is a shifted subtraction and the per-key sums are
+    ``np.add.reduceat`` — output is one row per key."""
+    from .partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: t[key_col].slice(0, 0),
+                          "twa": pa.array([], pa.float64()),
+                          "n_seg": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        ts_us = t[ts_col].cast(pa.int64()).to_numpy()
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.num_rows
+        # holding interval i -> i+1, valid when same key
+        dur = (ts_us[1:] - ts_us[:-1]).astype(np.float64)
+        same = run_id[1:] == run_id[:-1]
+        dur = np.where(same, dur, 0.0)
+        num = np.where(same, v[:-1] * dur, 0.0)
+        seg = same.astype(np.int64)
+        # reduceat over the n-1 interval rows at each run's first row;
+        # cross-run interval terms are zeroed above, so including a
+        # run's trailing cross-interval in its segment is harmless
+        rstarts = np.minimum(starts, n - 2)
+        num_k = np.add.reduceat(num, rstarts)
+        dur_k = np.add.reduceat(dur, rstarts)
+        seg_k = np.add.reduceat(seg, rstarts)
+        # reduceat duplicates the segment when two starts collide
+        # (adjacent single-row runs at the tail) — recompute exactly
+        # for the rare collision case via bincount instead
+        if len(np.unique(rstarts)) != len(rstarts):
+            num_k = np.bincount(run_id[:-1], weights=num,
+                                minlength=len(starts))
+            dur_k = np.bincount(run_id[:-1], weights=dur,
+                                minlength=len(starts))
+            seg_k = np.bincount(run_id[:-1], weights=seg,
+                                minlength=len(starts)).astype(np.int64)
+        has = seg_k > 0
+        twa = np.full(len(starts), np.nan)
+        nz = has & (dur_k > 0)
+        twa[nz] = num_k[nz] / dur_k[nz]
+        if round_to is not None:
+            twa = np.round(twa, round_to)
+        out_keys = keys.take(pa.array(starts[has]))
+        return pa.table({
+            key_col: out_keys,
+            "twa": pa.array(twa[has], mask=~nz[has]),
+            "n_seg": pa.array(seg_k[has].astype(np.int64)),
+        })
+
+    return partition_map(ds.select_columns(
+        [key_col, ts_col, val_col] + ([tiebreak] if tiebreak else [])),
+        key_col, _fn, sort_by=[key_col, ts_col, tiebreak])

@@ -365,3 +365,125 @@ def test_active_users_interval_merge(ray_session):
     assert 10 not in out.index and 19 not in out.index
     assert out.loc[20, "wau"] == 1 and out.loc[26, "wau"] == 1
     assert 27 not in out.index
+
+
+def _mk_ts(n=5000, seed=17, nkeys=60, span_days=40):
+    rng = np.random.default_rng(seed)
+    us = rng.integers(0, span_days * 86_400_000_000, n)
+    return pa.table({
+        "k": pa.array(rng.integers(0, nkeys, n)),
+        "ts": pa.array(us.astype("datetime64[us]")),
+        "et": pa.array(rng.choice(list("ABC"), n)),
+        "v": pa.array(rng.uniform(-5, 5, n).round(3)),
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+    })
+
+
+def test_streaks_vs_brute(ray_session):
+    """Gaps-and-islands streaks == per-key python walk over distinct
+    sorted days, for any partitioning."""
+    import ray.data as rd
+
+    from netml_ray.sequences import streaks
+
+    t = _mk_ts()
+    pdf = t.to_pandas()
+    pdf["day"] = pdf["ts"].astype("int64") // 86_400_000_000
+    exp = {}
+    for k, sub in pdf.groupby("k"):
+        days = sorted(set(sub["day"]))
+        longest = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            longest = max(longest, cur)
+        exp[k] = (len(days), longest)
+    for parts in (1, 9):
+        got = (streaks(rd.from_arrow(t).repartition(parts), "k", "ts")
+               .to_pandas().set_index("k"))
+        assert len(got) == len(exp)
+        for k, (nd, ls) in exp.items():
+            assert got.loc[k, "n_active_days"] == nd
+            assert got.loc[k, "longest_streak"] == ls
+
+
+def test_scd2_vs_brute(ray_session):
+    """SCD-2 intervals == a per-key python run collapse: one row per
+    maximal same-type run, valid_to = next run's first ts (NaT on the
+    last run), n_rows exact."""
+    import ray.data as rd
+
+    from netml_ray.sequences import scd2_intervals
+
+    t = _mk_ts(n=3000, nkeys=40)
+    pdf = t.to_pandas().sort_values(["k", "ts", "i"])
+    exp = []
+    for k, sub in pdf.groupby("k"):
+        runs = []
+        for _, row in sub.iterrows():
+            if runs and runs[-1][0] == row["et"]:
+                runs[-1][2] += 1
+            else:
+                runs.append([row["et"], row["ts"], 1])
+        for j, (et, vf, nr) in enumerate(runs):
+            vt = runs[j + 1][1] if j + 1 < len(runs) else pd.NaT
+            exp.append((k, et, vf, vt, nr))
+    expdf = (pd.DataFrame(exp, columns=["k", "et", "valid_from",
+                                        "valid_to", "n_rows"])
+             .sort_values(["k", "valid_from", "et"])
+             .reset_index(drop=True))
+    for c in ("valid_from", "valid_to"):
+        expdf[c] = expdf[c].astype("datetime64[ns]")
+    for parts in (1, 6):
+        got = (scd2_intervals(rd.from_arrow(t).repartition(parts),
+                              "k", "ts", "et", tiebreak="i")
+               .to_pandas()
+               .sort_values(["k", "valid_from", "et"])
+               .reset_index(drop=True))
+        for c in ("valid_from", "valid_to"):
+            got[c] = got[c].astype("datetime64[ns]")
+        pd.testing.assert_frame_equal(got, expdf, check_dtype=False)
+
+
+def test_time_weighted_avg_vs_brute(ray_session):
+    """Duration-weighted mean == per-key python lead-delta sums;
+    single-event keys drop; an all-same-timestamp key emits NULL."""
+    import ray.data as rd
+
+    from netml_ray.sequences import time_weighted_avg
+
+    t = _mk_ts(n=4000, nkeys=50)
+    # append a singleton key and an all-ties key
+    extra = pa.table({
+        "k": pa.array([997, 998, 998, 998], type=pa.int64()),
+        "ts": pa.array(np.array([11, 7, 7, 7],
+                                dtype="datetime64[us]")),
+        "et": pa.array(["A"] * 4),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "i": pa.array([90001, 90002, 90003, 90004],
+                      type=pa.int64()),
+    })
+    t = pa.concat_tables([t, extra])
+    pdf = t.to_pandas().sort_values(["k", "ts", "i"])
+    exp = {}
+    for k, sub in pdf.groupby("k"):
+        e = sub["ts"].astype("int64").to_numpy()
+        v = sub["v"].to_numpy()
+        if len(e) < 2:
+            continue
+        dur = (e[1:] - e[:-1]).astype(float)
+        num = float((v[:-1] * dur).sum())
+        den = float(dur.sum())
+        exp[k] = (round(num / den, 9) if den > 0 else None,
+                  len(e) - 1)
+    for parts in (1, 8):
+        got = (time_weighted_avg(rd.from_arrow(t).repartition(parts),
+                                 "k", "ts", "v", tiebreak="i")
+               .to_pandas().set_index("k"))
+        assert len(got) == len(exp)
+        assert 997 not in got.index
+        assert np.isnan(got.loc[998, "twa"]) and exp[998][0] is None
+        for k, (twa, nseg) in exp.items():
+            assert got.loc[k, "n_seg"] == nseg
+            if twa is not None:
+                assert got.loc[k, "twa"] == pytest.approx(twa,
+                                                          abs=1e-9)
