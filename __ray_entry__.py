@@ -5671,6 +5671,36 @@ FROM x WHERE nxt IS NOT NULL GROUP BY user_id
 """
 
 
+def q_weighted_topk_sample_docs(sf_dir: str):
+    """Weighted sampling WITHOUT replacement
+    (curation.weighted_reservoir_topk): the Efraimidis–Spirakis A-Res
+    rule — u = md5(doc_id)-derived uniform, keep the 200 largest
+    ln(u)/n_chars keys, i.e. a deterministic length-proportional
+    sample.  Per-block select_k partials + driver merge (O(blocks×k)
+    rows move, no sort exchange); es_key rounded after selection on
+    both sides."""
+    from netml_ray.curation import weighted_reservoir_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_reservoir_topk(docs, "doc_id", "n_chars", 200,
+                                   round_to=9)
+
+
+SQL_WEIGHTED_TOPK_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hk
+  FROM documents),
+k AS (
+  SELECT doc_id, n_chars,
+         ln(hk / 1152921504606846976.0) / n_chars AS raw_key
+  FROM h)
+SELECT doc_id, n_chars, round(raw_key, 9) AS es_key
+FROM k ORDER BY raw_key DESC, doc_id LIMIT 200
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -5828,9 +5858,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned in-window by rank_events' PERCENT_RANK)
         "time_weighted_avg_events": q_time_weighted_avg_events,
         "funnel_stages_events": q_funnel_stages_events,
-        "cooccur_suppliers": q_cooccur_suppliers,
+        # (cooccur_suppliers rotated to the tail for the
+        # weighted-top-k sample: checker-verified r5 entry whose
+        # pair-expansion + degree machinery is pinned in-window by
+        # triangle_census_parts and hits_partsupp)
+        "weighted_topk_sample_docs": q_weighted_topk_sample_docs,
         "target_encode_oof_events": q_target_encode_oof_events,
         # ------- driver window ends here (50 entries above) -------
+        "cooccur_suppliers": q_cooccur_suppliers,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
         # rotations: all checker-verified r5 entries, kernels pinned
@@ -6162,6 +6197,7 @@ def oracle_sql() -> dict[str, str]:
         "streaks_events": SQL_STREAKS,
         "scd2_events": SQL_SCD2,
         "time_weighted_avg_events": SQL_TIME_WEIGHTED_AVG,
+        "weighted_topk_sample_docs": SQL_WEIGHTED_TOPK_SAMPLE,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,

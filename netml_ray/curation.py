@@ -316,6 +316,56 @@ def stratified_sample(ds, key: str, id_col: str, frac: float, *,
                          num_partitions=num_partitions)
 
 
+def weighted_reservoir_topk(ds, id_col: str, weight_col: str, k: int, *,
+                            round_to: int | None = 9) -> pa.Table:
+    """Weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis A-Res key (u^(1/w), compared as the monotone
+    ``ln(u)/w``): every row draws a deterministic uniform u from
+    md5(id) (the repo's standard 15-hex-digit / 2^60 bit-equal trick)
+    and the k LARGEST keys win — the one-pass, shuffle-free way to
+    draw a deterministic weight-proportional sample for data-mixing
+    recipes ("sample 10k docs proportional to length").  Weights must
+    be strictly positive.
+
+    Scale shape: a stateless map stage scores each block, then
+    :func:`netml_ray.sketches.top_k` keeps k per block and merges on
+    the driver — O(blocks × k) rows move, no sort exchange.  The
+    ``es_key`` column is rounded AFTER selection (value-hash parity;
+    ordering uses the unrounded key on both sides)."""
+    import hashlib
+
+    from netml_ray.sketches import top_k
+
+    def _score(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in ids.to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if t.num_rows and not (w > 0).all():
+            raise ValueError(
+                f"weighted_reservoir_topk: {weight_col} must be "
+                "strictly positive (ln(u)/w is undefined at w<=0)")
+        with np.errstate(divide="ignore"):
+            key = np.log(h.astype(np.float64) / float(1 << 60)) / w
+        return t.append_column("es_key", pa.array(key))
+
+    out = top_k(ds.map_batches(_score, batch_format="pyarrow"), k,
+                [("es_key", "descending"), (id_col, "ascending")])
+    if round_to is not None and out.num_rows:
+        i = out.column_names.index("es_key")
+        out = out.set_column(
+            i, "es_key",
+            pa.array(np.round(out["es_key"].to_numpy(), round_to)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Document chunking (embedding / RAG prep)
 # ---------------------------------------------------------------------------

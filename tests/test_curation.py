@@ -532,3 +532,40 @@ def test_curate_corpus_lm_and_span_flags(ray_session):
     assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
     # the flags actually bite in this fixture
     assert 0 < len(out) < len(base)
+
+
+def test_weighted_reservoir_topk_vs_brute(ray_session):
+    """E-S A-Res top-k == the brute global argsort of ln(u)/w for any
+    partitioning; weights must be strictly positive; heavier rows are
+    sampled more often than lighter ones in aggregate."""
+    import hashlib
+
+    import ray.data as rd
+
+    from netml_ray.curation import weighted_reservoir_topk
+
+    rng = np.random.default_rng(3)
+    n, k = 3000, 150
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 1000, n).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "w": pa.array(w)})
+    u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                  for i in ids], dtype=np.float64) / float(1 << 60)
+    key = np.log(u) / w
+    exp = set(ids[np.argsort(-key)][:k].tolist())
+    for parts in (1, 11):
+        got = weighted_reservoir_topk(
+            rd.from_arrow(t).repartition(parts), "id", "w", k)
+        assert got.num_rows == k
+        assert set(got["id"].to_pylist()) == exp
+        np.testing.assert_allclose(
+            np.sort(got["es_key"].to_numpy()),
+            np.round(np.sort(key[np.argsort(-key)][:k]), 9),
+            atol=1e-12)
+    # weight-proportional in aggregate: the heavy half dominates
+    heavy = (w[np.argsort(-key)][:k] > np.median(w)).mean()
+    assert heavy > 0.6
+    # nonpositive weights fail loudly
+    bad = pa.table({"id": pa.array([1, 2]), "w": pa.array([5, 0])})
+    with pytest.raises(Exception, match="strictly positive"):
+        weighted_reservoir_topk(rd.from_arrow(bad), "id", "w", 1)
