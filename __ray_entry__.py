@@ -5701,6 +5701,58 @@ FROM k ORDER BY raw_key DESC, doc_id LIMIT 200
 """
 
 
+def q_interval_overlap_events(sf_dir: str):
+    """Interval × interval overlap join (joins.interval_overlap_join):
+    every user's click windows [ts, ts+30min] joined to their purchase
+    windows [ts, ts+30min] that OVERLAP (rs <= le AND re >= ls, closed)
+    — co-partitioned by user, right side cut on BOTH ends (start
+    searchsorted high cut + running-max-end low cut) before
+    expansion.  overlap_us is exact int64 (bitwise parity)."""
+    from netml_ray.joins import interval_overlap_join
+
+    W = 1_800_000_000  # 30 min in µs
+
+    def _side(which: str, idname: str):
+        ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                      "event_type"])
+
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], which))
+            s = t["ts"].cast(pa.int64())
+            return pa.table({
+                "user_id": t["user_id"], idname: t["event_id"],
+                "s": s, "e": pc.add(s, pa.scalar(W, pa.int64()))})
+
+        return ev.map_batches(_f, batch_format="pyarrow")
+
+    joined = interval_overlap_join(
+        _side("click", "a_id"), _side("purchase", "b_id"), "user_id",
+        left_start="s", left_end="e", right_start="s", right_end="e",
+        num_partitions=P)
+
+    def _fin(t: pa.Table) -> pa.Table:
+        ov = pc.subtract(pc.min_element_wise(t["e"], t["e_r"]),
+                         pc.max_element_wise(t["s"], t["s_r"]))
+        return pa.table({"a_id": t["a_id"], "b_id": t["b_id"],
+                         "user_id": t["user_id"], "overlap_us": ov})
+
+    return joined.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + 1800000000 AS e
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events WHERE event_type = 'purchase')
+SELECT a.a_id, b.b_id, a.user_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id
+              AND b.s <= a.e AND b.e >= a.s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -5844,7 +5896,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checker-verified r5 entries; median/MAD machinery pinned by
         # the in-window exact-quantile family, bincount transition
         # partials by entropy_events/mutual_info_docs)
-        "hits_partsupp": q_hits_partsupp,
+        # (hits_partsupp rotated to the tail for the interval-overlap
+        # join: checker-verified r5 entry; its broadcast-rank
+        # iteration machinery is pinned in-window by
+        # pagerank_partsupp and the graph-family entries)
+        "interval_overlap_events": q_interval_overlap_events,
         "entropy_events": q_entropy_events,
         # (char_entropy_docs rotated to the tail for rollup_events —
         # then rollup_events itself rotated out for scd2_events:
@@ -5866,6 +5922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_oof_events": q_target_encode_oof_events,
         # ------- driver window ends here (50 entries above) -------
         "cooccur_suppliers": q_cooccur_suppliers,
+        "hits_partsupp": q_hits_partsupp,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
         # rotations: all checker-verified r5 entries, kernels pinned
@@ -6198,6 +6255,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_events": SQL_SCD2,
         "time_weighted_avg_events": SQL_TIME_WEIGHTED_AVG,
         "weighted_topk_sample_docs": SQL_WEIGHTED_TOPK_SAMPLE,
+        "interval_overlap_events": SQL_INTERVAL_OVERLAP,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,

@@ -34,6 +34,7 @@ from netml_ray.asof import asof_join  # noqa: F401
 from netml_ray.joins import (  # noqa: F401
     broadcast_join,
     hash_join,
+    interval_overlap_join,
     label_join,
     range_join,
     semi_join,

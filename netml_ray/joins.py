@@ -403,3 +403,103 @@ def anti_join(left, right, key: str, *, num_partitions: int | None = None):
     """SQL NOT EXISTS — see ``semi_join``."""
     return semi_join(left, right, key, anti=True,
                      num_partitions=num_partitions)
+
+
+def interval_overlap_join(
+    left,
+    right,
+    key: str,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+):
+    """Interval × interval OVERLAP join: for every left interval
+    [ls, le], all right intervals [rs, re] of the same key with
+    ``rs <= le AND re >= ls`` (closed-interval overlap — the standard
+    non-equi join shape for sessions × campaigns, downtime × traffic,
+    validity windows × observations).  Start/end columns must be
+    numeric (e.g. epoch microseconds); inner semantics.
+
+    Scale shape: co-partition both sides by key (ONE exchange each),
+    sort right by (key, start); per left segment the candidate window
+    is cut on BOTH sides before any expansion — the high cut is
+    ``searchsorted(right_starts, le, 'right')`` (starts beyond the
+    left end can't overlap) and the low cut is a binary search over
+    the RUNNING MAX of right ends (monotone, so every interval before
+    the first index with ``max_end >= ls`` is provably dead — the
+    trick that keeps long-lived stale intervals from forcing a full
+    prefix scan).  Survivors expand via repeat/arange gathers and one
+    residual mask; output-proportional work thereafter.
+    """
+    from netml_ray.kernels import segment_starts
+    from netml_ray.partition import partition_map2
+
+    def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        nl = lt.num_rows
+        out_right = [c for c in rt.column_names if c != key]
+
+        def _empty():
+            cols = {c: lt[c].slice(0, 0) for c in lt.column_names}
+            for c in out_right:
+                name = c + suffix if c in lt.column_names else c
+                cols[name] = pa.nulls(0, type=rt.schema.field(c).type)
+            return pa.table(cols)
+
+        if nl == 0 or rt.num_rows == 0:
+            return _empty()
+        combo = pa.chunked_array(
+            list(lt[key].chunks) + list(rt[key].chunks),
+            type=lt[key].type)
+        enc = pc.dictionary_encode(combo)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        lcodes, rcodes = codes[:nl], codes[nl:]
+        ls = lt[left_start].to_numpy(zero_copy_only=False)
+        le = lt[left_end].to_numpy(zero_copy_only=False)
+        rs_v = rt[right_start].to_numpy(zero_copy_only=False)
+        re_v = rt[right_end].to_numpy(zero_copy_only=False)
+        r_starts = segment_starts(rcodes)
+        r_ends = np.r_[r_starts[1:], len(rcodes)]
+        rmap = {rcodes[s]: (s, e) for s, e in zip(r_starts, r_ends)}
+        l_starts = segment_starts(lcodes)
+        l_ends = np.r_[l_starts[1:], nl]
+        win_lo = np.zeros(nl, dtype=np.int64)
+        win_hi = np.zeros(nl, dtype=np.int64)
+        for s, e in zip(l_starts, l_ends):
+            seg = rmap.get(lcodes[s])
+            if seg is None:
+                continue
+            rs0, re0 = seg
+            runmax = np.maximum.accumulate(re_v[rs0:re0])
+            win_lo[s:e] = rs0 + np.searchsorted(runmax, ls[s:e],
+                                                side="left")
+            win_hi[s:e] = rs0 + np.searchsorted(rs_v[rs0:re0], le[s:e],
+                                                side="right")
+        counts = np.maximum(win_hi - win_lo, 0)
+        if not counts.any():
+            return _empty()
+        l_idx = np.repeat(np.arange(nl), counts)
+        total = int(counts.sum())
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        r_idx = np.repeat(win_lo, counts) + (
+            np.arange(total) - np.repeat(offs[:-1], counts))
+        # residual mask: the window is only a superset (ends are not
+        # monotone under a start sort)
+        keep = re_v[r_idx] >= ls[l_idx]
+        l_idx, r_idx = l_idx[keep], r_idx[keep]
+        lsel = pc.take(lt, pa.array(l_idx))
+        cols = {c: lsel[c] for c in lsel.column_names}
+        for c in out_right:
+            name = c + suffix if c in lt.column_names else c
+            cols[name] = pc.take(rt[c], pa.array(r_idx))
+        return pa.table(cols)
+
+    return partition_map2(
+        left, right, key, _fn, num_partitions=num_partitions,
+        sort_left=[key, left_start, left_end],
+        sort_right=[key, right_start, right_end])

@@ -262,3 +262,47 @@ def test_target_encode_matches_formula(ray_session):
     exp = df["cat"].map(enc).to_numpy()
     np.testing.assert_allclose(out["cat_te"].to_numpy(), exp,
                                rtol=0, atol=1e-9)
+
+
+def test_interval_overlap_join_vs_brute(ray_session):
+    """Overlap join == the O(n²) nested-loop reference for random
+    intervals (including zero-length and long-lived stale intervals
+    that exercise the running-max-end low cut), any partitioning."""
+    import ray.data as rd
+
+    from netml_ray.joins import interval_overlap_join
+
+    rng = np.random.default_rng(41)
+    nl, nr, nkeys = 900, 800, 25
+    lt = pa.table({
+        "k": pa.array(rng.integers(0, nkeys, nl)),
+        "a_id": pa.array(np.arange(nl, dtype=np.int64)),
+        "s": pa.array(rng.integers(0, 10_000, nl)),
+    })
+    dur = rng.integers(0, 400, nl)
+    lt = lt.append_column("e", pa.array(lt["s"].to_numpy() + dur))
+    rt = pa.table({
+        "k": pa.array(rng.integers(0, nkeys, nr)),
+        "b_id": pa.array(np.arange(nr, dtype=np.int64)),
+        "s": pa.array(rng.integers(0, 10_000, nr)),
+    })
+    # mix of short intervals and a few VERY long ones (stale-interval
+    # case: early start, late end — the low cut must not drop them)
+    rdur = np.where(rng.random(nr) < 0.05,
+                    rng.integers(5_000, 9_000, nr),
+                    rng.integers(0, 300, nr))
+    rt = rt.append_column("e", pa.array(rt["s"].to_numpy() + rdur))
+
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    m = ldf.merge(rdf, on="k", suffixes=("", "_r"))
+    m = m[(m["s_r"] <= m["e"]) & (m["e_r"] >= m["s"])]
+    exp = set(zip(m["a_id"], m["b_id"]))
+    assert len(exp) > 100           # fixture actually overlaps
+    for parts in (1, 7):
+        got = interval_overlap_join(
+            rd.from_arrow(lt).repartition(parts),
+            rd.from_arrow(rt).repartition(max(1, parts - 2)), "k",
+            left_start="s", left_end="e",
+            right_start="s", right_end="e").to_pandas()
+        assert set(zip(got["a_id"], got["b_id"])) == exp
+        assert len(got) == len(exp)
