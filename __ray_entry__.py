@@ -5753,6 +5753,76 @@ FROM a JOIN b ON a.user_id = b.user_id
 """
 
 
+def q_rrf_fusion_docs(sf_dir: str):
+    """Hybrid-retrieval rank fusion (textstats.rrf_fuse): reciprocal-
+    rank fusion (k=60) of the BM25 top-100 for the 3-term query with
+    a length-prior top-100 (n_chars desc) — the standard calibration-
+    free combiner.  Both candidate lists come from per-block select_k
+    partials (no sort exchange); the fuse itself is a driver-side
+    O(N log N) finalize over constant-size lists.  Top-20 by
+    (rrf desc, doc_id)."""
+    from netml_ray.sketches import top_k
+    from netml_ray.textstats import bm25_scores, rrf_fuse
+
+    N = 100
+    bm = bm25_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     ["customer", "spark", "window"])
+    bm_top = top_k(
+        bm.map_batches(lambda t: _hedge_round_cols(t, ("bm25",), 6),
+                       batch_format="pyarrow"),
+        N, [("bm25", "descending"), ("doc_id", "ascending")])
+    len_top = top_k(_read(sf_dir, "documents", ["doc_id", "n_chars"]),
+                    N, [("n_chars", "descending"),
+                        ("doc_id", "ascending")])
+    return rrf_fuse([bm_top, len_top], "doc_id").slice(0, 20)
+
+
+SQL_RRF_FUSION = r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+  FROM documents
+), st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(len(words)) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         CAST(SUM(CASE WHEN list_contains(words, 'customer') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(SUM(CASE WHEN list_contains(words, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+         CAST(SUM(CASE WHEN list_contains(words, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+  FROM d
+), sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(words, w -> w = 'customer')) AS DOUBLE) AS tf1,
+    CAST(len(list_filter(words, w -> w = 'spark')) AS DOUBLE) AS tf2,
+    CAST(len(list_filter(words, w -> w = 'window')) AS DOUBLE) AS tf3,
+    CAST(len(words) AS DOUBLE) AS dl
+  FROM d
+), scored AS (
+  SELECT doc_id,
+    ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+      * (tf1 * 2.5 / (tf1 + 1.5 * (0.25 + 0.75 * dl / st.avgdl)))
+    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+      * (tf2 * 2.5 / (tf2 + 1.5 * (0.25 + 0.75 * dl / st.avgdl)))
+    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+      * (tf3 * 2.5 / (tf3 + 1.5 * (0.25 + 0.75 * dl / st.avgdl))) AS score
+  FROM sc CROSS JOIN st
+), ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r
+  FROM scored WHERE score > 0 QUALIFY r <= 100
+), rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= 100
+), f AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60 + ra.r), 0)
+               + COALESCE(1.0 / (60 + rb.r), 0), 9) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -5913,7 +5983,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checker-verified r5 entry; cume_dist tie-group machinery
         # pinned in-window by rank_events' PERCENT_RANK)
         "time_weighted_avg_events": q_time_weighted_avg_events,
-        "funnel_stages_events": q_funnel_stages_events,
+        # (funnel_stages_events rotated to the tail for the RRF
+        # fusion: checker-verified r5 entry; its _runs + segment-min
+        # reduceat machinery is the same sequences.py family as the
+        # in-window streaks/scd2 entries)
+        "rrf_fusion_docs": q_rrf_fusion_docs,
         # (cooccur_suppliers rotated to the tail for the
         # weighted-top-k sample: checker-verified r5 entry whose
         # pair-expansion + degree machinery is pinned in-window by
@@ -5923,6 +5997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------- driver window ends here (50 entries above) -------
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
+        "funnel_stages_events": q_funnel_stages_events,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
         # rotations: all checker-verified r5 entries, kernels pinned
@@ -6256,6 +6331,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg_events": SQL_TIME_WEIGHTED_AVG,
         "weighted_topk_sample_docs": SQL_WEIGHTED_TOPK_SAMPLE,
         "interval_overlap_events": SQL_INTERVAL_OVERLAP,
+        "rrf_fusion_docs": SQL_RRF_FUSION,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,

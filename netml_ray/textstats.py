@@ -45,7 +45,8 @@ import pyarrow.compute as pc
 
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
            "doc_frequency", "pmi_collocations", "readability_profile",
-           "source_divergence", "tfidf_top_terms", "vocab_richness"]
+           "rrf_fuse", "source_divergence", "tfidf_top_terms",
+           "vocab_richness"]
 
 
 def _tok(col):
@@ -980,3 +981,32 @@ def source_divergence(ds, text_col: str, group_col: str, *,
             "kl": pa.array(np.round(kl, round_to))})
 
     return partition_map(partials, group_col, _fin)
+
+
+def rrf_fuse(rankings, id_col: str, *, k: int = 60,
+             round_to: int | None = 9) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of several
+    ALREADY-ORDERED candidate tables: each table contributes
+    ``1/(k + rank)`` (1-based position) per id, absent ids contribute
+    0, and the fused table carries the summed score — the standard
+    hybrid-retrieval combiner (BM25 × embedding × prior) because it
+    needs no score calibration across rankings.
+
+    This is a driver-side finalize over top-N candidate lists (each
+    produced scale-appropriately, e.g. via :func:`sketches.top_k`
+    partials) — N is a constant, so the fuse is O(Σ N log N)
+    regardless of corpus size."""
+    agg: dict = {}
+    for t in rankings:
+        ids = t[id_col].to_pylist()
+        for pos, i in enumerate(ids, start=1):
+            agg[i] = agg.get(i, 0.0) + 1.0 / (k + pos)
+    ids = sorted(agg)
+    score = np.array([agg[i] for i in ids], dtype=np.float64)
+    if round_to is not None:
+        score = np.round(score, round_to)
+    order = np.lexsort((np.array(ids), -score))
+    return pa.table({
+        id_col: pa.array(np.array(ids)[order]),
+        "rrf": pa.array(score[order]),
+    })

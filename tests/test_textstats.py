@@ -320,3 +320,22 @@ def test_source_divergence_vs_brute(ray_session):
         assert np.isclose(out.loc[g, "kl"], kl, atol=2e-6)
     assert out.loc["s0", "kl"] > 3 * out.loc["s1", "kl"]
     assert (out["kl"] >= -1e-9).all()
+
+
+def test_rrf_fuse_reference():
+    """RRF == hand-computed 1/(k+rank) sums; absent ids contribute 0;
+    deterministic (score desc, id) output order."""
+    import pyarrow as pa
+
+    from netml_ray.textstats import rrf_fuse
+
+    a = pa.table({"id": pa.array([10, 20, 30], type=pa.int64())})
+    b = pa.table({"id": pa.array([30, 40], type=pa.int64())})
+    out = rrf_fuse([a, b], "id", k=60)
+    got = dict(zip(out["id"].to_pylist(), out["rrf"].to_pylist()))
+    assert got[10] == round(1 / 61, 9)
+    assert got[20] == round(1 / 62, 9)
+    assert got[30] == round(1 / 63 + 1 / 61, 9)
+    assert got[40] == round(1 / 62, 9)
+    # 30 first (two lists), then ties 20/40 broken by id
+    assert out["id"].to_pylist() == [30, 10, 20, 40]
