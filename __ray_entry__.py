@@ -5753,6 +5753,72 @@ FROM a JOIN b ON a.user_id = b.user_id
 """
 
 
+def q_debounce_events(sf_dir: str):
+    """Stream debounce (sequences.debounce): drop events within 12 h
+    of the IMMEDIATELY preceding event of the same (user, type) —
+    the lag-based burst suppressor (vectorized shifted comparison;
+    the SQL states lag IS NULL OR ts − lag ≥ gap).  One hash exchange
+    on user_id; event_type segments runs inside the partition."""
+    from netml_ray.sequences import debounce
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+    out = debounce(ev, ["user_id", "event_type"], "ts",
+                   43_200_000_000, tiebreak="event_id")
+    return out.select_columns(["event_id", "user_id", "event_type",
+                               "ts"])
+
+
+SQL_DEBOUNCE = """
+WITH x AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, event_type, ts
+FROM x WHERE prev IS NULL OR epoch_us(ts) - prev >= 43200000000
+"""
+
+
+def q_bfs_hops_partsupp(sf_dir: str):
+    """Multi-source BFS hop distance (graph.bfs_hops): minimum hops
+    (≤3) from the smallest part node over the symmetrized
+    part<->supplier graph — edges stay a distributed Dataset, each
+    hop is ONE narrow membership pass emitting distinct-dst partials;
+    the frontier is broadcast (pagerank's documented rank-vector
+    bound).  The SQL oracle is the recursive-CTE walk with min(hops)."""
+    import pyarrow.parquet as pq
+
+    from netml_ray.graph import bfs_hops
+
+    pmin = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey"])["l_partkey"] \
+        .to_numpy().min()
+    res = bfs_hops(_partsupp_edges(sf_dir, symmetric=True),
+                   [2 * int(pmin)], max_hops=3)
+    return pa.table({"node": _node_labels(res["node"].to_numpy()),
+                     "hops": res["hops"]})
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE
+pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pe
+          UNION ALL
+          SELECT 2 * s + 1 AS src, 2 * p AS dst FROM pe),
+walk(node, hops) AS (
+  SELECT (SELECT 2 * min(l_partkey) FROM lineitem), 0
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 3)
+SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
 def q_rrf_fusion_docs(sf_dir: str):
     """Hybrid-retrieval rank fusion (textstats.rrf_fuse): reciprocal-
     rank fusion (k=60) of the BM25 top-100 for the 3-term query with
@@ -5912,8 +5978,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (benford_orders rotated to the tail for kendall_events: its
         # narrow digit-count-partial shape is pinned in-window by
         # chi2_docs; checker-verified at both SFs since its session)
-        "kendall_events": q_kendall_events,
-        "zipf_slope_docs": q_zipf_slope_docs,
+        # (kendall_events / zipf_slope_docs rotated to the tail for
+        # the debounce / BFS-hops additions: both checker-verified r5
+        # entries; kendall's segmented-pair machinery is pinned
+        # in-window by cusum_events' partition_map kernels, zipf's
+        # select_k + driver-OLS shape by weighted_topk_sample_docs
+        # and rrf_fusion_docs)
+        "debounce_events": q_debounce_events,
+        "bfs_hops_partsupp": q_bfs_hops_partsupp,
         "attribution_events": q_attribution_events,
         "stratified_sample_docs": q_stratified_sample_docs,
         "jaro_winkler_docs": q_jaro_winkler_docs,
@@ -5998,6 +6070,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
+        "kendall_events": q_kendall_events,
+        "zipf_slope_docs": q_zipf_slope_docs,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
         # rotations: all checker-verified r5 entries, kernels pinned
@@ -6332,6 +6406,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_topk_sample_docs": SQL_WEIGHTED_TOPK_SAMPLE,
         "interval_overlap_events": SQL_INTERVAL_OVERLAP,
         "rrf_fusion_docs": SQL_RRF_FUSION,
+        "debounce_events": SQL_DEBOUNCE,
+        "bfs_hops_partsupp": SQL_BFS_HOPS,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,

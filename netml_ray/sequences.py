@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "cohort_retention", "group_autocorr", "temporal_pairs",
            "active_users", "streaks", "scd2_intervals",
-           "time_weighted_avg"]
+           "time_weighted_avg", "debounce"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -688,3 +688,42 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str, *,
     return partition_map(ds.select_columns(
         [key_col, ts_col, val_col] + ([tiebreak] if tiebreak else [])),
         key_col, _fn, sort_by=[key_col, ts_col, tiebreak])
+
+
+def debounce(ds, key_cols: list, ts_col: str, gap_us: int, *,
+             tiebreak: str):
+    """Stream debounce / rate-limit: keep a row iff it is the FIRST of
+    its composite key or at least ``gap_us`` after the key's
+    IMMEDIATELY PRECEDING event (kept or not) in (ts, tiebreak) order
+    — the lag-based burst suppressor (``lag IS NULL OR ts − lag ≥
+    gap``, stated verbatim by the SQL oracle).  Unlike greedy
+    keep-anchored throttling, this rule is a pure shifted comparison,
+    so it stays fully vectorized.
+
+    ONE hash exchange on the FIRST key column; further key columns
+    segment runs inside the partition (nested runs keep the fn
+    run-segmented for the driver fast path)."""
+    from .partition import partition_map
+
+    k0, rest = key_cols[0], key_cols[1:]
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t
+        same = np.ones(n - 1, dtype=bool) if n > 1 else \
+            np.empty(0, dtype=bool)
+        for kc in key_cols:
+            col = t[kc]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            same &= np.asarray(pc.equal(
+                col.slice(1, n - 1), col.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        ts_us = t[ts_col].cast(pa.int64()).to_numpy()
+        close = same & (ts_us[1:] - ts_us[:-1] < gap_us)
+        keep = np.r_[True, ~close]
+        return t.filter(pa.array(keep))
+
+    return partition_map(ds, k0, _fn,
+                         sort_by=[k0] + rest + [ts_col, tiebreak])

@@ -369,3 +369,47 @@ def test_k_core_vs_sequential_peel(ray_session):
         {"src": pa.array(np.arange(50, dtype=np.int64)),
          "dst": pa.array(np.r_[np.arange(1, 50), 0].astype(np.int64))}))
     assert k_core(cyc, 2).num_rows == 50
+
+
+def test_bfs_hops_vs_brute(ray_session):
+    """Distributed frontier BFS == a python adjacency-dict BFS
+    (min hops, multi-source, parallel edges harmless), bounded by
+    max_hops; unreachable nodes absent."""
+    import ray.data as rd
+
+    from netml_ray.graph import bfs_hops
+
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 300, 900
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    # a deliberately disconnected island
+    iso = np.array([900, 901]), np.array([901, 900])
+    src = np.concatenate([src, iso[0]])
+    dst = np.concatenate([dst, iso[1]])
+    # parallel edges: duplicate a slice
+    src = np.concatenate([src, src[:50]])
+    dst = np.concatenate([dst, dst[:50]])
+    edges = pa.table({"src": pa.array(src.astype(np.int64)),
+                      "dst": pa.array(dst.astype(np.int64))})
+    adj: dict = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(int(a), set()).add(int(b))
+    sources = [0, 5]
+    dist = {s: 0 for s in sources}
+    frontier = list(sources)
+    for h in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    for parts in (1, 5):
+        got = bfs_hops(rd.from_arrow(edges).repartition(parts),
+                       sources, max_hops=3)
+        gd = dict(zip(got["node"].to_pylist(),
+                      got["hops"].to_pylist()))
+        assert gd == dist
+    assert 900 not in dist and 901 not in dist

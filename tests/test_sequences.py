@@ -487,3 +487,29 @@ def test_time_weighted_avg_vs_brute(ray_session):
             if twa is not None:
                 assert got.loc[k, "twa"] == pytest.approx(twa,
                                                           abs=1e-9)
+
+
+def test_debounce_vs_brute(ray_session):
+    """Lag-based debounce == per-(key,type) python walk: keep iff
+    first or >= gap after the immediately preceding event."""
+    import ray.data as rd
+
+    from netml_ray.sequences import debounce
+
+    t = _mk_ts(n=4000, nkeys=30, span_days=10)
+    gap = 6 * 3600 * 10**6
+    pdf = t.to_pandas().sort_values(["k", "et", "ts", "i"])
+    keep_ids = []
+    for _, sub in pdf.groupby(["k", "et"]):
+        e = sub["ts"].astype("int64").to_numpy()
+        ids = sub["i"].to_numpy()
+        keep_ids.append(ids[0])
+        for j in range(1, len(e)):
+            if e[j] - e[j - 1] >= gap:
+                keep_ids.append(ids[j])
+    exp = set(int(x) for x in keep_ids)
+    assert 0 < len(exp) < len(pdf)      # the gap actually bites
+    for parts in (1, 7):
+        got = debounce(rd.from_arrow(t).repartition(parts),
+                       ["k", "et"], "ts", gap, tiebreak="i")
+        assert set(got.to_pandas()["i"]) == exp
