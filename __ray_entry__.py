@@ -5753,6 +5753,106 @@ FROM a JOIN b ON a.user_id = b.user_id
 """
 
 
+def q_canonical_urls_docs(sf_dir: str):
+    """URL canonicalization (urlops.canonicalize_urls): the synthetic
+    corpus URLs get deterministic tracking tails (utm_* / fbclid-class
+    params, fragments) and the canonicalizer strips fragment + trailing
+    tracking params via two RE2 passes — exact regexp_replace parity,
+    the PII-redaction precedent.  Pure streamed map, no shuffle."""
+    from netml_ray.urlops import canonicalize_urls
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        base = _synth_urls(t)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        has_q = (did % 3) != 0        # _synth_urls gives ?a=1[&b=2]
+        track = np.where(did % 2 == 0,
+                         np.where(has_q, "&utm_source=news",
+                                  "?utm_campaign=x"), "")
+        frag = np.where(did % 7 == 0, "#sec", "")
+        url = pc.binary_join_element_wise(
+            base, pa.array(track, type=pa.string()),
+            pa.array(frag, type=pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    return canonicalize_urls(
+        docs.map_batches(_mk, batch_format="pyarrow"), "url")
+
+
+SQL_CANONICAL_URLS = r"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 <> 0 THEN 'https' ELSE 'http' END)
+         || '://'
+         || (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+             ELSE '' END)
+         || source || '.example.'
+         || (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             WHEN 2 THEN 'net' ELSE 'io' END)
+         || repeat('/p', CAST(doc_id % 4 AS INT)) || '/page'
+         || (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '?a=1'
+             ELSE '?a=1&b=2' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN
+               (CASE WHEN doc_id % 3 <> 0 THEN '&utm_source=news'
+                     ELSE '?utm_campaign=x' END)
+             ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents)
+SELECT doc_id, url,
+       regexp_replace(regexp_replace(url, '#.*$', ''),
+                      '([?&](?:utm_[a-z]+|fbclid)=[^&#]*)+$', '')
+         AS canon_url
+FROM u
+"""
+
+
+def q_traffic_matrix_events(sf_dir: str):
+    """Calendar traffic profile (featstats.traffic_matrix): counts and
+    share per (day-of-week, hour) — ONE narrow pass folding 7×24
+    bincount partials, driver sums 168 ints.  dow convention =
+    DuckDB's dayofweek (Sunday 0)."""
+    from netml_ray.featstats import traffic_matrix
+
+    return traffic_matrix(_read(sf_dir, "events", ["ts"]), "ts")
+
+
+SQL_TRAFFIC_MATRIX = """
+WITH c AS (
+  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT dow, hour, n, round(n / (1.0 * total), 9) AS share
+FROM c CROSS JOIN t
+"""
+
+
+def q_temporal_split_events(sf_dir: str):
+    """Per-key temporal holdout (mlprep.temporal_split): within each
+    user's (ts, event_id) order the first ceil(80%) rows are 'train',
+    the rest 'test' — the leakage-safe split (every test row strictly
+    after every train row of its key).  ONE keyed exchange, segmented
+    rank (the stratified_sample shape)."""
+    from netml_ray.mlprep import temporal_split
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = temporal_split(ev, "user_id", "ts", test_frac=0.2,
+                         tiebreak="event_id", num_partitions=P)
+    return out.select_columns(["event_id", "user_id", "fold"])
+
+
+SQL_TEMPORAL_SPLIT = """
+SELECT event_id, user_id,
+       CASE WHEN row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                 <= ceil(0.8 * count(*) OVER (PARTITION BY user_id))
+            THEN 'train' ELSE 'test' END AS fold
+FROM events
+"""
+
+
 def q_debounce_events(sf_dir: str):
     """Stream debounce (sequences.debounce): drop events within 12 h
     of the IMMEDIATELY preceding event of the same (user, type) —
@@ -5986,11 +6086,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and rrf_fusion_docs)
         "debounce_events": q_debounce_events,
         "bfs_hops_partsupp": q_bfs_hops_partsupp,
-        "attribution_events": q_attribution_events,
-        "stratified_sample_docs": q_stratified_sample_docs,
+        # (attribution_events / stratified_sample_docs /
+        # sentence_stats_docs rotated to the tail for the
+        # canonical-URL / traffic-matrix / temporal-split additions:
+        # all checker-verified r5 entries — attribution's as-of
+        # machinery is pinned in-window by asof_tolerance_events and
+        # the flagships, stratified_sample's segmented-rank kernel by
+        # the NEW temporal_split_events (same shape), sentence_stats'
+        # RE2 map parity by the NEW canonical_urls_docs)
+        "canonical_urls_docs": q_canonical_urls_docs,
+        "traffic_matrix_events": q_traffic_matrix_events,
+        "temporal_split_events": q_temporal_split_events,
         "jaro_winkler_docs": q_jaro_winkler_docs,
         "psi_events": q_psi_events,
-        "sentence_stats_docs": q_sentence_stats_docs,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -6072,6 +6180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages_events": q_funnel_stages_events,
         "kendall_events": q_kendall_events,
         "zipf_slope_docs": q_zipf_slope_docs,
+        "attribution_events": q_attribution_events,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "sentence_stats_docs": q_sentence_stats_docs,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
         # rotations: all checker-verified r5 entries, kernels pinned
@@ -6408,6 +6519,9 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion_docs": SQL_RRF_FUSION,
         "debounce_events": SQL_DEBOUNCE,
         "bfs_hops_partsupp": SQL_BFS_HOPS,
+        "canonical_urls_docs": SQL_CANONICAL_URLS,
+        "traffic_matrix_events": SQL_TRAFFIC_MATRIX,
+        "temporal_split_events": SQL_TEMPORAL_SPLIT,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,
         "vocab_richness_docs": SQL_VOCAB_RICHNESS,

@@ -36,7 +36,7 @@ __all__ = [
     "kaplan_meier", "kendall_tau",
     "rfm_segment", "spearman_corr",
     "trend_slope", "zipf_slope",
-    "winsorized_group_stats",
+    "winsorized_group_stats", "traffic_matrix",
 ]
 
 
@@ -1065,3 +1065,44 @@ def kaplan_meier(ds, dur_col: str, observed_col: str, *,
         "n_risk": pa.array(n_risk[keep]),
         "d": pa.array(d[keep]),
         "survival": pa.array(np.round(surv[keep], round_to))})
+
+
+def traffic_matrix(ds, ts_col: str, *, round_to: int = 9) -> pa.Table:
+    """Calendar traffic profile: event counts per (day-of-week, hour)
+    cell plus each cell's share of total — the seasonality fingerprint
+    every behavioral pipeline plots (and the binned prior for the
+    seasonal-deviation feature).
+
+    Scale shape: a pure narrow pass — each batch folds into ONE 7×24
+    bincount partial (dow = (epoch_day + 4) % 7 with Sunday = 0,
+    DuckDB's dayofweek convention; hour = epoch_hour % 24), the driver
+    sums 168 ints.  No shuffle, no per-row Python."""
+    import pyarrow as pa
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        us = ts.to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        cnt = np.bincount(dow * 24 + hour, minlength=168)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    total = np.zeros(168, dtype=np.int64)
+    for bt in ds.map_batches(_partial, batch_size=None,
+                             batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        np.add.at(total, bt["cell"].to_numpy(), bt["n"].to_numpy())
+    nz = np.flatnonzero(total)
+    n_all = int(total.sum())
+    share = np.round(total[nz] / n_all, round_to) if n_all else \
+        np.zeros(0)
+    return pa.table({
+        "dow": pa.array((nz // 24).astype(np.int64)),
+        "hour": pa.array((nz % 24).astype(np.int64)),
+        "n": pa.array(total[nz]),
+        "share": pa.array(share),
+    })

@@ -40,7 +40,7 @@ __all__ = ["fit_scaler", "transform_scaled", "woe_iv", "gains_table",
            "group_moments", "group_corr", "robust_zscore",
            "group_entropy", "group_mode", "mutual_information",
            "target_encode_oof", "frequency_encode", "welch_ttest",
-           "random_projection"]
+           "random_projection", "temporal_split"]
 
 
 # ---------------------------------------------------------------------------
@@ -1441,3 +1441,50 @@ def group_auc(ds, key_col: str, score_col: str, label_col: str, *,
     cols = [key_col, score_col, label_col]
     return partition_map(ds.select_columns(cols), key_col, _fin,
                          sort_by=[key_col, score_col])
+
+
+def temporal_split(ds, key: str, ts_col: str, *,
+                   test_frac: float = 0.2, tiebreak: str,
+                   out_col: str = "fold",
+                   num_partitions: int | None = None):
+    """Per-key TEMPORAL holdout split: within each key's (ts, tiebreak)
+    order, the first ``ceil((1-test_frac)·n)`` rows are 'train' and
+    the rest 'test' — the leakage-safe alternative to a random split
+    for time-ordered data (every test row is strictly after every
+    train row OF ITS KEY; the north_rule's zero-temporal-leakage
+    discipline applied to model evaluation).
+
+    ONE keyed hash exchange; inside a partition the per-run rank is
+    the stratified_sample shape (run starts → repeat → arange
+    subtraction), fully vectorized and run-segmented."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from netml_ray.partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        if m == 0:
+            return t.append_column(out_col,
+                                   pa.array([], type=pa.string()))
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            starts[1:] = pc.not_equal(
+                arr.slice(1, m - 1), arr.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False)
+        sidx = np.flatnonzero(starts)
+        runlen = np.diff(np.append(sidx, m))
+        rank = np.arange(m, dtype=np.int64) - np.repeat(sidx, runlen)
+        n_train = np.ceil((1.0 - test_frac)
+                          * runlen.astype(np.float64))
+        fold = np.where(rank < np.repeat(n_train, runlen),
+                        "train", "test")
+        return t.append_column(out_col,
+                               pa.array(fold, type=pa.string()))
+
+    return partition_map(ds, key, _fn,
+                         sort_by=[key, ts_col, tiebreak],
+                         num_partitions=num_partitions)

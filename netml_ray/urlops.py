@@ -19,7 +19,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["url_feature_table", "add_url_features", "url_feature_profile"]
+__all__ = ["url_feature_table", "add_url_features", "url_feature_profile",
+           "canonicalize_urls"]
 
 _URL_RE = (r"^(?P<scheme>[a-z][a-z0-9+.-]*)://"
            r"(?P<host>[^/?#]*)(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?")
@@ -137,3 +138,31 @@ def url_feature_profile(ds, url_col: str, *, round_to: int = 9) -> pa.Table:
         out["path_depth"].to_numpy(zero_copy_only=False),
         np.asarray(out["tld"].to_pylist(), dtype=object)))
     return out.take(pa.array(order.tolist(), pa.int64()))
+
+
+def canonicalize_urls(ds, url_col: str, *,
+                      out_col: str = "canon_url",
+                      param_pattern: str = "utm_[a-z]+|fbclid"):
+    """URL canonicalization — the CommonCrawl-style dedup-key
+    normalizer: strip the fragment, then strip trailing tracking
+    parameters matching ``param_pattern`` (utm_*, fbclid by default).
+    Pure streamed map stage (no shuffle): two RE2
+    ``replace_substring_regex`` passes per batch, the same engine
+    DuckDB's ``regexp_replace`` uses, so oracle parity is exact —
+    the PII-redaction precedent.
+
+    The result is the canonical dedup key for exact URL dedup /
+    per-URL sessionization upstream of the flagship (north_star:
+    sessionize crawl records per url)."""
+    frag_re = "#.*$"
+    trail_re = r"([?&](?:%s)=[^&#]*)+$" % param_pattern
+
+    def _f(t: pa.Table) -> pa.Table:
+        u = t[url_col]
+        u = pc.replace_substring_regex(u, pattern=frag_re,
+                                       replacement="")
+        u = pc.replace_substring_regex(u, pattern=trail_re,
+                                       replacement="")
+        return t.append_column(out_col, u)
+
+    return ds.map_batches(_f, batch_format="pyarrow")

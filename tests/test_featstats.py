@@ -771,3 +771,28 @@ def test_group_ecdf_vs_pandas(ray_session):
     # every max value has ecdf exactly 1
     gmax = df.groupby("k")["v"].transform("max")
     assert (out.loc[df.index[df.v == gmax], "ecdf"] == 1.0).all()
+
+
+def test_traffic_matrix_vs_pandas(ray_session):
+    """(dow, hour) counts and shares == a pandas dt reference
+    (dayofweek convention: Sunday = 0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import traffic_matrix
+
+    rng = np.random.default_rng(5)
+    us = rng.integers(1_700_000_000_000_000, 1_710_000_000_000_000,
+                      20_000)
+    t = pa.table({"ts": pa.array(us.astype("datetime64[us]"))})
+    out = traffic_matrix(rd.from_arrow(t).repartition(6), "ts") \
+        .to_pandas()
+    pdf = t.to_pandas()
+    dow = (pdf["ts"].dt.dayofweek + 1) % 7      # pandas Monday=0
+    ref = (pdf.assign(dow=dow, hour=pdf["ts"].dt.hour)
+           .groupby(["dow", "hour"]).size().rename("n").reset_index())
+    merged = out.merge(ref, on=["dow", "hour"], suffixes=("", "_ref"))
+    assert len(merged) == len(ref) == len(out)
+    assert (merged["n"] == merged["n_ref"]).all()
+    assert np.allclose(out["share"], out["n"] / out["n"].sum(),
+                       atol=1e-9)

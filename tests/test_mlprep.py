@@ -779,3 +779,43 @@ def test_group_auc_single_class_dropped(ray_session):
     out = group_auc(rd.from_arrow(t), "g", "s", "y").to_pandas()
     assert set(out["g"]) == {"z"}
     assert np.isclose(out.loc[0, "auc"], 1.0)
+
+
+def test_temporal_split_vs_brute(ray_session):
+    """Per-key temporal holdout: first ceil(0.8 n) rows train, rest
+    test; every test ts >= every train ts of its key; exact counts
+    for the ceil boundary cases n=1..5."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import temporal_split
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 70, n)),
+        "ts": pa.array(rng.integers(0, 10**9, n), type=pa.int64()),
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    # tiny keys for the ceil boundary: sizes 1..5
+    extra = pa.table({
+        "k": pa.array([100, 101, 101, 102, 102, 102, 103, 103, 103,
+                       103, 104, 104, 104, 104, 104], type=pa.int64()),
+        "ts": pa.array(range(15), type=pa.int64()),
+        "i": pa.array(range(90000, 90015), type=pa.int64()),
+    })
+    t = pa.concat_tables([t, extra])
+    out = (temporal_split(rd.from_arrow(t).repartition(7), "k", "ts",
+                          test_frac=0.2, tiebreak="i")
+           .to_pandas())
+    pdf = t.to_pandas().sort_values(["k", "ts", "i"])
+    for k, sub in pdf.groupby("k"):
+        m = len(sub)
+        n_train = int(np.ceil(0.8 * m))
+        folds = out.set_index("i").loc[sub["i"], "fold"].tolist()
+        assert folds == ["train"] * n_train + ["test"] * (m - n_train)
+    # n=1..5 -> train counts 1,2,3,4,4
+    for k, exp_train in [(100, 1), (101, 2), (102, 3), (103, 4),
+                         (104, 4)]:
+        got_train = out[(out["k"] == k) & (out["fold"] == "train")]
+        assert len(got_train) == exp_train

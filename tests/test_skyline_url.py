@@ -332,3 +332,26 @@ def test_trend_slope_planted(ray_session):
     assert np.isclose(out.loc[1, "slope_per_day"], 2.0)
     assert np.isclose(out.loc[1, "intercept"], 3.0)
     assert 2 not in out.index
+
+
+def test_canonicalize_urls_cases(ray_session):
+    """Fragment stripped, trailing utm_*/fbclid params stripped
+    (single and stacked), mid-URL params and clean URLs untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.urlops import canonicalize_urls
+
+    cases = [
+        ("https://a.com/x?a=1", "https://a.com/x?a=1"),
+        ("https://a.com/x?a=1#frag", "https://a.com/x?a=1"),
+        ("https://a.com/x?utm_campaign=z", "https://a.com/x"),
+        ("https://a.com/x?a=1&utm_source=n", "https://a.com/x?a=1"),
+        ("https://a.com/x?a=1&utm_source=n&fbclid=22#s",
+         "https://a.com/x?a=1"),
+        ("https://a.com/x?utm_a=1&b=2", "https://a.com/x?utm_a=1&b=2"),
+        ("https://a.com/plain", "https://a.com/plain"),
+    ]
+    t = pa.table({"url": pa.array([c[0] for c in cases])})
+    out = canonicalize_urls(rd.from_arrow(t), "url").to_pandas()
+    assert out["canon_url"].tolist() == [c[1] for c in cases]
