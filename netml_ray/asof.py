@@ -64,6 +64,35 @@ def asof_match_indices(
     return out
 
 
+def asof_match_indices_forward(
+    lkeys, lts: np.ndarray, rkeys, rts: np.ndarray, strict: bool
+) -> np.ndarray:
+    """Per-key FORWARD as-of match: for each left row, the index of the
+    first right row with rts ≥ (or >) lts and equal key; -1 = no
+    match.  The mirror of :func:`asof_match_indices` — same sorted
+    inputs, same per-segment searchsorted shape."""
+    lkeys = np.asarray(lkeys)
+    rkeys = np.asarray(rkeys)
+    n = len(lts)
+    out = np.full(n, -1, dtype=np.int64)
+    if n == 0 or len(rts) == 0:
+        return out
+    r_starts = segment_starts(rkeys)
+    r_ends = np.r_[r_starts[1:], len(rkeys)]
+    rmap = {rkeys[s]: (s, e) for s, e in zip(r_starts, r_ends)}
+    l_starts = segment_starts(lkeys)
+    l_ends = np.r_[l_starts[1:], n]
+    side = "right" if strict else "left"
+    for s, e in zip(l_starts, l_ends):
+        seg = rmap.get(lkeys[s])
+        if seg is None:
+            continue
+        rs, re_ = seg
+        pos = np.searchsorted(rts[rs:re_], lts[s:e], side=side)
+        out[s:e] = np.where(pos < (re_ - rs), pos + rs, -1)
+    return out
+
+
 def asof_join(
     left,
     right,
@@ -73,22 +102,30 @@ def asof_join(
     *,
     strict: bool = False,
     tolerance: float | None = None,
+    direction: str = "backward",
     right_cols: list[str] | None = None,
     suffix: str = "_state",
     left_tiebreak: str | None = None,
     num_partitions: int | None = None,
 ):
-    """Backward as-of join of two Datasets (see module docstring).
+    """As-of join of two Datasets (see module docstring).
 
     Unmatched left rows keep nulls in the attached columns — filter
     afterwards for inner semantics.  ``tolerance`` (pandas merge_asof
-    parity): a match further back than ``tolerance`` is treated as no
+    parity): a match further than ``tolerance`` away is treated as no
     match (attached columns null).  Units are the ts columns' NATIVE
     units — MICROSECONDS for timestamp columns, raw values for
-    numerics.
-    """
+    numerics.  ``direction`` (pandas merge_asof parity): 'backward'
+    (default — latest right at or before), 'forward' (earliest right
+    at or after), 'nearest' (smaller absolute gap wins; EXACT tie →
+    backward, documented since pandas leaves it unspecified);
+    ``strict=True`` excludes exact-timestamp matches from either side
+    (allow_exact_matches=False)."""
     if tolerance is not None and tolerance < 0:
         raise ValueError("tolerance must be non-negative")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest,"
+                         f" got {direction!r}")
 
     def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         # ONE dictionary encode over both key columns → int codes whose
@@ -105,12 +142,37 @@ def asof_join(
         lkeys, rkeys = codes[:nl], codes[nl:]
         ltsv = _num_or_ts(lt[left_ts]).astype(np.float64)
         rtsv = _num_or_ts(rt[right_ts]).astype(np.float64)
-        idx = asof_match_indices(lkeys, ltsv, rkeys, rtsv, strict)
-        if tolerance is not None and len(idx):
+
+        def _with_tol(idx: np.ndarray, fwd: bool) -> np.ndarray:
+            if tolerance is None or not len(idx):
+                return idx
             ok = idx >= 0
             far = np.zeros(len(idx), dtype=bool)
-            far[ok] = (ltsv[ok] - rtsv[idx[ok]]) > tolerance
-            idx = np.where(far, -1, idx)
+            gap = (rtsv[idx[ok]] - ltsv[ok]) if fwd \
+                else (ltsv[ok] - rtsv[idx[ok]])
+            far[ok] = gap > tolerance
+            return np.where(far, -1, idx)
+
+        if direction == "backward":
+            idx = _with_tol(
+                asof_match_indices(lkeys, ltsv, rkeys, rtsv, strict),
+                fwd=False)
+        elif direction == "forward":
+            idx = _with_tol(
+                asof_match_indices_forward(lkeys, ltsv, rkeys, rtsv,
+                                           strict), fwd=True)
+        else:
+            b = _with_tol(
+                asof_match_indices(lkeys, ltsv, rkeys, rtsv, strict),
+                fwd=False)
+            f = _with_tol(
+                asof_match_indices_forward(lkeys, ltsv, rkeys, rtsv,
+                                           strict), fwd=True)
+            bg = np.where(b >= 0, ltsv - rtsv[np.maximum(b, 0)], np.inf)
+            fg = np.where(f >= 0, rtsv[np.maximum(f, 0)] - ltsv, np.inf)
+            # tie → backward (bg <= fg keeps the backward match)
+            idx = np.where(bg <= fg, b, f)
+            idx = np.where((b < 0) & (f < 0), -1, idx)
         mask = idx < 0
         take_idx = pa.array(np.where(mask, 0, idx), mask=mask)
         keep = right_cols if right_cols is not None else [c for c in rt.column_names if c != key]

@@ -306,3 +306,63 @@ def test_interval_overlap_join_vs_brute(ray_session):
             right_start="s", right_end="e").to_pandas()
         assert set(zip(got["a_id"], got["b_id"])) == exp
         assert len(got) == len(exp)
+
+
+def test_asof_directions_vs_pandas(ray_session):
+    """forward / nearest as-of == pandas merge_asof (per key, with
+    and without tolerance); nearest exact tie -> backward."""
+    import ray.data as rd
+
+    from netml_ray.asof import asof_join
+
+    rng = np.random.default_rng(13)
+    nl, nr = 1200, 700
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 20, nl)),
+        "t": pa.array(np.sort(rng.integers(0, 10_000, nl))
+                      .astype(np.int64)),
+        "lid": pa.array(np.arange(nl, dtype=np.int64)),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 20, nr)),
+        "t": pa.array(np.sort(np.unique(
+            rng.integers(0, 10_000, nr))).astype(np.int64)[:nr]),
+        "val": pa.array(rng.uniform(0, 1, nr).round(6)),
+    })
+    # drop duplicate (k, t) on the right for deterministic matches
+    rdf = (right.to_pandas().drop_duplicates(["k", "t"])
+           .sort_values("t").reset_index(drop=True))
+    ldf = left.to_pandas().sort_values("t").reset_index(drop=True)
+    rt = pa.Table.from_pandas(rdf, preserve_index=False)
+
+    for direction, tol in (("forward", None), ("forward", 800),
+                           ("nearest", None), ("nearest", 500),
+                           ("backward", 300)):
+        exp = pd.merge_asof(ldf, rdf.rename(columns={"t": "rt"}),
+                            left_on="t", right_on="rt", by="k",
+                            direction=direction,
+                            tolerance=tol)
+        got = (asof_join(rd.from_arrow(left).repartition(5),
+                         rd.from_arrow(rt).repartition(3),
+                         key="k", left_ts="t", right_ts="t",
+                         left_tiebreak="lid", direction=direction,
+                         tolerance=tol, suffix="_r")
+               .to_pandas().sort_values("lid")
+               .reset_index(drop=True))
+        exps = exp.sort_values("lid").reset_index(drop=True)
+        lhs = got["val"].to_numpy()
+        rhs = exps["val"].to_numpy()
+        both_nan = np.isnan(lhs) & np.isnan(rhs)
+        assert (both_nan | (lhs == rhs)).all(), direction
+    # exact tie -> backward: left at t=100, right at 50 and 150 won't
+    # tie; craft 90/110
+    lt = pa.table({"k": pa.array([1]), "t": pa.array([100],
+                                                     type=pa.int64()),
+                   "lid": pa.array([0], type=pa.int64())})
+    rtt = pa.table({"k": pa.array([1, 1]),
+                    "t": pa.array([90, 110], type=pa.int64()),
+                    "val": pa.array([1.0, 2.0])})
+    got = asof_join(rd.from_arrow(lt), rd.from_arrow(rtt), key="k",
+                    left_ts="t", right_ts="t", left_tiebreak="lid",
+                    direction="nearest").to_pandas()
+    assert got["val"].tolist() == [1.0]     # 10 vs 10 -> backward
