@@ -2921,6 +2921,37 @@ LEFT JOIN f ON f.event_id = v.event_id
 """
 
 
+def q_weighted_median_lineitem(sf_dir: str):
+    """Per-flag WEIGHTED (lower) median of extendedprice weighted by
+    quantity (featstats.weighted_median): smallest price whose
+    cumulative quantity reaches half the flag's total.  Integer-valued
+    weights make every cumulative sum exact in float64 on both
+    engines, so the half-total comparison is deterministic (no round
+    hedge needed).  ONE keyed exchange sorted by (key, value)."""
+    from netml_ray.featstats import weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return weighted_median(li, "l_returnflag", "l_extendedprice",
+                           "l_quantity", num_partitions=P)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH o AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem)
+SELECT l_returnflag,
+       min(v) FILTER (WHERE cum >= tot / 2) AS w_median,
+       max(tot) AS total_wt
+FROM o GROUP BY l_returnflag
+"""
+
+
 def q_semi_join_orders(sf_dir: str):
     """SQL EXISTS: orders placed by BUILDING-segment customers — the
     right side ships only its key column into the co-partitioned
@@ -6213,7 +6244,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moments_events / rolling_corr / seasonal_dev / chi2_docs /
         # interval_sweep / target_encode_oof)
         "decayed_sum_events": q_decayed_sum_events,
-        "burstiness_events": q_burstiness_events,
+        # (burstiness_events rotated to the tail for the weighted
+        # median: checker-verified r5 entry; its per-key count/Fano
+        # partial machinery is pinned in-window by moments_events and
+        # entropy_events)
+        "weighted_median_lineitem": q_weighted_median_lineitem,
         # (gini_docs rotated to the tail for the assortativity graph
         # addition: checker-verified long-green entry; its sort-cumsum
         # kernel is pytest-pinned and the count-partial shape stays
@@ -6345,6 +6380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats_docs": q_sentence_stats_docs,
         "jaro_winkler_docs": q_jaro_winkler_docs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
+        "burstiness_events": q_burstiness_events,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
         # rotations: all checker-verified r5 entries, kernels pinned
@@ -6685,6 +6721,7 @@ def oracle_sql() -> dict[str, str]:
         "traffic_matrix_events": SQL_TRAFFIC_MATRIX,
         "temporal_split_events": SQL_TEMPORAL_SPLIT,
         "asof_forward_events": SQL_ASOF_FORWARD,
+        "weighted_median_lineitem": SQL_WEIGHTED_MEDIAN,
         "asof_nearest_events": SQL_ASOF_NEAREST,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,

@@ -36,7 +36,7 @@ __all__ = [
     "kaplan_meier", "kendall_tau",
     "rfm_segment", "spearman_corr",
     "trend_slope", "zipf_slope",
-    "winsorized_group_stats", "traffic_matrix",
+    "winsorized_group_stats", "traffic_matrix", "weighted_median",
 ]
 
 
@@ -1106,3 +1106,63 @@ def traffic_matrix(ds, ts_col: str, *, round_to: int = 9) -> pa.Table:
         "n": pa.array(total[nz]),
         "share": pa.array(share),
     })
+
+
+def weighted_median(ds, key: str, val_col: str, wt_col: str, *,
+                    num_partitions: int | None = None) -> "object":
+    """Per-key WEIGHTED (lower) median: the smallest value v whose
+    cumulative weight (ordered by value) reaches half the key's total
+    weight — the robust center for weighted observations (price
+    weighted by quantity, score weighted by exposure).  Emits
+    (key, w_median, total_wt).
+
+    ONE keyed hash exchange sorted by (key, value); inside a partition
+    the per-run cumulative weight is a global cumsum minus the run's
+    base (vectorized), and the pick is one boolean argmax per run —
+    no per-key Python.  Tie groups are safe on both engines: every
+    row of a value shares the prefix-sum at the group's last row, so
+    the chosen v is order-independent within ties (the SQL states the
+    identical ``min(v) FILTER (cum >= tot/2)`` rule)."""
+    from netml_ray.partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        if m == 0:
+            return pa.table({key: t[key],
+                             "w_median": pa.array([], pa.float64()),
+                             "total_wt": pa.array([], pa.float64())})
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            starts[1:] = pc.not_equal(
+                arr.slice(1, m - 1), arr.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False)
+        sidx = np.flatnonzero(starts)
+        runlen = np.diff(np.append(sidx, m))
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[wt_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = np.cumsum(w)
+        base = np.repeat(np.r_[0.0, cs[sidx[1:] - 1]], runlen)
+        cum = cs - base
+        tot = np.add.reduceat(w, sidx)
+        half = np.repeat(tot / 2.0, runlen)
+        hit = cum >= half
+        # first hit per run (the run's LAST row always hits: cum there
+        # equals tot >= tot/2, so every run gets exactly one pick)
+        seg_id = np.repeat(np.arange(len(sidx)), runlen)
+        order = np.flatnonzero(hit)
+        seg_of_hit = seg_id[order]
+        seen_first = np.r_[True, seg_of_hit[1:] != seg_of_hit[:-1]]
+        first_hit = np.full(len(sidx), -1, dtype=np.int64)
+        first_hit[seg_of_hit[seen_first]] = order[seen_first]
+        return pa.table({
+            key: arr.take(pa.array(sidx)),
+            "w_median": pa.array(v[first_hit]),
+            "total_wt": pa.array(tot),
+        })
+
+    return partition_map(ds.select_columns([key, val_col, wt_col]),
+                         key, _fn, sort_by=[key, val_col],
+                         num_partitions=num_partitions)

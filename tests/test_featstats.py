@@ -796,3 +796,44 @@ def test_traffic_matrix_vs_pandas(ray_session):
     assert (merged["n"] == merged["n_ref"]).all()
     assert np.allclose(out["share"], out["n"] / out["n"].sum(),
                        atol=1e-9)
+
+
+def test_weighted_median_vs_brute(ray_session):
+    """Weighted lower median == the brute per-key sort + cumsum walk;
+    unweighted (wt=1) case equals the lower median; tie values safe."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import weighted_median
+
+    rng = np.random.default_rng(6)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n)),
+        "v": pa.array(rng.choice([1.0, 2.5, 2.5, 3.0, 7.5, 9.0], n)),
+        "w": pa.array(rng.integers(1, 9, n).astype(np.float64)),
+    })
+    pdf = t.to_pandas()
+    exp = {}
+    for k, sub in pdf.groupby("k"):
+        sub = sub.sort_values("v")
+        cum = sub["w"].cumsum().to_numpy()
+        tot = cum[-1]
+        v = sub["v"].to_numpy()
+        exp[k] = (float(v[np.argmax(cum >= tot / 2)]), float(tot))
+    for parts in (1, 6):
+        got = (weighted_median(rd.from_arrow(t).repartition(parts),
+                               "k", "v", "w")
+               .to_pandas().set_index("k"))
+        assert len(got) == len(exp)
+        for k, (wm, tot) in exp.items():
+            assert got.loc[k, "w_median"] == wm
+            assert got.loc[k, "total_wt"] == tot
+    # wt == 1 reduces to the classic lower median
+    ones = t.set_column(2, "w", pa.array(np.ones(n)))
+    got = (weighted_median(rd.from_arrow(ones), "k", "v", "w")
+           .to_pandas().set_index("k"))
+    for k, sub in pdf.groupby("k"):
+        v = np.sort(sub["v"].to_numpy())
+        lower_med = v[int(np.ceil(len(v) / 2)) - 1]
+        assert got.loc[k, "w_median"] == lower_med
