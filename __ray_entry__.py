@@ -2921,6 +2921,59 @@ LEFT JOIN f ON f.event_id = v.event_id
 """
 
 
+def q_event_paths_events(sf_dir: str):
+    """User journey strings (sequences.event_paths): the '>'-joined
+    event_type sequence of each user's FIRST 50 events in (ts,
+    event_id) order plus the joined count — ONE keyed exchange, paths
+    built with zero per-row Python (run starts → ListArray offsets →
+    one binary_join).  The SQL states the cap as a row_number
+    filter."""
+    from netml_ray.sequences import event_paths
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return event_paths(ev, "user_id", "ts", "event_type",
+                       tiebreak="event_id", max_len=50)
+
+
+SQL_EVENT_PATHS = """
+WITH x AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x WHERE rn <= 50 GROUP BY user_id
+"""
+
+
+def q_trigrams_events(sf_dir: str):
+    """Order-3 Markov transition counts (sequences.trigram_counts):
+    global (t1, t2, t3) adjacent-triple counts per user — the
+    combined-code bincount shape at k³, ≤ |types|³ partial rows per
+    partition, driver merge."""
+    from netml_ray.sequences import trigram_counts
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return trigram_counts(ev, "user_id", "ts", "event_type",
+                          tiebreak="event_id")
+
+
+SQL_TRIGRAMS = """
+WITH x AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM x WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+"""
+
+
 def q_weighted_median_lineitem(sf_dir: str):
     """Per-flag WEIGHTED (lower) median of extendedprice weighted by
     quantity (featstats.weighted_median): smallest price whose
@@ -6212,7 +6265,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pagerank additions: all three hold green r04 driver rows and
         # their kernels stay pytest-oracle-pinned; session STATS also
         # rides the rows-only netml_two_stage_events chain)
-        "forward_window_events": q_forward_window_events,
+        # (forward_window_events rotated to the tail for the event
+        # paths: checker-verified r5 entry; its segmented-searchsorted
+        # time-RANGE machinery is pinned in-window by rolling_corr and
+        # the asof_forward_events direction variant)
+        "event_paths_events": q_event_paths_events,
         # (knn_cosine_ivf_batch rotated to the tail for
         # time_to_purchase_events: the IVF family holds TWO green r04
         # driver rows — knn_cosine_ivf + the batch variant — and the
@@ -6243,7 +6300,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window/contingency machinery stays pinned in-window via
         # moments_events / rolling_corr / seasonal_dev / chi2_docs /
         # interval_sweep / target_encode_oof)
-        "decayed_sum_events": q_decayed_sum_events,
+        # (decayed_sum_events rotated to the tail for the trigram
+        # counts: checker-verified r5 entry; its pre-aggregated
+        # count-partial exchange is pinned in-window by moments_events
+        # and entropy_events)
+        "trigrams_events": q_trigrams_events,
         # (burstiness_events rotated to the tail for the weighted
         # median: checker-verified r5 entry; its per-key count/Fano
         # partial machinery is pinned in-window by moments_events and
@@ -6381,6 +6442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaro_winkler_docs": q_jaro_winkler_docs,
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "burstiness_events": q_burstiness_events,
+        "forward_window_events": q_forward_window_events,
+        "decayed_sum_events": q_decayed_sum_events,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
         # rotations: all checker-verified r5 entries, kernels pinned
@@ -6722,6 +6785,8 @@ def oracle_sql() -> dict[str, str]:
         "temporal_split_events": SQL_TEMPORAL_SPLIT,
         "asof_forward_events": SQL_ASOF_FORWARD,
         "weighted_median_lineitem": SQL_WEIGHTED_MEDIAN,
+        "event_paths_events": SQL_EVENT_PATHS,
+        "trigrams_events": SQL_TRIGRAMS,
         "asof_nearest_events": SQL_ASOF_NEAREST,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,

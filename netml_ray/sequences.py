@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "cohort_retention", "group_autocorr", "temporal_pairs",
            "active_users", "streaks", "scd2_intervals",
-           "time_weighted_avg", "debounce"]
+           "time_weighted_avg", "debounce", "event_paths",
+           "trigram_counts"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -727,3 +728,105 @@ def debounce(ds, key_cols: list, ts_col: str, gap_us: int, *,
 
     return partition_map(ds, k0, _fn,
                          sort_by=[k0] + rest + [ts_col, tiebreak])
+
+
+def event_paths(ds, key_col: str, ts_col: str, type_col: str, *,
+                tiebreak: str, max_len: int | None = None,
+                sep: str = ">", out_col: str = "path"):
+    """Per-key journey string: the ``sep``-joined sequence of
+    ``type_col`` values in (ts, tiebreak) order (optionally capped to
+    the FIRST ``max_len`` events — the scale hygiene bound, stated as
+    a row_number filter by the SQL oracle), plus the joined count —
+    the product-analytics "user path" table feeding funnel mining.
+
+    ONE keyed exchange; inside a partition the paths materialize with
+    ZERO per-row Python: run starts become ListArray offsets over the
+    (possibly capped) type column and one ``pc.binary_join`` emits
+    every key's string."""
+    from .partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: t[key_col],
+                             out_col: pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64())})
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        types = t[type_col].combine_chunks()
+        if max_len is not None:
+            rank = np.arange(t.num_rows, dtype=np.int64) - np.repeat(
+                starts, np.diff(np.r_[starts, t.num_rows]))
+            keep = rank < max_len
+            types = types.filter(pa.array(keep))
+            capped = np.minimum(np.diff(np.r_[starts, t.num_rows]),
+                                max_len)
+            offsets = np.r_[0, np.cumsum(capped)]
+        else:
+            offsets = np.r_[starts, t.num_rows]
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), types)
+        path = pc.binary_join(la, sep)
+        n = np.diff(offsets)
+        return pa.table({key_col: keys.take(pa.array(starts)),
+                         out_col: path,
+                         "n_events": pa.array(n.astype(np.int64))})
+
+    return partition_map(ds, key_col, _fn,
+                         sort_by=[key_col, ts_col, tiebreak])
+
+
+def trigram_counts(ds, key_col: str, ts_col: str, type_col: str, *,
+                   tiebreak: str) -> pa.Table:
+    """Global (t1, t2, t3) counts of three ADJACENT events per key —
+    the order-3 extension of :func:`transition_counts`, same
+    combined-code bincount shape (≤ |types|³ partial rows per
+    partition, run boundaries masked on both shifts)."""
+    from .partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "t3": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows < 3:
+            return empty
+        keys = t[key_col].combine_chunks()
+        _, run_id = _runs(keys)
+        enc = pc.dictionary_encode(t[type_col].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        k = len(enc.dictionary)
+        a, b, c = codes[:-2], codes[1:-1], codes[2:]
+        same = (run_id[:-2] == run_id[1:-1]) & \
+               (run_id[1:-1] == run_id[2:])
+        if not same.any():
+            return empty
+        comb = (a[same] * k + b[same]) * k + c[same]
+        cnt = np.bincount(comb, minlength=k * k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "t1": enc.dictionary.take(pa.array(nz // (k * k))),
+            "t2": enc.dictionary.take(pa.array((nz // k) % k)),
+            "t3": enc.dictionary.take(pa.array(nz % k)),
+            "n": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    partials = partition_map(ds, key_col, _fn,
+                             sort_by=[key_col, ts_col, tiebreak])
+    batches = list(partials.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    empty = pa.table({"t1": pa.array([], pa.string()),
+                      "t2": pa.array([], pa.string()),
+                      "t3": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not batches:
+        return empty
+    merged = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in batches])
+    if not merged.num_rows:
+        return empty
+    return (merged.group_by(["t1", "t2", "t3"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["t1", "t2", "t3", "n"])
+            .sort_by([("t1", "ascending"), ("t2", "ascending"),
+                      ("t3", "ascending")]))

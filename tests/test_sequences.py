@@ -513,3 +513,52 @@ def test_debounce_vs_brute(ray_session):
         got = debounce(rd.from_arrow(t).repartition(parts),
                        ["k", "et"], "ts", gap, tiebreak="i")
         assert set(got.to_pandas()["i"]) == exp
+
+
+def test_event_paths_vs_brute(ray_session):
+    """Journey strings == per-key python join (with and without the
+    max_len cap), any partitioning."""
+    import ray.data as rd
+
+    from netml_ray.sequences import event_paths
+
+    t = _mk(seed=21, n=2000, nkeys=40)
+    pdf = t.to_pandas().sort_values(["k", "ts", "i"])
+    for cap in (None, 10):
+        exp = {}
+        for k, sub in pdf.groupby("k"):
+            ets = sub["et"].tolist()
+            if cap is not None:
+                ets = ets[:cap]
+            exp[k] = (">".join(ets), len(ets))
+        for parts in (1, 6):
+            got = (event_paths(rd.from_arrow(t).repartition(parts),
+                               "k", "ts", "et", tiebreak="i",
+                               max_len=cap)
+                   .to_pandas().set_index("k"))
+            assert len(got) == len(exp)
+            for k, (p, n) in exp.items():
+                assert got.loc[k, "path"] == p
+                assert got.loc[k, "n_events"] == n
+
+
+def test_trigram_counts_vs_pandas(ray_session):
+    """Adjacent-triple counts == a double-shift pandas reference; no
+    triple crosses a key boundary."""
+    import ray.data as rd
+
+    from netml_ray.sequences import trigram_counts
+
+    t = _mk(seed=22)
+    pdf = t.to_pandas().sort_values(["k", "ts", "i"])
+    g = pdf.groupby("k")["et"]
+    ref = (pd.DataFrame({"t1": pdf["et"], "t2": g.shift(-1),
+                         "t3": g.shift(-2)})
+           .dropna().groupby(["t1", "t2", "t3"])
+           .size().rename("n").reset_index()
+           .sort_values(["t1", "t2", "t3"]).reset_index(drop=True))
+    for parts in (1, 6):
+        got = trigram_counts(
+            rd.from_arrow(t).repartition(parts), "k", "ts", "et",
+            tiebreak="i").to_pandas()
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
