@@ -411,6 +411,26 @@ def run_suite() -> dict:
             ("rfm", lambda: __import__(
                 "netml_ray.featstats", fromlist=["rfm_segment"])
                 .rfm_segment(sev, "user_id", "ts", "value")),
+            # r5 continuation-3 gaps-and-islands / sequence family
+            ("streaks", lambda: __import__(
+                "netml_ray.sequences", fromlist=["streaks"])
+                .streaks(sev, "user_id", "ts")),
+            ("scd2", lambda: __import__(
+                "netml_ray.sequences", fromlist=["scd2_intervals"])
+                .scd2_intervals(sev, "user_id", "ts", "event_type",
+                                tiebreak="event_id")),
+            ("twa", lambda: __import__(
+                "netml_ray.sequences", fromlist=["time_weighted_avg"])
+                .time_weighted_avg(sev, "user_id", "ts", "value",
+                                   tiebreak="event_id")),
+            ("debounce", lambda: __import__(
+                "netml_ray.sequences", fromlist=["debounce"])
+                .debounce(sev, ["user_id", "event_type"], "ts",
+                          5_000_000, tiebreak="event_id")),
+            ("paths", lambda: __import__(
+                "netml_ray.sequences", fromlist=["event_paths"])
+                .event_paths(sev, "user_id", "ts", "event_type",
+                             tiebreak="event_id", max_len=50)),
         ]:
             t0 = time.time()
             _consume(fn(), label)
