@@ -2974,6 +2974,89 @@ FROM x WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
 """
 
 
+def q_logodds_docs(sf_dir: str):
+    """Corpus keyness (textstats.logodds_tokens): smoothed log-odds
+    ratio (+0.5 prior) with z-scores for every token, src0 vs src1 —
+    the Monroe et al. "fightin' words" comparison next to the KL
+    divergence.  Per-batch (token, n_a, n_b) bincount partials over
+    only the two slices' rows, driver fold over O(vocab)."""
+    from netml_ray.textstats import logodds_tokens
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return logodds_tokens(docs, "text", "source", "src0", "src1",
+                          alpha=0.5, round_to=6)
+
+
+SQL_LOGODDS = r"""
+WITH d AS (
+  SELECT source,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END)
+           AS w
+  FROM documents WHERE source IN ('src0', 'src1')),
+c AS (
+  SELECT w,
+         CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT)
+           AS n_a,
+         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT)
+           AS n_b
+  FROM d GROUP BY w),
+t AS (SELECT sum(n_a) AS na_tot, sum(n_b) AS nb_tot FROM c)
+SELECT w, n_a, n_b,
+       round(ln((n_a + 0.5) / (na_tot - n_a + 0.5))
+             - ln((n_b + 0.5) / (nb_tot - n_b + 0.5)), 6) AS delta,
+       round((ln((n_a + 0.5) / (na_tot - n_a + 0.5))
+              - ln((n_b + 0.5) / (nb_tot - n_b + 0.5)))
+             / sqrt(1.0 / (n_a + 0.5) + 1.0 / (n_b + 0.5)), 6) AS z
+FROM c CROSS JOIN t
+"""
+
+
+def q_prop_ztest_events(sf_dir: str):
+    """Conversion A/B (mlprep.prop_ztest): pooled two-proportion z of
+    purchase rate, even vs odd user ids — ONE narrow pass folding four
+    ints per batch, driver statistic with the exact SQL expression."""
+    from netml_ray.mlprep import prop_ztest
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        par = pc.equal(
+            pc.bit_wise_and(t["user_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64()))
+        grp = pc.if_else(par, pa.scalar("even"), pa.scalar("odd"))
+        return pa.table({
+            "grp": grp,
+            "suc": pc.equal(t["event_type"], "purchase")})
+
+    return prop_ztest(ev.map_batches(_prep, batch_format="pyarrow"),
+                      "grp", "suc", "even", "odd", round_to=9)
+
+
+SQL_PROP_ZTEST = """
+WITH s AS (
+  SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+           AS n_a,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 0
+                               AND event_type = 'purchase') AS BIGINT)
+           AS k_a,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+           AS n_b,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 1
+                               AND event_type = 'purchase') AS BIGINT)
+           AS k_b
+  FROM events)
+SELECT n_a, k_a, n_b, k_b,
+       round(k_a / (1.0 * n_a), 9) AS p_a,
+       round(k_b / (1.0 * n_b), 9) AS p_b,
+       round((k_a / (1.0 * n_a) - k_b / (1.0 * n_b))
+             / sqrt(((k_a + k_b) / (1.0 * (n_a + n_b)))
+                    * (1 - (k_a + k_b) / (1.0 * (n_a + n_b)))
+                    * (1.0 / n_a + 1.0 / n_b)), 9) AS z
+FROM s
+"""
+
+
 def q_weighted_median_lineitem(sf_dir: str):
     """Per-flag WEIGHTED (lower) median of extendedprice weighted by
     quantity (featstats.weighted_median): smallest price whose
@@ -6259,7 +6342,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features_docs": q_url_features_docs,
         "readability_docs": q_readability_docs,
         "cusum_events": q_cusum_events,
-        "assoc_rules_events": q_assoc_rules_events,
+        # (assoc_rules_events rotated to the tail for the log-odds
+        # keyness: checker-verified r5 entry; its pair-expansion +
+        # count machinery is pinned in-window by triangle_census and
+        # the tail-green cooccur/basket rows)
+        "logodds_docs": q_logodds_docs,
         # (lang_id_docs / session_stats_events / heavy_hitters_docs
         # rotated to the tail for the r5 forward-window / seasonal /
         # pagerank additions: all three hold green r04 driver rows and
@@ -6281,7 +6368,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round, and the sessionize->features machinery stays in-window
         # through events_flagship plus the rows-only
         # netml_two_stage_events chain)
-        "seasonal_dev_events": q_seasonal_dev_events,
+        # (seasonal_dev_events rotated to the tail for the
+        # two-proportion z-test: checker-verified r5 entry; its
+        # calendar-bucket machinery is pinned in-window by the NEW
+        # traffic_matrix_events and by rolling_corr's window family)
+        "prop_ztest_events": q_prop_ztest_events,
         # -- text / curation / dedup / similarity
         # (dedup_exact_docs rotated to the tail for pmi_collocations_docs:
         # green r01-r04 driver rows; the exact-dedup kernel stays pinned
@@ -6443,6 +6534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations_docs": q_pmi_collocations_docs,
         "burstiness_events": q_burstiness_events,
         "forward_window_events": q_forward_window_events,
+        "seasonal_dev_events": q_seasonal_dev_events,
+        "assoc_rules_events": q_assoc_rules_events,
         "decayed_sum_events": q_decayed_sum_events,
         # (topk_per_group_events / rollup_events / ecdf_events just
         # outside the window since the streaks/scd2/time-weighted-avg
@@ -6786,6 +6879,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward_events": SQL_ASOF_FORWARD,
         "weighted_median_lineitem": SQL_WEIGHTED_MEDIAN,
         "event_paths_events": SQL_EVENT_PATHS,
+        "logodds_docs": SQL_LOGODDS,
+        "prop_ztest_events": SQL_PROP_ZTEST,
         "trigrams_events": SQL_TRIGRAMS,
         "asof_nearest_events": SQL_ASOF_NEAREST,
         "woe_iv_events": SQL_WOE_IV,

@@ -40,7 +40,7 @@ __all__ = ["fit_scaler", "transform_scaled", "woe_iv", "gains_table",
            "group_moments", "group_corr", "robust_zscore",
            "group_entropy", "group_mode", "mutual_information",
            "target_encode_oof", "frequency_encode", "welch_ttest",
-           "random_projection", "temporal_split"]
+           "random_projection", "temporal_split", "prop_ztest"]
 
 
 # ---------------------------------------------------------------------------
@@ -1488,3 +1488,51 @@ def temporal_split(ds, key: str, ts_col: str, *,
     return partition_map(ds, key, _fn,
                          sort_by=[key, ts_col, tiebreak],
                          num_partitions=num_partitions)
+
+
+def prop_ztest(ds, group_col: str, success_col: str,
+               group_a, group_b, *, round_to: int = 9) -> pa.Table:
+    """Two-proportion z-test (pooled): compare success rates between
+    two groups — the conversion A/B companion to ``welch_ttest``.
+    z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    rate.  ONE narrow pass: each batch folds to four ints, the driver
+    computes the statistic with the exact expression the SQL states.
+    Returns one row (n_a, k_a, n_b, k_b, p_a, p_b, z)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        s = pc.fill_null(t[success_col], False)
+        ia = pc.fill_null(pc.equal(g, group_a), False)
+        ib = pc.fill_null(pc.equal(g, group_b), False)
+        return pa.table({
+            "na": pa.array([pc.sum(pc.cast(ia, pa.int64())).as_py()
+                            or 0]),
+            "ka": pa.array([pc.sum(pc.cast(pc.and_(ia, s), pa.int64()))
+                            .as_py() or 0]),
+            "nb": pa.array([pc.sum(pc.cast(ib, pa.int64())).as_py()
+                            or 0]),
+            "kb": pa.array([pc.sum(pc.cast(pc.and_(ib, s), pa.int64()))
+                            .as_py() or 0]),
+        })
+
+    na = ka = nb = kb = 0
+    for r in ds.map_batches(_partial, batch_format="pyarrow") \
+               .take_all():
+        na += r["na"]; ka += r["ka"]; nb += r["nb"]; kb += r["kb"]
+    if na == 0 or nb == 0:
+        raise ValueError("prop_ztest: a group has no rows")
+    pa_, pb = ka / (1.0 * na), kb / (1.0 * nb)
+    pool = (ka + kb) / (1.0 * (na + nb))
+    z = (pa_ - pb) / np.sqrt(pool * (1 - pool)
+                             * (1.0 / na + 1.0 / nb))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "k_a": pa.array([ka], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "k_b": pa.array([kb], pa.int64()),
+        "p_a": pa.array([round(pa_, round_to)]),
+        "p_b": pa.array([round(pb, round_to)]),
+        "z": pa.array([round(float(z), round_to)]),
+    })

@@ -819,3 +819,31 @@ def test_temporal_split_vs_brute(ray_session):
                          (104, 4)]:
         got_train = out[(out["k"] == k) & (out["fold"] == "train")]
         assert len(got_train) == exp_train
+
+
+def test_prop_ztest_reference(ray_session):
+    """Pooled two-proportion z == the closed-form reference; planted
+    rate difference gives the right sign; empty group raises."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import prop_ztest
+
+    rng = np.random.default_rng(15)
+    n = 20000
+    grp = np.where(rng.random(n) < 0.5, "a", "b")
+    p = np.where(grp == "a", 0.30, 0.25)
+    suc = rng.random(n) < p
+    t = pa.table({"g": pa.array(grp), "s": pa.array(suc)})
+    out = prop_ztest(rd.from_arrow(t).repartition(6), "g", "s",
+                     "a", "b").to_pandas().iloc[0]
+    na = int((grp == "a").sum()); ka = int(suc[grp == "a"].sum())
+    nb = int((grp == "b").sum()); kb = int(suc[grp == "b"].sum())
+    pool = (ka + kb) / (na + nb)
+    z = (ka / na - kb / nb) / np.sqrt(pool * (1 - pool)
+                                      * (1 / na + 1 / nb))
+    assert out["n_a"] == na and out["k_a"] == ka
+    assert out["z"] == round(float(z), 9)
+    assert out["z"] > 2          # the planted +5pp difference shows
+    with pytest.raises(ValueError, match="no rows"):
+        prop_ztest(rd.from_arrow(t), "g", "s", "a", "zzz")

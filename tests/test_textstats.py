@@ -339,3 +339,51 @@ def test_rrf_fuse_reference():
     assert got[40] == round(1 / 62, 9)
     # 30 first (two lists), then ties 20/40 broken by id
     assert out["id"].to_pylist() == [30, 10, 20, 40]
+
+
+def test_logodds_tokens_vs_brute(ray_session):
+    """Smoothed log-odds keyness == a Counter brute force; a planted
+    A-only token gets a large positive z, B-only negative."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.textstats import logodds_tokens
+
+    rng = np.random.default_rng(14)
+    vocab = ["the", "fast", "cat", "dog", "runs"]
+    rows = []
+    for i in range(600):
+        src = "A" if i % 2 == 0 else "B"
+        words = list(rng.choice(vocab, 8))
+        if src == "A" and i % 10 == 0:
+            words.append("zonly")
+        if src == "B" and i % 10 == 1:
+            words.append("bonly")
+        rows.append((src, " ".join(words)))
+    # a third source that must be ignored
+    rows.append(("C", "the the the"))
+    t = pa.table({"source": pa.array([r[0] for r in rows]),
+                  "text": pa.array([r[1] for r in rows])})
+    out = (logodds_tokens(rd.from_arrow(t).repartition(5), "text",
+                          "source", "A", "B")
+           .to_pandas().set_index("w"))
+    ca: collections.Counter = collections.Counter()
+    cb: collections.Counter = collections.Counter()
+    for src, txt in rows:
+        if src == "A":
+            ca.update(txt.split())
+        elif src == "B":
+            cb.update(txt.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    for w in set(ca) | set(cb):
+        d = (np.log((ca[w] + 0.5) / (na - ca[w] + 0.5))
+             - np.log((cb[w] + 0.5) / (nb - cb[w] + 0.5)))
+        z = d / np.sqrt(1 / (ca[w] + 0.5) + 1 / (cb[w] + 0.5))
+        assert out.loc[w, "delta"] == round(float(d), 6)
+        assert out.loc[w, "z"] == round(float(z), 6)
+        assert out.loc[w, "n_a"] == ca[w] and out.loc[w, "n_b"] == cb[w]
+    assert out.loc["zonly", "z"] > 2
+    assert out.loc["bonly", "z"] < -2
