@@ -325,8 +325,8 @@ def test_asof_directions_vs_pandas(ray_session):
     })
     right = pa.table({
         "k": pa.array(rng.integers(0, 20, nr)),
-        "t": pa.array(np.sort(np.unique(
-            rng.integers(0, 10_000, nr))).astype(np.int64)[:nr]),
+        "t": pa.array(np.sort(rng.choice(10_000, size=nr,
+                                         replace=False)).astype(np.int64)),
         "val": pa.array(rng.uniform(0, 1, nr).round(6)),
     })
     # drop duplicate (k, t) on the right for deterministic matches
