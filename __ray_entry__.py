@@ -3088,6 +3088,141 @@ FROM o GROUP BY l_returnflag
 """
 
 
+def q_mann_kendall_events(sf_dir: str):
+    """Per-user Mann-Kendall monotone-trend test over the time-ordered
+    value sequence (featstats.mann_kendall): S over all (ts, event_id)-
+    ordered pairs, tie-corrected variance, continuity-corrected z.
+    Integer S and the int-derived variance are float-exact, so only
+    the final z needs the shared round hedge."""
+    from netml_ray.featstats import mann_kendall
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return mann_kendall(ev, "user_id", "ts", "value",
+                        tiebreak="event_id", min_n=5)
+
+
+SQL_MANN_KENDALL = """
+WITH e AS (SELECT user_id, ts, event_id, value AS v FROM events),
+p AS (
+  SELECT a.user_id,
+         CASE WHEN b.v > a.v THEN 1
+              WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))),
+sagg AS (SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s
+         FROM p GROUP BY user_id),
+tt AS (SELECT user_id, sum(c * (c - 1) * (2 * c + 5)) AS t
+       FROM (SELECT user_id, v, CAST(count(*) AS BIGINT) AS c
+             FROM e GROUP BY user_id, v) GROUP BY user_id),
+nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       FROM e GROUP BY user_id)
+SELECT nn.user_id, nn.n, sagg.s,
+       round((nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.t) / 18.0, 9)
+         AS var_s,
+       round(CASE
+         WHEN sagg.s > 0 THEN (sagg.s - 1)
+           / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.t) / 18.0)
+         WHEN sagg.s < 0 THEN (sagg.s + 1)
+           / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.t) / 18.0)
+         ELSE 0.0 END, 6) AS z
+FROM nn JOIN sagg USING (user_id) JOIN tt USING (user_id)
+WHERE nn.n >= 5
+  AND (nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.t) > 0
+"""
+
+
+def q_theil_sen_events(sf_dir: str):
+    """Per-user Theil-Sen robust slope of value over time
+    (featstats.theil_sen): LOWER median of all pairwise per-second
+    slopes over strictly-later pairs.  The median is an ELEMENT pick
+    (index (m-1)//2 of the slope sort), so both engines return the
+    identical float64; the slope expression is stated identically
+    ((v_j - v_i) / (dt_us / 1e6))."""
+    from netml_ray.featstats import theil_sen
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return theil_sen(ev, "user_id", "ts", "value", min_pairs=3)
+
+
+SQL_THEIL_SEN = """
+WITH e AS (SELECT user_id, ts, value AS v FROM events),
+p AS (
+  SELECT a.user_id,
+         (b.v - a.v)
+           / (date_diff('microsecond', a.ts, b.ts) / 1000000.0)
+           AS slope
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND a.ts < b.ts),
+r AS (SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY slope) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS c
+      FROM p)
+SELECT user_id, c AS n_pairs, round(slope, 9) AS ts_slope
+FROM r WHERE rn = (c + 1) // 2 AND c >= 3
+"""
+
+
+def q_interpolate_events(sf_dir: str):
+    """Per-user time-weighted linear interpolation of NULL values
+    (windows.interpolate_time): value is deterministically NULLed
+    where event_id % 7 == 0 (the ffill fixture), then each hole
+    between two surviving neighbours gets the time-fraction blend;
+    edge holes stay NULL.  The blend expression is stated identically
+    on both engines (pv + (nv - pv) * (dt1 / (1.0 * dt2)))."""
+    from netml_ray.windows import interpolate_time
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _holes(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        val = pc.if_else(pa.array(eid % 7 == 0),
+                         pa.nulls(len(eid), pa.float64()),
+                         t["value"].combine_chunks())
+        return t.set_column(t.schema.get_field_index("value"),
+                            "value", val)
+
+    out = interpolate_time(ev.map_batches(_holes, batch_format="pyarrow"),
+                           "user_id", "ts", "value",
+                           tiebreak="event_id", num_partitions=P)
+    return out.select_columns(["event_id", "user_id", "value_interp",
+                               "filled"])
+
+
+SQL_INTERPOLATE = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+w AS (
+  SELECT event_id, user_id, ts, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER wn AS nt
+  FROM e
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT event_id, user_id,
+       round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL
+              AND date_diff('microsecond', pt, nt) > 0
+           THEN pv + (nv - pv)
+                * (date_diff('microsecond', pt, ts)
+                   / (1.0 * date_diff('microsecond', pt, nt)))
+         ELSE NULL END, 9) AS value_interp,
+       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+        AND date_diff('microsecond', pt, nt) > 0) AS filled
+FROM w
+"""
+
+
 def q_semi_join_orders(sf_dir: str):
     """SQL EXISTS: orders placed by BUILDING-segment customers — the
     right side ships only its key column into the co-partitioned
@@ -6372,7 +6507,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-proportion z-test: checker-verified r5 entry; its
         # calendar-bucket machinery is pinned in-window by the NEW
         # traffic_matrix_events and by rolling_corr's window family)
-        "prop_ztest_events": q_prop_ztest_events,
+        # (prop_ztest_events then rotated to the tail for the
+        # Mann-Kendall test: checker-verified r5 entry; its four-int
+        # count-partial fold is pinned in-window by
+        # traffic_matrix_events' bincount partials and chi2_docs)
+        "mann_kendall_events": q_mann_kendall_events,
+        "theil_sen_events": q_theil_sen_events,
         # -- text / curation / dedup / similarity
         # (dedup_exact_docs rotated to the tail for pmi_collocations_docs:
         # green r01-r04 driver rows; the exact-dedup kernel stays pinned
@@ -6392,10 +6532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moments_events / rolling_corr / seasonal_dev / chi2_docs /
         # interval_sweep / target_encode_oof)
         # (decayed_sum_events rotated to the tail for the trigram
-        # counts: checker-verified r5 entry; its pre-aggregated
-        # count-partial exchange is pinned in-window by moments_events
-        # and entropy_events)
-        "trigrams_events": q_trigrams_events,
+        # counts; trigrams_events then rotated to the tail for the
+        # NULL interpolation: checker-verified r5 entry; its
+        # combined-code bincount is the transitions machinery, pinned
+        # in-window by the event_paths/debounce sequences family)
+        "interpolate_events": q_interpolate_events,
         # (burstiness_events rotated to the tail for the weighted
         # median: checker-verified r5 entry; its per-key count/Fano
         # partial machinery is pinned in-window by moments_events and
@@ -6439,7 +6580,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of: checker-verified r5 entry; its pairwise string-
         # distance kernel is the edit_distance sibling, both fuzz-
         # pinned in pytest against DuckDB's native scorer)
-        "asof_forward_events": q_asof_forward_events,
+        # (asof_forward_events then rotated to the tail for the new
+        # kernels: checker-verified r5 entry; BOTH as-of matchers
+        # stay pinned in-window — asof_nearest_events runs the
+        # forward matcher inside its smaller-gap pick, and
+        # asof_tolerance_events pins the backward+tolerance path)
         # (pmi_collocations_docs rotated to the tail for the nearest
         # as-of: checker-verified r5 entry; its hashed bigram-count
         # exchange is lm_bits' path (r04-green tail row) and its
@@ -6619,6 +6764,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # both checker-verified at both SFs every session since added)
         "benford_orders": q_benford_orders,
         "edit_distance_docs": q_edit_distance_docs,
+        # (rotated OUT for mann_kendall/theil_sen/interpolate — all
+        # three checker-verified r5 entries; kernel pins documented at
+        # their former in-window slots)
+        "prop_ztest_events": q_prop_ztest_events,
+        "trigrams_events": q_trigrams_events,
+        "asof_forward_events": q_asof_forward_events,
         # rows-only (non-SQL-expressible)
         "bpe_vocab_docs": q_bpe_vocab_docs,
         "bpe_tokens_docs": q_bpe_tokens_docs,
@@ -6882,6 +7033,9 @@ def oracle_sql() -> dict[str, str]:
         "logodds_docs": SQL_LOGODDS,
         "prop_ztest_events": SQL_PROP_ZTEST,
         "trigrams_events": SQL_TRIGRAMS,
+        "mann_kendall_events": SQL_MANN_KENDALL,
+        "theil_sen_events": SQL_THEIL_SEN,
+        "interpolate_events": SQL_INTERPOLATE,
         "asof_nearest_events": SQL_ASOF_NEAREST,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,

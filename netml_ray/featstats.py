@@ -33,8 +33,8 @@ import pyarrow.compute as pc
 __all__ = [
     "decayed_agg", "chi2_independence", "benford_digits",
     "burstiness", "cusum_stat", "gini", "group_ecdf",
-    "kaplan_meier", "kendall_tau",
-    "rfm_segment", "spearman_corr",
+    "kaplan_meier", "kendall_tau", "mann_kendall",
+    "rfm_segment", "spearman_corr", "theil_sen",
     "trend_slope", "zipf_slope",
     "winsorized_group_stats", "traffic_matrix", "weighted_median",
 ]
@@ -1166,3 +1166,184 @@ def weighted_median(ds, key: str, val_col: str, wt_col: str, *,
     return partition_map(ds.select_columns([key, val_col, wt_col]),
                          key, _fn, sort_by=[key, val_col],
                          num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall(ds, key_col: str, ts_col: str, val_col: str, *,
+                 tiebreak: str | None = None, min_n: int = 5,
+                 round_var: int = 9, round_z: int = 6,
+                 knight_threshold: int = 2048,
+                 pair_chunk: int = 1 << 24):
+    """Per-key Mann-Kendall monotone-trend test over the time-ordered
+    value sequence: ``S = sum_{i<j} sign(v_j - v_i)`` (pairs in
+    ``(ts, tiebreak)`` order), tie-corrected variance ``var_S =
+    (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18`` over the value-tie
+    groups, and the continuity-corrected normal statistic ``z =
+    (S -/+ 1)/sqrt(var_S)`` (0 when S = 0).  The non-parametric
+    drift detector feature-stores run next to CUSUM — no slope model
+    assumed (reference analog: parser.py's per-flow trend quirks are
+    parametric; this is the robust recast).
+
+    Scale shape: the kendall_tau machinery with the x side replaced
+    by the within-run position (strictly increasing, so no x ties):
+    ONE ``partition_map`` hash exchange on ``key_col``; short runs go
+    through the chunk-bounded segmented pair expansion, runs longer
+    than ``knight_threshold`` through Knight's O(n log n) inversion
+    count — both exact, agreeing bitwise on S and the tie counts.
+    Keys with ``n < min_n`` or zero variance (all values tied) drop.
+    """
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                key_col: pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+                "var_s": pa.array([], type=pa.float64()),
+                "z": pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        cnt = np.bincount(run_id)
+        nruns = len(cnt)
+        s_stat = np.zeros(nruns, dtype=np.int64)
+        big = cnt > knight_threshold
+        for r in np.flatnonzero(big):  # few by contract
+            st, ln = starts[r], cnt[r]
+            vr = v[st:st + ln]
+            n0 = ln * (ln - 1) // 2
+            yr = np.searchsorted(np.sort(vr), vr, side="left")
+            swaps = _inversions_sorted_runs(yr)
+            n2 = _tie_pair_count(np.sort(vr))
+            s_stat[r] = n0 - n2 - 2 * swaps
+        small_mask = ~big[run_id]
+        if small_mask.any():
+            pos = np.arange(n) - starts[run_id]
+            partners = np.where(small_mask, pos, 0)
+            total_pairs = int(partners.sum())
+            block_start = np.cumsum(partners) - partners
+            j_all = np.repeat(np.arange(n), partners)
+            for lo in range(0, total_pairs, pair_chunk):
+                hi = min(lo + pair_chunk, total_pairs)
+                j = j_all[lo:hi]
+                i = np.arange(lo, hi) - block_start[j] + starts[run_id[j]]
+                s_stat += np.bincount(
+                    run_id[j], weights=np.sign(v[j] - v[i]),
+                    minlength=nruns).astype(np.int64)
+        # tie-corrected variance: per-run value-tie group sizes
+        order = np.lexsort((v, run_id))
+        vs, rs = v[order], run_id[order]
+        gfirst = np.r_[True, (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])]
+        gstart = np.flatnonzero(gfirst)
+        gsize = np.diff(np.r_[gstart, n]).astype(np.int64)
+        term = gsize * (gsize - 1) * (2 * gsize + 5)
+        tie_term = np.bincount(rs[gstart], weights=term.astype(np.float64),
+                               minlength=nruns)
+        cn = cnt.astype(np.int64)
+        var_s = (cn * (cn - 1) * (2 * cn + 5) - tie_term) / 18.0
+        ok = (cn >= min_n) & (var_s > 0)
+        sd = np.sqrt(np.where(ok, var_s, 1.0))
+        z = np.where(s_stat > 0, (s_stat - 1) / sd,
+                     np.where(s_stat < 0, (s_stat + 1) / sd, 0.0))
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({
+            key_col: keys,
+            "n": pa.array(cn),
+            "s": pa.array(s_stat),
+            "var_s": pa.array(np.round(var_s, round_var)),
+            "z": pa.array(np.round(z, round_z))})
+        return out.filter(pa.array(ok))
+
+    cols = [key_col, ts_col, val_col] + ([tiebreak] if tiebreak else [])
+    sort_by = [key_col, ts_col] + ([tiebreak] if tiebreak else [])
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=sort_by)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope
+# ---------------------------------------------------------------------------
+
+
+def theil_sen(ds, key_col: str, ts_col: str, val_col: str, *,
+              min_pairs: int = 3, round_to: int = 9,
+              pair_chunk: int = 1 << 24):
+    """Per-key Theil-Sen slope: the LOWER median of all pairwise
+    slopes ``(v_j - v_i) / ((t_j - t_i)/1e6)`` over time pairs with
+    ``t_j > t_i`` (per-second units; equal-timestamp pairs are
+    excluded on both engines).  The breakdown-robust alternative to
+    the OLS ``trend_slope`` — up to ~29% outliers cannot move it.
+
+    Scale shape: ONE ``partition_map`` hash exchange; pair expansion
+    is segmented and evaluated in ``pair_chunk`` slices so memory
+    stays flat, then one lexsort of (run, slope) picks each run's
+    lower-median element (index ``(m-1)//2``) — deterministic because
+    the pick is an ELEMENT, not an average.  Inherently O(n_k^2)
+    pairs per key: the per-entity-small-n contract shared with
+    kendall_tau/mann_kendall (document the partition bound when keys
+    can be hot)."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], type=(
+                t[key_col].type if t.num_rows or t.column_names
+                else pa.int64())),
+            "n_pairs": pa.array([], type=pa.int64()),
+            "ts_slope": pa.array([], type=pa.float64())})
+        if not t.num_rows:
+            return empty
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        x = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        pos = np.arange(n) - starts[run_id]
+        total_pairs = int(pos.sum())
+        if total_pairs == 0:
+            return empty
+        block_start = np.cumsum(pos) - pos
+        j_all = np.repeat(np.arange(n), pos)
+        rid_parts, slope_parts = [], []
+        for lo in range(0, total_pairs, pair_chunk):
+            hi = min(lo + pair_chunk, total_pairs)
+            j = j_all[lo:hi]
+            i = np.arange(lo, hi) - block_start[j] + starts[run_id[j]]
+            dt = x[j] - x[i]
+            keep = dt > 0
+            if not keep.any():
+                continue
+            dt_s = dt[keep].astype(np.float64) / 1000000.0
+            slope_parts.append((v[j][keep] - v[i][keep]) / dt_s)
+            rid_parts.append(run_id[j][keep])
+        if not rid_parts:
+            return empty
+        rid = np.concatenate(rid_parts)
+        slopes = np.concatenate(slope_parts)
+        order = np.lexsort((slopes, rid))
+        rid_s, slopes_s = rid[order], slopes[order]
+        m = np.bincount(rid_s, minlength=len(starts))
+        has = m > 0
+        first = np.cumsum(m) - m              # start offset per run
+        med_idx = first + (m - 1) // 2
+        ok = has & (m >= min_pairs)
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({
+            key_col: keys,
+            "n_pairs": pa.array(m.astype(np.int64)),
+            "ts_slope": pa.array(np.round(
+                slopes_s[np.minimum(med_idx, len(slopes_s) - 1)],
+                round_to))})
+        return out.filter(pa.array(ok))
+
+    return partition_map(ds.select_columns([key_col, ts_col, val_col]),
+                         key_col, _fin, sort_by=[key_col, ts_col])

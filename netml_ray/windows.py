@@ -1211,3 +1211,65 @@ def melt(ds, id_cols: list, value_cols: list, *,
 
     return ds.select_columns(icols + vcols).map_batches(
         _f, batch_format="pyarrow")
+
+
+def interpolate_time(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    *,
+    tiebreak: str | None = None,
+    out_col: str | None = None,
+    round_to: int = 9,
+    num_partitions: int | None = None,
+):
+    """Per-key time-weighted LINEAR interpolation of NULL values —
+    the gap-repair sibling of ``add_fill``: a NULL row between two
+    non-NULL neighbours (in ``(ts, tiebreak)`` order within its key)
+    gets ``prev + (next - prev) * ((ts - t_prev) / (t_next -
+    t_prev))``; leading/trailing NULL runs (no neighbour on one side)
+    and zero-width gaps (``t_next == t_prev``) stay NULL.  Appends
+    ``out_col`` (default ``<val>_interp``, rounded) and a ``filled``
+    flag (row was NULL and got a value).
+
+    Scale shape: ONE ``partition_map`` hash exchange; inside a
+    partition the strict previous/next non-NULL row indices come from
+    the same global-cummax ``_fill_indices`` trick ``add_fill`` uses
+    (no per-segment loop), and the blend is three vectorized float64
+    ops whose order matches the SQL expression exactly
+    (``pv + (nv - pv) * (dt1 / (1.0 * dt2))``)."""
+    out_col = out_col or (val_col + "_interp")
+    sort_by = [key, ts_col] + ([tiebreak] if tiebreak else [])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        codes = _key_codes(t, key)
+        arr = t[val_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = np.asarray(pc.is_valid(arr))
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = _fill_indices(codes, valid, backward=False)
+        nxt = _fill_indices(codes, valid, backward=True)
+        have = (prev >= 0) & (nxt >= 0)
+        pi, ni = np.maximum(prev, 0), np.maximum(nxt, 0)
+        pv, nv = v[pi], v[ni]
+        dt2 = (tsv[ni] - tsv[pi]).astype(np.float64)
+        gap_ok = have & (dt2 > 0)
+        frac = np.divide((tsv - tsv[pi]).astype(np.float64), dt2,
+                         out=np.zeros(len(v)), where=gap_ok)
+        interp = pv + (nv - pv) * frac
+        outv = np.where(valid, v, interp)
+        ok = valid | (~valid & gap_ok)
+        res = pc.if_else(pa.array(ok),
+                         pa.array(np.round(outv, round_to)),
+                         pa.nulls(len(v), pa.float64()))
+        return (t.append_column(out_col, res)
+                .append_column("filled", pa.array(~valid & ok)))
+
+    return partition_map(ds, key, _fn, sort_by=sort_by,
+                         num_partitions=num_partitions)

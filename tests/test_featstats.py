@@ -837,3 +837,90 @@ def test_weighted_median_vs_brute(ray_session):
         v = np.sort(sub["v"].to_numpy())
         lower_med = v[int(np.ceil(len(v) / 2)) - 1]
         assert got.loc[k, "w_median"] == lower_med
+
+
+def test_mann_kendall_vs_brute_both_paths(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import mann_kendall
+
+    rng = np.random.default_rng(59)
+    keys, ts, vs = [], [], []
+    for k in range(30):
+        m = int(rng.integers(5, 40))
+        keys += [k] * m
+        ts += list(np.sort(rng.choice(10_000, m, replace=False)))
+        # integer-ish values for heavy ties
+        vs += list(rng.integers(0, 6, m).astype(float))
+    t = pa.table({"k": pa.array(keys),
+                  "ts": pa.array(np.array(ts, dtype=np.int64)),
+                  "v": pa.array(vs),
+                  "id": pa.array(np.arange(len(keys)))})
+
+    def brute(v):
+        n = len(v)
+        s = sum(np.sign(v[j] - v[i])
+                for i in range(n) for j in range(i + 1, n))
+        _, c = np.unique(v, return_counts=True)
+        var = (n * (n - 1) * (2 * n + 5)
+               - (c * (c - 1) * (2 * c + 5)).sum()) / 18.0
+        if n < 5 or var <= 0:
+            return None
+        z = (s - 1) / np.sqrt(var) if s > 0 else (
+            (s + 1) / np.sqrt(var) if s < 0 else 0.0)
+        return int(s), var, z
+
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "ts": ts, "v": vs}).sort_values(
+        ["k", "ts"])
+    exp = {k: brute(g.v.to_numpy()) for k, g in df.groupby("k")}
+    exp = {k: e for k, e in exp.items() if e is not None}
+
+    for thr in (2048, 1):
+        out = mann_kendall(rd.from_arrow(t).repartition(4), "k", "ts",
+                           "v", tiebreak="id",
+                           knight_threshold=thr).to_pandas() \
+            .set_index("k").sort_index()
+        assert set(out.index) == set(exp), thr
+        for k, (s, var, z) in exp.items():
+            assert out.loc[k, "s"] == s, (thr, k)
+            assert np.isclose(out.loc[k, "var_s"], var), (thr, k)
+            assert np.isclose(out.loc[k, "z"], round(z, 6),
+                              atol=1e-6), (thr, k)
+
+
+def test_theil_sen_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import theil_sen
+
+    rng = np.random.default_rng(60)
+    keys, ts, vs = [], [], []
+    for k in range(25):
+        m = int(rng.integers(3, 40))
+        keys += [k] * m
+        # repeated timestamps sometimes (dt=0 pairs must drop)
+        ts += list(np.sort(rng.integers(0, 500, m)) * 1_000_000)
+        vs += list((rng.uniform(-1, 1, m) + 0.01 * k
+                    * np.arange(m)).round(6))
+    t = pa.table({"k": pa.array(keys),
+                  "ts": pa.array(np.array(ts, dtype=np.int64)),
+                  "v": pa.array(vs)})
+
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "ts": ts, "v": vs})
+    exp = {}
+    for k, g in df.groupby("k"):
+        x, v = g.ts.to_numpy(), g.v.to_numpy()
+        sl = [(v[j] - v[i]) / ((x[j] - x[i]) / 1e6)
+              for i in range(len(x)) for j in range(i + 1, len(x))
+              if x[j] > x[i]]
+        if len(sl) >= 3:
+            exp[k] = (len(sl), np.sort(np.array(sl))[(len(sl) - 1) // 2])
+
+    out = theil_sen(rd.from_arrow(t).repartition(5), "k", "ts",
+                    "v").to_pandas().set_index("k").sort_index()
+    assert set(out.index) == set(exp)
+    for k, (m, med) in exp.items():
+        assert out.loc[k, "n_pairs"] == m, k
+        assert out.loc[k, "ts_slope"] == round(med, 9), k

@@ -604,3 +604,43 @@ def test_fast_path_featstats(ray_session, monkeypatch):
         dist, fast = _both_ways(monkeypatch, run)
         pd.testing.assert_frame_equal(_norm(dist, keys),
                                       _norm(fast, keys))
+
+
+def test_fast_path_mk_theilsen_interp(ray_session, monkeypatch):
+    """fast == distributed for the mann_kendall / theil_sen /
+    interpolate_time consumers (all run-segmented by construction)."""
+    import ray.data as rd
+
+    from netml_ray.featstats import mann_kendall, theil_sen
+    from netml_ray.windows import interpolate_time
+
+    rng = np.random.default_rng(22)
+    n = 4000
+    v = rng.integers(0, 9, n).astype(float)
+    v[rng.integers(0, n, n // 5)] = np.nan
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 50, n)),
+        "ts": pa.array(np.sort(rng.integers(0, 10**9, n))
+                       .astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.normal(5, 2, n).round(3)),
+        "vn": pa.array(v),
+    })
+
+    def run_mk():
+        return mann_kendall(rd.from_arrow(t).repartition(6), "k",
+                            "ts", "v", tiebreak="id").to_pandas()
+
+    def run_ts():
+        return theil_sen(rd.from_arrow(t).repartition(6), "k", "ts",
+                         "v").to_pandas()
+
+    def run_interp():
+        return interpolate_time(rd.from_arrow(t).repartition(6), "k",
+                                "ts", "vn", tiebreak="id").to_pandas()
+
+    for run, keys in ((run_mk, ["k"]), (run_ts, ["k"]),
+                      (run_interp, ["id"])):
+        dist, fast = _both_ways(monkeypatch, run)
+        pd.testing.assert_frame_equal(_norm(dist, keys),
+                                      _norm(fast, keys))

@@ -343,3 +343,53 @@ def test_add_ewma_matches_pandas(ray_session):
                .to_pandas().sort_values("i"))
         np.testing.assert_allclose(out["v_ewm"].to_numpy(),
                                    np.round(want, 9), atol=2e-9)
+
+
+def test_interpolate_time_matches_pandas(ray_session):
+    """Per-key time-weighted linear interpolation vs the pandas
+    per-group oracle (interpolate(method='index') restricted to
+    interior holes), including an all-null key, leading/trailing
+    holes, and tied-timestamp gaps (stay null)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.windows import interpolate_time
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    ts_us = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": ts_us,
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(size=n).round(3),
+    })
+    df.loc[df.event_id % 3 == 0, "value"] = np.nan
+    df.loc[df.user_id == 5, "value"] = np.nan   # all-null key
+
+    out = interpolate_time(
+        rd.from_arrow(pa.Table.from_pandas(df)), "user_id", "ts",
+        "value", tiebreak="event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    exp_parts = []
+    for k, g in s.groupby("user_id"):
+        gi = g.set_index(pd.Index(g.ts.to_numpy().astype(float)))
+        interp = gi["value"].interpolate(
+            method="index", limit_area="inside").to_numpy()
+        exp_parts.append(pd.DataFrame({
+            "event_id": g.event_id.to_numpy(), "exp": interp}))
+    exp = (pd.concat(exp_parts).sort_values("event_id")
+           .reset_index(drop=True))
+    got = out["value_interp"].to_numpy()
+    want = np.round(exp["exp"].to_numpy(), 9)
+    both_nan = np.isnan(got) & np.isnan(want)
+    assert (both_nan | np.isclose(got, want, atol=1e-9,
+                                  equal_nan=False)).all()
+    # filled flag: was-null rows that got a value
+    was_null = df.sort_values("event_id")["value"].isna().to_numpy()
+    assert (out["filled"].to_numpy()
+            == (was_null & ~np.isnan(got))).all()
