@@ -3223,6 +3223,126 @@ FROM w
 """
 
 
+def q_circadian_events(sf_dir: str):
+    """Per-user circular time-of-day statistics
+    (featstats.circular_daytime): mean resultant components and
+    concentration r over the within-day angle.  Trig is <=1 ulp
+    apart across engines and per-key sums associate differently —
+    the shared round-6 hedge."""
+    from netml_ray.featstats import circular_daytime
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return circular_daytime(ev, "user_id", "ts", min_n=2)
+
+
+SQL_CIRCADIAN = """
+WITH s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(cos(2 * pi() * ((epoch_us(ts) % 86400000000)
+                             / 86400000000.0))) AS cs,
+         sum(sin(2 * pi() * ((epoch_us(ts) % 86400000000)
+                             / 86400000000.0))) AS ss
+  FROM events GROUP BY user_id)
+SELECT user_id, n,
+       round(cs / n, 6) AS c_bar,
+       round(ss / n, 6) AS s_bar,
+       round(sqrt((cs / n) * (cs / n) + (ss / n) * (ss / n)), 6) AS r
+FROM s WHERE n >= 2
+"""
+
+
+def q_changepoint_events(sf_dir: str):
+    """Per-user CUSUM change-point LOCATION (featstats.changepoint):
+    values scaled to integers (round(v*100)) make the bridge
+    deviation |n*S_k - k*S_n| exact int64 on both engines, so the
+    first-argmax position and its timestamp are deterministic; the
+    normalized magnitude derives from those exact ints by the
+    identical float expression (round-6)."""
+    from netml_ray.featstats import changepoint
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return changepoint(ev, "user_id", "ts", "value",
+                       tiebreak_col="event_id", scale=100, min_n=4)
+
+
+SQL_CHANGEPOINT = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+w AS (
+  SELECT user_id, ts, v,
+         row_number() OVER wk AS k,
+         sum(v) OVER (wk ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(v) OVER (PARTITION BY user_id) AS tot,
+         sum(v * v) OVER (PARTITION BY user_id) AS svv,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+  WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (
+  SELECT user_id, ts, n, k, tot, svv,
+         abs(n * cum - k * tot) AS dev
+  FROM w),
+p AS (
+  SELECT user_id, n, k, ts, dev, tot, svv,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY dev DESC, k) AS rn
+  FROM d)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_star,
+       ts AS ts_star,
+       round(dev / ((n * sqrt(svv / (1.0 * n)
+                              - (tot / (1.0 * n)) * (tot / (1.0 * n))))
+                    * sqrt(1.0 * n)), 6) AS magnitude
+FROM p
+WHERE rn = 1 AND n >= 4
+  AND (svv / (1.0 * n) - (tot / (1.0 * n)) * (tot / (1.0 * n))) > 0
+"""
+
+
+def q_runs_test_events(sf_dir: str):
+    """Per-user Wald-Wolfowitz runs test around the key's
+    lower-median value (featstats.runs_test): run/above counts are
+    integers, so E[R]/Var[R]/z reproduce bit-for-bit from the same
+    closed forms (single round-6 on z)."""
+    from netml_ray.featstats import runs_test
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return runs_test(ev, "user_id", "ts", "value",
+                     tiebreak_col="event_id", min_each=2)
+
+
+SQL_RUNS_TEST = """
+WITH e AS (SELECT user_id, ts, event_id, value AS v FROM events),
+m AS (SELECT user_id, v AS med FROM (
+        SELECT user_id, v,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY v) AS rv,
+               count(*) OVER (PARTITION BY user_id) AS c
+        FROM e) WHERE rv = (c + 1) // 2),
+lab AS (SELECT e.user_id, e.ts, e.event_id, (e.v > m.med) AS ab
+        FROM e JOIN m USING (user_id)),
+r AS (SELECT user_id, ab,
+             CASE WHEN lag(ab) OVER w IS NULL
+                  OR ab <> lag(ab) OVER w THEN 1 ELSE 0 END AS newrun
+      FROM lab
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+agg AS (SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE ab) AS BIGINT) AS n1,
+               CAST(sum(newrun) AS BIGINT) AS n_runs
+        FROM r GROUP BY user_id)
+SELECT user_id, n, n1 AS n_above, n_runs,
+       round((n_runs - (1.0 + (2.0 * n1 * (n - n1)) / n))
+             / sqrt((2.0 * n1 * (n - n1)
+                     * ((2.0 * n1 * (n - n1)) - n))
+                    / ((1.0 * n * n) * (n - 1.0))), 6) AS z
+FROM agg
+WHERE n1 >= 2 AND (n - n1) >= 2
+  AND (2.0 * n1 * (n - n1) * ((2.0 * n1 * (n - n1)) - n)) > 0
+"""
+
+
 def q_semi_join_orders(sf_dir: str):
     """SQL EXISTS: orders placed by BUILDING-segment customers — the
     right side ships only its key column into the co-partitioned
@@ -6541,7 +6661,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # median: checker-verified r5 entry; its per-key count/Fano
         # partial machinery is pinned in-window by moments_events and
         # entropy_events)
-        "weighted_median_lineitem": q_weighted_median_lineitem,
+        # (weighted_median_lineitem then rotated to the tail for the
+        # runs test: checker-verified r5 entry; its sorted-run
+        # element-pick machinery is pinned in-window by runs_test's
+        # lower-median pick and the approx-quantile family)
+        "runs_test_events": q_runs_test_events,
         # (gini_docs rotated to the tail for the assortativity graph
         # addition: checker-verified long-green entry; its sort-cumsum
         # kernel is pytest-pinned and the count-partial shape stays
@@ -6563,7 +6687,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window by cusum_events' partition_map kernels, zipf's
         # select_k + driver-OLS shape by weighted_topk_sample_docs
         # and rrf_fusion_docs)
-        "debounce_events": q_debounce_events,
+        # (debounce_events then rotated to the tail for the CUSUM
+        # change-point location: checker-verified r5 entry; its
+        # shifted-comparison machinery is pinned in-window by the
+        # streaks/scd2 gaps-and-islands family)
+        "changepoint_events": q_changepoint_events,
         "bfs_hops_partsupp": q_bfs_hops_partsupp,
         # (attribution_events / stratified_sample_docs /
         # sentence_stats_docs rotated to the tail for the
@@ -6574,7 +6702,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the NEW temporal_split_events (same shape), sentence_stats'
         # RE2 map parity by the NEW canonical_urls_docs)
         "canonical_urls_docs": q_canonical_urls_docs,
-        "traffic_matrix_events": q_traffic_matrix_events,
+        # (traffic_matrix_events rotated to the tail for the circular
+        # day-time stats: checker-verified r5 entry; its per-batch
+        # calendar-bincount partial + driver fold is EXACTLY the shape
+        # circular_daytime rides, which now pins it in-window)
+        "circadian_events": q_circadian_events,
         "temporal_split_events": q_temporal_split_events,
         # (jaro_winkler_docs rotated to the tail for the forward
         # as-of: checker-verified r5 entry; its pairwise string-
@@ -6770,6 +6902,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prop_ztest_events": q_prop_ztest_events,
         "trigrams_events": q_trigrams_events,
         "asof_forward_events": q_asof_forward_events,
+        # (rotated OUT for circadian/changepoint/runs_test — all three
+        # checker-verified r5 entries; kernel pins documented at their
+        # former in-window slots)
+        "traffic_matrix_events": q_traffic_matrix_events,
+        "weighted_median_lineitem": q_weighted_median_lineitem,
+        "debounce_events": q_debounce_events,
         # rows-only (non-SQL-expressible)
         "bpe_vocab_docs": q_bpe_vocab_docs,
         "bpe_tokens_docs": q_bpe_tokens_docs,
@@ -7036,6 +7174,9 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall_events": SQL_MANN_KENDALL,
         "theil_sen_events": SQL_THEIL_SEN,
         "interpolate_events": SQL_INTERPOLATE,
+        "circadian_events": SQL_CIRCADIAN,
+        "changepoint_events": SQL_CHANGEPOINT,
+        "runs_test_events": SQL_RUNS_TEST,
         "asof_nearest_events": SQL_ASOF_NEAREST,
         "woe_iv_events": SQL_WOE_IV,
         "spearman_events": SQL_SPEARMAN,

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 __all__ = [
     "decayed_agg", "chi2_independence", "benford_digits",
-    "burstiness", "cusum_stat", "gini", "group_ecdf",
+    "burstiness", "changepoint", "circular_daytime",
+    "cusum_stat", "gini", "group_ecdf", "runs_test",
     "kaplan_meier", "kendall_tau", "mann_kendall",
     "rfm_segment", "spearman_corr", "theil_sen",
     "trend_slope", "zipf_slope",
@@ -1347,3 +1348,229 @@ def theil_sen(ds, key_col: str, ts_col: str, val_col: str, *,
 
     return partition_map(ds.select_columns([key_col, ts_col, val_col]),
                          key_col, _fin, sort_by=[key_col, ts_col])
+
+
+# ---------------------------------------------------------------------------
+# circular (hour-of-day) statistics
+# ---------------------------------------------------------------------------
+
+
+def circular_daytime(ds, key_col: str, ts_col: str, *,
+                     min_n: int = 2, round_to: int = 6):
+    """Per-key circular statistics of the time-of-day: each event's
+    within-day position becomes an angle ``theta = 2*pi * (us_in_day /
+    86400e6)`` and the key gets the mean resultant components
+    ``c_bar = mean(cos theta)``, ``s_bar = mean(sin theta)`` and the
+    concentration ``r = sqrt(c_bar^2 + s_bar^2)`` (1 = all events at
+    the same clock time, 0 = uniform over the day).  The standard
+    circadian-regularity feature — a plain mean of hour-of-day is
+    meaningless across midnight, the resultant is not.  Components are
+    emitted instead of atan2(mean angle) to avoid the +/-pi branch
+    cut; downstream can atan2 locally.
+
+    Scale shape: per-batch (key, n, sum cos, sum sin) partials (one
+    bincount triple), ONE keyed exchange of those partials, driver-free
+    finalize.  Trig is evaluated in float64 on both engines (<=1 ulp
+    apart) and per-key sums associate differently, hence the shared
+    round-6 hedge."""
+    from .partition import partition_map as _pm
+
+    DAY_US = 86_400_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "cs": pa.array([], type=pa.float64()),
+                             "ss": pa.array([], type=pa.float64())})
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        us = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        theta = 2.0 * np.pi * ((us % DAY_US) / 86400000000.0)
+        karr = t[key_col].combine_chunks()
+        uniq = karr.unique()
+        codes = pc.index_in(karr, uniq).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            key_col: uniq,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "cs": pa.array(np.bincount(codes, weights=np.cos(theta),
+                                       minlength=k)),
+            "ss": pa.array(np.bincount(codes, weights=np.sin(theta),
+                                       minlength=k))})
+
+    partial = ds.select_columns([key_col, ts_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _fin(t: pa.Table) -> pa.Table:
+        from .mlprep import _run_bounds
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "c_bar": pa.array([], type=pa.float64()),
+                             "s_bar": pa.array([], type=pa.float64()),
+                             "r": pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        n = np.bincount(run_id, weights=t["n"].to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        cs = np.bincount(run_id, weights=t["cs"].to_numpy())
+        ss = np.bincount(run_id, weights=t["ss"].to_numpy())
+        cb, sb = cs / n, ss / n
+        ok = n >= min_n
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({
+            key_col: keys,
+            "n": pa.array(n.astype(np.int64)),
+            "c_bar": pa.array(np.round(cb, round_to)),
+            "s_bar": pa.array(np.round(sb, round_to)),
+            "r": pa.array(np.round(np.sqrt(cb * cb + sb * sb),
+                                   round_to))})
+        return out.filter(pa.array(ok))
+
+    return _pm(partial, key_col, _fin, sort_by=[key_col])
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point localization (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def changepoint(ds, key_col: str, ts_col: str, val_col: str, *,
+                tiebreak_col: str, scale: int = 100, min_n: int = 4,
+                round_to: int = 6):
+    """Per-key CUSUM change-point LOCATION: with the key's events in
+    (ts, tiebreak) order and values scaled to integers (``round(v *
+    scale)``), the deviation at position k is the integer ``dev_k =
+    |n * S_k - k * S_n|`` (the bridge |S_k - k*mean| times n, exact in
+    int64) and the change point is the FIRST k attaining the maximum.
+    Integer deviations make the argmax deterministic across engines —
+    the float bridge of ``cusum_stat`` localizes ambiguously when two
+    positions differ at the 1e-12 level.  Returns the 1-based k, the
+    timestamp there, and the normalized magnitude ``dev* / (n *
+    sd_pop(v_int) * sqrt(n))`` (round hedge).
+
+    Scale shape: identical to ``cusum_stat`` — ONE keyed exchange,
+    global-cumsum-minus-offset segmented bridge, ``maximum.reduceat``
+    + first-hit scan; no driver loop."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "k_star": pa.array([], type=pa.int64()),
+                             "ts_star": pa.array([], type=pa.timestamp("us")),
+                             "magnitude": pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        v = np.round(t[val_col].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * scale).astype(np.int64)
+        cnt = np.bincount(run_id).astype(np.int64)
+        cs = np.cumsum(v)
+        off = np.concatenate(([0], cs[starts[1:] - 1])) \
+            if len(starts) > 1 else np.zeros(1, dtype=np.int64)
+        local = cs - off[run_id]                       # S_k (int64)
+        tot = np.add.reduceat(v, starts)               # S_n per run
+        k = (np.arange(len(v)) - starts[run_id] + 1).astype(np.int64)
+        dev = np.abs(cnt[run_id] * local - k * tot[run_id])  # exact int64
+        maxdev = np.maximum.reduceat(dev, starts)
+        hit = dev == maxdev[run_id]
+        seg = run_id[hit]
+        first = np.r_[True, seg[1:] != seg[:-1]]
+        pos = np.flatnonzero(hit)[first]               # first argmax row
+        k_star = k[pos]
+        # normalized magnitude on the scaled values (population sd)
+        vf = v.astype(np.float64)
+        mu = np.bincount(run_id, weights=vf) / cnt
+        var = np.bincount(run_id, weights=vf * vf) / cnt - mu * mu
+        sd = np.sqrt(np.maximum(var, 0.0))
+        ok = (cnt >= min_n) & (sd > 0)
+        mag = np.divide(maxdev.astype(np.float64),
+                        cnt * sd * np.sqrt(cnt.astype(np.float64)),
+                        out=np.zeros(len(cnt)), where=ok)
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({
+            key_col: keys,
+            "n": pa.array(cnt),
+            "k_star": pa.array(k_star),
+            "ts_star": t[ts_col].combine_chunks().take(pa.array(pos)),
+            "magnitude": pa.array(np.round(mag, round_to))})
+        return out.filter(pa.array(ok))
+
+    cols = [key_col, ts_col, tiebreak_col, val_col]
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=[key_col, ts_col, tiebreak_col])
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+def runs_test(ds, key_col: str, ts_col: str, val_col: str, *,
+              tiebreak_col: str, min_each: int = 2, round_to: int = 6):
+    """Per-key Wald-Wolfowitz runs test for randomness of the
+    time-ordered value sequence around its key MEDIAN (lower-median
+    element, the deterministic pick): rows are labeled above (v >
+    med) / not-above, R = number of label runs, and under
+    randomness ``E[R] = 1 + 2*n1*n2/n``, ``Var[R] = 2*n1*n2*(2*n1*n2
+    - n) / (n^2 * (n-1))``, ``z = (R - E) / sqrt(Var)``.  Counts are
+    integers so E/Var/z are reproducible bit-for-bit from the same
+    closed forms on both engines (single round hedge on the ratios).
+    Trending or oscillating keys flag as too-few / too-many runs —
+    the model-free cousin of mann_kendall.
+
+    Scale shape: ONE keyed exchange sorted by (key, ts, tiebreak);
+    the per-run median is an element pick over a SECOND in-partition
+    value sort (lexsort, no extra exchange), labels and run
+    boundaries are shifted comparisons."""
+    from .mlprep import _run_bounds
+    from .partition import partition_map
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "n_above": pa.array([], type=pa.int64()),
+                             "n_runs": pa.array([], type=pa.int64()),
+                             "z": pa.array([], type=pa.float64())})
+        starts, run_id = _run_bounds(t[key_col].combine_chunks())
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        cnt = np.bincount(run_id).astype(np.int64)
+        # lower-median element per run via one segmented value sort
+        order = np.lexsort((v, run_id))
+        med_pos = starts + (cnt - 1) // 2
+        med = v[order[med_pos]][run_id]
+        above = v > med
+        n1 = np.bincount(run_id[above], minlength=len(cnt)) \
+            .astype(np.int64)
+        n2 = cnt - n1
+        boundary = np.r_[True, (above[1:] != above[:-1])
+                         | (run_id[1:] != run_id[:-1])]
+        runs = np.bincount(run_id[boundary], minlength=len(cnt)) \
+            .astype(np.int64)
+        nn = cnt.astype(np.float64)
+        two = (2.0 * n1 * n2)
+        e_r = 1.0 + two / nn
+        var_r = np.divide(two * (two - nn), nn * nn * (nn - 1.0),
+                          out=np.zeros(len(cnt)),
+                          where=cnt > 1)
+        ok = (n1 >= min_each) & (n2 >= min_each) & (var_r > 0)
+        z = np.divide(runs - e_r, np.sqrt(np.where(ok, var_r, 1.0)),
+                      out=np.zeros(len(cnt)), where=ok)
+        keys = t[key_col].combine_chunks().take(pa.array(starts))
+        out = pa.table({
+            key_col: keys,
+            "n": pa.array(cnt),
+            "n_above": pa.array(n1),
+            "n_runs": pa.array(runs),
+            "z": pa.array(np.round(z, round_to))})
+        return out.filter(pa.array(ok))
+
+    cols = [key_col, ts_col, tiebreak_col, val_col]
+    return partition_map(ds.select_columns(cols), key_col, _fin,
+                         sort_by=[key_col, ts_col, tiebreak_col])

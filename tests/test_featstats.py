@@ -924,3 +924,128 @@ def test_theil_sen_vs_brute(ray_session):
     for k, (m, med) in exp.items():
         assert out.loc[k, "n_pairs"] == m, k
         assert out.loc[k, "ts_slope"] == round(med, 9), k
+
+
+def test_circular_daytime_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import circular_daytime
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    DAY = 86_400_000_000
+    us = rng.integers(0, 30 * DAY, n)
+    k = rng.integers(0, 40, n)
+    # one strongly-clock-locked key: all events at ~09:00
+    lock = k == 3
+    us[lock] = (us[lock] // DAY) * DAY + 9 * 3_600_000_000 \
+        + rng.integers(0, 60_000_000, int(lock.sum()))
+    t = pa.table({"k": pa.array(k),
+                  "ts": pa.array(us.astype(np.int64)).cast(
+                      pa.timestamp("us"))})
+
+    out = circular_daytime(rd.from_arrow(t).repartition(5), "k",
+                           "ts").to_pandas().set_index("k").sort_index()
+    import pandas as pd
+    df = pd.DataFrame({"k": k, "us": us})
+    for kk, g in df.groupby("k"):
+        theta = 2 * np.pi * ((g.us.to_numpy() % DAY) / 86400000000.0)
+        cb, sb = np.cos(theta).mean(), np.sin(theta).mean()
+        assert np.isclose(out.loc[kk, "c_bar"], cb, atol=1e-6)
+        assert np.isclose(out.loc[kk, "s_bar"], sb, atol=1e-6)
+        assert np.isclose(out.loc[kk, "r"], np.hypot(cb, sb), atol=1e-6)
+    # the clock-locked key concentrates, the others don't
+    assert out.loc[3, "r"] > 0.99
+    assert out.drop(3)["r"].max() < 0.9
+
+
+def test_changepoint_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import changepoint
+
+    rng = np.random.default_rng(62)
+    keys, ts, vs = [], [], []
+    for kk in range(30):
+        m = int(rng.integers(4, 50))
+        keys += [kk] * m
+        ts += list(np.sort(rng.choice(10**6, m, replace=False)))
+        v = rng.normal(0, 1, m)
+        v[m // 2:] += rng.choice([0.0, 3.0])   # half the keys shift
+        vs += list(np.round(v, 2))
+    t = pa.table({"k": pa.array(keys),
+                  "ts": pa.array(np.array(ts, np.int64)).cast(
+                      pa.timestamp("us")),
+                  "id": pa.array(np.arange(len(keys))),
+                  "v": pa.array(vs)})
+
+    out = changepoint(rd.from_arrow(t).repartition(5), "k", "ts", "v",
+                      tiebreak_col="id", scale=100, min_n=4) \
+        .to_pandas().set_index("k").sort_index()
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "ts": ts, "v": vs}).sort_values(
+        ["k", "ts"])
+    for kk, g in df.groupby("k"):
+        vi = np.round(g.v.to_numpy() * 100).astype(np.int64)
+        n = len(vi)
+        S = np.cumsum(vi)
+        dev = np.abs(n * S - np.arange(1, n + 1) * S[-1])
+        sd = np.sqrt((vi.astype(float) ** 2).mean() - vi.mean() ** 2)
+        if n < 4 or sd <= 0:
+            assert kk not in out.index
+            continue
+        ks = int(np.argmax(dev)) + 1          # first argmax, 1-based
+        assert out.loc[kk, "k_star"] == ks, kk
+        assert out.loc[kk, "n"] == n
+        mag = dev.max() / (n * sd * np.sqrt(n))
+        assert np.isclose(out.loc[kk, "magnitude"], mag, atol=1e-5), kk
+
+
+def test_runs_test_vs_brute(ray_session):
+    import ray.data as rd
+
+    from netml_ray.featstats import runs_test
+
+    rng = np.random.default_rng(63)
+    keys, ts, vs = [], [], []
+    for kk in range(30):
+        m = int(rng.integers(5, 60))
+        keys += [kk] * m
+        ts += list(np.sort(rng.choice(10**6, m, replace=False)))
+        if kk == 0:      # strictly alternating -> too many runs
+            vs += [float(i % 2) for i in range(m)]
+        elif kk == 1:    # trending -> too few runs
+            vs += list(np.arange(m, dtype=float))
+        else:
+            vs += list(rng.integers(0, 7, m).astype(float))
+    t = pa.table({"k": pa.array(keys),
+                  "ts": pa.array(np.array(ts, np.int64)),
+                  "id": pa.array(np.arange(len(keys))),
+                  "v": pa.array(vs)})
+
+    out = runs_test(rd.from_arrow(t).repartition(5), "k", "ts", "v",
+                    tiebreak_col="id").to_pandas() \
+        .set_index("k").sort_index()
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "ts": ts, "v": vs}).sort_values(
+        ["k", "ts"])
+    for kk, g in df.groupby("k"):
+        v = g.v.to_numpy()
+        n = len(v)
+        med = np.sort(v)[(n - 1) // 2]
+        ab = v > med
+        n1 = int(ab.sum()); n2 = n - n1
+        if n1 < 2 or n2 < 2:
+            assert kk not in out.index
+            continue
+        R = 1 + int((ab[1:] != ab[:-1]).sum())
+        two = 2.0 * n1 * n2
+        e = 1.0 + two / n
+        var = two * (two - n) / (n * n * (n - 1.0))
+        z = (R - e) / np.sqrt(var)
+        assert out.loc[kk, "n_runs"] == R, kk
+        assert out.loc[kk, "n_above"] == n1, kk
+        assert np.isclose(out.loc[kk, "z"], z, atol=1e-5), kk
+    if 0 in out.index and 1 in out.index:
+        assert out.loc[0, "z"] > 3      # alternating: too many runs
+        assert out.loc[1, "z"] < -3     # trending: too few runs

@@ -644,3 +644,39 @@ def test_fast_path_mk_theilsen_interp(ray_session, monkeypatch):
         dist, fast = _both_ways(monkeypatch, run)
         pd.testing.assert_frame_equal(_norm(dist, keys),
                                       _norm(fast, keys))
+
+
+def test_fast_path_circadian_changepoint_runs(ray_session, monkeypatch):
+    """fast == distributed for circular_daytime / changepoint /
+    runs_test (all run-segmented finalizes)."""
+    import ray.data as rd
+
+    from netml_ray.featstats import changepoint, circular_daytime, \
+        runs_test
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 50, n)),
+        "ts": pa.array(np.sort(rng.choice(10**12, n, replace=False))
+                       .astype(np.int64)).cast(pa.timestamp("us")),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.normal(5, 2, n).round(3)),
+    })
+
+    def run_circ():
+        return circular_daytime(rd.from_arrow(t).repartition(6), "k",
+                                "ts").to_pandas()
+
+    def run_cp():
+        return changepoint(rd.from_arrow(t).repartition(6), "k", "ts",
+                           "v", tiebreak_col="id").to_pandas()
+
+    def run_rt():
+        return runs_test(rd.from_arrow(t).repartition(6), "k", "ts",
+                         "v", tiebreak_col="id").to_pandas()
+
+    for run in (run_circ, run_cp, run_rt):
+        dist, fast = _both_ways(monkeypatch, run)
+        pd.testing.assert_frame_equal(_norm(dist, ["k"]),
+                                      _norm(fast, ["k"]))
