@@ -6564,6 +6564,135 @@ SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# r5 growth-accounting / information family: HHI concentration,
+# new-vs-returning split, period-over-period growth, conditional
+# entropy + information gain
+# ---------------------------------------------------------------------------
+
+def q_hhi_events(sf_dir: str):
+    """Per-event-type Herfindahl concentration of activity across
+    users (featstats.hhi_concentration): distinct-pair count partials,
+    ONE type-hash exchange, segmented share² sums.  Is one user
+    generating all the 'purchase' events?"""
+    from netml_ray.featstats import hhi_concentration
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hhi_concentration(ev, "event_type", "user_id")
+
+
+SQL_HHI = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, sum(n) AS tot, count(*) AS nm
+  FROM c GROUP BY 1)
+SELECT c.event_type,
+       CAST(t.tot AS BIGINT) AS n_events,
+       CAST(t.nm AS BIGINT) AS n_members,
+       round(sum((c.n / (1.0 * t.tot)) * (c.n / (1.0 * t.tot))), 9)
+         AS hhi
+FROM c JOIN t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.tot, t.nm
+"""
+
+
+def q_new_returning_events(sf_dir: str):
+    """Daily new vs returning active users (sequences.new_returning):
+    distinct (user, day) partials, ONE user-keyed exchange (a user's
+    first-ever day is its run's first distinct day), per-partition
+    (day, is_new, n) partials, driver folds O(days) rows."""
+    from netml_ray.sequences import new_returning
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return new_returning(ev, "user_id", "ts")
+
+
+SQL_NEW_RETURNING = """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+f AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY 1)
+SELECT day,
+       CAST(count(*) FILTER (WHERE day = d0) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE day > d0) AS BIGINT)
+         AS returning_users
+FROM du JOIN f USING (user_id)
+GROUP BY day
+"""
+
+
+def q_wow_growth_events(sf_dir: str):
+    """Week-over-week growth per event type (featstats.period_growth):
+    ONE narrow pass of (type, week, n) group-by partials, driver folds
+    the tiny table and lags within type over EXISTING rows (zero-event
+    gaps skipped — the SQL lag rule, stated on both sides)."""
+    from netml_ray.featstats import period_growth
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return period_growth(ev, "event_type", "ts")
+
+
+SQL_WOW_GROWTH = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS period,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, period, n,
+       round((n - lag(n) OVER w) / (1.0 * lag(n) OVER w), 9) AS growth
+FROM c WINDOW w AS (PARTITION BY event_type ORDER BY period)
+"""
+
+
+def q_cond_entropy_events(sf_dir: str):
+    """How much does day-of-week explain the event-type mix?
+    Conditional entropy H(type | dow) per dow + marginal H(type) +
+    information gain (featstats.cond_entropy): ONE narrow pass of
+    (dow, type, n) contingency partials, O(7·|types|) driver math.
+    dow = DuckDB dayofweek convention (Sunday 0) via
+    (epoch_day + 4) % 7 — the traffic_matrix precedent."""
+    from netml_ray.featstats import cond_entropy
+
+    def _dow(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 4) % 7
+        return pa.table({"dow": pa.array(dow.astype(np.int64)),
+                         "event_type": t["event_type"]})
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(_dow, batch_size=None, batch_format="pyarrow")
+    return cond_entropy(ev, "dow", "event_type")
+
+
+SQL_COND_ENTROPY = """
+WITH c AS (
+  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+tt AS (SELECT sum(n) AS nn FROM c),
+hc AS (
+  SELECT c.dow, d.nd,
+         -sum((c.n / (1.0 * d.nd)) * ln(c.n / (1.0 * d.nd))) AS h
+  FROM c JOIN (SELECT dow, sum(n) AS nd FROM c GROUP BY 1) d
+    USING (dow)
+  GROUP BY c.dow, d.nd),
+hm AS (
+  SELECT -sum((m.n / (1.0 * tt.nn)) * ln(m.n / (1.0 * tt.nn))) AS h
+  FROM (SELECT event_type, sum(n) AS n FROM c GROUP BY 1) m, tt),
+ig AS (
+  SELECT any_value(hm.h) - sum((hc.nd / (1.0 * tt.nn)) * hc.h) AS g
+  FROM hc, hm, tt)
+SELECT hc.dow, CAST(hc.nd AS BIGINT) AS n,
+       round(hc.h, 9) AS h_cond,
+       round(hm.h, 9) AS h_marginal,
+       round(ig.g, 9) AS info_gain
+FROM hc, hm, ig
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
@@ -6741,16 +6870,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "despan_docs": q_despan_docs,
         # -- new in r5
         "phrase_search_docs": q_phrase_search_docs,
-        "ffill_events": q_ffill_events,
+        # (ffill_events rotated to the tail for hhi_events: checker-
+        # verified r5 entry; the add_fill global-cummax machinery is
+        # pinned in-window by interpolate_events, which rides the same
+        # prev/next-index kernel)
+        "hhi_events": q_hhi_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
-        "asof_tolerance_events": q_asof_tolerance_events,
+        # (asof_tolerance_events rotated to the tail for
+        # new_returning_events: checker-verified r5 entry; the asof
+        # family keeps asof_nearest_events in-window — which exercises
+        # per-direction tolerance — plus the r04-green
+        # asof_purchase_signup driver row in the tail)
+        "new_returning_events": q_new_returning_events,
         # (group_zscore_events rotated to the tail for the JL random
         # projection: checker-verified r5 entry; its group mean/std
         # machinery is pinned in-window by moments_events and by the
         # r04-green scaled_events driver row)
-        "random_projection_embeddings": q_random_projection_embeddings,
-        "feature_hash_events": q_feature_hash_events,
+        # (random_projection_embeddings / feature_hash_events rotated
+        # to the tail for wow_growth_events + cond_entropy_events:
+        # both checker-verified r5 entries with brute pytest parity;
+        # the embedding matmul machinery stays in-window through
+        # kmeans_embeddings, the hashing-trick kernel through the
+        # in-window fingerprint/minhash family)
+        "wow_growth_events": q_wow_growth_events,
+        "cond_entropy_events": q_cond_entropy_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         # -- new in the r5 continuation (rotated-out slots below)
         "moments_events": q_moments_events,
@@ -6908,6 +7052,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "traffic_matrix_events": q_traffic_matrix_events,
         "weighted_median_lineitem": q_weighted_median_lineitem,
         "debounce_events": q_debounce_events,
+        # -- rotated OUT in this continuation for the growth-
+        # accounting / information family (all checker-verified r5
+        # entries; kernel pins documented at their former slots)
+        "ffill_events": q_ffill_events,
+        "asof_tolerance_events": q_asof_tolerance_events,
+        "random_projection_embeddings": q_random_projection_embeddings,
+        "feature_hash_events": q_feature_hash_events,
         # rows-only (non-SQL-expressible)
         "bpe_vocab_docs": q_bpe_vocab_docs,
         "bpe_tokens_docs": q_bpe_tokens_docs,
@@ -7219,6 +7370,10 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_orders": SQL_SEMI_JOIN,
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,
+        "hhi_events": SQL_HHI,
+        "new_returning_events": SQL_NEW_RETURNING,
+        "wow_growth_events": SQL_WOW_GROWTH,
+        "cond_entropy_events": SQL_COND_ENTROPY,
         "ffill_events": SQL_FFILL_EVENTS,
         "resample_events": SQL_RESAMPLE_EVENTS,
         "embedding_covariance": SQL_EMBEDDING_COV,

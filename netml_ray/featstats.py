@@ -38,6 +38,7 @@ __all__ = [
     "rfm_segment", "spearman_corr", "theil_sen",
     "trend_slope", "zipf_slope",
     "winsorized_group_stats", "traffic_matrix", "weighted_median",
+    "hhi_concentration", "period_growth", "cond_entropy",
 ]
 
 
@@ -1574,3 +1575,178 @@ def runs_test(ds, key_col: str, ts_col: str, val_col: str, *,
     cols = [key_col, ts_col, tiebreak_col, val_col]
     return partition_map(ds.select_columns(cols), key_col, _fin,
                          sort_by=[key_col, ts_col, tiebreak_col])
+
+
+def hhi_concentration(ds, group_col: str, member_col: str, *,
+                      round_to: int = 9) -> pa.Table:
+    """Per-group Herfindahl–Hirschman concentration: with n(g, m) =
+    row count of member ``m`` inside group ``g``, HHI(g) =
+    Σ_m (n(g,m) / n(g))² — 1/|members| (uniform) … 1.0 (one member
+    owns the group).  The concentration / monopolization feature for
+    activity audits (is one user generating all 'purchase' events?).
+
+    Scale shape: per-batch (group, member, n) Arrow group-by partials
+    (the exchange carries distinct pairs, never the row stream — the
+    vocab_richness precedent), ONE group-hash exchange via
+    partition_map, in-partition pair collapse + segmented share² sums
+    (two reduceat passes, no per-group Python).  Output one row per
+    group.  Float note: the share² sum folds in sorted member order;
+    DuckDB folds in scan order — both sides round to ``round_to``
+    (the established sum-order hedge)."""
+    from .partition import partition_map
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, member_col]).group_by(
+            [group_col, member_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, member_col, "n"])
+
+    parts = ds.map_batches(_partial, batch_size=None,
+                           batch_format="pyarrow")
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({group_col: t[group_col],
+                             "n_events": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64()),
+                             "hhi": pa.array([], pa.float64())})
+        grp = t[group_col].combine_chunks()
+        mem = t[member_col].combine_chunks()
+        m = t.num_rows
+        # pair boundary (rows sorted by (group, member)): collapse
+        # duplicate (g, m) partials from different input batches
+        pb = np.ones(m, dtype=bool)
+        if m > 1:
+            pb[1:] = (np.asarray(pc.not_equal(
+                grp.slice(1, m - 1), grp.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+                | np.asarray(pc.not_equal(
+                    mem.slice(1, m - 1), mem.slice(0, m - 1)).to_numpy(
+                    zero_copy_only=False), dtype=bool))
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_n = np.add.reduceat(n, np.flatnonzero(pb))
+        pair_grp = grp.take(pa.array(np.flatnonzero(pb)))
+        k = len(pair_n)
+        gb = np.ones(k, dtype=bool)
+        if k > 1:
+            gb[1:] = np.asarray(pc.not_equal(
+                pair_grp.slice(1, k - 1), pair_grp.slice(0, k - 1))
+                .to_numpy(zero_copy_only=False), dtype=bool)
+        gs = np.flatnonzero(gb)
+        tot = np.add.reduceat(pair_n, gs).astype(np.float64)
+        run_id = np.cumsum(gb) - 1
+        share = pair_n / tot[run_id]
+        hhi = np.add.reduceat(share * share, gs)
+        return pa.table({
+            group_col: pair_grp.take(pa.array(gs)),
+            "n_events": pa.array(tot.astype(np.int64)),
+            "n_members": pa.array(np.diff(np.r_[gs, k]).astype(np.int64)),
+            "hhi": pa.array(np.round(hhi, round_to))})
+
+    return partition_map(parts, group_col, _fin,
+                         sort_by=[group_col, member_col])
+
+
+def period_growth(ds, cat_col: str, ts_col: str, *,
+                  period_us: int = 604_800 * 10**6,
+                  round_to: int = 9) -> pa.Table:
+    """Period-over-period growth: event counts per (category, period
+    bucket) plus the relative change vs the category's PREVIOUS
+    bucket-with-data (SQL ``lag`` over existing rows, NOT the
+    calendar — zero-event gaps are skipped, rule stated in the
+    oracle).  The week-over-week trend feature.
+
+    Scale shape: ONE narrow pass — per batch a (cat, period, n)
+    Arrow group-by partial (≤ |cats|·|periods| rows), driver folds the
+    tiny table and computes the lag with one shift.  No shuffle."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        per = pc.divide(ts, period_us)
+        g = pa.table({cat_col: t[cat_col], "period": per}) \
+            .group_by([cat_col, "period"]).aggregate([([], "count_all")])
+        return g.rename_columns([cat_col, "period", "n"])
+
+    parts = pa.concat_tables(
+        ds.map_batches(_partial, batch_size=None,
+                       batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    agg = parts.group_by([cat_col, "period"]).aggregate([("n", "sum")])
+    agg = agg.sort_by([(cat_col, "ascending"), ("period", "ascending")])
+    cat = agg[cat_col].combine_chunks()
+    per = agg["period"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(n)
+    first = np.ones(m, dtype=bool)
+    if m > 1:
+        first[1:] = np.asarray(pc.not_equal(
+            cat.slice(1, m - 1), cat.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False), dtype=bool)
+    prev = np.r_[0, n[:-1]].astype(np.float64)
+    growth = np.round(np.divide(n - prev, prev,
+                                out=np.zeros(m, dtype=np.float64),
+                                where=~first), round_to)
+    return pa.table({
+        cat_col: cat,
+        "period": pa.array(per),
+        "n": pa.array(n),
+        "growth": pa.array(growth, mask=first),
+    })
+
+
+def cond_entropy(ds, x_col: str, y_col: str, *,
+                 round_to: int = 9) -> pa.Table:
+    """Conditional entropy H(Y|X=x) per x plus the marginal H(Y) and
+    the information gain IG = H(Y) − Σ_x p(x)·H(Y|X=x) — how much a
+    feature (day-of-week, source, segment) explains a categorical
+    target.  Natural-log entropy (the entropy_events convention).
+
+    Scale shape: ONE narrow pass of (x, y, n) Arrow group-by partials
+    (≤ |x|·|y| rows per batch), driver folds the contingency table and
+    does O(|x|·|y|) float math.  Entropy sums fold in sorted (x, y)
+    order vs DuckDB's scan order → both sides round (sum-order
+    hedge).  IG is emitted as a constant column (same value every
+    row) so the full computation is hash-checked."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.select([x_col, y_col]).group_by(
+            [x_col, y_col]).aggregate([([], "count_all")])
+        return g.rename_columns([x_col, y_col, "n"])
+
+    parts = pa.concat_tables(
+        ds.map_batches(_partial, batch_size=None,
+                       batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    agg = parts.group_by([x_col, y_col]).aggregate([("n", "sum")])
+    agg = agg.sort_by([(x_col, "ascending"), (y_col, "ascending")])
+    x = agg[x_col].combine_chunks()
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(n)
+    xb = np.ones(m, dtype=bool)
+    if m > 1:
+        xb[1:] = np.asarray(pc.not_equal(
+            x.slice(1, m - 1), x.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False), dtype=bool)
+    xs = np.flatnonzero(xb)
+    nx = np.add.reduceat(n, xs).astype(np.float64)
+    run_id = np.cumsum(xb) - 1
+    p_in = n / nx[run_id]
+    h_x = np.add.reduceat(-p_in * np.log(p_in), xs)
+    total = float(n.sum())
+    # marginal H(Y): fold y over all x, in sorted y order
+    ya = agg.group_by([y_col]).aggregate([("n_sum", "sum")]) \
+        .sort_by([(y_col, "ascending")])
+    py = ya["n_sum_sum"].to_numpy(zero_copy_only=False) / total
+    h_y = float(-(py * np.log(py)).sum())
+    ig = h_y - float(((nx / total) * h_x).sum())
+    k = len(xs)
+    return pa.table({
+        x_col: x.take(pa.array(xs)),
+        "n": pa.array(nx.astype(np.int64)),
+        "h_cond": pa.array(np.round(h_x, round_to)),
+        "h_marginal": pa.array(np.full(k, round(h_y, round_to))),
+        "info_gain": pa.array(np.full(k, round(ig, round_to))),
+    })

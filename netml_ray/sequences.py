@@ -33,7 +33,7 @@ __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "cohort_retention", "group_autocorr", "temporal_pairs",
            "active_users", "streaks", "scd2_intervals",
            "time_weighted_avg", "debounce", "event_paths",
-           "trigram_counts"]
+           "trigram_counts", "new_returning"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -830,3 +830,69 @@ def trigram_counts(ds, key_col: str, ts_col: str, type_col: str, *,
             .rename_columns(["t1", "t2", "t3", "n"])
             .sort_by([("t1", "ascending"), ("t2", "ascending"),
                       ("t3", "ascending")]))
+
+
+def new_returning(ds, key_col: str, ts_col: str, *,
+                  day_us: int = 86_400 * 10**6):
+    """Daily NEW vs RETURNING active entities: for each calendar day
+    (``floor(epoch_us / 86400e6)``), how many distinct keys were
+    active for the FIRST time ever vs active again — the growth-
+    accounting split every engagement dashboard leads with.
+
+    Scale shape: per-batch distinct (key, day) Arrow group-by partials
+    (the exchange carries distinct pairs, never the event stream),
+    ONE key-hash exchange (``partition_map`` sorted by (key, day) —
+    run-segmented: a key's first day is its run's first distinct
+    day), per-partition (day, is_new, n) count partials, driver folds
+    O(days) rows.  Output: (day, new_users, returning_users)."""
+    from .partition import partition_map
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        day = pc.divide(ts, day_us)
+        return pa.table({key_col: t[key_col], "day": day}) \
+            .group_by([key_col, "day"]).aggregate([])
+
+    pairs = ds.select_columns([key_col, ts_col]) \
+        .map_batches(_distinct, batch_size=None, batch_format="pyarrow")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "is_new": pa.array([], pa.bool_()),
+                             "n": pa.array([], pa.int64())})
+        keys = t[key_col].combine_chunks()
+        _, run_id = _runs(keys)
+        day = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (key, day) again: partials from different batches
+        # may repeat a pair; rows are sorted by (key, day)
+        keep = np.r_[True, (run_id[1:] != run_id[:-1])
+                     | (day[1:] != day[:-1])]
+        rs, dys = run_id[keep], day[keep]
+        is_new = np.r_[True, rs[1:] != rs[:-1]]
+        code = dys * 2 + is_new
+        uc, n = np.unique(code, return_counts=True)
+        return pa.table({"day": pa.array(uc // 2),
+                         "is_new": pa.array((uc % 2).astype(bool)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = pa.concat_tables(
+        partition_map(pairs, key_col, _fn, sort_by=[key_col, "day"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    agg = parts.group_by(["day", "is_new"]).aggregate([("n", "sum")]) \
+        .sort_by([("day", "ascending"), ("is_new", "ascending")])
+    day = agg["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    isn = agg["is_new"].to_numpy(zero_copy_only=False).astype(bool)
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    days = np.unique(day)
+    new_n = np.zeros(len(days), dtype=np.int64)
+    ret_n = np.zeros(len(days), dtype=np.int64)
+    idx = np.searchsorted(days, day)
+    np.add.at(new_n, idx[isn], n[isn])
+    np.add.at(ret_n, idx[~isn], n[~isn])
+    return pa.table({"day": pa.array(days),
+                     "new_users": pa.array(new_n),
+                     "returning_users": pa.array(ret_n)})

@@ -1049,3 +1049,93 @@ def test_runs_test_vs_brute(ray_session):
     if 0 in out.index and 1 in out.index:
         assert out.loc[0, "z"] > 3      # alternating: too many runs
         assert out.loc[1, "z"] < -3     # trending: too few runs
+
+
+def test_hhi_concentration_vs_brute(ray_session):
+    """Per-group HHI == a pandas share² brute, incl. the single-member
+    (HHI = 1) and uniform (HHI = 1/k) extremes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import hhi_concentration
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["a", "b", "c", "mono"], 5_000,
+                   p=[0.4, 0.3, 0.29, 0.01])
+    m = rng.integers(0, 40, 5_000)
+    m[g == "mono"] = 7                       # one member owns the group
+    t = pa.table({"g": pa.array(g), "m": pa.array(m)})
+    out = hhi_concentration(rd.from_arrow(t).repartition(5), "g", "m") \
+        .to_pandas().set_index("g")
+    df = t.to_pandas()
+    for grp, sub in df.groupby("g"):
+        cnt = sub.groupby("m").size()
+        share = cnt / cnt.sum()
+        assert out.loc[grp, "n_events"] == len(sub)
+        assert out.loc[grp, "n_members"] == len(cnt)
+        assert abs(out.loc[grp, "hhi"] - (share ** 2).sum()) < 1e-8
+    assert out.loc["mono", "hhi"] == 1.0
+
+
+def test_period_growth_vs_pandas(ray_session):
+    """Weekly counts + lag-over-existing-rows growth == pandas
+    pct_change within category; first row per category is NULL."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import period_growth
+
+    rng = np.random.default_rng(12)
+    n = 8_000
+    us = rng.integers(1_700_000_000_000_000, 1_706_000_000_000_000, n)
+    cat = rng.choice(["x", "y"], n)
+    t = pa.table({"c": pa.array(cat),
+                  "ts": pa.array(us.astype("datetime64[us]"))})
+    out = period_growth(rd.from_arrow(t).repartition(4), "c", "ts") \
+        .to_pandas()
+    df = t.to_pandas()
+    df["period"] = df["ts"].astype("int64") // (604_800 * 10**6)
+    ref = (df.groupby(["c", "period"]).size().rename("n")
+           .reset_index().sort_values(["c", "period"]))
+    ref["growth"] = ref.groupby("c")["n"].pct_change()
+    merged = out.merge(ref, on=["c", "period"], suffixes=("", "_ref"))
+    assert len(merged) == len(ref) == len(out)
+    assert (merged["n"] == merged["n_ref"]).all()
+    both = merged.dropna(subset=["growth_ref"])
+    assert np.allclose(both["growth"], both["growth_ref"], atol=1e-8)
+    firsts = merged[merged["growth_ref"].isna()]
+    assert firsts["growth"].isna().all()
+    assert len(firsts) == 2                   # one per category
+
+
+def test_cond_entropy_vs_brute(ray_session):
+    """H(Y|X), H(Y) and IG == a scipy-free numpy brute; a perfectly
+    predictive X gives IG == H(Y), an independent X gives IG ≈ 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import cond_entropy
+
+    rng = np.random.default_rng(13)
+    n = 6_000
+    x = rng.integers(0, 5, n)
+    y_dep = np.where(x < 2, "p", "q")        # fully determined by x
+    t = pa.table({"x": pa.array(x), "y": pa.array(y_dep)})
+    out = cond_entropy(rd.from_arrow(t).repartition(4), "x", "y") \
+        .to_pandas()
+    assert np.allclose(out["h_cond"], 0.0)
+    p = np.bincount((x < 2).astype(int)) / n
+    h_y = float(-(p * np.log(p)).sum())
+    assert abs(out["info_gain"].iloc[0] - h_y) < 1e-8
+    assert abs(out["h_marginal"].iloc[0] - h_y) < 1e-8
+
+    y_ind = rng.choice(["p", "q"], n)        # independent of x
+    t2 = pa.table({"x": pa.array(x), "y": pa.array(y_ind)})
+    out2 = cond_entropy(rd.from_arrow(t2).repartition(4), "x", "y") \
+        .to_pandas()
+    df = pa.table({"x": x, "y": y_ind}).to_pandas()
+    for _, row in out2.iterrows():
+        sub = df[df["x"] == row["x"]]["y"].value_counts(normalize=True)
+        h = float(-(sub * np.log(sub)).sum())
+        assert abs(row["h_cond"] - h) < 1e-8
+    assert abs(out2["info_gain"].iloc[0]) < 0.01

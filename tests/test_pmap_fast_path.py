@@ -680,3 +680,32 @@ def test_fast_path_circadian_changepoint_runs(ray_session, monkeypatch):
         dist, fast = _both_ways(monkeypatch, run)
         pd.testing.assert_frame_equal(_norm(dist, ["k"]),
                                       _norm(fast, ["k"]))
+
+
+def test_fast_path_hhi_new_returning(ray_session, monkeypatch):
+    """hhi_concentration / new_returning are partial-emitting
+    partition_map consumers whose driver fold makes fast ==
+    distributed at the FINAL output."""
+    import ray.data as rd
+
+    from netml_ray.featstats import hhi_concentration
+    from netml_ray.sequences import new_returning
+
+    t = _events()
+
+    def run():
+        h = hhi_concentration(rd.from_arrow(t), "etype", "user_id") \
+            .to_pandas()
+        ts = pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array((t["ts"].to_numpy() * 1e6).astype(np.int64)
+                           .astype("datetime64[us]"))})
+        nr = new_returning(rd.from_arrow(ts), "user_id", "ts") \
+            .to_pandas()
+        return h, nr
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["etype"]),
+                                  _norm(fast[0], ["etype"]))
+    pd.testing.assert_frame_equal(_norm(dist[1], ["day"]),
+                                  _norm(fast[1], ["day"]))

@@ -562,3 +562,32 @@ def test_trigram_counts_vs_pandas(ray_session):
             rd.from_arrow(t).repartition(parts), "k", "ts", "et",
             tiebreak="i").to_pandas()
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_new_returning_vs_brute(ray_session):
+    """Daily new/returning split == a pandas first-seen brute; the
+    per-day totals equal distinct active users and each user is 'new'
+    exactly once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import new_returning
+
+    rng = np.random.default_rng(21)
+    n = 9_000
+    us = rng.integers(1_700_000_000_000_000, 1_702_600_000_000_000, n)
+    uid = rng.integers(0, 300, n)
+    t = pa.table({"user_id": pa.array(uid),
+                  "ts": pa.array(us.astype("datetime64[us]"))})
+    out = new_returning(rd.from_arrow(t).repartition(6),
+                        "user_id", "ts").to_pandas().set_index("day")
+    df = t.to_pandas()
+    df["day"] = df["ts"].astype("int64") // (86_400 * 10**6)
+    du = df[["user_id", "day"]].drop_duplicates()
+    d0 = du.groupby("user_id")["day"].min()
+    du = du.assign(is_new=du["day"].values == d0[du["user_id"]].values)
+    ref = du.groupby("day")["is_new"].agg(["sum", "count"])
+    assert len(out) == len(ref)
+    assert (out["new_users"] == ref["sum"]).all()
+    assert (out["returning_users"] == ref["count"] - ref["sum"]).all()
+    assert out["new_users"].sum() == df["user_id"].nunique()
