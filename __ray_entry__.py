@@ -6693,6 +6693,82 @@ FROM hc, hm, ig
 
 
 # ---------------------------------------------------------------------------
+# r5 geospatial family: nearest-POI assignment + grid-cell density
+# over deterministically synthesized per-user coordinates (the
+# url_features_docs synthesis precedent; geo.synth_latlon stated
+# verbatim in both engines)
+# ---------------------------------------------------------------------------
+
+def q_nearest_poi_events(sf_dir: str):
+    """Nearest point-of-interest per distinct user (geo.nearest_poi):
+    distinct-key partials, ONE key-hash exchange, one vectorized
+    (keys × 5) trig block against the broadcast POI list.  The pick
+    orders by the raw haversine TERM (bitwise-identical sin/cos on
+    both engines — measured); only the emitted distance goes through
+    the ≤1-ulp-divergent asin, rounded to 4 (0.1 m)."""
+    from netml_ray.geo import nearest_poi
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return nearest_poi(ev, "user_id")
+
+
+SQL_NEAREST_POI = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ll AS (
+  SELECT user_id,
+         ((user_id * 2654435761) % 18000) / 100.0 - 90.0 AS lat,
+         ((user_id * 1103515245 + 12345) % 36000) / 100.0 - 180.0
+           AS lon
+  FROM u),
+poi(poi_id, plat, plon) AS (
+  VALUES (0, 37.77, -122.42), (1, 51.51, -0.13), (2, 35.68, 139.69),
+         (3, -33.87, 151.21), (4, 28.61, 77.21)),
+h AS (
+  SELECT user_id, poi_id,
+         sin(radians((plat - lat) / 2)) * sin(radians((plat - lat) / 2))
+         + cos(radians(lat)) * cos(radians(plat))
+           * sin(radians((plon - lon) / 2))
+           * sin(radians((plon - lon) / 2)) AS hv
+  FROM ll CROSS JOIN poi)
+SELECT user_id, CAST(poi_id AS BIGINT) AS poi_id,
+       round(2 * 6371.0 * asin(sqrt(hv)), 4) AS dist_km
+FROM h
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY hv, poi_id) = 1
+"""
+
+
+def q_geo_grid_events(sf_dir: str):
+    """Spatial density grid (geo.grid_stats): per 5°×5° cell — event
+    count, distinct users, value sum.  (cell, user) group-by partials,
+    ONE cell-hash exchange (the hhi_concentration shape); the event
+    stream never moves."""
+    from netml_ray.geo import grid_stats
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return grid_stats(ev, "user_id", "value")
+
+
+SQL_GEO_GRID = """
+WITH ll AS (
+  SELECT user_id, value,
+         ((user_id * 2654435761) % 18000) / 100.0 - 90.0 AS lat,
+         ((user_id * 1103515245 + 12345) % 36000) / 100.0 - 180.0
+           AS lon
+  FROM events),
+c AS (
+  SELECT CAST(floor((lat + 90.0) / 5.0) AS BIGINT) AS cell_lat,
+         CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS cell_lon,
+         user_id, value
+  FROM ll)
+SELECT cell_lat, cell_lon,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 9) AS value_sum
+FROM c GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
@@ -6935,14 +7011,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fusion: checker-verified r5 entry; its _runs + segment-min
         # reduceat machinery is the same sequences.py family as the
         # in-window streaks/scd2 entries)
-        "rrf_fusion_docs": q_rrf_fusion_docs,
-        # (cooccur_suppliers rotated to the tail for the
-        # weighted-top-k sample: checker-verified r5 entry whose
-        # pair-expansion + degree machinery is pinned in-window by
-        # triangle_census_parts and hits_partsupp)
-        "weighted_topk_sample_docs": q_weighted_topk_sample_docs,
+        # (rrf_fusion_docs / weighted_topk_sample_docs rotated to the
+        # tail for the geo family: both checker-verified r5 entries
+        # whose driver-side finalize runs over constant-size top-N
+        # candidate lists; the select_k partial machinery stays
+        # in-window through rank_events, the BM25 scorer through
+        # bm25_indexed_docs)
+        "nearest_poi_events": q_nearest_poi_events,
+        "geo_grid_events": q_geo_grid_events,
         "target_encode_oof_events": q_target_encode_oof_events,
         # ------- driver window ends here (50 entries above) -------
+        "rrf_fusion_docs": q_rrf_fusion_docs,
+        "weighted_topk_sample_docs": q_weighted_topk_sample_docs,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7371,6 +7451,8 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_orders": SQL_ANTI_JOIN,
         "rank_events": SQL_RANK_EVENTS,
         "hhi_events": SQL_HHI,
+        "nearest_poi_events": SQL_NEAREST_POI,
+        "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,
         "cond_entropy_events": SQL_COND_ENTROPY,

@@ -709,3 +709,27 @@ def test_fast_path_hhi_new_returning(ray_session, monkeypatch):
                                   _norm(fast[0], ["etype"]))
     pd.testing.assert_frame_equal(_norm(dist[1], ["day"]),
                                   _norm(fast[1], ["day"]))
+
+
+def test_fast_path_geo(ray_session, monkeypatch):
+    """nearest_poi / grid_stats partition_map consumers: fast ==
+    distributed at the final output."""
+    import ray.data as rd
+
+    from netml_ray.geo import grid_stats, nearest_poi
+
+    t = _events()
+
+    def run():
+        np_ = nearest_poi(rd.from_arrow(t), "user_id").to_pandas()
+        gs = grid_stats(rd.from_arrow(t), "user_id", "value") \
+            .to_pandas()
+        return np_, gs
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["user_id"]),
+                                  _norm(fast[0], ["user_id"]))
+    pd.testing.assert_frame_equal(_norm(dist[1],
+                                        ["cell_lat", "cell_lon"]),
+                                  _norm(fast[1],
+                                        ["cell_lat", "cell_lon"]))
