@@ -43,7 +43,7 @@ from netml_ray.partition import partition_map
 __all__ = ["pagerank", "hits", "cooccurrence_similarity",
            "triangle_census", "neighbor_degree_stats",
            "degree_assortativity", "k_core", "bfs_hops",
-           "dedupe_edges_with_degree"]
+           "dedupe_edges_with_degree", "adamic_adar"]
 
 
 def dedupe_edges_with_degree(edges, src: str, dst: str, *,
@@ -918,3 +918,108 @@ def bfs_hops(edges, source_nodes, *, src: str = "src",
     order = np.argsort(nodes)
     return pa.table({"node": pa.array(nodes[order]),
                      "hops": pa.array(hops[order])})
+
+
+def adamic_adar(edges, group: str, item: str, *,
+                max_group: int = 4096,
+                num_partitions: int | None = None,
+                round_to: int = 9):
+    """Adamic–Adar link-prediction score between items sharing groups:
+    AA(a, b) = Σ_{shared group g} 1 / ln(|members(g)|) — the classic
+    frequency-weighted common-neighbor score (a rare shared group is
+    stronger evidence than a ubiquitous one).  Returns a Dataset of
+    ``(item_a, item_b, common, aa)`` with item_a < item_b over
+    DISTINCT (group, item) memberships; groups of one contribute no
+    pairs, so every weight's ln argument is ≥ 2.
+
+    Shape: ONE hash exchange on ``group`` co-locates each group's full
+    membership (so the group size — the ln argument — is exact inside
+    the partition); dedup + weighted pair expansion + in-partition
+    combine are vectorized (the `_membership_pair_partial` machinery
+    with a per-group weight riding the expansion), then ONE narrow
+    exchange on ``item_a`` folds (n, Σw) partials.  Groups larger than
+    ``max_group`` are SKIPPED (logged) — the documented quadratic
+    guard; the SQL oracle states the identical HAVING rule.  The Σw
+    fold order differs from DuckDB's scan order → both sides round to
+    ``round_to``."""
+    import logging
+
+    from netml_ray.partition import partition_map
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "w": pa.array([], type=pa.float64())})
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t[group].to_numpy()
+        it = t[item].to_numpy()
+        order = np.lexsort((it, g))
+        gs, its = g[order], it[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (its[1:] != its[:-1])]
+        gs, its = gs[keep], its[keep]
+        first = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(gs)])
+        big = lens > max_group
+        if big.any():
+            logging.getLogger(__name__).warning(
+                "adamic_adar: skipping %d group(s) larger than "
+                "max_group=%d", int(big.sum()), max_group)
+            keep_rows = np.repeat(~big, lens)
+            gs, its = gs[keep_rows], its[keep_rows]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]]) \
+                if len(gs) else np.empty(0, dtype=np.int64)
+            lens = np.diff(np.r_[starts, len(gs)])
+        if not len(gs):
+            return empty
+        w_grp = 1.0 / np.log(lens.astype(np.float64))  # lens==1: inf,
+        # but single-member groups expand to zero pairs below
+        m = np.arange(len(gs)) - np.repeat(starts, lens)
+        cnt_i = lens[np.repeat(np.arange(len(lens)), lens)] - 1 - m
+        total = int(cnt_i.sum())
+        if total == 0:
+            return empty
+        i_row = np.repeat(np.arange(len(gs)), cnt_i)
+        j_off = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(cnt_i)[:-1]], cnt_i)
+        a = its[i_row]
+        b = its[i_row + 1 + j_off]
+        w = w_grp[np.repeat(np.arange(len(lens)), lens)][i_row]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        order2 = np.lexsort((hi, lo))
+        lo, hi, w = lo[order2], hi[order2], w[order2]
+        f2 = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        s2 = np.flatnonzero(f2)
+        return pa.table({
+            "a": pa.array(lo[s2]), "b": pa.array(hi[s2]),
+            "n": pa.array(np.diff(np.r_[s2, len(lo)]).astype(np.int64)),
+            "w": pa.array(np.add.reduceat(w, s2))})
+
+    partial = partition_map(edges, group, _pairs,
+                            num_partitions=num_partitions)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"item_a": pa.array([], type=pa.int64()),
+                             "item_b": pa.array([], type=pa.int64()),
+                             "common": pa.array([], type=pa.int64()),
+                             "aa": pa.array([], type=pa.float64())})
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        nn = t["n"].to_numpy()
+        w = t["w"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, nn, w = a[order], b[order], nn[order], w[order]
+        f = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        s = np.flatnonzero(f)
+        return pa.table({
+            "item_a": pa.array(a[s]), "item_b": pa.array(b[s]),
+            "common": pa.array(np.add.reduceat(nn, s).astype(np.int64)),
+            "aa": pa.array(np.round(np.add.reduceat(w, s), round_to))})
+
+    return partition_map(partial, "a", _combine,
+                         num_partitions=num_partitions)

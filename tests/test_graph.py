@@ -413,3 +413,44 @@ def test_bfs_hops_vs_brute(ray_session):
                       got["hops"].to_pylist()))
         assert gd == dist
     assert 900 not in dist and 901 not in dist
+
+
+def test_adamic_adar_vs_brute(ray_session):
+    """AA score == a Counter brute over distinct memberships; groups
+    above max_group are skipped from pairs (guard semantics)."""
+    import math
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.graph import adamic_adar
+
+    rng = np.random.default_rng(41)
+    # group sizes vary 2..~15 distinct members; guard at 10 skips some
+    g = rng.integers(0, 300, 4_000)
+    it = rng.integers(0, 40, 4_000)
+    t = pa.table({"g": pa.array(g), "i": pa.array(it)})
+    out = adamic_adar(rd.from_arrow(t).repartition(5), "g", "i",
+                      max_group=10).to_pandas() \
+        .set_index(["item_a", "item_b"])
+
+    members = defaultdict(set)
+    for gg, ii in zip(g, it):
+        members[gg].add(ii)
+    assert any(len(m) > 10 for m in members.values())   # guard fires
+    assert any(2 <= len(m) <= 10 for m in members.values())
+    exp_n = defaultdict(int)
+    exp_w = defaultdict(float)
+    for gg, ms in members.items():
+        if len(ms) > 10:
+            continue
+        ms = sorted(ms)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                exp_n[(ms[x], ms[y])] += 1
+                exp_w[(ms[x], ms[y])] += 1.0 / math.log(len(ms))
+    assert len(out) == len(exp_n)
+    for k, n in exp_n.items():
+        assert out.loc[k, "common"] == n
+        assert abs(out.loc[k, "aa"] - exp_w[k]) < 1e-8

@@ -733,3 +733,20 @@ def test_fast_path_geo(ray_session, monkeypatch):
                                         ["cell_lat", "cell_lon"]),
                                   _norm(fast[1],
                                         ["cell_lat", "cell_lon"]))
+
+
+def test_fast_path_adamic_adar(ray_session, monkeypatch):
+    """adamic_adar's two partition_map stages: fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.graph import adamic_adar
+
+    t = _events()
+
+    def run():
+        return adamic_adar(rd.from_arrow(t), "user_id", "event_id") \
+            .to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["item_a", "item_b"]),
+                                  _norm(fast, ["item_a", "item_b"]))
