@@ -6796,6 +6796,38 @@ GROUP BY 1, 2
 """
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 scalar-quantization accuracy audit (mlprep.quantize_stats):
+    per-dim global (min, max) fold (O(d) per batch), then a narrow
+    broadcast quantize→reconstruct pass emitting per-vector max/mean
+    absolute error.  floor/clamp/recon float ops stated identically in
+    SQL; only the d-term mean is order-sensitive (rounded 9)."""
+    from netml_ray.mlprep import quantize_stats
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantize_stats(emb, "embedding")
+
+
+SQL_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(u.idx - 1 AS BIGINT) AS dim,
+         CAST(embedding[u.idx] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(idx)),
+mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+qq AS (
+  SELECT e.vec_id, e.x, mm.mn, mm.mx - mm.mn AS span,
+         CASE WHEN mm.mx - mm.mn = 0 THEN 0.0
+              ELSE LEAST(GREATEST(floor(
+                     (e.x - mm.mn) / (mm.mx - mm.mn) * 255), 0), 255)
+         END AS q
+  FROM e JOIN mm USING (dim)),
+r AS (SELECT vec_id, abs(x - (mn + (q * span) / 255)) AS err FROM qq)
+SELECT vec_id, round(max(err), 9) AS max_abs_err,
+       round(avg(err), 9) AS mean_abs_err
+FROM r GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7027,7 +7059,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iteration machinery is pinned in-window by
         # pagerank_partsupp and the graph-family entries)
         "interval_overlap_events": q_interval_overlap_events,
-        "entropy_events": q_entropy_events,
+        # (entropy_events rotated to the tail for quantize_embeddings:
+        # checker-verified r5 entry whose group-entropy count-partial
+        # machinery is subsumed by the NEW in-window
+        # cond_entropy_events)
+        "quantize_embeddings": q_quantize_embeddings,
         # (char_entropy_docs rotated to the tail for rollup_events —
         # then rollup_events itself rotated out for scd2_events:
         # rollup is checker-verified r5 and its multi-level a-hash
@@ -7056,6 +7092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion_docs": q_rrf_fusion_docs,
         "weighted_topk_sample_docs": q_weighted_topk_sample_docs,
         "despan_docs": q_despan_docs,
+        "entropy_events": q_entropy_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7486,6 +7523,7 @@ def oracle_sql() -> dict[str, str]:
         "hhi_events": SQL_HHI,
         "nearest_poi_events": SQL_NEAREST_POI,
         "adamic_adar_suppliers": SQL_ADAMIC_ADAR,
+        "quantize_embeddings": SQL_QUANTIZE,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

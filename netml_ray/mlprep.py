@@ -40,6 +40,7 @@ __all__ = ["fit_scaler", "transform_scaled", "woe_iv", "gains_table",
            "group_moments", "group_corr", "robust_zscore",
            "group_entropy", "group_mode", "mutual_information",
            "target_encode_oof", "frequency_encode", "welch_ttest",
+           "quantize_stats",
            "random_projection", "temporal_split", "prop_ztest"]
 
 
@@ -1536,3 +1537,64 @@ def prop_ztest(ds, group_col: str, success_col: str,
         "p_b": pa.array([round(pb, round_to)]),
         "z": pa.array([round(float(z), round_to)]),
     })
+
+
+def quantize_stats(ds, col: str, *, levels: int = 255,
+                   round_to: int = 9):
+    """Int8 scalar quantization audit: per-dimension global (min, max)
+    → q_j = floor((x_j − min_j) / span_j · levels) clamped to
+    [0, levels] → x̂_j = min_j + (q_j · span_j) / levels; emits ONE row
+    per vector with the max and mean absolute reconstruction error —
+    the accuracy-loss report every embedding-compression rollout needs
+    before switching ANN search to int8.
+
+    Scale shape: pass 1 folds per-batch (d-length min, max) partials
+    on the driver (O(d) floats per batch); pass 2 is a narrow
+    broadcast transform (the fitted (min, span) arrays ride the task
+    closure).  floor / clamp / the error's float ops are stated
+    IDENTICALLY in the SQL oracle; only the d-term mean sum is
+    order-sensitive → rounded both sides.  Zero-span dims quantize to
+    0 and reconstruct exactly (rule in SQL)."""
+    lo = None
+    hi = None
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        m = _kmeans_matrix(t, col)
+        if not len(m):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array(m.min(axis=0)),
+                         "hi": pa.array(m.max(axis=0))})
+
+    for bt in ds.map_batches(_minmax, batch_size=None,
+                             batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        blo = bt["lo"].to_numpy()
+        bhi = bt["hi"].to_numpy()
+        if not len(blo):
+            continue
+        lo = blo if lo is None else np.minimum(lo, blo)
+        hi = bhi if hi is None else np.maximum(hi, bhi)
+    if lo is None:
+        raise ValueError("quantize_stats: empty input")
+    span = hi - lo
+
+    def _err(t: pa.Table, _lo=lo, _span=span) -> pa.Table:
+        m = _kmeans_matrix(t, col)
+        if not len(m):
+            return pa.table({"vec_id": t["vec_id"],
+                             "max_abs_err": pa.array([], pa.float64()),
+                             "mean_abs_err": pa.array([], pa.float64())})
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - _lo) / _span * levels)
+        q = np.where(_span == 0, 0.0, np.clip(q, 0, levels))
+        recon = _lo + (q * _span) / levels
+        err = np.abs(m - recon)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "max_abs_err": pa.array(np.round(err.max(axis=1),
+                                             round_to)),
+            "mean_abs_err": pa.array(np.round(err.mean(axis=1),
+                                              round_to))})
+
+    return ds.map_batches(_err, batch_format="pyarrow")

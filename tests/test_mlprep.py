@@ -847,3 +847,34 @@ def test_prop_ztest_reference(ray_session):
     assert out["z"] > 2          # the planted +5pp difference shows
     with pytest.raises(ValueError, match="no rows"):
         prop_ztest(rd.from_arrow(t), "g", "s", "a", "zzz")
+
+
+def test_quantize_stats_vs_brute(ray_session):
+    """Per-vector quantization error == a numpy brute; error is
+    bounded by span/levels per dim and zero for constant dims."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import quantize_stats
+
+    rng = np.random.default_rng(51)
+    n, d = 400, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[:, 3] = 1.25                                 # zero-span dim
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(m))})
+    out = quantize_stats(rd.from_arrow(t).repartition(4), "embedding") \
+        .to_pandas().set_index("vec_id").sort_index()
+
+    x = m.astype(np.float64)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    span = hi - lo
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor((x - lo) / span * 255)
+    q = np.where(span == 0, 0.0, np.clip(q, 0, 255))
+    err = np.abs(x - (lo + (q * span) / 255))
+    assert np.allclose(out["max_abs_err"], err.max(axis=1), atol=1e-8)
+    assert np.allclose(out["mean_abs_err"], err.mean(axis=1), atol=1e-8)
+    # bound: one quantization step per dim
+    assert (err.max(axis=0) <= span / 255 + 1e-12).all()
+    assert (err[:, 3] == 0).all()
