@@ -6829,6 +6829,84 @@ FROM r GROUP BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# r5 source-format coverage: JSONL round-trip (the web-corpus
+# interchange format — CommonCrawl-style line-delimited records)
+# ---------------------------------------------------------------------------
+
+def q_jsonl_docs(sf_dir: str):
+    """JSONL source parity: the documents table is exported once to
+    line-delimited JSON under a content-fingerprinted /tmp cache (the
+    inverted-index cache precedent), read back with
+    ``ray.data.read_json`` (streaming, block-per-file), and the doc
+    lengths recomputed from the JSON-decoded text — proving the
+    engine ingests the web-corpus interchange format with full
+    fidelity (doc_id, n_chars AND text survive the round trip).
+    Oracle: the same projection straight off the parquet table."""
+    import os
+
+    import ray.data as rd
+
+    cache = _cache_dir(sf_dir, "documents", "netml_ray_jsonl")
+    if not os.path.isdir(cache) or not os.path.exists(
+            f"{cache}/_done"):
+        os.makedirs(cache, exist_ok=True)
+        _read(sf_dir, "documents",
+              ["doc_id", "text", "source"]).write_json(cache)
+        open(f"{cache}/_done", "w").write("ok")
+
+    docs = rd.read_json(
+        [f"{cache}/{f}" for f in sorted(os.listdir(cache))
+         if f.endswith(".json")])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+
+    return docs.map_batches(_proj, batch_format="pyarrow")
+
+
+SQL_JSONL = """
+SELECT doc_id, source, length(text) AS n_chars FROM documents
+"""
+
+
+def q_markov_accuracy_events(sf_dir: str):
+    """Markov next-event predictability (sequences.markov_accuracy):
+    order-1 chain fit via transition_counts' keyed exchange +
+    |types|²-bounded partials, O(|types|²) driver scoring — per
+    from-type the argmax prediction (tie → smallest to_type, rule in
+    SQL), transition total, hits and in-sample accuracy."""
+    from netml_ray.sequences import markov_accuracy
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return markov_accuracy(ev, "user_id", "ts", "event_type",
+                           tiebreak="event_id")
+
+
+SQL_MARKOV_ACCURACY = """
+WITH tr AS (
+  SELECT event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t
+  FROM events),
+tc AS (SELECT f, t, count(*) AS n FROM tr WHERE t IS NOT NULL
+       GROUP BY 1, 2),
+tot AS (SELECT f, sum(n) AS nt FROM tc GROUP BY 1),
+best AS (
+  SELECT f, t, n FROM tc
+  QUALIFY row_number() OVER (PARTITION BY f ORDER BY n DESC, t) = 1)
+SELECT best.f AS from_type, best.t AS predicted,
+       CAST(tot.nt AS BIGINT) AS n_transitions,
+       CAST(best.n AS BIGINT) AS n_correct,
+       round(best.n / (1.0 * tot.nt), 9) AS accuracy
+FROM best JOIN tot USING (f)
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
@@ -7048,7 +7126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaks addition: checker-verified r5 entry; per-key
         # ordered-prefix machinery pinned in-window by rank_events
         # and the r04-green tail topk_orders partial path)
-        "streaks_events": q_streaks_events,
+        # (streaks_events rotated to the tail for jsonl_docs: checker-
+        # verified r5 entry; the gaps-and-islands run machinery stays
+        # in-window through scd2_events + time_weighted_avg_events)
+        "jsonl_docs": q_jsonl_docs,
         # (robust_zscore_events / transitions_events rotated to the
         # tail for the hits/cooccur graph additions: both
         # checker-verified r5 entries; median/MAD machinery pinned by
@@ -7070,7 +7151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # finalize machinery is pinned in-window by the r04-green
         # tail pivot_user_type_events; scd2 is the NEWER islands
         # kernel and follows the newest-in-window discipline)
-        "scd2_events": q_scd2_events,
+        # (scd2_events rotated to the tail for markov_accuracy_events:
+        # checker-verified r5 entry; run-boundary dictionary-shift
+        # machinery stays in-window through time_weighted_avg_events
+        # and the sequences family)
+        "markov_accuracy_events": q_markov_accuracy_events,
         # (ecdf_events rotated to the tail for time_weighted_avg:
         # checker-verified r5 entry; cume_dist tie-group machinery
         # pinned in-window by rank_events' PERCENT_RANK)
@@ -7093,6 +7178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_topk_sample_docs": q_weighted_topk_sample_docs,
         "despan_docs": q_despan_docs,
         "entropy_events": q_entropy_events,
+        "streaks_events": q_streaks_events,
+        "scd2_events": q_scd2_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7524,6 +7611,8 @@ def oracle_sql() -> dict[str, str]:
         "nearest_poi_events": SQL_NEAREST_POI,
         "adamic_adar_suppliers": SQL_ADAMIC_ADAR,
         "quantize_embeddings": SQL_QUANTIZE,
+        "jsonl_docs": SQL_JSONL,
+        "markov_accuracy_events": SQL_MARKOV_ACCURACY,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

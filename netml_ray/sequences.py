@@ -33,7 +33,7 @@ __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "cohort_retention", "group_autocorr", "temporal_pairs",
            "active_users", "streaks", "scd2_intervals",
            "time_weighted_avg", "debounce", "event_paths",
-           "trigram_counts", "new_returning"]
+           "trigram_counts", "new_returning", "markov_accuracy"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -896,3 +896,47 @@ def new_returning(ds, key_col: str, ts_col: str, *,
     return pa.table({"day": pa.array(days),
                      "new_users": pa.array(new_n),
                      "returning_users": pa.array(ret_n)})
+
+
+def markov_accuracy(ds, key_col: str, ts_col: str, type_col: str, *,
+                    tiebreak: str, round_to: int = 9) -> pa.Table:
+    """Markov next-event predictability: fit the order-1 chain on the
+    corpus (``transition_counts``) and score it in-sample — for each
+    from-type, the predicted next type (argmax transition count, tie →
+    lexicographically smallest, rule stated in SQL), the transition
+    total, hits (= the argmax count) and accuracy.  The "how
+    predictable is user behavior" feature that decides whether a
+    sequence model is worth training.
+
+    Scale shape: everything distributed rides transition_counts' ONE
+    keyed exchange + |types|²-bounded partials; this adds O(|types|²)
+    driver math only."""
+    tc = transition_counts(ds, key_col, ts_col, type_col,
+                           tiebreak=tiebreak)
+    if isinstance(tc, pa.Table):
+        t = tc
+    else:
+        t = pa.concat_tables(tc.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"),
+                             promote_options="none")
+    t = t.sort_by([("from_type", "ascending"),
+                   ("n", "descending"), ("to_type", "ascending")])
+    f = t["from_type"].combine_chunks()
+    m = t.num_rows
+    first = np.ones(m, dtype=bool)
+    if m > 1:
+        first[1:] = np.asarray(pc.not_equal(
+            f.slice(1, m - 1), f.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False), dtype=bool)
+    s = np.flatnonzero(first)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # rows sorted (from, n DESC, to ASC): the run head IS the
+    # prediction — max count, smallest to_type on ties
+    tot = np.add.reduceat(n, s)
+    best = n[s]
+    return pa.table({
+        "from_type": f.take(pa.array(s)),
+        "predicted": t["to_type"].take(pa.array(s)),
+        "n_transitions": pa.array(tot),
+        "n_correct": pa.array(best),
+        "accuracy": pa.array(np.round(best / (1.0 * tot), round_to))})

@@ -591,3 +591,38 @@ def test_new_returning_vs_brute(ray_session):
     assert (out["new_users"] == ref["sum"]).all()
     assert (out["returning_users"] == ref["count"] - ref["sum"]).all()
     assert out["new_users"].sum() == df["user_id"].nunique()
+
+
+def test_markov_accuracy_vs_brute(ray_session):
+    """Per-from-type prediction == mode of next type (tie → smallest)
+    and accuracy == mode share, vs a pandas lead brute."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import markov_accuracy
+
+    rng = np.random.default_rng(61)
+    n = 5_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 80, n)),
+        "ts": pa.array(np.sort(rng.integers(0, 10**9, n))
+                       .astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "etype": pa.array(rng.choice(["a", "b", "c", "d"], n,
+                                     p=[0.5, 0.3, 0.1, 0.1]))})
+    out = markov_accuracy(rd.from_arrow(t).repartition(5), "user_id",
+                          "ts", "etype", tiebreak="event_id") \
+        .to_pandas().set_index("from_type")
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["next"] = df.groupby("user_id")["etype"].shift(-1)
+    tr = df.dropna(subset=["next"])
+    ref = tr.groupby(["etype", "next"]).size().rename("n").reset_index()
+    for f, sub in ref.groupby("etype"):
+        sub = sub.sort_values(["n", "next"],
+                              ascending=[False, True])
+        assert out.loc[f, "predicted"] == sub.iloc[0]["next"]
+        assert out.loc[f, "n_correct"] == sub.iloc[0]["n"]
+        assert out.loc[f, "n_transitions"] == sub["n"].sum()
+        assert abs(out.loc[f, "accuracy"]
+                   - sub.iloc[0]["n"] / sub["n"].sum()) < 1e-8
