@@ -6906,6 +6906,58 @@ FROM best JOIN tot USING (f)
 """
 
 
+def q_containment_docs(sf_dir: str):
+    """Snippet-containment near-dup planted-recall gate
+    (dedup.ngram_jaccard_duplicates metric='containment'): every doc
+    is planted with a SNIPPET copy (+2M id, first 10 whitespace
+    tokens).  A snippet's 3-gram set is a subset of the original's
+    (consecutive windows), so containment |A∩B|/min(|A|,|B|) = 1 ≥ 0.9
+    for EVERY doc — including short docs, whose whole-token-tuple
+    grams coincide — while Jaccard would dilute toward 0 on long
+    docs.  Blocking on the 8-codeunit prefix is invariant under
+    truncation.  Connectivity gate (union-find) as in the jaccard
+    query; the oracle is simply all doc_ids."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.dedup import ngram_jaccard_duplicates
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    snip = docs.copy()
+    snip["doc_id"] = snip["doc_id"] + 2_000_000
+    snip["text"] = [" ".join(t.split()[:10]) for t in snip["text"]]
+    both = rd.from_pandas(pd.concat([docs, snip], ignore_index=True))
+    pairs = ngram_jaccard_duplicates(both, k=3, jaccard_threshold=0.9,
+                                     metric="containment")
+    pdf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    connected = np.fromiter(
+        (find(int(i)) == find(int(i) + 2_000_000) for i in ids),
+        dtype=bool, count=len(ids))
+    out = np.sort(ids[connected])
+    return pa.table({"id_a": pa.array(out),
+                     "id_b": pa.array(out + 2_000_000)})
+
+
+SQL_CONTAINMENT = """
+SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+FROM documents ORDER BY id_a
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7019,7 +7071,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entry; its exact-quantile clamp kernel is pytest-pinned
         # (winsorized_group_stats parity) and the quantile family
         # stays in-window via approx_quantiles_events)
-        "nbr_degree_partsupp": q_nbr_degree_partsupp,
+        # (nbr_degree_partsupp rotated to the tail for
+        # containment_docs: checker-verified r5 entry; the graph
+        # family keeps FIVE in-window anchors — pagerank,
+        # assortativity, bfs_hops, triangle_census, adamic_adar —
+        # and the canonical-degree head is shared with assortativity)
+        "containment_docs": q_containment_docs,
         "chi2_docs": q_chi2_docs,
         # (benford_orders rotated to the tail for kendall_events: its
         # narrow digit-count-partial shape is pinned in-window by
@@ -7180,6 +7237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_events": q_entropy_events,
         "streaks_events": q_streaks_events,
         "scd2_events": q_scd2_events,
+        "nbr_degree_partsupp": q_nbr_degree_partsupp,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7613,6 +7671,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": SQL_QUANTIZE,
         "jsonl_docs": SQL_JSONL,
         "markov_accuracy_events": SQL_MARKOV_ACCURACY,
+        "containment_docs": SQL_CONTAINMENT,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -1390,9 +1390,17 @@ def ngram_jaccard_duplicates(
     block_col: str | None = None,
     block_prefix: int = 8,
     max_block: int = 4096,
+    metric: str = "jaccard",
     num_partitions: int | None = None,
 ):
     """Exact word-``k``-gram Jaccard near-duplicate pairs within blocks.
+
+    ``metric="containment"`` scores |A∩B| / min(|A|, |B|) instead —
+    the asymmetric measure that catches SUBSET duplication (a snippet
+    or section lifted into a larger page), which Jaccard dilutes
+    toward 0 as the host document grows; the output column is then
+    named ``containment``.  Threshold and all other semantics are
+    shared.
 
     Unlike MinHash-LSH (an estimate, optionally re-verified), this
     computes the EXACT Jaccard for every within-block pair — the right
@@ -1437,10 +1445,14 @@ def ngram_jaccard_duplicates(
             return frozenset(zip(*[w[i:] for i in range(k)]))
         return frozenset([tuple(w)])
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    score_col = metric
+
     def _pairs(t: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                           "id_b": pa.array([], type=pa.int64()),
-                          "jaccard": pa.array([], type=pa.float64())})
+                          score_col: pa.array([], type=pa.float64())})
         if t.num_rows == 0:
             return empty
         t = t.sort_by([(bcol, "ascending"), (id_col, "ascending")])
@@ -1468,8 +1480,11 @@ def ngram_jaccard_duplicates(
                 gi = gs[i]
                 for j in range(i + 1, w):
                     inter = len(gi & gs[j])
-                    union = len(gi) + len(gs[j]) - inter
-                    jac = inter / union if union else 1.0
+                    if metric == "containment":
+                        den = min(len(gi), len(gs[j]))
+                    else:
+                        den = len(gi) + len(gs[j]) - inter
+                    jac = inter / den if den else 1.0
                     if jac >= jaccard_threshold:
                         out_a.append(int(ids[s + i]))
                         out_b.append(int(ids[s + j]))
@@ -1480,7 +1495,7 @@ def ngram_jaccard_duplicates(
         bb = np.asarray(out_b, dtype=np.int64)
         lo, hi = np.minimum(a, bb), np.maximum(a, bb)
         return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
-                         "jaccard": pa.array(np.asarray(out_j))})
+                         score_col: pa.array(np.asarray(out_j))})
 
     return partition_map(narrow, bcol, _pairs, num_partitions=num_partitions)
 

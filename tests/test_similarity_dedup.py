@@ -605,3 +605,31 @@ def test_edit_distance_pairs_planted_recall(ray_session):
         # ' xx' lands beyond the 48-char prefix? no: texts are ~47
         # chars, so the suffix IS in the prefix window -> dist == 3
         assert out.loc[(i, i + 1000), "dist"] == 3
+
+
+def test_ngram_containment_vs_jaccard(ray_session):
+    """A snippet lifted into a long host doc: containment == 1.0 while
+    Jaccard dilutes below any useful threshold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.dedup import ngram_jaccard_duplicates
+
+    words = [f"w{i}" for i in range(200)]
+    host = " ".join(words)
+    snippet = " ".join(words[:12])          # same 8-codeunit prefix
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array([host, snippet])})
+
+    cont = ngram_jaccard_duplicates(
+        rd.from_arrow(t), k=3, jaccard_threshold=0.9,
+        metric="containment").to_pandas()
+    assert len(cont) == 1
+    assert cont.iloc[0]["containment"] == 1.0
+
+    jac = ngram_jaccard_duplicates(
+        rd.from_arrow(t), k=3, jaccard_threshold=0.9).to_pandas()
+    assert len(jac) == 0                     # diluted: 10/198 << 0.9
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_duplicates(rd.from_arrow(t), metric="dice")
