@@ -6958,6 +6958,103 @@ FROM documents ORDER BY id_a
 """
 
 
+def q_cohens_kappa_events(sf_dir: str):
+    """Chance-corrected agreement between two heuristic labelers
+    (mlprep.cohens_kappa): rater A = value > 1.0, rater B =
+    conversion-type event.  ONE narrow pass of 4-int confusion
+    partials (the prop_ztest shape); κ from exact integer counts via
+    the identical float expression on both sides."""
+    from netml_ray.mlprep import cohens_kappa
+
+    def _flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.greater(t["value"], 1.0),
+            "b": pc.is_in(t["event_type"],
+                          value_set=pa.array(["purchase", "signup"]))})
+
+    ev = _read(sf_dir, "events", ["value", "event_type"]) \
+        .map_batches(_flags, batch_size=None, batch_format="pyarrow")
+    return cohens_kappa(ev, "a", "b")
+
+
+SQL_COHENS_KAPPA = """
+WITH f AS (
+  SELECT value > 1.0 AS a,
+         event_type IN ('purchase', 'signup') AS b
+  FROM events),
+c AS (
+  SELECT count(*) FILTER (WHERE a AND b) AS tt,
+         count(*) FILTER (WHERE a AND NOT b) AS tf,
+         count(*) FILTER (WHERE NOT a AND b) AS ft,
+         count(*) FILTER (WHERE NOT a AND NOT b) AS ff
+  FROM f),
+r AS (
+  SELECT tt + tf + ft + ff AS n,
+         (tt + ff) / (1.0 * (tt + tf + ft + ff)) AS po,
+         ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+           / (1.0 * (tt + tf + ft + ff) * (tt + tf + ft + ff)) AS pe
+  FROM c)
+SELECT CAST(n AS BIGINT) AS n, round(po, 9) AS p_o,
+       round(pe, 9) AS p_e,
+       CASE WHEN pe = 1.0 THEN NULL
+            ELSE round((po - pe) / (1.0 - pe), 9) END AS kappa
+FROM r
+"""
+
+
+def q_leadlag_events(sf_dir: str):
+    """Lead–lag daily cross-correlation click → purchase
+    (featstats.leadlag_corr): ONE narrow (day, n_a, n_b) bincount-
+    partial pass, driver corr from EXACT integer power sums over the
+    full calendar spine (missing days = 0), lags 0..3."""
+    from netml_ray.featstats import leadlag_corr
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return leadlag_corr(
+        ev, "ts",
+        lambda t: pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False),
+        lambda t: pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False),
+        max_lag=3)
+
+
+SQL_LEADLAG = """
+WITH b AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_type
+  FROM events),
+lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+spine AS (
+  SELECT d0 + u.i AS day
+  FROM lim, unnest(range(0, d1 - d0 + 1)) AS u(i)),
+c AS (
+  SELECT s.day, COALESCE(x.na, 0) AS na, COALESCE(x.nb, 0) AS nb
+  FROM spine s LEFT JOIN (
+    SELECT day,
+           count(*) FILTER (WHERE event_type = 'click') AS na,
+           count(*) FILTER (WHERE event_type = 'purchase') AS nb
+    FROM b GROUP BY day) x USING (day)),
+l(lag) AS (VALUES (0), (1), (2), (3)),
+j AS (
+  SELECT l.lag, a.na AS x, bb.nb AS y
+  FROM l JOIN c a ON TRUE
+  JOIN c bb ON bb.day = a.day + l.lag),
+s AS (
+  SELECT lag, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM j GROUP BY lag)
+SELECT lag, CAST(m AS BIGINT) AS n_days,
+       CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) <= 0
+            THEN NULL
+            ELSE round((m * sxy - sx * sy)
+                       / sqrt(1.0 * ((m * sxx - sx * sx)
+                                     * (m * syy - sy * sy))), 9)
+       END AS corr
+FROM s ORDER BY lag
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7060,12 +7157,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # runs test: checker-verified r5 entry; its sorted-run
         # element-pick machinery is pinned in-window by runs_test's
         # lower-median pick and the approx-quantile family)
-        "runs_test_events": q_runs_test_events,
+        # (runs_test_events rotated to the tail for cohens_kappa:
+        # checker-verified r5 entry; the keyed segmented featstats
+        # machinery keeps mann_kendall/cusum/changepoint in-window)
+        "cohens_kappa_events": q_cohens_kappa_events,
         # (gini_docs rotated to the tail for the assortativity graph
         # addition: checker-verified long-green entry; its sort-cumsum
         # kernel is pytest-pinned and the count-partial shape stays
         # in-window via entropy_events)
-        "assortativity_partsupp": q_assortativity_partsupp,
+        # (assortativity_partsupp then rotated to the tail for the
+        # lead-lag cross-correlation: checker-verified r5 entry; the
+        # graph family keeps four in-window anchors — pagerank,
+        # bfs_hops, triangle_census, adamic_adar)
+        "leadlag_events": q_leadlag_events,
         # (winsorize_events rotated to the tail for the
         # nbr_degree graph addition: checker-verified long-green
         # entry; its exact-quantile clamp kernel is pytest-pinned
@@ -7238,6 +7342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaks_events": q_streaks_events,
         "scd2_events": q_scd2_events,
         "nbr_degree_partsupp": q_nbr_degree_partsupp,
+        "runs_test_events": q_runs_test_events,
+        "assortativity_partsupp": q_assortativity_partsupp,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7672,6 +7778,8 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_docs": SQL_JSONL,
         "markov_accuracy_events": SQL_MARKOV_ACCURACY,
         "containment_docs": SQL_CONTAINMENT,
+        "cohens_kappa_events": SQL_COHENS_KAPPA,
+        "leadlag_events": SQL_LEADLAG,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

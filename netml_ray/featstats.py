@@ -39,6 +39,7 @@ __all__ = [
     "trend_slope", "zipf_slope",
     "winsorized_group_stats", "traffic_matrix", "weighted_median",
     "hhi_concentration", "period_growth", "cond_entropy",
+    "leadlag_corr",
 ]
 
 
@@ -1750,3 +1751,79 @@ def cond_entropy(ds, x_col: str, y_col: str, *,
         "h_marginal": pa.array(np.full(k, round(h_y, round_to))),
         "info_gain": pa.array(np.full(k, round(ig, round_to))),
     })
+
+
+def leadlag_corr(ds, ts_col: str, flag_a, flag_b, *,
+                 max_lag: int = 3, day_us: int = 86_400 * 10**6,
+                 round_to: int = 9) -> pa.Table:
+    """Lead–lag cross-correlation between two event streams' DAILY
+    counts: Pearson corr of (count_A[d], count_B[d + lag]) for lag
+    0..max_lag over the full calendar spine (missing days count 0) —
+    does stream A lead stream B?  The campaign-attribution /
+    leading-indicator diagnostic.
+
+    ``flag_a`` / ``flag_b``: per-batch boolean selector functions
+    (pa.Table -> bool ndarray).  Scale shape: ONE narrow pass of
+    (day, n_a, n_b) bincount partials, driver folds O(days) ints and
+    computes the corr from EXACT integer power sums — the closed-form
+    (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) stated identically in
+    SQL, so the only float ops are the final expression.  Zero
+    variance on either side → typed NULL (rule in SQL)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        day = ts.to_numpy(zero_copy_only=False) // day_us
+        a = np.asarray(flag_a(t), dtype=bool)
+        b = np.asarray(flag_b(t), dtype=bool)
+        days = np.unique(day)
+        idx = np.searchsorted(days, day)
+        na = np.bincount(idx[a], minlength=len(days))
+        nb = np.bincount(idx[b], minlength=len(days))
+        return pa.table({"day": pa.array(days),
+                         "n_a": pa.array(na.astype(np.int64)),
+                         "n_b": pa.array(nb.astype(np.int64))})
+
+    acc: dict[int, list[int]] = {}
+    for bt in ds.map_batches(_partial, batch_size=None,
+                             batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for d, na, nb in zip(bt["day"].to_numpy(),
+                             bt["n_a"].to_numpy(),
+                             bt["n_b"].to_numpy()):
+            e = acc.setdefault(int(d), [0, 0])
+            e[0] += int(na)
+            e[1] += int(nb)
+    if not acc:
+        raise ValueError("leadlag_corr: empty input")
+    dmin, dmax = min(acc), max(acc)
+    span = dmax - dmin + 1
+    xa = np.zeros(span, dtype=np.int64)
+    xb = np.zeros(span, dtype=np.int64)
+    for d, (na, nb) in acc.items():
+        xa[d - dmin] = na
+        xb[d - dmin] = nb
+    lags, nd, corr, mask = [], [], [], []
+    for lag in range(max_lag + 1):
+        x = xa[:span - lag] if lag else xa
+        y = xb[lag:]
+        m = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = m * sxy - sx * sy
+        den2 = (m * sxx - sx * sx) * (m * syy - sy * sy)
+        lags.append(lag)
+        nd.append(m)
+        if den2 <= 0:
+            corr.append(0.0)
+            mask.append(True)
+        else:
+            corr.append(round(num / np.sqrt(1.0 * den2), round_to))
+            mask.append(False)
+    return pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n_days": pa.array(nd, pa.int64()),
+        "corr": pa.array(np.array(corr), mask=np.array(mask))})

@@ -40,7 +40,7 @@ __all__ = ["fit_scaler", "transform_scaled", "woe_iv", "gains_table",
            "group_moments", "group_corr", "robust_zscore",
            "group_entropy", "group_mode", "mutual_information",
            "target_encode_oof", "frequency_encode", "welch_ttest",
-           "quantize_stats",
+           "quantize_stats", "cohens_kappa",
            "random_projection", "temporal_split", "prop_ztest"]
 
 
@@ -1598,3 +1598,49 @@ def quantize_stats(ds, col: str, *, levels: int = 255,
                                               round_to))})
 
     return ds.map_batches(_err, batch_format="pyarrow")
+
+
+def cohens_kappa(ds, a_col: str, b_col: str, *, round_to: int = 9
+                 ) -> pa.Table:
+    """Cohen's kappa between two BOOLEAN rater columns — the
+    chance-corrected agreement score for label-quality audits (does
+    the heuristic labeler agree with the rule beyond chance?).
+    κ = (p_o − p_e) / (1 − p_e); perfect-agreement-by-chance
+    (p_e = 1) emits a typed NULL (rule stated in SQL).
+
+    Scale shape: ONE narrow pass folding a 4-int confusion partial per
+    batch (the prop_ztest shape); all downstream math is a single
+    driver expression over exact integer counts, stated identically
+    in the SQL oracle.  Output: one row (n, p_o, p_e, kappa)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col].to_numpy(zero_copy_only=False),
+                       dtype=bool)
+        b = np.asarray(t[b_col].to_numpy(zero_copy_only=False),
+                       dtype=bool)
+        return pa.table({
+            "tt": pa.array([int(np.sum(a & b))]),
+            "tf": pa.array([int(np.sum(a & ~b))]),
+            "ft": pa.array([int(np.sum(~a & b))]),
+            "ff": pa.array([int(np.sum(~a & ~b))])})
+
+    tt = tf = ft = ff = 0
+    for bt in ds.map_batches(_partial, batch_size=None,
+                             batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        tt += int(bt["tt"][0].as_py())
+        tf += int(bt["tf"][0].as_py())
+        ft += int(bt["ft"][0].as_py())
+        ff += int(bt["ff"][0].as_py())
+    n = tt + tf + ft + ff
+    if n == 0:
+        raise ValueError("cohens_kappa: empty input")
+    po = (tt + ff) / (1.0 * n)
+    pe = ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff)) / (1.0 * n * n)
+    kappa = None if pe == 1.0 else round((po - pe) / (1.0 - pe),
+                                         round_to)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "p_o": pa.array([round(po, round_to)]),
+        "p_e": pa.array([round(pe, round_to)]),
+        "kappa": pa.array([kappa], pa.float64())})

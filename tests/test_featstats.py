@@ -1139,3 +1139,41 @@ def test_cond_entropy_vs_brute(ray_session):
         h = float(-(sub * np.log(sub)).sum())
         assert abs(row["h_cond"] - h) < 1e-8
     assert abs(out2["info_gain"].iloc[0]) < 0.01
+
+
+def test_leadlag_corr_recovers_planted_lag(ray_session):
+    """A stream B that is stream A shifted by 2 days peaks the
+    cross-correlation at lag 2; values match a numpy brute."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import leadlag_corr
+
+    rng = np.random.default_rng(72)
+    days = 60
+    day_us = 86_400 * 10**6
+    base = rng.integers(5, 80, days)
+    rows_ts, rows_f = [], []
+    for d in range(days):
+        rows_ts += [d * day_us + 1] * int(base[d])
+        rows_f += ["A"] * int(base[d])
+        if d >= 2:                       # B echoes A two days later
+            rows_ts += [d * day_us + 2] * int(base[d - 2])
+            rows_f += ["B"] * int(base[d - 2])
+    t = pa.table({"ts": pa.array(np.array(rows_ts, dtype=np.int64)
+                                 .astype("datetime64[us]")),
+                  "f": pa.array(rows_f)})
+    out = leadlag_corr(
+        rd.from_arrow(t).repartition(6), "ts",
+        lambda b: np.asarray(b["f"].to_numpy(zero_copy_only=False)
+                             == "A"),
+        lambda b: np.asarray(b["f"].to_numpy(zero_copy_only=False)
+                             == "B"),
+        max_lag=3).to_pandas().set_index("lag")
+    assert out["corr"].idxmax() == 2
+    # brute at lag 2
+    xa = base[:days - 2].astype(float)
+    xb = base[:days - 2].astype(float)   # B[d+2] == A[d]
+    ref = np.corrcoef(xa, xb)[0, 1]
+    assert abs(out.loc[2, "corr"] - ref) < 1e-9
+    assert (out["n_days"] == [60, 59, 58, 57]).all()

@@ -878,3 +878,32 @@ def test_quantize_stats_vs_brute(ray_session):
     # bound: one quantization step per dim
     assert (err.max(axis=0) <= span / 255 + 1e-12).all()
     assert (err[:, 3] == 0).all()
+
+
+def test_cohens_kappa_vs_brute(ray_session):
+    """κ == the closed form on the confusion counts; perfect agreement
+    → 1, independent raters → ≈ 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import cohens_kappa
+
+    rng = np.random.default_rng(71)
+    n = 8_000
+    a = rng.random(n) < 0.4
+    b = np.where(rng.random(n) < 0.8, a, rng.random(n) < 0.4)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    out = cohens_kappa(rd.from_arrow(t).repartition(5), "a", "b") \
+        .to_pandas().iloc[0]
+    tt = int(np.sum(a & b)); tf = int(np.sum(a & ~b))
+    ft = int(np.sum(~a & b)); ff = int(np.sum(~a & ~b))
+    po = (tt + ff) / n
+    pe = ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff)) / (n * n)
+    assert out["n"] == n
+    assert abs(out["p_o"] - po) < 1e-9
+    assert abs(out["kappa"] - (po - pe) / (1 - pe)) < 1e-8
+
+    perfect = cohens_kappa(rd.from_arrow(pa.table(
+        {"a": pa.array(a), "b": pa.array(a)})), "a", "b") \
+        .to_pandas().iloc[0]
+    assert perfect["kappa"] == 1.0
