@@ -7055,6 +7055,77 @@ FROM s ORDER BY lag
 """
 
 
+def q_funnel_rates_events(sf_dir: str):
+    """Stage-to-stage funnel conversion table
+    (sequences.funnel_rates): funnel_stages' ONE keyed exchange, then
+    ≤(K+1)-int bincount partials and O(K) driver math — per stage the
+    keys reaching it and the conversion vs the previous stage (stage 1
+    converts from the full key population)."""
+    from netml_ray.sequences import funnel_rates
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return funnel_rates(ev, "user_id", "ts", "event_type",
+                        _FUNNEL_STAGES, tiebreak="event_id")
+
+
+def _build_funnel_rates_sql(stages=None) -> str:
+    stages = stages or _FUNNEL_STAGES
+    base = _build_funnel_sql(stages)
+    k = len(stages)
+    counts = ", ".join(
+        [f"count(*) FILTER (WHERE stages_completed >= {i}) AS n{i}"
+         for i in range(1, k + 1)] + ["count(*) AS n0"])
+    rows = []
+    for i in range(1, k + 1):
+        prev = f"n{i-1}" if i > 1 else "n0"
+        rows.append(
+            f"SELECT {i} AS stage, '{stages[i-1]}' AS stage_name, "
+            f"CAST(n{i} AS BIGINT) AS n_reached, "
+            f"CASE WHEN {prev} = 0 THEN NULL "
+            f"ELSE round(n{i} / (1.0 * {prev}), 9) END AS conversion "
+            f"FROM c")
+    return (f"WITH f AS ({base}), c AS (SELECT {counts} FROM f) "
+            + " UNION ALL ".join(rows))
+
+
+def q_cramers_v_docs(sf_dir: str):
+    """Cramér's V effect size for lang × source
+    (featstats.cramers_v): the shared narrow contingency fold, driver
+    O(|X|·|Y|) math — χ², dof, n and the [0,1]-normalized V."""
+    from netml_ray.featstats import cramers_v
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    return cramers_v(docs, "lang", "source")
+
+
+SQL_CRAMERS_V = """
+WITH c AS (SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM c),
+rx AS (SELECT x, CAST(sum(n) AS DOUBLE) AS nx FROM c GROUP BY x),
+ry AS (SELECT y, CAST(sum(n) AS DOUBLE) AS ny FROM c GROUP BY y),
+cell AS (
+  SELECT COALESCE(c.n, 0) AS o, rx.nx * ry.ny / tot.n AS e
+  FROM rx CROSS JOIN ry CROSS JOIN tot
+  LEFT JOIN c ON c.x = rx.x AND c.y = ry.y),
+s AS (
+  SELECT sum((o - e) * (o - e) / e) AS chi2raw,
+         (SELECT count(*) - 1 FROM rx) AS rx1,
+         (SELECT count(*) - 1 FROM ry) AS ry1,
+         (SELECT sum(n) FROM c) AS n
+  FROM cell)
+SELECT round(chi2raw, 9) AS chi2,
+       CAST(rx1 * ry1 AS BIGINT) AS dof,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN least(rx1, ry1) = 0 THEN NULL
+            ELSE round(sqrt(chi2raw
+                            / ((1.0 * n) * least(rx1, ry1))), 9)
+       END AS cramers_v
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7181,7 +7252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assortativity, bfs_hops, triangle_census, adamic_adar —
         # and the canonical-degree head is shared with assortativity)
         "containment_docs": q_containment_docs,
-        "chi2_docs": q_chi2_docs,
+        # (chi2_docs rotated to the tail for cramers_v_docs: the NEW
+        # entry runs the SAME shared contingency fold and emits the
+        # SAME chi2/dof/n columns plus the normalized V — a strict
+        # superset computation over the identical input)
+        "cramers_v_docs": q_cramers_v_docs,
         # (benford_orders rotated to the tail for kendall_events: its
         # narrow digit-count-partial shape is pinned in-window by
         # chi2_docs; checker-verified at both SFs since its session)
@@ -7210,7 +7285,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # day-time stats: checker-verified r5 entry; its per-batch
         # calendar-bincount partial + driver fold is EXACTLY the shape
         # circular_daytime rides, which now pins it in-window)
-        "circadian_events": q_circadian_events,
+        # (circadian_events rotated to the tail for
+        # funnel_rates_events: checker-verified r5 entry; the circular
+        # day-time machinery shares the calendar-bucket family with
+        # the in-window traffic/leadlag entries)
+        "funnel_rates_events": q_funnel_rates_events,
         "temporal_split_events": q_temporal_split_events,
         # (jaro_winkler_docs rotated to the tail for the forward
         # as-of: checker-verified r5 entry; its pairwise string-
@@ -7344,6 +7423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbr_degree_partsupp": q_nbr_degree_partsupp,
         "runs_test_events": q_runs_test_events,
         "assortativity_partsupp": q_assortativity_partsupp,
+        "chi2_docs": q_chi2_docs,
+        "circadian_events": q_circadian_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7780,6 +7861,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_docs": SQL_CONTAINMENT,
         "cohens_kappa_events": SQL_COHENS_KAPPA,
         "leadlag_events": SQL_LEADLAG,
+        "cramers_v_docs": SQL_CRAMERS_V,
+        "funnel_rates_events": _build_funnel_rates_sql(),
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -431,6 +431,19 @@ def run_suite() -> dict:
                 "netml_ray.sequences", fromlist=["event_paths"])
                 .event_paths(sev, "user_id", "ts", "event_type",
                              tiebreak="event_id", max_len=50)),
+            # r5 closing-session growth-accounting / geo family
+            ("hhi", lambda: __import__(
+                "netml_ray.featstats", fromlist=["hhi_concentration"])
+                .hhi_concentration(sev, "event_type", "user_id")),
+            ("new_ret", lambda: __import__(
+                "netml_ray.sequences", fromlist=["new_returning"])
+                .new_returning(sev, "user_id", "ts")),
+            ("nearest_poi", lambda: __import__(
+                "netml_ray.geo", fromlist=["nearest_poi"])
+                .nearest_poi(sev, "user_id")),
+            ("geo_grid", lambda: __import__(
+                "netml_ray.geo", fromlist=["grid_stats"])
+                .grid_stats(sev, "user_id", "value")),
         ]:
             t0 = time.time()
             _consume(fn(), label)

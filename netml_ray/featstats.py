@@ -39,7 +39,7 @@ __all__ = [
     "trend_slope", "zipf_slope",
     "winsorized_group_stats", "traffic_matrix", "weighted_median",
     "hhi_concentration", "period_growth", "cond_entropy",
-    "leadlag_corr",
+    "leadlag_corr", "cramers_v",
 ]
 
 
@@ -139,6 +139,44 @@ def chi2_independence(ds, xcol: str, ycol: str,
     feature-selection screen companion to ``mutual_information``.
 
     Returns a one-row table ``(chi2, dof, n)``."""
+    obs, xs, ys = _contingency(ds, xcol, ycol)
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (len(xs) - 1) * (len(ys) - 1)
+    if round_to is not None:
+        chi2 = round(chi2, round_to)
+    return pa.table({"chi2": pa.array([chi2]),
+                     "dof": pa.array([dof], type=pa.int64()),
+                     "n": pa.array([int(n)], type=pa.int64())})
+
+
+def cramers_v(ds, xcol: str, ycol: str, *,
+              round_to: int = 9) -> pa.Table:
+    """Cramér's V — the [0, 1]-normalized effect size of the chi²
+    independence test: V = √(χ² / (n · min(r−1, c−1))), comparable
+    ACROSS tables where raw χ² is not.  Same narrow contingency fold
+    as :func:`chi2_independence`; a degenerate table (single row or
+    column) emits a typed NULL V (rule stated in SQL).  Returns one
+    row ``(chi2, dof, n, cramers_v)``."""
+    obs, xs, ys = _contingency(ds, xcol, ycol)
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (len(xs) - 1) * (len(ys) - 1)
+    mindof = min(len(xs) - 1, len(ys) - 1)
+    v = None if mindof == 0 else round(
+        float(np.sqrt(chi2 / (n * mindof))), round_to)
+    return pa.table({"chi2": pa.array([round(chi2, round_to)]),
+                     "dof": pa.array([dof], type=pa.int64()),
+                     "n": pa.array([int(n)], type=pa.int64()),
+                     "cramers_v": pa.array([v], pa.float64())})
+
+
+def _contingency(ds, xcol: str, ycol: str):
+    """Shared narrow contingency fold: per-batch (x, y, n) group-by
+    partials, driver O(|X|·|Y|) dense matrix.  Returns
+    ``(obs, xs, ys)`` with xs/ys sorted."""
 
     def _p(t: pa.Table) -> pa.Table:
         if not t.num_rows:
@@ -161,15 +199,7 @@ def chi2_independence(ds, xcol: str, ycol: str,
     yi = {v: i for i, v in enumerate(ys)}
     for (x, y), n in agg.items():
         obs[xi[x], yi[y]] = n
-    n = obs.sum()
-    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
-    chi2 = float(((obs - exp) ** 2 / exp).sum())
-    dof = (len(xs) - 1) * (len(ys) - 1)
-    if round_to is not None:
-        chi2 = round(chi2, round_to)
-    return pa.table({"chi2": pa.array([chi2]),
-                     "dof": pa.array([dof], type=pa.int64()),
-                     "n": pa.array([int(n)], type=pa.int64())})
+    return obs, xs, ys
 
 
 # ---------------------------------------------------------------------------

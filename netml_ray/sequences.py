@@ -33,7 +33,8 @@ __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "cohort_retention", "group_autocorr", "temporal_pairs",
            "active_users", "streaks", "scd2_intervals",
            "time_weighted_avg", "debounce", "event_paths",
-           "trigram_counts", "new_returning", "markov_accuracy"]
+           "trigram_counts", "new_returning", "markov_accuracy",
+           "funnel_rates", "event_gaps"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -940,3 +941,108 @@ def markov_accuracy(ds, key_col: str, ts_col: str, type_col: str, *,
         "n_transitions": pa.array(tot),
         "n_correct": pa.array(best),
         "accuracy": pa.array(np.round(best / (1.0 * tot), round_to))})
+
+
+def funnel_rates(ds, key_col: str, ts_col: str, type_col: str,
+                 stages: list[str], *, tiebreak: str,
+                 round_to: int = 9) -> pa.Table:
+    """Stage-to-stage funnel conversion table: on top of
+    :func:`funnel_stages` (strict-order min-ts semantics), for each
+    stage i — the number of keys reaching it (stages_completed ≥ i)
+    and the conversion rate vs the previous stage (stage 1 converts
+    from the full key population; an empty previous stage emits a
+    typed NULL, rule stated in SQL).  The drop-off report product
+    analytics reads daily.
+
+    Scale shape: funnel_stages' ONE keyed exchange, then a ≤(K+1)-int
+    bincount partial per output batch and O(K) driver math."""
+    per_key = funnel_stages(ds, key_col, ts_col, type_col, stages,
+                            tiebreak=tiebreak)
+    k = len(stages)
+
+    def _p(t: pa.Table) -> pa.Table:
+        sc = t["stages_completed"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(sc, minlength=k + 1)
+        return pa.table({"sc": pa.array(np.arange(k + 1,
+                                                  dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    tot = np.zeros(k + 1, dtype=np.int64)
+    for bt in per_key.map_batches(_p, batch_size=None,
+                                  batch_format="pyarrow") \
+                     .iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+        np.add.at(tot, bt["sc"].to_numpy(), bt["n"].to_numpy())
+    n_ge = np.cumsum(tot[::-1])[::-1]        # n_ge[i] = keys with sc>=i
+    stage = np.arange(1, k + 1, dtype=np.int64)
+    reached = n_ge[1:]
+    prev = n_ge[:-1]
+    conv = np.zeros(k, dtype=np.float64)
+    mask = prev == 0
+    conv[~mask] = np.round(reached[~mask] / (1.0 * prev[~mask]),
+                           round_to)
+    return pa.table({
+        "stage": pa.array(stage),
+        "stage_name": pa.array(list(stages)),
+        "n_reached": pa.array(reached),
+        "conversion": pa.array(conv, mask=mask)})
+
+
+def event_gaps(ds, key_col: str, ts_col: str, *, type_col=None,
+               event_type=None, tiebreak: str) -> pa.Table:
+    """Per-key inter-event gap profile, optionally restricted to ONE
+    event type (the repurchase-cadence feature: median days between
+    purchases drives every retention model).  Emits (key, n_events,
+    median_gap_us, max_gap_us) for keys with ≥ 2 qualifying events
+    (rule stated in SQL); the median is the LOWER-median ELEMENT of
+    the int64 microsecond gaps — both engines return the identical
+    integer, no float hedge needed (the theil_sen pick precedent).
+
+    Scale shape: optional narrow type filter, then ONE keyed hash
+    exchange sorted by (key, ts, tiebreak); per partition gaps are one
+    shifted subtraction, per-run medians one (run, gap) lexsort +
+    index pick, maxima one reduceat."""
+    from .partition import partition_map
+
+    if type_col is not None:
+        ds = ds.filter(expr=f"{type_col} == '{event_type}'")
+    cols = [key_col, ts_col, tiebreak]
+    ds = ds.select_columns(cols)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                key_col: t[key_col],
+                "n_events": pa.array([], pa.int64()),
+                "median_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64())})
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        us = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        gap = us[1:] - us[:-1]
+        in_run = run_id[1:] == run_id[:-1]
+        g = gap[in_run]
+        gr = run_id[1:][in_run]
+        if not len(g):
+            return pa.table({
+                key_col: keys.slice(0, 0),
+                "n_events": pa.array([], pa.int64()),
+                "median_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64())})
+        order = np.lexsort((g, gr))
+        g, gr = g[order], gr[order]
+        rs = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        cnt = np.diff(np.r_[rs, len(gr)])
+        med = g[rs + (cnt - 1) // 2]
+        mx = np.maximum.reduceat(g, rs)
+        return pa.table({
+            key_col: keys.take(pa.array(starts[gr[rs]])),
+            "n_events": pa.array((cnt + 1).astype(np.int64)),
+            "median_gap_us": pa.array(med),
+            "max_gap_us": pa.array(mx)})
+
+    return partition_map(ds, key_col, _fn,
+                         sort_by=[key_col, ts_col, tiebreak])

@@ -1177,3 +1177,31 @@ def test_leadlag_corr_recovers_planted_lag(ray_session):
     ref = np.corrcoef(xa, xb)[0, 1]
     assert abs(out.loc[2, "corr"] - ref) < 1e-9
     assert (out["n_days"] == [60, 59, 58, 57]).all()
+
+
+def test_cramers_v_vs_brute(ray_session):
+    """V == sqrt(chi2/(n*mindof)) with chi2 matching
+    chi2_independence; perfectly-associated table gives V == 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import chi2_independence, cramers_v
+
+    rng = np.random.default_rng(91)
+    n = 6_000
+    x = rng.choice(["a", "b", "c"], n)
+    y = np.where(rng.random(n) < 0.3, x, rng.choice(["p", "q"], n))
+    t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    out = cramers_v(rd.from_arrow(t).repartition(4), "x", "y") \
+        .to_pandas().iloc[0]
+    ref = chi2_independence(rd.from_arrow(t), "x", "y") \
+        .to_pandas().iloc[0]
+    assert abs(out["chi2"] - ref["chi2"]) < 1e-6
+    assert out["dof"] == ref["dof"]
+    exp_v = np.sqrt(out["chi2"] / (n * min(3 - 1, 5 - 1)))
+    assert abs(out["cramers_v"] - exp_v) < 1e-8
+
+    perfect = cramers_v(rd.from_arrow(pa.table(
+        {"x": pa.array(x), "y": pa.array(x)})), "x", "y") \
+        .to_pandas().iloc[0]
+    assert abs(perfect["cramers_v"] - 1.0) < 1e-9

@@ -626,3 +626,35 @@ def test_markov_accuracy_vs_brute(ray_session):
         assert out.loc[f, "n_transitions"] == sub["n"].sum()
         assert abs(out.loc[f, "accuracy"]
                    - sub.iloc[0]["n"] / sub["n"].sum()) < 1e-8
+
+
+def test_funnel_rates_vs_brute(ray_session):
+    """Per-stage reach == brute stage-counts from funnel_stages
+    semantics; conversions multiply back to the final reach."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import funnel_rates, funnel_stages
+
+    rng = np.random.default_rng(81)
+    n = 4_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 120, n)),
+        "ts": pa.array(np.sort(rng.uniform(0, 1e6, n))),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "etype": pa.array(rng.choice(["a", "b", "c", "x"], n))})
+    stages = ["a", "b", "c"]
+    out = funnel_rates(rd.from_arrow(t), "user_id", "ts", "etype",
+                       stages, tiebreak="event_id").to_pandas()
+    per_key = funnel_stages(rd.from_arrow(t), "user_id", "ts",
+                            "etype", stages, tiebreak="event_id") \
+        .to_pandas()
+    n_keys = len(per_key)
+    for i in range(1, 4):
+        reached = int((per_key["stages_completed"] >= i).sum())
+        row = out[out["stage"] == i].iloc[0]
+        assert row["n_reached"] == reached
+        prev = n_keys if i == 1 else \
+            int((per_key["stages_completed"] >= i - 1).sum())
+        assert abs(row["conversion"] - reached / prev) < 1e-9
+    assert list(out["stage_name"]) == stages
