@@ -7126,6 +7126,41 @@ FROM s
 """
 
 
+def q_repurchase_gaps_events(sf_dir: str):
+    """Repurchase cadence (sequences.event_gaps): per user the count,
+    LOWER-median and max of int64 microsecond gaps between consecutive
+    purchase events — narrow type filter, ONE keyed exchange, shifted
+    subtraction + one (run, gap) lexsort pick.  Integer-exact on both
+    engines (no float hedge)."""
+    from netml_ray.sequences import event_gaps
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return event_gaps(ev, "user_id", "ts", type_col="event_type",
+                      event_type="purchase", tiebreak="event_id")
+
+
+SQL_REPURCHASE_GAPS = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'),
+g AS (SELECT user_id, us - prev AS gap FROM p WHERE prev IS NOT NULL),
+m AS (
+  SELECT user_id, gap,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS c
+  FROM g),
+sel AS (SELECT user_id, c, gap FROM m WHERE rn = (c + 1) // 2),
+mx AS (SELECT user_id, max(gap) AS mg FROM g GROUP BY 1)
+SELECT s.user_id, CAST(s.c + 1 AS BIGINT) AS n_events,
+       CAST(s.gap AS BIGINT) AS median_gap_us,
+       CAST(mx.mg AS BIGINT) AS max_gap_us
+FROM sel s JOIN mx USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7290,7 +7325,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # day-time machinery shares the calendar-bucket family with
         # the in-window traffic/leadlag entries)
         "funnel_rates_events": q_funnel_rates_events,
-        "temporal_split_events": q_temporal_split_events,
+        # (temporal_split_events rotated to the tail for
+        # repurchase_gaps_events: checker-verified r5 entry; the
+        # segmented-rank machinery stays in-window through rank_events
+        # and the new gap kernel's lexsort-pick shares the theil_sen
+        # median-element precedent)
+        "repurchase_gaps_events": q_repurchase_gaps_events,
         # (jaro_winkler_docs rotated to the tail for the forward
         # as-of: checker-verified r5 entry; its pairwise string-
         # distance kernel is the edit_distance sibling, both fuzz-
@@ -7425,6 +7465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_partsupp": q_assortativity_partsupp,
         "chi2_docs": q_chi2_docs,
         "circadian_events": q_circadian_events,
+        "temporal_split_events": q_temporal_split_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7863,6 +7904,7 @@ def oracle_sql() -> dict[str, str]:
         "leadlag_events": SQL_LEADLAG,
         "cramers_v_docs": SQL_CRAMERS_V,
         "funnel_rates_events": _build_funnel_rates_sql(),
+        "repurchase_gaps_events": SQL_REPURCHASE_GAPS,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

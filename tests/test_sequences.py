@@ -658,3 +658,39 @@ def test_funnel_rates_vs_brute(ray_session):
             int((per_key["stages_completed"] >= i - 1).sum())
         assert abs(row["conversion"] - reached / prev) < 1e-9
     assert list(out["stage_name"]) == stages
+
+
+def test_event_gaps_vs_brute(ray_session):
+    """Per-key gap count / lower-median / max == a python walk;
+    single-event keys are dropped."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import event_gaps
+
+    rng = np.random.default_rng(92)
+    n = 3_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 90, n)),
+        "ts": pa.array(rng.choice(10**9, n, replace=False)
+                       .astype(np.int64).astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "etype": pa.array(rng.choice(["p", "x"], n))})
+    out = event_gaps(rd.from_arrow(t).repartition(5), "user_id", "ts",
+                     type_col="etype", event_type="p",
+                     tiebreak="event_id").to_pandas() \
+        .set_index("user_id")
+    df = t.to_pandas()
+    df = df[df["etype"] == "p"].sort_values(["user_id", "ts"])
+    seen = 0
+    for uid, sub in df.groupby("user_id"):
+        us = sub["ts"].astype("int64").to_numpy()
+        if len(us) < 2:
+            assert uid not in out.index
+            continue
+        gaps = np.sort(np.diff(us))
+        assert out.loc[uid, "n_events"] == len(us)
+        assert out.loc[uid, "median_gap_us"] == gaps[(len(gaps) - 1) // 2]
+        assert out.loc[uid, "max_gap_us"] == gaps[-1]
+        seen += 1
+    assert seen == len(out)
