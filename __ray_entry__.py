@@ -7161,6 +7161,87 @@ FROM sel s JOIN mx USING (user_id)
 """
 
 
+def q_session_conversion_events(sf_dir: str):
+    """Per-user session conversion (sequences.session_conversion):
+    the 12 h timeout sessionization rule (identical cut expression to
+    the sessionize oracle) + sessions containing ≥1 purchase.  ONE
+    keyed exchange; reduceat per-session/per-user folds; the rate is
+    exact small-int division (no hedge)."""
+    from netml_ray.sequences import session_conversion
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return session_conversion(ev, "user_id", "ts", "event_type",
+                              gap_s=EVENT_GAP,
+                              convert_type="purchase",
+                              tiebreak="event_id")
+
+
+SQL_SESSION_CONVERSION = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              > {EVENT_GAP} THEN 1 ELSE 0 END AS cut
+  FROM events),
+s AS (
+  SELECT user_id, event_type,
+         SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+per AS (
+  SELECT user_id, sid,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       sum(conv) / (1.0 * count(*)) AS conversion
+FROM per GROUP BY user_id
+"""
+
+
+def q_embedding_norm_quantiles(sf_dir: str):
+    """L2-norm distribution of the embedding corpus
+    (sessionize.exact_quantiles over a narrow norm pass): per-vector
+    norms rounded 9 on BOTH sides (kills the einsum-vs-sequential
+    last-ulp sum noise), then the exact quantile_cont-parity global
+    quantile kernel at 0/25/50/75/100%."""
+    from netml_ray.sessionize import exact_quantiles
+
+    def _norms(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1)
+        return pa.table({"norm": pa.array(
+            np.round(np.sqrt(np.einsum("ij,ij->i", m, m)), 9))})
+
+    emb = _read(sf_dir, "embeddings", ["embedding"]) \
+        .map_batches(_norms, batch_size=None, batch_format="pyarrow")
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    vals = exact_quantiles(emb, "norm", qs)
+    return pa.table({"q": pa.array(qs),
+                     "norm_q": pa.array(np.round(vals, 9))})
+
+
+SQL_EMBEDDING_NORM_QUANTILES = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding[u.idx] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(idx)),
+n AS (SELECT vec_id, round(sqrt(sum(x * x)), 9) AS norm
+      FROM e GROUP BY vec_id)
+SELECT 0.0 AS q, round(quantile_cont(norm, 0.0), 9) AS norm_q FROM n
+UNION ALL
+SELECT 0.25, round(quantile_cont(norm, 0.25), 9) FROM n
+UNION ALL
+SELECT 0.5, round(quantile_cont(norm, 0.5), 9) FROM n
+UNION ALL
+SELECT 0.75, round(quantile_cont(norm, 0.75), 9) FROM n
+UNION ALL
+SELECT 1.0, round(quantile_cont(norm, 1.0), 9) FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7209,7 +7290,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # paths: checker-verified r5 entry; its segmented-searchsorted
         # time-RANGE machinery is pinned in-window by rolling_corr and
         # the asof_forward_events direction variant)
-        "event_paths_events": q_event_paths_events,
+        # (event_paths_events rotated to the tail for
+        # session_conversion_events: checker-verified r5 entry; the
+        # sequences keyed-exchange family keeps markov_accuracy /
+        # funnel_rates / repurchase_gaps in-window and the NEW entry
+        # reuses the sessionize cut rule verbatim)
+        "session_conversion_events": q_session_conversion_events,
         # (knn_cosine_ivf_batch rotated to the tail for
         # time_to_purchase_events: the IVF family holds TWO green r04
         # driver rows — knn_cosine_ivf + the batch variant — and the
@@ -7345,7 +7431,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange is lm_bits' path (r04-green tail row) and its
         # contingency math is pinned in-window by chi2_docs)
         "asof_nearest_events": q_asof_nearest_events,
-        "psi_events": q_psi_events,
+        # (psi_events rotated to the tail for
+        # embedding_norm_quantiles: checker-verified r5 entry; the
+        # exact-quantile-edge machinery stays in-window through
+        # approx_quantiles_events and the NEW entry exercises the
+        # quantile_cont-parity global kernel directly)
+        "embedding_norm_quantiles": q_embedding_norm_quantiles,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -7466,6 +7557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_docs": q_chi2_docs,
         "circadian_events": q_circadian_events,
         "temporal_split_events": q_temporal_split_events,
+        "event_paths_events": q_event_paths_events,
+        "psi_events": q_psi_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -7905,6 +7998,8 @@ def oracle_sql() -> dict[str, str]:
         "cramers_v_docs": SQL_CRAMERS_V,
         "funnel_rates_events": _build_funnel_rates_sql(),
         "repurchase_gaps_events": SQL_REPURCHASE_GAPS,
+        "session_conversion_events": SQL_SESSION_CONVERSION,
+        "embedding_norm_quantiles": SQL_EMBEDDING_NORM_QUANTILES,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -34,7 +34,7 @@ __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "active_users", "streaks", "scd2_intervals",
            "time_weighted_avg", "debounce", "event_paths",
            "trigram_counts", "new_returning", "markov_accuracy",
-           "funnel_rates", "event_gaps"]
+           "funnel_rates", "event_gaps", "session_conversion"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -1045,4 +1045,60 @@ def event_gaps(ds, key_col: str, ts_col: str, *, type_col=None,
             "max_gap_us": pa.array(mx)})
 
     return partition_map(ds, key_col, _fn,
+                         sort_by=[key_col, ts_col, tiebreak])
+
+
+def session_conversion(ds, key_col: str, ts_col: str, type_col: str,
+                       *, gap_s: float, convert_type: str,
+                       tiebreak: str) -> "object":
+    """Per-key session conversion: sessionize by the timeout rule
+    (new session when the float-epoch-second gap to the previous
+    event exceeds ``gap_s`` — the SQL ``epoch(ts) - lag(...) > gap``
+    cut, identical to the sessionize oracle) and report how many
+    sessions contain at least one ``convert_type`` event.  Emits
+    (key, n_sessions, n_converted, conversion); the rate is one exact
+    small-int division — identical on both engines, no hedge.
+
+    Scale shape: ONE keyed hash exchange sorted by (key, ts,
+    tiebreak); cuts by shifted subtraction, per-session conversion by
+    ``maximum.reduceat``, per-key counts by a second reduceat over
+    session runs.  Run-segmented (cuts never cross keys)."""
+    from .partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                key_col: t[key_col],
+                "n_sessions": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+                "conversion": pa.array([], pa.float64())})
+        keys = t[key_col].combine_chunks()
+        starts, run_id = _runs(keys)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        sec = ts.to_numpy(zero_copy_only=False) / 1e6
+        m = t.num_rows
+        new_sess = np.ones(m, dtype=bool)
+        if m > 1:
+            new_sess[1:] = (run_id[1:] != run_id[:-1]) \
+                | (sec[1:] - sec[:-1] > gap_s)
+        s_idx = np.flatnonzero(new_sess)
+        conv_row = np.asarray(
+            pc.equal(t[type_col], convert_type).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+        s_conv = np.maximum.reduceat(conv_row, s_idx)
+        s_run = run_id[s_idx]
+        kb = np.r_[True, s_run[1:] != s_run[:-1]]
+        ks = np.flatnonzero(kb)
+        n_sess = np.diff(np.r_[ks, len(s_run)]).astype(np.int64)
+        n_conv = np.add.reduceat(s_conv, ks).astype(np.int64)
+        return pa.table({
+            key_col: keys.take(pa.array(starts)),
+            "n_sessions": pa.array(n_sess),
+            "n_converted": pa.array(n_conv),
+            "conversion": pa.array(n_conv / (1.0 * n_sess))})
+
+    cols = [key_col, ts_col, type_col, tiebreak]
+    return partition_map(ds.select_columns(cols), key_col, _fn,
                          sort_by=[key_col, ts_col, tiebreak])

@@ -694,3 +694,42 @@ def test_event_gaps_vs_brute(ray_session):
         assert out.loc[uid, "max_gap_us"] == gaps[-1]
         seen += 1
     assert seen == len(out)
+
+
+def test_session_conversion_vs_brute(ray_session):
+    """Session counts + converted sessions == a python timeout walk."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import session_conversion
+
+    rng = np.random.default_rng(93)
+    n = 4_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 70, n)),
+        "ts": pa.array(np.sort(rng.integers(0, 10**13, n))
+                       .astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "etype": pa.array(rng.choice(["buy", "view"], n,
+                                     p=[0.15, 0.85]))})
+    gap = 3600.0
+    out = session_conversion(rd.from_arrow(t).repartition(5),
+                             "user_id", "ts", "etype", gap_s=gap,
+                             convert_type="buy", tiebreak="event_id") \
+        .to_pandas().set_index("user_id")
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    for uid, sub in df.groupby("user_id"):
+        sec = sub["ts"].astype("int64").to_numpy() / 1e6
+        conv = (sub["etype"] == "buy").to_numpy()
+        n_sess, n_conv, cur_conv = 0, 0, False
+        for i in range(len(sec)):
+            if i == 0 or sec[i] - sec[i - 1] > gap:
+                if n_sess:
+                    n_conv += int(cur_conv)
+                n_sess += 1
+                cur_conv = False
+            cur_conv = cur_conv or conv[i]
+        n_conv += int(cur_conv)
+        assert out.loc[uid, "n_sessions"] == n_sess
+        assert out.loc[uid, "n_converted"] == n_conv
+        assert out.loc[uid, "conversion"] == n_conv / n_sess
