@@ -7242,6 +7242,169 @@ SELECT 1.0, round(quantile_cont(norm, 1.0), 9) FROM n
 """
 
 
+def q_source_dup_report_events(sf_dir: str):
+    """Per-source duplication audit: doc count, distinct-text count
+    and dup rate — the curation dashboard's first column.  Per-batch
+    (source, text) distinct partials, ONE source-hash exchange (the
+    hhi_concentration shape; at web scale the text column is replaced
+    by its sha64 before the exchange — the dedup_exact precedent),
+    rate is exact small-int division (no hedge)."""
+    from netml_ray.featstats import hhi_concentration  # noqa: F401
+    from netml_ray.partition import partition_map
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "text"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "text", "n"])
+
+    parts = docs.map_batches(_partial, batch_size=None,
+                             batch_format="pyarrow")
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"source": t["source"],
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "dup_rate": pa.array([], pa.float64())})
+        src = t["source"].combine_chunks()
+        txt = t["text"].combine_chunks()
+        m = t.num_rows
+        pb = np.ones(m, dtype=bool)
+        if m > 1:
+            pb[1:] = (np.asarray(pc.not_equal(
+                src.slice(1, m - 1), src.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+                | np.asarray(pc.not_equal(
+                    txt.slice(1, m - 1), txt.slice(0, m - 1)).to_numpy(
+                    zero_copy_only=False), dtype=bool))
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pidx = np.flatnonzero(pb)
+        pn = np.add.reduceat(n, pidx)
+        psrc = src.take(pa.array(pidx))
+        k = len(pn)
+        cb = np.ones(k, dtype=bool)
+        if k > 1:
+            cb[1:] = np.asarray(pc.not_equal(
+                psrc.slice(1, k - 1), psrc.slice(0, k - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        cidx = np.flatnonzero(cb)
+        nd = np.add.reduceat(pn, cidx)
+        ndis = np.diff(np.r_[cidx, k]).astype(np.int64)
+        return pa.table({
+            "source": psrc.take(pa.array(cidx)),
+            "n_docs": pa.array(nd),
+            "n_distinct": pa.array(ndis),
+            "dup_rate": pa.array((nd - ndis) / (1.0 * nd))})
+
+    return partition_map(parts, "source", _fin,
+                         sort_by=["source", "text"])
+
+
+SQL_SOURCE_DUP_REPORT = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       (count(*) - count(DISTINCT text)) / (1.0 * count(*))
+         AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+def q_segment_price_deciles(sf_dir: str):
+    """Composition: co-partitioned hash join (orders ⨝ customer) into
+    the exact per-group quantile kernel — o_totalprice p10/p50/p90 per
+    market segment.  No new kernel; the join's output Dataset streams
+    straight into groupby_quantiles' ONE keyed exchange."""
+    from netml_ray.joins import hash_join
+    from netml_ray.windows import groupby_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    j = hash_join(orders, cust, "o_custkey", how="inner",
+                  num_partitions=P)
+    return groupby_quantiles(j, "c_mktsegment", "o_totalprice",
+                             [0.1, 0.5, 0.9],
+                             round_to=9 if ORACLE_MODE else None)
+
+
+SQL_SEGMENT_PRICE_DECILES = """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.1), 9) AS "q01_o_totalprice",
+       round(quantile_cont(o_totalprice, 0.5), 9) AS "q05_o_totalprice",
+       round(quantile_cont(o_totalprice, 0.9), 9) AS "q09_o_totalprice"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_top_token_per_doc(sf_dir: str):
+    """Per-doc dominant token (keyword spotting / repetition flag):
+    most frequent whitespace token per document, ties →
+    lexicographically smallest (rule in SQL).  Pure narrow pass — the
+    doc is intra-row, so each batch resolves its own docs with one
+    combined (row, token-code) bincount; no shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _top(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": t["doc_id"].slice(0, 0),
+                          "top_token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        did = t["doc_id"].to_numpy()
+        split = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+").combine_chunks()
+        offs = split.offsets.to_numpy()
+        enc = pc.dictionary_encode(split.values)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=str)
+        row = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                        np.diff(offs).astype(np.int64))
+        keep = vocab[codes] != ""           # SQL's x <> '' filter
+        row, codes = row[keep], codes[keep]
+        if not len(row):
+            return empty
+        # rank tokens lexicographically so equal counts break toward
+        # the smallest token by taking the smallest rank
+        order = np.argsort(vocab, kind="stable")
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        code2 = rank[codes]
+        comb = row * (len(vocab) + 1) + code2
+        uc, n = np.unique(comb, return_counts=True)
+        urow = uc // (len(vocab) + 1)
+        ucode = uc % (len(vocab) + 1)
+        o2 = np.lexsort((ucode, -n, urow))
+        urow, ucode, n = urow[o2], ucode[o2], n[o2]
+        fi = np.flatnonzero(np.r_[True, urow[1:] != urow[:-1]])
+        return pa.table({
+            "doc_id": pa.array(did[urow[fi]]),
+            "top_token": pa.array(vocab[order][ucode[fi]].tolist()),
+            "n": pa.array(n[fi].astype(np.int64))})
+
+    out = docs.map_batches(_top, batch_size=None,
+                           batch_format="pyarrow")
+    return out
+
+
+SQL_TOP_TOKEN_PER_DOC = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT doc_id, w, count(*) AS n FROM toks GROUP BY 1, 2)
+SELECT doc_id, w AS top_token, CAST(n AS BIGINT) AS n
+FROM c
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n DESC, w) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7300,7 +7463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time_to_purchase_events: the IVF family holds TWO green r04
         # driver rows — knn_cosine_ivf + the batch variant — and the
         # batched union-of-probes kernel stays pytest-pinned)
-        "time_to_purchase_events": q_time_to_purchase_events,
+        # (time_to_purchase_events rotated to the tail for
+        # source_dup_report_events: checker-verified r5 entry; its
+        # forward-searchsorted machinery stays in-window through
+        # asof_nearest_events and rolling_corr's window family)
+        "source_dup_report_events": q_source_dup_report_events,
         # -- relational / windowed / sessionization core
         # (sessionize_netml_events rotated to the tail for the
         # continuation-2 additions: green r01-r04 driver rows every
@@ -7492,7 +7659,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checker-verified r5 entries whose underlying machinery
         # stays in-window — power-sum partials via moments_events,
         # cat-count partials via entropy_events)
-        "rolling_distinct_events": q_rolling_distinct_events,
+        # (rolling_distinct_events rotated to the tail for
+        # segment_price_deciles: checker-verified r5 entry; the window
+        # family keeps rolling_corr + interpolate in-window and the
+        # NEW entry drives hash_join ∘ groupby_quantiles composition)
+        "segment_price_deciles": q_segment_price_deciles,
         # (topk_per_group_events rotated to the tail for the
         # streaks addition: checker-verified r5 entry; per-key
         # ordered-prefix machinery pinned in-window by rank_events
@@ -7510,7 +7681,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join: checker-verified r5 entry; its broadcast-rank
         # iteration machinery is pinned in-window by
         # pagerank_partsupp and the graph-family entries)
-        "interval_overlap_events": q_interval_overlap_events,
+        # (interval_overlap_events rotated to the tail for
+        # top_token_per_doc: checker-verified r5 entry; the two-sided
+        # partition_map2 family keeps semi/anti joins in-window)
+        "top_token_per_doc": q_top_token_per_doc,
         # (entropy_events rotated to the tail for quantize_embeddings:
         # checker-verified r5 entry whose group-entropy count-partial
         # machinery is subsumed by the NEW in-window
@@ -7559,6 +7733,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_split_events": q_temporal_split_events,
         "event_paths_events": q_event_paths_events,
         "psi_events": q_psi_events,
+        "time_to_purchase_events": q_time_to_purchase_events,
+        "rolling_distinct_events": q_rolling_distinct_events,
+        "interval_overlap_events": q_interval_overlap_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8000,6 +8177,9 @@ def oracle_sql() -> dict[str, str]:
         "repurchase_gaps_events": SQL_REPURCHASE_GAPS,
         "session_conversion_events": SQL_SESSION_CONVERSION,
         "embedding_norm_quantiles": SQL_EMBEDDING_NORM_QUANTILES,
+        "source_dup_report_events": SQL_SOURCE_DUP_REPORT,
+        "segment_price_deciles": SQL_SEGMENT_PRICE_DECILES,
+        "top_token_per_doc": SQL_TOP_TOKEN_PER_DOC,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

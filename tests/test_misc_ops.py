@@ -491,3 +491,30 @@ def test_dup_cluster_sizes_planted(ray_session):
     assert out.loc[2, "n_clusters"] == 3
     assert out.loc[3, "n_clusters"] == 2
     assert out.loc[5, "n_clusters"] == 1
+
+
+def test_top_token_per_doc_semantics(ray_session):
+    """Tie → lexicographically smallest; counts match a Counter brute;
+    whitespace-only docs are dropped (SQL x <> '' rule)."""
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry_mod
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    texts = ["b a b a", "z z y", "  ", "solo"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(texts)})
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    import pyarrow.parquet as pq
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = entry_mod.q_top_token_per_doc(d).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 4]
+    assert out.loc[1, "top_token"] == "a" and out.loc[1, "n"] == 2
+    assert out.loc[2, "top_token"] == "z" and out.loc[2, "n"] == 2
+    assert out.loc[4, "top_token"] == "solo"
