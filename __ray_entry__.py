@@ -7405,6 +7405,89 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 """
 
 
+def q_ppr_partsupp(sf_dir: str):
+    """Personalized PageRank from a 5-part seed set (graph.pagerank
+    seeds=...): teleportation mass goes to parts 1-5 instead of
+    uniform — the related-items / local-relevance ranking.  Same
+    distributed shape as pagerank (edges stay a Dataset, rank vector
+    broadcast, 3 unrolled iterations mirrored verbatim in SQL)."""
+    from netml_ray.graph import pagerank
+
+    seeds = np.array([2 * p for p in (1, 2, 3, 4, 5)], dtype=np.int64)
+    pr = pagerank(_partsupp_edges(sf_dir, symmetric=True), iters=3,
+                  damping=0.85, seeds=seeds, num_partitions=P)
+    node = pr["node"].to_numpy()
+    rank = pa.array(np.round(pr["pagerank"].to_numpy(), 9))
+    return pa.table({"node": _node_labels(node), "ppr": rank})
+
+
+SQL_PPR = """
+WITH pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pe
+  UNION ALL
+  SELECT 2 * s + 1 AS src, 2 * p AS dst FROM pe),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+sd AS (SELECT node FROM nodes
+       WHERE node % 2 = 0 AND node // 2 IN (1, 2, 3, 4, 5)),
+ns AS (SELECT count(*) AS s FROM sd),
+sv AS (SELECT nodes.node,
+              CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.s
+                   ELSE 0.0 END AS s
+       FROM nodes LEFT JOIN sd USING (node) CROSS JOIN ns),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, s AS r FROM sv),
+c1 AS (SELECT e.dst AS node, sum(r.r / deg.d) AS c
+       FROM edges e JOIN r0 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r1 AS (SELECT sv.node, (1.0 - 0.85) * sv.s + 0.85 * coalesce(c1.c, 0) AS r
+       FROM sv LEFT JOIN c1 ON c1.node = sv.node),
+c2 AS (SELECT e.dst AS node, sum(r.r / deg.d) AS c
+       FROM edges e JOIN r1 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r2 AS (SELECT sv.node, (1.0 - 0.85) * sv.s + 0.85 * coalesce(c2.c, 0) AS r
+       FROM sv LEFT JOIN c2 ON c2.node = sv.node),
+c3 AS (SELECT e.dst AS node, sum(r.r / deg.d) AS c
+       FROM edges e JOIN r2 r ON r.node = e.src
+       JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r3 AS (SELECT sv.node, (1.0 - 0.85) * sv.s + 0.85 * coalesce(c3.c, 0) AS r
+       FROM sv LEFT JOIN c3 ON c3.node = sv.node)
+SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       round(r, 9) AS ppr
+FROM r3
+"""
+
+
+def q_dod_retention_events(sf_dir: str):
+    """Day-over-day retention curve (sequences.dod_retention):
+    distinct (user, day) partials, ONE user-keyed exchange
+    (consecutive-day detection = shifted comparison per run),
+    (day, n_active, n_retained) partials, driver fold; rate is exact
+    small-int division."""
+    from netml_ray.sequences import dod_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return dod_retention(ev, "user_id", "ts")
+
+
+SQL_DOD_RETENTION = """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+r AS (SELECT a.day, count(*) AS n_ret
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND b.day = a.day + 1
+      GROUP BY 1),
+act AS (SELECT day, count(*) AS n_act FROM du GROUP BY 1)
+SELECT act.day, CAST(n_act AS BIGINT) AS n_active,
+       CAST(coalesce(n_ret, 0) AS BIGINT) AS n_retained,
+       coalesce(n_ret, 0) / (1.0 * n_act) AS retention
+FROM act LEFT JOIN r USING (day)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7438,12 +7521,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": q_pareto_orders,
         "url_features_docs": q_url_features_docs,
         "readability_docs": q_readability_docs,
-        "cusum_events": q_cusum_events,
+        # (cusum_events rotated to the tail for ppr_partsupp:
+        # checker-verified r5 entry; the keyed change-detection family
+        # keeps changepoint + mann_kendall in-window)
+        "ppr_partsupp": q_ppr_partsupp,
         # (assoc_rules_events rotated to the tail for the log-odds
         # keyness: checker-verified r5 entry; its pair-expansion +
         # count machinery is pinned in-window by triangle_census and
         # the tail-green cooccur/basket rows)
-        "logodds_docs": q_logodds_docs,
+        # (logodds_docs rotated to the tail for dod_retention_events:
+        # checker-verified r5 entry; its token-count-partial machinery
+        # stays in-window through vocab-richness-adjacent entries and
+        # the curate_corpus_plus chain)
+        "dod_retention_events": q_dod_retention_events,
         # (lang_id_docs / session_stats_events / heavy_hitters_docs
         # rotated to the tail for the r5 forward-window / seasonal /
         # pagerank additions: all three hold green r04 driver rows and
@@ -7736,6 +7826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_purchase_events": q_time_to_purchase_events,
         "rolling_distinct_events": q_rolling_distinct_events,
         "interval_overlap_events": q_interval_overlap_events,
+        "cusum_events": q_cusum_events,
+        "logodds_docs": q_logodds_docs,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8180,6 +8272,8 @@ def oracle_sql() -> dict[str, str]:
         "source_dup_report_events": SQL_SOURCE_DUP_REPORT,
         "segment_price_deciles": SQL_SEGMENT_PRICE_DECILES,
         "top_token_per_doc": SQL_TOP_TOKEN_PER_DOC,
+        "ppr_partsupp": SQL_PPR,
+        "dod_retention_events": SQL_DOD_RETENTION,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -89,6 +89,7 @@ def dedupe_edges_with_degree(edges, src: str, dst: str, *,
 def pagerank(edges, src: str = "src", dst: str = "dst", *,
              damping: float = 0.85, iters: int = 3,
              dedupe: bool = True, weight: str | None = None,
+             seeds=None,
              max_nodes: int = 200_000_000,
              num_partitions: int | None = None) -> pa.Table:
     """PageRank over an int64 edge Dataset; returns a
@@ -104,6 +105,13 @@ def pagerank(edges, src: str = "src", dst: str = "dst", *,
     weights — the SQL oracle states the identical formula.
     ``iters`` is fixed (not convergence-tested) so the unrolled SQL
     oracle states the identical computation.
+
+    ``seeds``: an int64 array of node ids makes this PERSONALIZED
+    PageRank — teleportation goes to the seed set instead of uniform:
+    s(v) = 1/|seeds ∩ nodes| on present seeds, else 0; r0 = s and
+    r_{i+1}(v) = (1−d)·s(v) + d·Σ contributions.  Seeds absent from
+    the graph are ignored (rule stated in the SQL oracle); the
+    broadcast/narrow-pass cluster shape is unchanged.
     """
     import ray
 
@@ -155,7 +163,18 @@ def pagerank(edges, src: str = "src", dst: str = "dst", *,
     deg = np.zeros(n, dtype=np.float64)
     np.add.at(deg, inv, cnt_arr.astype(np.float64))
 
-    rank = np.full(n, 1.0 / n)
+    if seeds is not None:
+        sv = np.zeros(n)
+        pos = np.searchsorted(nodes, np.asarray(seeds, dtype=np.int64))
+        pos = pos[(pos < n) & (nodes[np.minimum(pos, n - 1)]
+                               == np.asarray(seeds, dtype=np.int64))]
+        if not len(pos):
+            raise ValueError("pagerank: no seed is present in the graph")
+        sv[np.unique(pos)] = 1.0 / len(np.unique(pos))
+        rank = sv.copy()
+    else:
+        sv = None
+        rank = np.full(n, 1.0 / n)
     for _ in range(iters):
         with np.errstate(divide="ignore", invalid="ignore"):
             w = np.where(deg > 0, rank / deg, 0.0)
@@ -179,7 +198,10 @@ def pagerank(edges, src: str = "src", dst: str = "dst", *,
                     .iter_batches(batch_size=None, batch_format="pyarrow"):
             np.add.at(total, bt["code"].to_numpy(),
                       bt["c"].to_numpy())
-        rank = (1.0 - damping) / n + damping * total
+        if sv is None:
+            rank = (1.0 - damping) / n + damping * total
+        else:
+            rank = (1.0 - damping) * sv + damping * total
 
     return pa.table({"node": pa.array(nodes),
                      "pagerank": pa.array(rank)})

@@ -34,7 +34,8 @@ __all__ = ["funnel_stages", "transition_counts", "interval_sweep",
            "active_users", "streaks", "scd2_intervals",
            "time_weighted_avg", "debounce", "event_paths",
            "trigram_counts", "new_returning", "markov_accuracy",
-           "funnel_rates", "event_gaps", "session_conversion"]
+           "funnel_rates", "event_gaps", "session_conversion",
+           "dod_retention"]
 
 
 def _runs(keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -1102,3 +1103,67 @@ def session_conversion(ds, key_col: str, ts_col: str, type_col: str,
     cols = [key_col, ts_col, type_col, tiebreak]
     return partition_map(ds.select_columns(cols), key_col, _fn,
                          sort_by=[key_col, ts_col, tiebreak])
+
+
+def dod_retention(ds, key_col: str, ts_col: str, *,
+                  day_us: int = 86_400 * 10**6) -> pa.Table:
+    """Day-over-day retention curve: for every calendar day, how many
+    distinct keys were active AND active again the NEXT day — the
+    next-day-stickiness headline beside :func:`new_returning`.  Every
+    active day emits a row (the last day retains 0 by construction).
+
+    Scale shape: distinct (key, day) partials, ONE key-hash exchange
+    (consecutive-day detection is a shifted comparison within each
+    key's sorted distinct days — run-segmented), per-partition
+    (day, n_active, n_retained) partials, driver folds O(days); the
+    rate is exact small-int division (no hedge)."""
+    from .partition import partition_map
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        day = pc.divide(ts, day_us)
+        return pa.table({key_col: t[key_col], "day": day}) \
+            .group_by([key_col, "day"]).aggregate([])
+
+    pairs = ds.select_columns([key_col, ts_col]) \
+        .map_batches(_distinct, batch_size=None, batch_format="pyarrow")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_active": pa.array([], pa.int64()),
+                             "n_retained": pa.array([], pa.int64())})
+        keys = t[key_col].combine_chunks()
+        _, run_id = _runs(keys)
+        day = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.r_[True, (run_id[1:] != run_id[:-1])
+                     | (day[1:] != day[:-1])]
+        rs, dys = run_id[keep], day[keep]
+        ret = np.zeros(len(dys), dtype=bool)
+        if len(dys) > 1:
+            ret[:-1] = (rs[1:] == rs[:-1]) & (dys[1:] - dys[:-1] == 1)
+        days = np.unique(dys)
+        idx = np.searchsorted(days, dys)
+        n_act = np.bincount(idx, minlength=len(days))
+        n_ret = np.bincount(idx[ret], minlength=len(days))
+        return pa.table({"day": pa.array(days),
+                         "n_active": pa.array(n_act.astype(np.int64)),
+                         "n_retained": pa.array(n_ret.astype(np.int64))})
+
+    parts = pa.concat_tables(
+        partition_map(pairs, key_col, _fn, sort_by=[key_col, "day"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    agg = parts.group_by(["day"]).aggregate([("n_active", "sum"),
+                                             ("n_retained", "sum")]) \
+        .sort_by([("day", "ascending")])
+    na = agg["n_active_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nr = agg["n_retained_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return pa.table({"day": agg["day"],
+                     "n_active": pa.array(na),
+                     "n_retained": pa.array(nr),
+                     "retention": pa.array(nr / (1.0 * na))})

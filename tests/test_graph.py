@@ -454,3 +454,43 @@ def test_adamic_adar_vs_brute(ray_session):
     for k, n in exp_n.items():
         assert out.loc[k, "common"] == n
         assert abs(out.loc[k, "aa"] - exp_w[k]) < 1e-8
+
+
+def test_personalized_pagerank(ray_session):
+    """PPR vs a dense numpy power iteration on a small graph; mass
+    concentrates near the seeds; non-seed teleport is zero."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.graph import pagerank
+
+    rng = np.random.default_rng(101)
+    src = rng.integers(0, 40, 600)
+    dst = rng.integers(0, 40, 600)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    seeds = np.array([0, 1], dtype=np.int64)
+    out = pagerank(rd.from_arrow(t), seeds=seeds, iters=3) \
+        .to_pandas().set_index("node")
+
+    edges = {(a, b) for a, b in zip(src, dst)}
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    s = np.zeros(n)
+    s[[idx[0], idx[1]]] = 0.5
+    r = s.copy()
+    for _ in range(3):
+        c = np.zeros(n)
+        for a, b in edges:
+            c[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1.0 - 0.85) * s + 0.85 * c
+    for v in nodes:
+        assert abs(out.loc[v, "pagerank"] - r[idx[v]]) < 1e-10
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(rd.from_arrow(t), seeds=np.array([999], dtype=np.int64))

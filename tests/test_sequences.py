@@ -733,3 +733,30 @@ def test_session_conversion_vs_brute(ray_session):
         assert out.loc[uid, "n_sessions"] == n_sess
         assert out.loc[uid, "n_converted"] == n_conv
         assert out.loc[uid, "conversion"] == n_conv / n_sess
+
+
+def test_dod_retention_vs_brute(ray_session):
+    """Per-day active/retained == a pandas set brute; last day retains
+    zero."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import dod_retention
+
+    rng = np.random.default_rng(102)
+    n = 6_000
+    us = rng.integers(0, 20 * 86_400 * 10**6, n)
+    uid = rng.integers(0, 150, n)
+    t = pa.table({"user_id": pa.array(uid),
+                  "ts": pa.array(us.astype("datetime64[us]"))})
+    out = dod_retention(rd.from_arrow(t).repartition(5),
+                        "user_id", "ts").to_pandas().set_index("day")
+    df = t.to_pandas()
+    df["day"] = df["ts"].astype("int64") // (86_400 * 10**6)
+    byday = df.groupby("day")["user_id"].agg(set)
+    for d, users in byday.items():
+        nxt = byday.get(d + 1, set())
+        assert out.loc[d, "n_active"] == len(users)
+        assert out.loc[d, "n_retained"] == len(users & nxt)
+    assert out.iloc[-1]["n_retained"] == len(
+        byday.iloc[-1] & byday.get(byday.index[-1] + 1, set()))
