@@ -2652,7 +2652,7 @@ def q_funnel_stages_events(sf_dir: str):
                          _FUNNEL_STAGES, tiebreak="event_id")
 
 
-def _build_funnel_sql(stages=None) -> str:
+def _build_funnel_sql(stages=None, max_gap_us=None) -> str:
     stages = stages or _FUNNEL_STAGES
     ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
     for i, st in enumerate(stages):
@@ -2661,10 +2661,14 @@ def _build_funnel_sql(stages=None) -> str:
                 f"s0 AS (SELECT user_id, min(ts) AS t0 FROM events "
                 f"WHERE event_type = '{st}' GROUP BY 1)")
         else:
+            gap = ("" if max_gap_us is None else
+                   f"AND epoch_us(e.ts) <= epoch_us(s{i-1}.t{i-1}) "
+                   f"+ {max_gap_us} ")
             ctes.append(
                 f"s{i} AS (SELECT e.user_id, min(e.ts) AS t{i} "
                 f"FROM events e JOIN s{i-1} USING (user_id) "
                 f"WHERE e.event_type = '{st}' AND e.ts > s{i-1}.t{i-1} "
+                f"{gap}"
                 f"GROUP BY 1)")
     case = ("CASE " + " ".join(
         f"WHEN s{i}.user_id IS NOT NULL THEN {i+1}"
@@ -7488,6 +7492,21 @@ FROM act LEFT JOIN r USING (day)
 """
 
 
+def q_funnel_window_events(sf_dir: str):
+    """Conversion-WINDOW funnel (sequences.funnel_stages max_gap):
+    each stage must land strictly after the previous completion AND
+    within 3 days of it — the time-boxed conversion rule.  Same ONE
+    keyed exchange + per-stage segment-min; the gap comparison is
+    integer microseconds on both engines."""
+    from netml_ray.sequences import funnel_stages
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return funnel_stages(ev, "user_id", "ts", "event_type",
+                         _FUNNEL_STAGES, tiebreak="event_id",
+                         max_gap=259_200 * 10**6)
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7573,7 +7592,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-partial fold is pinned in-window by
         # traffic_matrix_events' bincount partials and chi2_docs)
         "mann_kendall_events": q_mann_kendall_events,
-        "theil_sen_events": q_theil_sen_events,
+        # (theil_sen_events rotated to the tail for
+        # funnel_window_events: checker-verified r5 entry; the
+        # segmented pair-expansion machinery stays in-window through
+        # mann_kendall_events, and the NEW entry oracles the
+        # previously pytest-only max_gap conversion-window path)
+        "funnel_window_events": q_funnel_window_events,
         # -- text / curation / dedup / similarity
         # (dedup_exact_docs rotated to the tail for pmi_collocations_docs:
         # green r01-r04 driver rows; the exact-dedup kernel stays pinned
@@ -7828,6 +7852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap_events": q_interval_overlap_events,
         "cusum_events": q_cusum_events,
         "logodds_docs": q_logodds_docs,
+        "theil_sen_events": q_theil_sen_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8274,6 +8299,8 @@ def oracle_sql() -> dict[str, str]:
         "top_token_per_doc": SQL_TOP_TOKEN_PER_DOC,
         "ppr_partsupp": SQL_PPR,
         "dod_retention_events": SQL_DOD_RETENTION,
+        "funnel_window_events": _build_funnel_sql(
+            max_gap_us=259_200 * 10**6),
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,
