@@ -43,7 +43,8 @@ from netml_ray.partition import partition_map
 __all__ = ["pagerank", "hits", "cooccurrence_similarity",
            "triangle_census", "neighbor_degree_stats",
            "degree_assortativity", "k_core", "bfs_hops",
-           "dedupe_edges_with_degree", "adamic_adar"]
+           "dedupe_edges_with_degree", "adamic_adar",
+           "label_propagation"]
 
 
 def dedupe_edges_with_degree(edges, src: str, dst: str, *,
@@ -1045,3 +1046,95 @@ def adamic_adar(edges, group: str, item: str, *,
 
     return partition_map(partial, "a", _combine,
                          num_partitions=num_partitions)
+
+
+def label_propagation(edges, src: str = "src", dst: str = "dst", *,
+                      iters: int = 3, dedupe: bool = True,
+                      max_nodes: int = 200_000_000,
+                      num_partitions: int | None = None) -> pa.Table:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with its own id; each iteration relabels a node to
+    the MOST FREQUENT label among its in-neighbors, ties → smallest
+    label, no-in-edge nodes keep their label — all integer arithmetic,
+    so the unrolled SQL oracle is bitwise (no float hedge anywhere).
+    Deterministic by construction (synchronous update + min-label tie
+    rule; the classic async variant is run-order-dependent and
+    un-oracle-able).
+
+    Cluster shape = :func:`pagerank`: edges stay a distributed
+    Dataset (one dedup exchange, materialized blocks); the label
+    vector broadcasts via ``ray.put``; each iteration is ONE narrow
+    pass emitting per-batch (dst, label, n) count partials, folded on
+    the driver.  Driver fold is bounded by distinct (dst, label)
+    pairs — worst case O(E) on iteration 1, shrinking as labels
+    converge; the ``max_nodes`` broadcast ceiling is shared with
+    pagerank and the documented scale path beyond it is the
+    rank-as-Dataset join variant."""
+    import ray
+
+    ds = dedupe_edges_with_degree(edges, src, dst,
+                                  num_partitions=num_partitions) \
+        if dedupe else edges.materialize()
+
+    def _node_partial(t: pa.Table) -> pa.Table:
+        u = np.union1d(np.unique(t[src].to_numpy()),
+                       np.unique(t[dst].to_numpy()))
+        return pa.table({"node": pa.array(u)})
+
+    parts = [bt["node"].to_numpy()
+             for bt in ds.map_batches(_node_partial, batch_size=None,
+                                      batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    nodes = np.unique(np.concatenate(parts)) if parts else \
+        np.empty(0, dtype=np.int64)
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "label": pa.array([], type=pa.int64())})
+    if n > max_nodes:
+        raise ValueError(
+            f"label_propagation: {n} nodes exceeds max_nodes="
+            f"{max_nodes}; see the pagerank docstring")
+    labels = nodes.copy()
+
+    for _ in range(iters):
+        ref = ray.put((nodes, labels))
+
+        def _pairs(t: pa.Table, _ref=ref) -> pa.Table:
+            nd, lab = ray.get(_ref)
+            sc = np.searchsorted(nd, t[src].to_numpy())
+            dc = np.searchsorted(nd, t[dst].to_numpy())
+            sl = lab[sc]
+            order = np.lexsort((sl, dc))
+            dcs, sls = dc[order], sl[order]
+            f = np.r_[True, (dcs[1:] != dcs[:-1]) | (sls[1:] != sls[:-1])]
+            s = np.flatnonzero(f)
+            return pa.table({
+                "d": pa.array(dcs[s].astype(np.int64)),
+                "lab": pa.array(sls[s]),
+                "n": pa.array(np.diff(np.r_[s, len(dcs)])
+                              .astype(np.int64))})
+
+        acc: dict = {}
+        for bt in ds.map_batches(_pairs, batch_size=None,
+                                 batch_format="pyarrow") \
+                    .iter_batches(batch_size=None,
+                                  batch_format="pyarrow"):
+            for d, la, c in zip(bt["d"].to_numpy(),
+                                bt["lab"].to_numpy(),
+                                bt["n"].to_numpy()):
+                k = (int(d), int(la))
+                acc[k] = acc.get(k, 0) + int(c)
+        new_labels = labels.copy()
+        if acc:
+            ks = np.array(list(acc.keys()), dtype=np.int64)
+            cs = np.array(list(acc.values()), dtype=np.int64)
+            o = np.lexsort((ks[:, 1], -cs, ks[:, 0]))
+            ks, cs = ks[o], cs[o]
+            first = np.r_[True, ks[1:, 0] != ks[:-1, 0]]
+            fi = np.flatnonzero(first)
+            new_labels[ks[fi, 0]] = ks[fi, 1]
+        labels = new_labels
+
+    return pa.table({"node": pa.array(nodes),
+                     "label": pa.array(labels)})

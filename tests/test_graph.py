@@ -494,3 +494,59 @@ def test_personalized_pagerank(ray_session):
 
     with pytest.raises(ValueError):
         pagerank(rd.from_arrow(t), seeds=np.array([999], dtype=np.int64))
+
+
+def test_label_propagation_vs_brute(ray_session):
+    """3-iteration sync LPA == a python brute with the same
+    mode/min-label rule; two disconnected cliques collapse to their
+    min node id."""
+    import ray.data as rd
+
+    from netml_ray.graph import label_propagation
+
+    # two 4-cliques (0-3, 10-13), symmetric edges
+    def clique(base):
+        out = []
+        for i in range(4):
+            for j in range(4):
+                if i != j:
+                    out.append((base + i, base + j))
+        return out
+
+    edges = clique(0) + clique(10)
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    got = label_propagation(
+        rd.from_arrow(pa.table({"src": pa.array(src),
+                                "dst": pa.array(dst)})), iters=3) \
+        .to_pandas().set_index("node")
+    assert (got.loc[[0, 1, 2, 3], "label"] == 0).all()
+    assert (got.loc[[10, 11, 12, 13], "label"] == 10).all()
+
+    # random graph vs brute
+    rng = np.random.default_rng(111)
+    e2 = {(int(a), int(b)) for a, b in
+          zip(rng.integers(0, 30, 300), rng.integers(0, 30, 300))
+          if a != b}
+    src2 = np.array([e[0] for e in e2], dtype=np.int64)
+    dst2 = np.array([e[1] for e in e2], dtype=np.int64)
+    got2 = label_propagation(
+        rd.from_arrow(pa.table({"src": pa.array(src2),
+                                "dst": pa.array(dst2)})), iters=3) \
+        .to_pandas().set_index("node")
+    nodes = sorted({a for a, _ in e2} | {b for _, b in e2})
+    lab = {v: v for v in nodes}
+    from collections import Counter, defaultdict
+    inn = defaultdict(list)
+    for a, b in e2:
+        inn[b].append(a)
+    for _ in range(3):
+        new = dict(lab)
+        for v in nodes:
+            if inn[v]:
+                c = Counter(lab[u] for u in inn[v])
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+        lab = new
+    for v in nodes:
+        assert got2.loc[v, "label"] == lab[v]
