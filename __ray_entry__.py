@@ -7552,6 +7552,46 @@ def _build_label_prop_sql(iters: int = 3) -> str:
             f"{lbl.format(c='lab')} AS label FROM l{iters}")
 
 
+def q_ks_test_events(sf_dir: str):
+    """Exact two-sample KS test click-vs-purchase value distributions
+    (featstats.ks_test): narrow filtered collect (exact KS needs a
+    global order — loud threshold fail with the documented binned
+    scale path), ECDFs with the ≤v tie fold, D from exact small-int
+    divisions (bitwise), asymptotic p rounded 9."""
+    from netml_ray.featstats import ks_test
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+    return ks_test(ev, "value", "event_type", "click", "purchase")
+
+
+SQL_KS_TEST = """
+WITH v AS (
+  SELECT value AS v, event_type = 'click' AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')),
+n AS (SELECT count(*) FILTER (WHERE is_a) AS na,
+             count(*) FILTER (WHERE NOT is_a) AS nb FROM v),
+c AS (
+  SELECT v, max(ca) AS ca, max(cb) AS cb
+  FROM (
+    SELECT v,
+           sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+             OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS ca,
+           sum(CASE WHEN is_a THEN 0 ELSE 1 END)
+             OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cb
+    FROM v) GROUP BY v),
+d AS (SELECT max(abs(ca / (1.0 * n.na) - cb / (1.0 * n.nb))) AS d
+      FROM c, n)
+SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       d.d AS d_stat,
+       round(LEAST(2.0 * exp(-2.0 * ((1.0 * n.na) * n.nb
+                                     / (n.na + n.nb))
+                             * d.d * d.d), 1.0), 9) AS p_approx
+FROM d, n
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7717,7 +7757,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # change-point location: checker-verified r5 entry; its
         # shifted-comparison machinery is pinned in-window by the
         # streaks/scd2 gaps-and-islands family)
-        "changepoint_events": q_changepoint_events,
+        # (changepoint_events rotated to the tail for ks_test_events:
+        # checker-verified r5 entry; the keyed change-detection family
+        # keeps mann_kendall in-window and ks_test extends the
+        # distribution-drift family beside the in-window psi lineage)
+        "ks_test_events": q_ks_test_events,
         "bfs_hops_partsupp": q_bfs_hops_partsupp,
         # (attribution_events / stratified_sample_docs /
         # sentence_stats_docs rotated to the tail for the
@@ -7903,6 +7947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logodds_docs": q_logodds_docs,
         "theil_sen_events": q_theil_sen_events,
         "canonical_urls_docs": q_canonical_urls_docs,
+        "changepoint_events": q_changepoint_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8352,6 +8397,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_window_events": _build_funnel_sql(
             max_gap_us=259_200 * 10**6),
         "label_prop_partsupp": _build_label_prop_sql(3),
+        "ks_test_events": SQL_KS_TEST,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -39,7 +39,7 @@ __all__ = [
     "trend_slope", "zipf_slope",
     "winsorized_group_stats", "traffic_matrix", "weighted_median",
     "hhi_concentration", "period_growth", "cond_entropy",
-    "leadlag_corr", "cramers_v",
+    "leadlag_corr", "cramers_v", "ks_test",
 ]
 
 
@@ -1857,3 +1857,64 @@ def leadlag_corr(ds, ts_col: str, flag_a, flag_b, *,
         "lag": pa.array(lags, pa.int64()),
         "n_days": pa.array(nd, pa.int64()),
         "corr": pa.array(np.array(corr), mask=np.array(mask))})
+
+
+def ks_test(ds, val_col: str, group_col: str, group_a, group_b, *,
+            collect_threshold: int = 50_000_000,
+            round_to: int = 9) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``val_col`` distributions of two groups: D = max over observed
+    points of |F_a(v) − F_b(v)| with ties folded (both ECDFs evaluated
+    with ≤ v, the SQL RANGE-frame rule), plus the asymptotic p-value
+    2·exp(−2·D²·n_a·n_b/(n_a+n_b)) — the drift / A-B distribution
+    check beside psi.
+
+    Scale shape: ONE narrow filtered pass collects the two groups'
+    value arrays (exact KS needs a global order — the exact_quantiles
+    collect precedent; a loud fail above ``collect_threshold`` points
+    to the documented binned-ECDF approximation for corpus-scale
+    columns), one driver sort + two searchsorted.  F values are exact
+    small-int divisions — identical on both engines; only the exp in
+    the p-value is rounded."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        keep = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t = t.filter(keep)
+        return pa.table({
+            "v": t[val_col],
+            "is_a": pc.equal(t[group_col], group_a)})
+
+    va, vb = [], []
+    total = 0
+    for bt in ds.select_columns([val_col, group_col]) \
+                .map_batches(_p, batch_size=None,
+                             batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        v = bt["v"].to_numpy(zero_copy_only=False)
+        ia = np.asarray(bt["is_a"].to_numpy(zero_copy_only=False),
+                        dtype=bool)
+        va.append(v[ia])
+        vb.append(v[~ia])
+        total += len(v)
+        if total > collect_threshold:
+            raise ValueError(
+                "ks_test: group sizes exceed collect_threshold="
+                f"{collect_threshold}; use a binned ECDF for "
+                "corpus-scale columns")
+    a = np.sort(np.concatenate(va)) if va else np.empty(0)
+    b = np.sort(np.concatenate(vb)) if vb else np.empty(0)
+    na, nb = len(a), len(b)
+    if na == 0 or nb == 0:
+        raise ValueError("ks_test: empty group")
+    pts = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, pts, side="right") / (1.0 * na)
+    fb = np.searchsorted(b, pts, side="right") / (1.0 * nb)
+    d = float(np.max(np.abs(fa - fb)))
+    m = (1.0 * na) * nb / (na + nb)
+    p = float(2.0 * np.exp(-2.0 * m * d * d))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "d_stat": pa.array([d]),
+        "p_approx": pa.array([round(min(p, 1.0), round_to)])})

@@ -1205,3 +1205,35 @@ def test_cramers_v_vs_brute(ray_session):
         {"x": pa.array(x), "y": pa.array(x)})), "x", "y") \
         .to_pandas().iloc[0]
     assert abs(perfect["cramers_v"] - 1.0) < 1e-9
+
+
+def test_ks_test_vs_scipy_free_brute(ray_session):
+    """D matches a brute two-ECDF max; identical samples give D==0 and
+    a clearly shifted sample a large D."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import ks_test
+
+    rng = np.random.default_rng(121)
+    n = 5_000
+    g = rng.choice(["a", "b"], n)
+    v = rng.normal(size=n)
+    v[g == "b"] += 0.5
+    t = pa.table({"v": pa.array(v), "g": pa.array(g)})
+    out = ks_test(rd.from_arrow(t).repartition(4), "v", "g",
+                  "a", "b").to_pandas().iloc[0]
+    a = np.sort(v[g == "a"]); b = np.sort(v[g == "b"])
+    pts = np.unique(v)
+    d = np.max(np.abs(
+        np.searchsorted(a, pts, side="right") / len(a)
+        - np.searchsorted(b, pts, side="right") / len(b)))
+    assert abs(out["d_stat"] - d) < 1e-12
+    assert out["d_stat"] > 0.15
+    assert out["n_a"] == (g == "a").sum()
+
+    same = ks_test(rd.from_arrow(pa.table(
+        {"v": pa.array(np.r_[v[:100], v[:100]]),
+         "g": pa.array(["a"] * 100 + ["b"] * 100)})), "v", "g",
+        "a", "b").to_pandas().iloc[0]
+    assert same["d_stat"] == 0.0 and same["p_approx"] == 1.0
