@@ -7592,6 +7592,35 @@ FROM d, n
 """
 
 
+def q_anova_events(sf_dir: str):
+    """One-way ANOVA F of value across event types
+    (featstats.anova_f): ONE narrow pass of (group, n, Σx, Σx²)
+    partials, O(groups) driver fold; power-sum algebra stated
+    identically in SQL, F/SSB/SSW rounded both sides."""
+    from netml_ray.featstats import anova_f
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return anova_f(ev, "event_type", "value")
+
+
+SQL_ANOVA = """
+WITH g AS (SELECT event_type, count(*) AS n, sum(value) AS s1,
+                  sum(value * value) AS s2
+           FROM events GROUP BY 1),
+t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s1) AS ts1,
+             sum(s2) AS ts2, sum(s1 * s1 / n) AS wt FROM g),
+r AS (SELECT k, nn, wt - ts1 * ts1 / nn AS ssb, ts2 - wt AS ssw
+      FROM t)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+       CASE WHEN k >= 2 AND nn > k AND ssw > 0
+            THEN round(ssb / (ssb + ssw), 9) ELSE NULL END AS eta_sq,
+       CASE WHEN k >= 2 AND nn > k AND ssw > 0
+            THEN round((ssb / (k - 1)) / (ssw / (nn - k)), 3)
+            ELSE NULL END AS f_stat
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7860,7 +7889,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cond_entropy_events": q_cond_entropy_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         # -- new in the r5 continuation (rotated-out slots below)
-        "moments_events": q_moments_events,
+        # (moments_events rotated to the tail for anova_events:
+        # checker-verified r5 entry; the NEW entry rides the same
+        # power-sum partial machinery and adds the between/within
+        # decomposition on top)
+        "anova_events": q_anova_events,
         # (corr_events / mode_events rotated to the tail for the
         # rolling_distinct / welch_ttest additions: both are
         # checker-verified r5 entries whose underlying machinery
@@ -7948,6 +7981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_events": q_theil_sen_events,
         "canonical_urls_docs": q_canonical_urls_docs,
         "changepoint_events": q_changepoint_events,
+        "moments_events": q_moments_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8398,6 +8432,7 @@ def oracle_sql() -> dict[str, str]:
             max_gap_us=259_200 * 10**6),
         "label_prop_partsupp": _build_label_prop_sql(3),
         "ks_test_events": SQL_KS_TEST,
+        "anova_events": SQL_ANOVA,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

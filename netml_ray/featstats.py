@@ -39,7 +39,7 @@ __all__ = [
     "trend_slope", "zipf_slope",
     "winsorized_group_stats", "traffic_matrix", "weighted_median",
     "hhi_concentration", "period_growth", "cond_entropy",
-    "leadlag_corr", "cramers_v", "ks_test",
+    "leadlag_corr", "cramers_v", "ks_test", "anova_f",
 ]
 
 
@@ -1918,3 +1918,57 @@ def ks_test(ds, val_col: str, group_col: str, group_a, group_b, *,
         "n_b": pa.array([nb], pa.int64()),
         "d_stat": pa.array([d]),
         "p_approx": pa.array([round(min(p, 1.0), round_to)])})
+
+
+def anova_f(ds, group_col: str, val_col: str, *,
+            round_to: int = 9) -> pa.Table:
+    """One-way ANOVA F statistic: does ``val_col``'s mean differ
+    across ``group_col`` levels?  Power-sum algebra stated identically
+    in SQL: SSB = Σ_g s1_g²/n_g − (Σs1)²/N, SSW = Σs2 − Σ_g s1_g²/n_g,
+    F = (SSB/(k−1)) / (SSW/(N−k)); degenerate inputs (k < 2 or
+    N ≤ k or SSW = 0) emit a typed NULL F (rule in SQL).
+
+    Scale shape: ONE narrow pass of per-batch (group, n, Σx, Σx²)
+    Arrow group-by partials, O(groups) driver fold.  Float parity:
+    the raw SS terms sit on a large-magnitude cancellation (Σx² −
+    Σs1²/n) whose sum-order noise (~1e-8 absolute, measured) defeats
+    a 1e-9 rounding hedge, so the emitted columns are SCALE-FREE —
+    η² = SSB/(SSB+SSW) (O(1), relative noise ~1e-12, rounded 9) and
+    F rounded to 3 decimals (noise ≪ quantum at any corpus size);
+    both sides state the identical rounding."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        x = t[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        g = pa.table({group_col: t[group_col], "x": pa.array(x),
+                      "xx": pa.array(x * x)}) \
+            .group_by([group_col]) \
+            .aggregate([([], "count_all"), ("x", "sum"), ("xx", "sum")])
+        return g.rename_columns([group_col, "n", "s1", "s2"])
+
+    parts = pa.concat_tables(
+        ds.select_columns([group_col, val_col])
+        .map_batches(_p, batch_size=None, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    agg = parts.group_by([group_col]).aggregate(
+        [("n", "sum"), ("s1", "sum"), ("s2", "sum")]) \
+        .sort_by([(group_col, "ascending")])
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s1 = agg["s1_sum"].to_numpy(zero_copy_only=False)
+    s2 = agg["s2_sum"].to_numpy(zero_copy_only=False)
+    k = len(n)
+    nn = float(n.sum())
+    within_term = float((s1 * s1 / n).sum())
+    ssb = within_term - float(s1.sum()) * float(s1.sum()) / nn
+    ssw = float(s2.sum()) - within_term
+    f = None
+    eta = None
+    if k >= 2 and nn > k and ssw > 0:
+        f = round((ssb / (k - 1)) / (ssw / (nn - k)), 3)
+        eta = round(ssb / (ssb + ssw), round_to)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "eta_sq": pa.array([eta], pa.float64()),
+        "f_stat": pa.array([f], pa.float64())})

@@ -1237,3 +1237,30 @@ def test_ks_test_vs_scipy_free_brute(ray_session):
          "g": pa.array(["a"] * 100 + ["b"] * 100)})), "v", "g",
         "a", "b").to_pandas().iloc[0]
     assert same["d_stat"] == 0.0 and same["p_approx"] == 1.0
+
+
+def test_anova_f_vs_brute(ray_session):
+    """F == the classic SSB/SSW decomposition; equal-mean groups give
+    small F, a shifted group a large one."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import anova_f
+
+    rng = np.random.default_rng(131)
+    n = 6_000
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.normal(size=n)
+    v[g == "c"] += 1.0
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    out = anova_f(rd.from_arrow(t).repartition(4), "g", "v") \
+        .to_pandas().iloc[0]
+    gm = v.mean()
+    ssb = sum(len(v[g == x]) * (v[g == x].mean() - gm) ** 2
+              for x in "abc")
+    ssw = sum(((v[g == x] - v[g == x].mean()) ** 2).sum()
+              for x in "abc")
+    f = (ssb / 2) / (ssw / (n - 3))
+    assert abs(out["eta_sq"] - ssb / (ssb + ssw)) < 1e-8
+    assert abs(out["f_stat"] - f) < 1e-2
+    assert out["f_stat"] > 100            # planted shift detected
