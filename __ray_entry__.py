@@ -7621,6 +7621,36 @@ FROM r
 """
 
 
+def q_source_keywords_docs(sf_dir: str):
+    """Per-source distinctive terms (textstats.source_keywords): top-5
+    tokens by group TF-IDF — shared (source, token, n) partials, ONE
+    token-keyed df fold (O(vocab) broadcast, the tfidf idf precedent),
+    ONE source-keyed scoring exchange with vectorized per-group top-k.
+    Ranking on the rounded score, ties → smallest token (in SQL)."""
+    from netml_ray.textstats import source_keywords
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return source_keywords(docs, "text", "source", top_k=5)
+
+
+SQL_SOURCE_KEYWORDS = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents),
+c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2),
+df AS (SELECT w, count(*) AS df FROM c GROUP BY 1),
+s AS (SELECT count(DISTINCT source) AS s FROM toks),
+scored AS (
+  SELECT c.source, c.w, c.n,
+         round(c.n * ln((1.0 * s.s) / df.df), 9) AS score
+  FROM c JOIN df USING (w) CROSS JOIN s)
+SELECT source, w, n, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY score DESC, w) <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7653,7 +7683,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- r5 continuation-2 (newest kernels -> in-window)
         "pareto_orders": q_pareto_orders,
         "url_features_docs": q_url_features_docs,
-        "readability_docs": q_readability_docs,
+        # (readability_docs rotated to the tail for
+        # source_keywords_docs: checker-verified r5 entry; the RE2
+        # count-kernel family keeps url_features_docs in-window)
+        "source_keywords_docs": q_source_keywords_docs,
         # (cusum_events rotated to the tail for ppr_partsupp:
         # checker-verified r5 entry; the keyed change-detection family
         # keeps changepoint + mann_kendall in-window)
@@ -7982,6 +8015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls_docs": q_canonical_urls_docs,
         "changepoint_events": q_changepoint_events,
         "moments_events": q_moments_events,
+        "readability_docs": q_readability_docs,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8433,6 +8467,7 @@ def oracle_sql() -> dict[str, str]:
         "label_prop_partsupp": _build_label_prop_sql(3),
         "ks_test_events": SQL_KS_TEST,
         "anova_events": SQL_ANOVA,
+        "source_keywords_docs": SQL_SOURCE_KEYWORDS,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
            "doc_frequency", "logodds_tokens", "pmi_collocations",
            "readability_profile", "rrf_fuse", "source_divergence",
-           "tfidf_top_terms", "vocab_richness"]
+           "tfidf_top_terms", "vocab_richness", "source_keywords"]
 
 
 def _tok(col):
@@ -797,6 +797,47 @@ def readability_profile(ds, text_col: str, group_col: str, *,
 # Per-group vocabulary richness
 # ---------------------------------------------------------------------------
 
+def _group_token_partial(t: pa.Table, text_col: str,
+                         group_col: str) -> pa.Table:
+    """Shared per-batch (group, token, n) count partial: dictionary-
+    encoded tokens x dictionary-encoded group, ONE combined bincount;
+    the exchange downstream carries distinct pairs, never the token
+    stream (vocab_richness / source_keywords)."""
+    import numpy as np
+
+    from netml_ray.textops import Tokenized
+
+    empty = pa.table({group_col: pa.array([], pa.string()),
+                      "w": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not t.num_rows:
+        return empty
+    tok = Tokenized(t[text_col])
+    codes = np.asarray(tok.codes, dtype=np.int64)
+    ge = pc.dictionary_encode(t[group_col].combine_chunks()
+                              if isinstance(t[group_col],
+                                            pa.ChunkedArray)
+                              else t[group_col])
+    gcodes = ge.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64)[tok.rowid]
+    # drop the empty-string token Tokenized emits for empty rows
+    # (regexp_extract_all('\\S+') semantics)
+    wlen = pc.utf8_length(tok.dictionary).to_numpy(
+        zero_copy_only=False)
+    keep = wlen[codes] > 0
+    codes, gcodes = codes[keep], gcodes[keep]
+    if not len(codes):
+        return empty
+    d = len(tok.dictionary)
+    comb = gcodes * d + codes
+    u, n = np.unique(comb, return_counts=True)
+    return pa.table({
+        group_col: ge.dictionary.take(pa.array(u // d)).cast(
+            pa.string()),
+        "w": tok.dictionary.take(pa.array(u % d)).cast(pa.string()),
+        "n": pa.array(n.astype(np.int64))})
+
+
 def vocab_richness(ds, text_col: str, group_col: str):
     """Per-group lexical-richness profile: total token count, distinct
     type count, type-token ratio (TTR) and hapax-legomenon fraction
@@ -822,35 +863,7 @@ def vocab_richness(ds, text_col: str, group_col: str):
     from netml_ray.textops import Tokenized
 
     def _partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
-                          "w": pa.array([], pa.string()),
-                          "n": pa.array([], pa.int64())})
-        if not t.num_rows:
-            return empty
-        tok = Tokenized(t[text_col])
-        codes = np.asarray(tok.codes, dtype=np.int64)
-        ge = pc.dictionary_encode(t[group_col].combine_chunks()
-                                  if isinstance(t[group_col],
-                                                pa.ChunkedArray)
-                                  else t[group_col])
-        gcodes = ge.indices.to_numpy(zero_copy_only=False).astype(
-            np.int64)[tok.rowid]
-        # drop the empty-string token Tokenized emits for empty rows
-        # (regexp_extract_all('\S+') semantics)
-        wlen = pc.utf8_length(tok.dictionary).to_numpy(
-            zero_copy_only=False)
-        keep = wlen[codes] > 0
-        codes, gcodes = codes[keep], gcodes[keep]
-        if not len(codes):
-            return empty
-        d = len(tok.dictionary)
-        comb = gcodes * d + codes
-        u, n = np.unique(comb, return_counts=True)
-        return pa.table({
-            group_col: ge.dictionary.take(pa.array(u // d)).cast(
-                pa.string()),
-            "w": tok.dictionary.take(pa.array(u % d)).cast(pa.string()),
-            "n": pa.array(n.astype(np.int64))})
+        return _group_token_partial(t, text_col, group_col)
 
     def _fin(t: pa.Table) -> pa.Table:
         if not t.num_rows:
@@ -1082,3 +1095,77 @@ def logodds_tokens(ds, text_col: str, group_col: str,
         "delta": pa.array(np.round(delta, round_to)),
         "z": pa.array(np.round(z, round_to)),
     })
+
+
+def source_keywords(ds, text_col: str, group_col: str, *,
+                    top_k: int = 5, round_to: int = 9):
+    """Distinctive-term extraction: per group the ``top_k`` tokens by
+    group-level TF-IDF — score = n(g, w) · ln(S / df(w)) with S the
+    number of groups containing ≥1 token and df(w) the number of
+    groups containing w; ranking on the ROUNDED score with ties →
+    lexicographically smallest token (both rules stated in SQL).
+    The "what is this source about" report beside vocab_richness.
+
+    Scale shape: the shared (group, token, n) batch partials, ONE
+    token-keyed exchange folding the O(vocab) df table (broadcast
+    once — the tfidf idf precedent, with the same documented
+    min-count prune at web scale), then ONE group-keyed exchange
+    scoring + per-group top-k (vectorized lexsort, no per-group
+    Python)."""
+    import ray
+
+    from netml_ray.partition import partition_map
+
+    parts = ds.map_batches(
+        lambda t: _group_token_partial(t, text_col, group_col),
+        batch_format="pyarrow").materialize()
+
+    def _df(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        agg = t.group_by(["w", group_col]).aggregate([]) \
+            .group_by(["w"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["w", "df"])
+
+    toks, dfs, groups = [], [], set()
+    for bt in partition_map(parts, "w", _df) \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        toks.append(np.asarray(bt["w"].to_pylist(), dtype=object))
+        dfs.append(bt["df"].to_numpy())
+    for bt in parts.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        groups.update(bt[group_col].to_pylist())
+    tok_arr = np.concatenate(toks) if toks else np.empty(0, object)
+    df_arr = np.concatenate(dfs).astype(np.int64) if dfs else \
+        np.empty(0, np.int64)
+    order = np.argsort(tok_arr.astype(str), kind="stable")
+    tok_arr, df_arr = tok_arr[order].astype(str), df_arr[order]
+    s_groups = len(groups)
+    ref = ray.put((tok_arr, df_arr, s_groups))
+
+    def _score(t: pa.Table, _ref=ref) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({group_col: t[group_col],
+                             "w": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ta, da, s = ray.get(_ref)
+        agg = t.group_by([group_col, "w"]).aggregate([("n", "sum")])
+        g = np.asarray(agg[group_col].to_pylist(), dtype=str)
+        w = np.asarray(agg["w"].to_pylist(), dtype=str)
+        n = agg["n_sum"].to_numpy().astype(np.int64)
+        df = da[np.searchsorted(ta, w)]
+        score = np.round(n * np.log((1.0 * s) / df), round_to)
+        o = np.lexsort((w, -score, g))
+        g, w, n, score = g[o], w[o], n[o], score[o]
+        first = np.r_[True, g[1:] != g[:-1]]
+        run_id = np.cumsum(first) - 1
+        pos = np.arange(len(g)) - np.flatnonzero(first)[run_id]
+        keep = pos < top_k
+        return pa.table({group_col: pa.array(g[keep]),
+                         "w": pa.array(w[keep]),
+                         "n": pa.array(n[keep]),
+                         "score": pa.array(score[keep])})
+
+    return partition_map(parts, group_col, _score)

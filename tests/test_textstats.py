@@ -387,3 +387,50 @@ def test_logodds_tokens_vs_brute(ray_session):
         assert out.loc[w, "n_a"] == ca[w] and out.loc[w, "n_b"] == cb[w]
     assert out.loc["zonly", "z"] > 2
     assert out.loc["bonly", "z"] < -2
+
+
+def test_source_keywords_vs_brute(ray_session):
+    """Top-k by TF-IDF == a Counter brute with the same rounded-score
+    + smallest-token tie rule; a token unique to one group dominates
+    that group's list."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.textstats import source_keywords
+
+    rng = np.random.default_rng(141)
+    vocab = [f"w{i}" for i in range(30)]
+    rows_g, rows_t = [], []
+    for g in ["s1", "s2", "s3"]:
+        for _ in range(40):
+            toks = list(rng.choice(vocab, 20))
+            if g == "s2":
+                toks += ["zonly"] * 3        # unique to s2
+            rows_g.append(g)
+            rows_t.append(" ".join(toks))
+    t = pa.table({"source": pa.array(rows_g), "text": pa.array(rows_t)})
+    out = source_keywords(rd.from_arrow(t).repartition(4), "text",
+                          "source", top_k=5).to_pandas()
+
+    cnt = defaultdict(Counter)
+    for g, txt in zip(rows_g, rows_t):
+        cnt[g].update(txt.split())
+    dfc = Counter()
+    for g in cnt:
+        dfc.update(set(cnt[g]))
+    s = len(cnt)
+    for g in cnt:
+        scored = sorted(
+            ((round(n * math.log(s / dfc[w]), 9), w, n)
+             for w, n in cnt[g].items()),
+            key=lambda x: (-x[0], x[1]))[:5]
+        sub = out[out["source"] == g].sort_values(
+            ["score", "w"], ascending=[False, True])
+        assert len(sub) == 5
+        for (sc, w, n), row in zip(scored, sub.itertuples(index=False)):
+            assert (row.w, row.n) == (w, n)
+            assert abs(row.score - sc) < 1e-8
+    assert "zonly" in set(out[out["source"] == "s2"]["w"])
