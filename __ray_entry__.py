@@ -7651,6 +7651,53 @@ QUALIFY row_number() OVER (PARTITION BY source
 """
 
 
+def q_first_event_dist(sf_dir: str):
+    """Acquisition-mix report: distribution of each user's FIRST event
+    type ((ts, event_id) order) — ONE keyed exchange, run-start gather
+    (sequences._runs), per-partition type-count partials, driver folds
+    O(types); share is exact small-int division."""
+    from netml_ray.partition import partition_map
+    from netml_ray.sequences import _runs
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                  "event_id"])
+
+    def _first(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        starts, _ = _runs(t["user_id"].combine_chunks())
+        ft = t["event_type"].combine_chunks().take(pa.array(starts))
+        g = pa.table({"event_type": ft}).group_by(["event_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    parts = pa.concat_tables(
+        partition_map(ev, "user_id", _first,
+                      sort_by=["user_id", "ts", "event_id"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    agg = parts.group_by(["event_type"]).aggregate([("n", "sum")]) \
+        .sort_by([("event_type", "ascending")])
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({"event_type": agg["event_type"],
+                     "n_users": pa.array(n),
+                     "share": pa.array(n / (1.0 * n.sum()))})
+
+
+SQL_FIRST_EVENT_DIST = """
+WITH f AS (
+  SELECT user_id, event_type FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1),
+c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM f GROUP BY 1),
+t AS (SELECT sum(n_users) AS tot FROM c)
+SELECT event_type, n_users, n_users / (1.0 * t.tot) AS share
+FROM c, t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7901,7 +7948,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prev/next-index kernel)
         "hhi_events": q_hhi_events,
         "curate_corpus_plus_docs": q_curate_corpus_plus_docs,
-        "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
+        # (curation_funnel_plus_docs rotated to the tail for
+        # first_event_dist: checker-verified r5 entry; its plus-stage
+        # chain stays in-window through curate_corpus_plus_docs and
+        # the r04-green curation_funnel_docs driver row in the tail)
+        "first_event_dist": q_first_event_dist,
         # (asof_tolerance_events rotated to the tail for
         # new_returning_events: checker-verified r5 entry; the asof
         # family keeps asof_nearest_events in-window — which exercises
@@ -8016,6 +8067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_events": q_changepoint_events,
         "moments_events": q_moments_events,
         "readability_docs": q_readability_docs,
+        "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8468,6 +8520,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test_events": SQL_KS_TEST,
         "anova_events": SQL_ANOVA,
         "source_keywords_docs": SQL_SOURCE_KEYWORDS,
+        "first_event_dist": SQL_FIRST_EVENT_DIST,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,
