@@ -7698,6 +7698,42 @@ FROM c, t
 """
 
 
+def q_gram_novelty_docs(sf_dir: str):
+    """Per-doc 3-gram novelty (textstats.gram_novelty): share of a
+    doc's distinct grams appearing in no other doc — distinct
+    (gram, doc) pairs, ONE gram-keyed exchange (run length = df),
+    O(docs) driver fold.  The memorization/boilerplate inverse."""
+    from netml_ray.textstats import gram_novelty
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gram_novelty(docs, "text", "doc_id", k=3)
+
+
+SQL_GRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || chr(31) || w[i+1] || chr(31) || w[i+2])))
+           AS gram
+  FROM toks WHERE len(w) >= 3),
+df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+sc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE df.df = 1) AS n_novel
+  FROM g JOIN df USING (gram) GROUP BY 1)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       n_novel / (1.0 * n_grams) AS novelty
+FROM sc
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7913,7 +7949,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of: checker-verified r5 entry; its hashed bigram-count
         # exchange is lm_bits' path (r04-green tail row) and its
         # contingency math is pinned in-window by chi2_docs)
-        "asof_nearest_events": q_asof_nearest_events,
+        # (asof_nearest_events rotated to the tail for
+        # gram_novelty_docs: checker-verified r5 entry; the asof
+        # family keeps the r04-green asof_purchase_signup driver row
+        # plus forward/tolerance variants in the tail)
+        "gram_novelty_docs": q_gram_novelty_docs,
         # (psi_events rotated to the tail for
         # embedding_norm_quantiles: checker-verified r5 entry; the
         # exact-quantile-edge machinery stays in-window through
@@ -8068,6 +8108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_events": q_moments_events,
         "readability_docs": q_readability_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
+        "asof_nearest_events": q_asof_nearest_events,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8521,6 +8562,7 @@ def oracle_sql() -> dict[str, str]:
         "anova_events": SQL_ANOVA,
         "source_keywords_docs": SQL_SOURCE_KEYWORDS,
         "first_event_dist": SQL_FIRST_EVENT_DIST,
+        "gram_novelty_docs": SQL_GRAM_NOVELTY,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -46,7 +46,8 @@ import pyarrow.compute as pc
 __all__ = ["bigram_counts", "bigram_lm_bits", "bm25_scores",
            "doc_frequency", "logodds_tokens", "pmi_collocations",
            "readability_profile", "rrf_fuse", "source_divergence",
-           "tfidf_top_terms", "vocab_richness", "source_keywords"]
+           "tfidf_top_terms", "vocab_richness", "source_keywords",
+           "gram_novelty"]
 
 
 def _tok(col):
@@ -1169,3 +1170,88 @@ def source_keywords(ds, text_col: str, group_col: str, *,
                          "score": pa.array(score[keep])})
 
     return partition_map(parts, group_col, _score)
+
+
+def gram_novelty(ds, text_col: str, id_col: str, *, k: int = 3):
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    word-``k``-grams that appear in NO other document — the
+    memorization/boilerplate inverse signal (novelty 1.0 = fully
+    original text; low novelty = template/copied content).  Docs with
+    fewer than ``k`` tokens emit no grams and are excluded (rule
+    stated in SQL).
+
+    Scale shape: per-batch per-doc DISTINCT gram pairs (grams are the
+    SQL's ``w1||US||w2||US||w3`` strings, so the exchange key is
+    bit-identical on both engines), ONE gram-keyed exchange — a
+    gram's run length IS its document frequency, so each pair row
+    immediately knows novelty — per-partition (doc, n, novel) count
+    partials, O(docs) driver fold.  At web scale the gram universe is
+    pruned by the documented min-df/frequency bound (the tfidf idf
+    precedent); the pair exchange carries distinct (gram, doc) rows,
+    never the token stream."""
+    from netml_ray.partition import partition_map
+
+    sep = "\x1f"
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        grams, docs = [], []
+        for i, s in enumerate(t[text_col].to_pylist()):
+            w = s.split()
+            if len(w) < k:
+                continue
+            gs = {sep.join(w[j:j + k]) for j in range(len(w) - k + 1)}
+            grams.extend(gs)
+            docs.extend([int(ids[i])] * len(gs))
+        if not grams:
+            return empty
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "doc": pa.array(docs, pa.int64())})
+
+    pairs = ds.select_columns([id_col, text_col]) \
+        .map_batches(_pairs, batch_size=None, batch_format="pyarrow")
+
+    def _df(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "novel": pa.array([], pa.int64())})
+        g = t["gram"].combine_chunks()
+        m = t.num_rows
+        first = np.ones(m, dtype=bool)
+        if m > 1:
+            first[1:] = np.asarray(pc.not_equal(
+                g.slice(1, m - 1), g.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        run_id = np.cumsum(first) - 1
+        df = np.bincount(run_id)
+        doc = t["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_novel = (df == 1)[run_id]
+        udoc = np.unique(doc)
+        idx = np.searchsorted(udoc, doc)
+        return pa.table({
+            "doc": pa.array(udoc),
+            "n": pa.array(np.bincount(idx, minlength=len(udoc))
+                          .astype(np.int64)),
+            "novel": pa.array(np.bincount(idx[is_novel],
+                                          minlength=len(udoc))
+                              .astype(np.int64))})
+
+    parts = pa.concat_tables(
+        partition_map(pairs, "gram", _df, sort_by=["gram"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    agg = parts.group_by(["doc"]).aggregate([("n", "sum"),
+                                             ("novel", "sum")]) \
+        .sort_by([("doc", "ascending")])
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = agg["novel_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return pa.table({id_col: agg["doc"],
+                     "n_grams": pa.array(n),
+                     "n_novel": pa.array(nv),
+                     "novelty": pa.array(nv / (1.0 * n))})

@@ -434,3 +434,43 @@ def test_source_keywords_vs_brute(ray_session):
             assert (row.w, row.n) == (w, n)
             assert abs(row.score - sc) < 1e-8
     assert "zonly" in set(out[out["source"] == "s2"]["w"])
+
+
+def test_gram_novelty_vs_brute(ray_session):
+    """Novelty == a Counter brute over distinct doc grams; an exact
+    duplicate pair has novelty 0, a unique doc novelty 1, short docs
+    are excluded."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.textstats import gram_novelty
+
+    texts = ["a b c d e",           # shares nothing -> novelty 1
+             "x y z w",             # dup of next -> 0
+             "x y z w",
+             "a b c q r",           # shares 'a b c' with doc 0
+             "one two"]             # < 3 tokens -> excluded
+    t = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = gram_novelty(rd.from_arrow(t).repartition(3), "text",
+                       "doc_id").to_pandas().set_index("doc_id") \
+        .sort_index()
+    assert list(out.index) == [0, 1, 2, 3]
+    df = Counter()
+    sets = {}
+    for i, s in enumerate(texts):
+        w = s.split()
+        if len(w) < 3:
+            continue
+        gs = {tuple(w[j:j + 3]) for j in range(len(w) - 2)}
+        sets[i] = gs
+        df.update(gs)
+    for i, gs in sets.items():
+        novel = sum(1 for g in gs if df[g] == 1)
+        assert out.loc[i, "n_grams"] == len(gs)
+        assert out.loc[i, "n_novel"] == novel
+    assert out.loc[1, "novelty"] == 0.0
+    assert out.loc[2, "novelty"] == 0.0
+    assert out.loc[0, "novelty"] < 1.0          # shares 'a b c'
