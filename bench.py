@@ -330,6 +330,19 @@ def run_suite() -> dict:
             ts_rows / max(textstats["lm_bits_sec"], 1e-9), 1)
         textstats["tfidf_docs_per_sec"] = round(
             ts_rows / max(textstats["tfidf_sec"], 1e-9), 1)
+        # r5 continuation-5: the gram-pair exchange (novelty) — the
+        # heaviest textstat shape (distinct (gram, doc) pairs move)
+        from netml_ray.textstats import gram_novelty
+
+        nv_rows = int(os.environ.get("GRAFT_NOVELTY_ROWS", "200000"))
+        ndocs = rd.read_parquet(documents_path(nv_rows, seed=13),
+                                columns=["doc_id", "text"])
+        t0 = time.time()
+        _consume(gram_novelty(ndocs, "text", "doc_id"), "novelty")
+        textstats["novelty_sec"] = round(time.time() - t0, 3)
+        textstats["novelty_docs"] = nv_rows
+        textstats["novelty_docs_per_sec"] = round(
+            nv_rows / max(textstats["novelty_sec"], 1e-9), 1)
 
     # r5 keyed-statistics / sequence-analytics family: volume
     # throughput for the grouped-stat and sweep operators over a
