@@ -7734,6 +7734,52 @@ FROM sc
 """
 
 
+def q_dedup_keep_longest_docs(sf_dir: str):
+    """Curation keep-policy dedup (dedup.dedup_exact keep_max_col):
+    hash the NORMALIZED text (lowercase + whitespace-collapse, the
+    normalize_docs parity rule), keep the LONGEST raw doc per key
+    (tie → min id).  Planted: every doc gets an uppercased
+    space-doubled twin (+3M id) — same normalized key, longer raw
+    text wherever the doc has ≥2 tokens.  The narrow (hash, id, len)
+    shuffle carries the policy column; payloads never move."""
+    import pandas as pd
+    import ray.data as rd
+
+    from netml_ray.curation import normalize_batch
+    from netml_ray.dedup import dedup_exact
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    pert = docs.copy()
+    pert["doc_id"] = pert["doc_id"] + 3_000_000
+    pert["text"] = [t.upper().replace(" ", "  ") for t in pert["text"]]
+    both = rd.from_pandas(pd.concat([docs, pert], ignore_index=True))
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = normalize_batch(t)
+        return t.append_column(
+            "n_raw", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+
+    prepped = both.map_batches(_prep, batch_format="pyarrow")
+    kept = dedup_exact(prepped, text_col="text_norm",
+                       keep_max_col="n_raw", num_partitions=P)
+    return kept.select_columns(["doc_id", "n_raw"])
+
+
+SQL_DEDUP_KEEP_LONGEST = r"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, upper(replace(text, ' ', '  '))
+  FROM documents),
+n AS (SELECT doc_id, length(text) AS n_raw,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS key
+      FROM uni)
+SELECT doc_id, n_raw FROM n
+QUALIFY row_number() OVER (PARTITION BY key
+                           ORDER BY n_raw DESC, doc_id) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7764,7 +7810,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-oracle-pinned, and the near-dup family keeps
         # minhash_pairs in-window as its driver anchor)
         # -- r5 continuation-2 (newest kernels -> in-window)
-        "pareto_orders": q_pareto_orders,
+        # (pareto_orders rotated to the tail for
+        # dedup_keep_longest_docs: checker-verified r5 entry whose
+        # skyline kernel carries O(n²) brute pytest pins; the NEW
+        # entry extends the in-window dedup family with the curation
+        # keep-policy path)
+        "dedup_keep_longest_docs": q_dedup_keep_longest_docs,
         "url_features_docs": q_url_features_docs,
         # (readability_docs rotated to the tail for
         # source_keywords_docs: checker-verified r5 entry; the RE2
@@ -8109,6 +8160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_docs": q_readability_docs,
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
         "asof_nearest_events": q_asof_nearest_events,
+        "pareto_orders": q_pareto_orders,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8563,6 +8615,7 @@ def oracle_sql() -> dict[str, str]:
         "source_keywords_docs": SQL_SOURCE_KEYWORDS,
         "first_event_dist": SQL_FIRST_EVENT_DIST,
         "gram_novelty_docs": SQL_GRAM_NOVELTY,
+        "dedup_keep_longest_docs": SQL_DEDUP_KEEP_LONGEST,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,

@@ -67,8 +67,15 @@ def dedup_exact(
     num_partitions: int | None = None,
     broadcast_threshold: int = 2_000_000,
     narrow_collect_threshold: int | None = 4_000_000,
+    keep_max_col: str | None = None,
 ):
     """Exact dedup, scale-safe: keep the min-id row per content hash.
+
+    ``keep_max_col``: curation keep-policy — keep the row with the
+    LARGEST value of that column instead (ties → min id), e.g. hash
+    the NORMALIZED text but keep the longest RAW document.  The policy
+    column rides the narrow (hash, id, keep) shuffle; the payload
+    still never moves.
 
     Only ``(text_hash, id)`` travels through the shuffle — the payload
     never moves.  Per partition, losers (every non-min id of a hash)
@@ -90,7 +97,9 @@ def dedup_exact(
     # reuse a caller-precomputed (e.g. pre-materialize) hash column so a
     # materialized input isn't re-hashed once per consumer
     hashed = ds if has_hash else add_text_hash(ds, text_col)
-    narrow = hashed.select_columns([id_col, "text_hash"])
+    nar_cols = [id_col, "text_hash"] + (
+        [keep_max_col] if keep_max_col else [])
+    narrow = hashed.select_columns(nar_cols)
 
     # small-input fast path (same pattern as sessionize.exact_quantiles):
     # below the threshold the narrow (hash, id) side streams to the
@@ -101,16 +110,23 @@ def dedup_exact(
     # upstream chain is expensive.
     n_rows = ds.count() if narrow_collect_threshold else None
     if n_rows is not None and n_rows <= narrow_collect_threshold:
-        ids_l, hs_l = [], []
+        ids_l, hs_l, ks_l = [], [], []
         for b in narrow.iter_batches(batch_format="pyarrow",
                                      batch_size=1 << 16):
             ids_l.append(np.asarray(b[id_col].to_numpy(
                 zero_copy_only=False)))
             hs_l.append(np.asarray(b["text_hash"].to_numpy(
                 zero_copy_only=False)))
+            if keep_max_col:
+                ks_l.append(np.asarray(b[keep_max_col].to_numpy(
+                    zero_copy_only=False)))
         ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
         hs = np.concatenate(hs_l) if hs_l else np.empty(0, np.int64)
-        order = np.lexsort((ids, hs))
+        if keep_max_col:
+            kv = np.concatenate(ks_l) if ks_l else np.empty(0, np.int64)
+            order = np.lexsort((ids, -kv, hs))
+        else:
+            order = np.lexsort((ids, hs))
         first = _run_starts(hs[order])
         loser_ids = ids[order][~first]
         if not len(loser_ids):
@@ -125,7 +141,11 @@ def dedup_exact(
         return hashed.map_batches(_anti_fast, batch_format="pyarrow")
 
     def _losers(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("text_hash", "ascending"), (id_col, "ascending")])
+        keys = [("text_hash", "ascending")]
+        if keep_max_col:
+            keys.append((keep_max_col, "descending"))
+        keys.append((id_col, "ascending"))
+        t = t.sort_by(keys)
         first = _run_starts(t["text_hash"].to_numpy())
         return t.filter(pa.array(~first)).select([id_col])
 

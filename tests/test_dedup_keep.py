@@ -187,3 +187,27 @@ def test_connected_components_raises_on_nonconvergence(ray_session):
     lab = connected_components(ds, max_iters=50,
                                num_partitions=4).to_pandas()
     assert (lab["cluster"] == 0).all() and len(lab) == n
+
+
+def test_dedup_keep_max_col_policy(ray_session):
+    """keep_max_col keeps the largest-value row per hash (tie → min
+    id), on BOTH the narrow-collect fast path and the shuffle path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.dedup import dedup_exact
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["k1", "k1", "k1", "k2", "k2"]),
+        "sz": pa.array([10, 30, 30, 7, 7], type=pa.int64())})
+    for thresh in (4_000_000, 0):          # fast path / shuffle path
+        kept = dedup_exact(rd.from_arrow(t), keep_max_col="sz",
+                           narrow_collect_threshold=thresh or None,
+                           num_partitions=2) \
+            .to_pandas().sort_values("doc_id")
+        # k1: max sz=30 held by ids 2,3 -> min id 2; k2: tie -> id 4
+        assert list(kept["doc_id"]) == [2, 4]
+    # default policy unchanged: min id wins
+    kept = dedup_exact(rd.from_arrow(t)).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 4]
