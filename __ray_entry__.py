@@ -7780,6 +7780,68 @@ QUALIFY row_number() OVER (PARTITION BY key
 """
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Revenue 80/20 audit: share of total order revenue held by the
+    top ceil(n/5) customers — per-customer sums via ONE keyed
+    partial-agg exchange, O(customers) driver finish.  Determinism:
+    revenues round 6 BEFORE ranking (kills last-ulp sum-order flips
+    at the selection boundary), integer top-n formula (n+4)//5 on
+    both sides, (revenue DESC, custkey) tie rule, shares summed over
+    the ROUNDED values."""
+    from netml_ray.partition import partition_map
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _p(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([("o_totalprice",
+                                                  "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    parts = orders.map_batches(_p, batch_size=None,
+                               batch_format="pyarrow")
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"o_custkey": t["o_custkey"],
+                             "rev": pa.array([], pa.float64())})
+        g = t.group_by(["o_custkey"]).aggregate([("rev", "sum")])
+        return pa.table({
+            "o_custkey": g["o_custkey"],
+            "rev": pc.round(g["rev_sum"], ndigits=6)})
+
+    per_cust = pa.concat_tables(
+        partition_map(parts, "o_custkey", _fin)
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="none")
+    cust = per_cust["o_custkey"].to_numpy(zero_copy_only=False)
+    rev = per_cust["rev"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((cust, -rev))
+    rev = rev[order]
+    n = len(rev)
+    top_n = (n + 4) // 5
+    total = float(rev.sum())
+    top = float(rev[:top_n].sum())
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "top_n": pa.array([top_n], pa.int64()),
+        "top_share": pa.array([round(top / total, 6)])})
+
+
+SQL_REVENUE_CONCENTRATION = """
+WITH c AS (
+  SELECT o_custkey, round(sum(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey)
+             AS rn, count(*) OVER () AS n
+      FROM c)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST((max(n) + 4) // 5 AS BIGINT) AS top_n,
+       round(sum(rev) FILTER (WHERE rn <= (n + 4) // 5)
+             / (1.0 * sum(rev)), 6) AS top_share
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -7816,7 +7878,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entry extends the in-window dedup family with the curation
         # keep-policy path)
         "dedup_keep_longest_docs": q_dedup_keep_longest_docs,
-        "url_features_docs": q_url_features_docs,
+        # (url_features_docs rotated to the tail for
+        # revenue_concentration: checker-verified r5 entry; the RE2
+        # extract machinery stays in-window through the PII-redaction
+        # stage of curate_corpus_plus_docs)
+        "revenue_concentration": q_revenue_concentration,
         # (readability_docs rotated to the tail for
         # source_keywords_docs: checker-verified r5 entry; the RE2
         # count-kernel family keeps url_features_docs in-window)
@@ -8161,6 +8227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel_plus_docs": q_curation_funnel_plus_docs,
         "asof_nearest_events": q_asof_nearest_events,
         "pareto_orders": q_pareto_orders,
+        "url_features_docs": q_url_features_docs,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8616,6 +8683,7 @@ def oracle_sql() -> dict[str, str]:
         "first_event_dist": SQL_FIRST_EVENT_DIST,
         "gram_novelty_docs": SQL_GRAM_NOVELTY,
         "dedup_keep_longest_docs": SQL_DEDUP_KEEP_LONGEST,
+        "revenue_concentration": SQL_REVENUE_CONCENTRATION,
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,
