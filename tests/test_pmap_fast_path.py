@@ -750,3 +750,66 @@ def test_fast_path_adamic_adar(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["item_a", "item_b"]),
                                   _norm(fast, ["item_a", "item_b"]))
+
+
+def test_fast_path_session_and_gaps(ray_session, monkeypatch):
+    """session_conversion / event_gaps / dod_retention: fast ==
+    distributed at the final output."""
+    import ray.data as rd
+
+    from netml_ray.sequences import (dod_retention, event_gaps,
+                                     session_conversion)
+
+    t = _events()
+    ts_tbl = pa.table({
+        "user_id": t["user_id"],
+        "ts": pa.array((t["ts"].to_numpy() * 1e6).astype(np.int64)
+                       .astype("datetime64[us]")),
+        "event_id": t["event_id"],
+        "etype": t["etype"]})
+
+    def run():
+        sc = session_conversion(rd.from_arrow(ts_tbl), "user_id",
+                                "ts", "etype", gap_s=100.0,
+                                convert_type="a",
+                                tiebreak="event_id").to_pandas()
+        eg = event_gaps(rd.from_arrow(ts_tbl), "user_id", "ts",
+                        type_col="etype", event_type="b",
+                        tiebreak="event_id").to_pandas()
+        dr = dod_retention(rd.from_arrow(ts_tbl), "user_id", "ts",
+                           day_us=500_000_000).to_pandas()
+        return sc, eg, dr
+
+    dist, fast = _both_ways(monkeypatch, run)
+    for i, keys in enumerate([["user_id"], ["user_id"], ["day"]]):
+        pd.testing.assert_frame_equal(_norm(dist[i], keys),
+                                      _norm(fast[i], keys))
+
+
+def test_fast_path_textstat_exchanges(ray_session, monkeypatch):
+    """gram_novelty / source_keywords partition_map stages: fast ==
+    distributed."""
+    import ray.data as rd
+
+    from netml_ray.textstats import gram_novelty, source_keywords
+
+    rng = np.random.default_rng(151)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(300)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "source": pa.array(rng.choice(["s1", "s2", "s3"], 300)),
+        "text": pa.array(texts)})
+
+    def run():
+        gn = gram_novelty(rd.from_arrow(t), "text", "doc_id") \
+            .to_pandas()
+        sk = source_keywords(rd.from_arrow(t), "text", "source",
+                             top_k=3).to_pandas()
+        return gn, sk
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist[0], ["doc_id"]),
+                                  _norm(fast[0], ["doc_id"]))
+    pd.testing.assert_frame_equal(_norm(dist[1], ["source", "w"]),
+                                  _norm(fast[1], ["source", "w"]))
