@@ -7842,6 +7842,74 @@ FROM r
 """
 
 
+def q_user_feature_matrix(sf_dir: str):
+    """Feature-store capstone: ONE wide per-user training row
+    assembled from three independent keyed kernels — session
+    conversion (n_sessions, n_converted), activity streaks
+    (n_active_days, longest_streak) and the ordered funnel
+    (stages_completed) — stitched with two co-partitioned hash joins
+    on user_id.  Every kernel emits exactly the keys with ≥1 event,
+    so inner joins lose nothing (stated by the SQL's CTE joins)."""
+    from netml_ray.joins import hash_join
+    from netml_ray.sequences import (funnel_stages, session_conversion,
+                                     streaks)
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    sc = session_conversion(ev, "user_id", "ts", "event_type",
+                            gap_s=EVENT_GAP, convert_type="purchase",
+                            tiebreak="event_id") \
+        .select_columns(["user_id", "n_sessions", "n_converted"])
+    st = streaks(ev, "user_id", "ts")
+    fn = funnel_stages(ev, "user_id", "ts", "event_type",
+                       _FUNNEL_STAGES, tiebreak="event_id")
+    j = hash_join(sc, st, "user_id", how="inner", num_partitions=P)
+    j = hash_join(j, fn, "user_id", how="inner", num_partitions=P)
+    return j.select_columns(["user_id", "n_sessions", "n_converted",
+                             "n_active_days", "longest_streak",
+                             "stages_completed"])
+
+
+def _build_user_matrix_sql() -> str:
+    funnel = _build_funnel_sql()
+    return f"""
+WITH cuts AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              > {EVENT_GAP} THEN 1 ELSE 0 END AS cut
+  FROM events),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM cuts),
+per AS (
+  SELECT user_id, sid,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM sess GROUP BY 1, 2),
+sc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(conv) AS BIGINT) AS n_converted
+       FROM per GROUP BY 1),
+d AS (SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS isl
+      FROM d),
+sl AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2),
+st AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+              CAST(max(len) AS BIGINT) AS longest_streak
+       FROM sl GROUP BY 1),
+fu AS ({funnel})
+SELECT sc.user_id, sc.n_sessions, sc.n_converted,
+       st.n_active_days, st.longest_streak, fu.stages_completed
+FROM sc JOIN st USING (user_id) JOIN fu USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -8128,7 +8196,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window fingerprint/minhash family)
         "wow_growth_events": q_wow_growth_events,
         "cond_entropy_events": q_cond_entropy_events,
-        "kmeans_embeddings": q_kmeans_embeddings,
+        # (kmeans_embeddings rotated to the tail for
+        # user_feature_matrix: checker-verified r5 entry; Lloyd's
+        # fit/assign is pytest-pinned (AUC + rounded-distance
+        # determinism) and the embedding family keeps
+        # quantize_embeddings + embedding_norm_quantiles in-window)
+        "user_feature_matrix": q_user_feature_matrix,
         # -- new in the r5 continuation (rotated-out slots below)
         # (moments_events rotated to the tail for anova_events:
         # checker-verified r5 entry; the NEW entry rides the same
@@ -8228,6 +8301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_nearest_events": q_asof_nearest_events,
         "pareto_orders": q_pareto_orders,
         "url_features_docs": q_url_features_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "cooccur_suppliers": q_cooccur_suppliers,
         "hits_partsupp": q_hits_partsupp,
         "funnel_stages_events": q_funnel_stages_events,
@@ -8684,6 +8758,7 @@ def oracle_sql() -> dict[str, str]:
         "gram_novelty_docs": SQL_GRAM_NOVELTY,
         "dedup_keep_longest_docs": SQL_DEDUP_KEEP_LONGEST,
         "revenue_concentration": SQL_REVENUE_CONCENTRATION,
+        "user_feature_matrix": _build_user_matrix_sql(),
         "geo_grid_events": SQL_GEO_GRID,
         "new_returning_events": SQL_NEW_RETURNING,
         "wow_growth_events": SQL_WOW_GROWTH,
