@@ -3585,6 +3585,57 @@ LEFT JOIN nw USING (doc_id)
 """
 
 
+def q_segment_dedup_docs(sf_dir: str):
+    """Segment-level (CCNet paragraph-style) dedup + rebuild: split
+    each doc into non-overlapping 16-word segments, keep each distinct
+    segment only at its globally-first (doc_id, ordinal) occurrence,
+    and rebuild every doc from the survivors.  One narrow explode, ONE
+    segment-string hash exchange, one doc_id rebuild exchange, one
+    co-partitioned left join (curation.segment_dedup)."""
+    from netml_ray.curation import segment_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup(docs, size=16)
+
+
+SQL_SEGMENT_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                               ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+seg AS (
+  SELECT doc_id, s AS chunk_id,
+         array_to_string(ws[s*16 + 1 : least(s*16 + 16, len(ws))],
+                         ' ') AS chunk_text
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS s
+        FROM w)
+),
+ranked AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM seg
+),
+agg AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+        FROM seg GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.text, '') AS text,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(t.n_total, 0) AS n_total
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_bm25_docs(sf_dir: str):
     """Ranked retrieval: top-20 docs by BM25 (k1=1.5, b=0.75, Lucene
     idf) against a 3-term query.  Corpus stats from narrow partial
@@ -8595,6 +8646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_docs": q_keyword_search_docs,
         "bm25_docs": q_bm25_docs,
         "scaled_events": q_scaled_events,
+        # r5 continuation-6 additions (tail; kernels pinned by pytest +
+        # the local full-registry checker on both pmap paths)
+        "segment_dedup_docs": q_segment_dedup_docs,
     }
 
 
@@ -8712,6 +8766,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_docs": SQL_KEYWORD_SEARCH,
         "bm25_docs": SQL_BM25,
         "scaled_events": SQL_SCALED_EVENTS,
+        "segment_dedup_docs": SQL_SEGMENT_DEDUP,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

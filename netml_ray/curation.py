@@ -456,6 +456,97 @@ def chunk_documents(ds, text_col: str = "text", *, size: int = 100,
         batch_format="pyarrow")
 
 
+def segment_dedup(docs, *, size: int = 16, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  num_partitions: int | None = None):
+    """Segment-level (CCNet-style paragraph/line) dedup with text
+    rebuild: split each doc into non-overlapping ``size``-word
+    segments, keep each distinct segment string only at its globally
+    first occurrence (ordered by ``(id, segment ordinal)``), and
+    rebuild every doc from its surviving segments.
+
+    The within-corpus analog of ``remove_duplicate_spans`` boilerplate
+    removal: repeated headers/footers/navboxes vanish from every doc
+    but the first.  Returns one row per input doc:
+    ``(id, text, n_kept, n_total)`` — docs whose every segment was a
+    repeat come back with ``text=''``.
+
+    Scale shape: a narrow chunk explode (``chunk_batch``, overlap 0),
+    ONE hash exchange keyed on the segment string (exact dedup — no
+    collision risk; at 10^12 docs swap the key for a 128-bit digest),
+    one ``id``-keyed exchange to rebuild, and one co-partitioned left
+    join to restore fully-deduped docs.  Both partition fns are
+    run-segmented (fast-path pinned in ``test_pmap_fast_path``)."""
+    from netml_ray.joins import hash_join
+    from netml_ray.partition import partition_map
+
+    exploded = docs.map_batches(
+        lambda t: chunk_batch(t, text_col, size=size, overlap=0,
+                              id_col=id_col),
+        batch_format="pyarrow").drop_columns(["chunk_words"])
+
+    def _totals(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            t[text_col], r"\s+", " "))
+        nw = pc.count_substring(norm, " ").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        nw[pc.equal(norm, "").to_numpy(zero_copy_only=False)] = 0
+        n_total = -(-nw // size)
+        return pa.table({id_col: t[id_col],
+                         "n_total": pa.array(n_total)})
+
+    totals = docs.map_batches(_totals, batch_format="pyarrow")
+
+    def _first_occurrence(t: pa.Table) -> pa.Table:
+        # sorted by (chunk_text, id, chunk_id): keep each run's head
+        if not t.num_rows:
+            return t
+        seg = t["chunk_text"].combine_chunks()
+        head = np.r_[True, pc.not_equal(
+            seg.slice(1), seg.slice(0, len(seg) - 1))
+            .to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array(head))
+
+    kept = partition_map(exploded, "chunk_text", _first_occurrence,
+                         num_partitions=num_partitions,
+                         sort_by=["chunk_text", id_col, "chunk_id"])
+
+    def _rebuild(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                id_col: t[id_col],
+                "text": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64())})
+        ids = t[id_col].combine_chunks()
+        run = np.r_[True, pc.not_equal(
+            ids.slice(1), ids.slice(0, len(ids) - 1))
+            .to_numpy(zero_copy_only=False)]
+        starts = np.flatnonzero(run)
+        offs = np.r_[starts, t.num_rows].astype(np.int32)
+        segs = pa.ListArray.from_arrays(
+            pa.array(offs), t["chunk_text"].combine_chunks())
+        return pa.table({
+            id_col: ids.take(pa.array(starts)),
+            "text": pc.binary_join(segs, " "),
+            "n_kept": pa.array(np.diff(offs).astype(np.int64))})
+
+    rebuilt = partition_map(kept, id_col, _rebuild,
+                            num_partitions=num_partitions,
+                            sort_by=[id_col, "chunk_id"])
+
+    out = hash_join(totals, rebuilt, id_col, how="left",
+                    num_partitions=num_partitions)
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "text": pc.coalesce(t["text"], ""),
+            "n_kept": pc.coalesce(t["n_kept"], pa.scalar(0, pa.int64())),
+            "n_total": t["n_total"]})
+
+    return out.map_batches(_coalesce, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (LLM batch prep)
 # ---------------------------------------------------------------------------

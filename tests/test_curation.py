@@ -569,3 +569,46 @@ def test_weighted_reservoir_topk_vs_brute(ray_session):
     bad = pa.table({"id": pa.array([1, 2]), "w": pa.array([5, 0])})
     with pytest.raises(Exception, match="strictly positive"):
         weighted_reservoir_topk(rd.from_arrow(bad), "id", "w", 1)
+
+
+def test_segment_dedup_brute(ray_session):
+    """segment_dedup vs a brute-force driver reference: global
+    first-occurrence keep per distinct segment, rebuild in ordinal
+    order, fully-deduped docs come back empty."""
+    import ray.data as rd
+
+    from netml_ray.curation import segment_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = list("abcdefg")
+    texts = [" ".join(rng.choice(vocab, int(k)))
+             for k in rng.integers(0, 20, 120)]
+    texts[5] = texts[3]            # full-doc dup → doc 5 empties
+    texts[7] = ""                  # empty doc survives with n_total=0
+    t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    size = 3
+    # brute force
+    seen: dict[str, tuple[int, int]] = {}
+    segs = {}
+    for d, tx in enumerate(texts):
+        ws = tx.split()
+        chunks = [" ".join(ws[i * size:(i + 1) * size])
+                  for i in range(-(-len(ws) // size))]
+        segs[d] = chunks
+        for i, c in enumerate(chunks):
+            if c not in seen:
+                seen[c] = (d, i)
+    exp = {}
+    for d, chunks in segs.items():
+        kept = [c for i, c in enumerate(chunks) if seen[c] == (d, i)]
+        exp[d] = (" ".join(kept), len(kept), len(chunks))
+
+    out = segment_dedup(rd.from_arrow(t), size=size).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 120
+    for _, r in out.iterrows():
+        e = exp[int(r.doc_id)]
+        assert (r.text, int(r.n_kept), int(r.n_total)) == e
+    assert out.loc[5, "text"] == "" and out.loc[5, "n_kept"] == 0
+    assert out.loc[7, "n_total"] == 0

@@ -813,3 +813,25 @@ def test_fast_path_textstat_exchanges(ray_session, monkeypatch):
                                   _norm(fast[0], ["doc_id"]))
     pd.testing.assert_frame_equal(_norm(dist[1], ["source", "w"]),
                                   _norm(fast[1], ["source", "w"]))
+
+
+def test_fast_path_segment_dedup(ray_session, monkeypatch):
+    """segment_dedup's two partition_map stages: fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.curation import segment_dedup
+
+    rng = np.random.default_rng(97)
+    vocab = [f"w{i}" for i in range(12)]
+    # small vocab + short segments → plenty of cross-doc repeats
+    texts = [" ".join(rng.choice(vocab, int(k)))
+             for k in rng.integers(0, 30, 400)]
+    t = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    def run():
+        return segment_dedup(rd.from_arrow(t), size=4).to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["doc_id"]),
+                                  _norm(fast, ["doc_id"]))
