@@ -627,6 +627,51 @@ FROM events
 """
 
 
+def q_mannwhitney_events(sf_dir: str):
+    """Nonparametric A/B test: Mann–Whitney U (midrank tie rule,
+    tie-corrected normal z) between purchase and click values —
+    featstats.mannwhitney_u.  U_a is exact (dyadic-rational rank sum,
+    bit-identical to the SQL window-rank route); z rounded to 6."""
+    from netml_ray.featstats import mannwhitney_u
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return mannwhitney_u(ev, "value", "event_type",
+                         "purchase", "click", round_to=6)
+
+
+SQL_MANNWHITNEY = r"""
+WITH s AS (
+  SELECT value AS v, event_type = 'purchase' AS is_a
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+r AS (
+  SELECT is_a,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
+  FROM s
+),
+agg AS (
+  SELECT CAST(count(*) FILTER (is_a) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS n_b,
+         sum(ar) FILTER (is_a) AS r_a
+  FROM r
+),
+ties AS (
+  SELECT COALESCE(sum(pow(c, 3) - c), 0.0) AS tt
+  FROM (SELECT count(*) AS c FROM s GROUP BY v)
+)
+SELECT n_a, n_b,
+       r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+       round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(n_a * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - tt / ((n_a + n_b) * (n_a + n_b - 1.0)))),
+             6) AS z
+FROM agg, ties
+"""
+
+
 def q_welch_ttest_events(sf_dir: str):
     """A/B statistical testing: Welch two-sample t between purchase
     and click values (one narrow 6-doubles-per-batch partial pass) —
@@ -8649,6 +8694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5 continuation-6 additions (tail; kernels pinned by pytest +
         # the local full-registry checker on both pmap paths)
         "segment_dedup_docs": q_segment_dedup_docs,
+        "mannwhitney_events": q_mannwhitney_events,
     }
 
 
@@ -8767,6 +8813,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_docs": SQL_BM25,
         "scaled_events": SQL_SCALED_EVENTS,
         "segment_dedup_docs": SQL_SEGMENT_DEDUP,
+        "mannwhitney_events": SQL_MANNWHITNEY,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

@@ -1920,6 +1920,75 @@ def ks_test(ds, val_col: str, group_col: str, group_a, group_b, *,
         "p_approx": pa.array([round(min(p, 1.0), round_to)])})
 
 
+def mannwhitney_u(ds, val_col: str, group_col: str, group_a, group_b,
+                  *, collect_threshold: int = 50_000_000,
+                  round_to: int = 6) -> pa.Table:
+    """Two-sample Mann–Whitney U test (rank-sum; the nonparametric
+    sibling of ``welch_ttest``): pooled average ranks with the
+    midrank tie rule, U_a = R_a − n_a(n_a+1)/2, and the tie-corrected
+    normal-approximation z = (U_a − n_a·n_b/2) / σ with
+    σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+
+    U_a is EXACT (average ranks are half-integers; their sum is a
+    dyadic rational, bit-identical to SQL's window-rank route); only z
+    is rounded.  Scale shape: same as ``ks_test`` — exact ranks need a
+    global order, so one narrow filtered pass collects the two groups'
+    values (loud fail above ``collect_threshold``; the binned-ECDF
+    approximation is the documented corpus-scale path), then one
+    driver sort + two searchsorted calls compute every midrank
+    vectorized."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        keep = pc.and_(
+            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
+            pc.is_valid(t[val_col]))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({
+            "v": t[val_col],
+            "is_a": pc.equal(t[group_col], group_a)})
+
+    va, vb = [], []
+    total = 0
+    for bt in ds.select_columns([val_col, group_col]) \
+                .map_batches(_p, batch_size=None,
+                             batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        v = bt["v"].to_numpy(zero_copy_only=False)
+        ia = np.asarray(bt["is_a"].to_numpy(zero_copy_only=False),
+                        dtype=bool)
+        va.append(v[ia])
+        vb.append(v[~ia])
+        total += len(v)
+        if total > collect_threshold:
+            raise ValueError(
+                "mannwhitney_u: group sizes exceed collect_threshold="
+                f"{collect_threshold}; use a binned rank approximation "
+                "for corpus-scale columns")
+    a = np.concatenate(va) if va else np.empty(0)
+    b = np.concatenate(vb) if vb else np.empty(0)
+    na, nb = len(a), len(b)
+    if na == 0 or nb == 0:
+        raise ValueError("mannwhitney_u: empty group")
+    pooled = np.sort(np.concatenate([a, b]))
+    lo = np.searchsorted(pooled, a, side="left")
+    hi = np.searchsorted(pooled, a, side="right")
+    # midrank of x = (left_count + right_count + 1) / 2, 1-based
+    r_a = float(np.sum((lo + hi + 1) * 0.5))
+    u_a = r_a - na * (na + 1) / 2.0
+    n = na + nb
+    _, counts = np.unique(pooled, return_counts=True)
+    c = counts.astype(np.float64)
+    tt = float(np.sum(c * c * c - c))
+    sigma = np.sqrt(na * nb / 12.0 * ((n + 1) - tt / (n * (n - 1.0))))
+    z = (u_a - na * nb / 2.0) / sigma
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "u_a": pa.array([u_a]),
+        "z": pa.array([round(float(z), round_to)])})
+
+
 def anova_f(ds, group_col: str, val_col: str, *,
             round_to: int = 9) -> pa.Table:
     """One-way ANOVA F statistic: does ``val_col``'s mean differ

@@ -1264,3 +1264,35 @@ def test_anova_f_vs_brute(ray_session):
     assert abs(out["eta_sq"] - ssb / (ssb + ssw)) < 1e-8
     assert abs(out["f_stat"] - f) < 1e-2
     assert out["f_stat"] > 100            # planted shift detected
+
+
+def test_mannwhitney_vs_brute(ray_session):
+    """U_a matches a brute pairwise count (with half-credit ties),
+    symmetric data gives z near 0, a planted shift a large |z|."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import mannwhitney_u
+
+    rng = np.random.default_rng(77)
+    n = 1_200
+    g = rng.choice(["a", "b"], n)
+    # integer values force real ties → exercises the midrank rule
+    v = rng.integers(0, 40, n).astype(np.float64)
+    t = pa.table({"v": pa.array(v), "g": pa.array(g)})
+    out = mannwhitney_u(rd.from_arrow(t).repartition(4), "v", "g",
+                        "a", "b").to_pandas().iloc[0]
+    a, b = v[g == "a"], v[g == "b"]
+    # brute: U_a = #(a > b) + 0.5 * #(a == b) over all pairs
+    u_brute = float(np.sum(a[:, None] > b[None, :])
+                    + 0.5 * np.sum(a[:, None] == b[None, :]))
+    assert out["u_a"] == u_brute
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["z"]) < 3.5          # no real shift
+
+    v2 = v.copy()
+    v2[g == "a"] += 8.0                 # planted shift → huge z
+    shifted = mannwhitney_u(rd.from_arrow(pa.table(
+        {"v": pa.array(v2), "g": pa.array(g)})), "v", "g",
+        "a", "b").to_pandas().iloc[0]
+    assert shifted["z"] > 10.0
