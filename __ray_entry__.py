@@ -627,6 +627,25 @@ FROM events
 """
 
 
+def q_dense_ids_events(sf_dir: str):
+    """Distributed factorize: dense contiguous ids for every distinct
+    user_id in global key-sorted order (mlprep.dense_ids) — ONE dedup
+    exchange, a range sort of the small distinct set, metadata-only
+    prefix-sum offsets, per-block arange stamps via raw Ray tasks (the
+    documented position-aware case the Dataset API can't express)."""
+    from netml_ray.mlprep import dense_ids
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return dense_ids(ev, "user_id", num_partitions=P)
+
+
+SQL_DENSE_IDS = """
+SELECT user_id,
+       CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS idx
+FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
 def q_mannwhitney_events(sf_dir: str):
     """Nonparametric A/B test: Mann–Whitney U (midrank tie rule,
     tie-corrected normal z) between purchase and click values —
@@ -8695,6 +8714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the local full-registry checker on both pmap paths)
         "segment_dedup_docs": q_segment_dedup_docs,
         "mannwhitney_events": q_mannwhitney_events,
+        "dense_ids_events": q_dense_ids_events,
     }
 
 
@@ -8814,6 +8834,7 @@ def oracle_sql() -> dict[str, str]:
         "scaled_events": SQL_SCALED_EVENTS,
         "segment_dedup_docs": SQL_SEGMENT_DEDUP,
         "mannwhitney_events": SQL_MANNWHITNEY,
+        "dense_ids_events": SQL_DENSE_IDS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

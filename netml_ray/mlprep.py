@@ -1644,3 +1644,62 @@ def cohens_kappa(ds, a_col: str, b_col: str, *, round_to: int = 9
         "p_o": pa.array([round(po, round_to)]),
         "p_e": pa.array([round(pe, round_to)]),
         "kappa": pa.array([kappa], pa.float64())})
+
+
+def dense_ids(ds, key: str, *, num_partitions: int | None = None):
+    """Global contiguous ID assignment (distributed ``factorize``):
+    map every distinct ``key`` to a dense ``idx`` in 0..n_distinct-1,
+    in GLOBAL KEY-SORTED order — the embedding-table / vocabulary
+    index builder (SQL ``row_number() OVER (ORDER BY key) - 1`` over
+    the distinct keys).
+
+    Scale shape: ONE hash exchange dedups keys (partition-local sorted
+    unique), then a range ``Dataset.sort`` orders the (much smaller)
+    distinct set globally; per-block offsets are an exclusive prefix
+    sum over BLOCK METADATA row counts (driver touches counts only,
+    never rows) and each block is stamped with its ``arange`` by a
+    raw Ray task — position-aware block transforms are the documented
+    case (c) where the Dataset API genuinely can't express the
+    semantics.  Returns a Dataset of ``(key, idx)``."""
+    import ray
+    import ray.data as rd
+
+    from netml_ray.partition import partition_map
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        k = t[key].combine_chunks()
+        head = np.r_[True, pc.not_equal(
+            k.slice(1), k.slice(0, len(k) - 1))
+            .to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array(head))
+
+    uniq = partition_map(ds.select_columns([key]), key, _distinct,
+                         num_partitions=num_partitions,
+                         sort_by=[key])
+    ordered = uniq.sort(key).materialize()
+
+    @ray.remote
+    def _stamp(block: pa.Table, off: int) -> pa.Table:
+        return block.append_column(
+            "idx", pa.array(np.arange(off, off + block.num_rows,
+                                      dtype=np.int64)))
+
+    blocks = []          # (ref, n) in global sorted order
+    for bundle in ordered.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n is None:                      # metadata gap: count once
+                n = ray.get(ref).num_rows
+            if n:
+                blocks.append((ref, n))
+    if not blocks:
+        ktype = ordered.schema().base_schema.field(key).type
+        return rd.from_arrow(pa.table({
+            key: pa.array([], ktype),
+            "idx": pa.array([], pa.int64())}))
+    offs = np.r_[0, np.cumsum([n for _, n in blocks])[:-1]]
+    refs = [_stamp.remote(ref, int(o))
+            for (ref, _), o in zip(blocks, offs)]
+    return rd.from_arrow_refs(refs)

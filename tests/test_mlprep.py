@@ -907,3 +907,27 @@ def test_cohens_kappa_vs_brute(ray_session):
         {"a": pa.array(a), "b": pa.array(a)})), "a", "b") \
         .to_pandas().iloc[0]
     assert perfect["kappa"] == 1.0
+
+
+def test_dense_ids_contiguous_sorted(ray_session):
+    """dense_ids: idx is a 0..n-1 permutation following global key
+    order, stable across repartitioning, string keys included."""
+    import ray.data as rd
+
+    from netml_ray.mlprep import dense_ids
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1000, 20_000)
+    t = pa.table({"k": pa.array(keys)})
+    out = dense_ids(rd.from_arrow(t).repartition(7), "k") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    uniq = np.unique(keys)
+    assert len(out) == len(uniq)
+    assert (out["k"].to_numpy() == uniq).all()
+    assert (out["idx"].to_numpy() == np.arange(len(uniq))).all()
+
+    s = pa.table({"k": pa.array(["b", "a", "c", "a", "b"])})
+    so = dense_ids(rd.from_arrow(s), "k").to_pandas() \
+        .sort_values("idx").reset_index(drop=True)
+    assert list(so["k"]) == ["a", "b", "c"]
+    assert list(so["idx"]) == [0, 1, 2]

@@ -835,3 +835,20 @@ def test_fast_path_segment_dedup(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["doc_id"]),
                                   _norm(fast, ["doc_id"]))
+
+
+def test_fast_path_dense_ids(ray_session, monkeypatch):
+    """dense_ids' dedup exchange: fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.mlprep import dense_ids
+
+    rng = np.random.default_rng(41)
+    t = pa.table({"k": pa.array(rng.integers(0, 500, 5000))})
+
+    def run():
+        return dense_ids(rd.from_arrow(t), "k").to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["k"]),
+                                  _norm(fast, ["k"]))
