@@ -627,6 +627,37 @@ FROM events
 """
 
 
+def q_skipgram_events(sf_dir: str):
+    """word2vec/item2vec training-pair prep: (center, context, n)
+    skip-gram counts at rank distance ≤ 2 within each user's
+    (ts, event_id)-ordered sequence, both directions
+    (sequences.skipgram_pairs) — ONE keyed exchange, ≤|types|² count
+    partials per partition, O(types²) driver fold."""
+    from netml_ray.sequences import skipgram_pairs
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return skipgram_pairs(ev, "user_id", "ts", "event_type",
+                          window=2, tiebreak="event_id")
+
+
+SQL_SKIPGRAM = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_type AS center, b.event_type AS context,
+       CAST(count(*) AS BIGINT) AS n
+FROM r a JOIN r b
+  ON a.user_id = b.user_id
+ AND b.rn BETWEEN a.rn - 2 AND a.rn + 2
+ AND b.rn <> a.rn
+GROUP BY center, context
+"""
+
+
 def q_dense_ids_events(sf_dir: str):
     """Distributed factorize: dense contiguous ids for every distinct
     user_id in global key-sorted order (mlprep.dense_ids) — ONE dedup
@@ -8715,6 +8746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": q_segment_dedup_docs,
         "mannwhitney_events": q_mannwhitney_events,
         "dense_ids_events": q_dense_ids_events,
+        "skipgram_events": q_skipgram_events,
     }
 
 
@@ -8835,6 +8867,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup_docs": SQL_SEGMENT_DEDUP,
         "mannwhitney_events": SQL_MANNWHITNEY,
         "dense_ids_events": SQL_DENSE_IDS,
+        "skipgram_events": SQL_SKIPGRAM,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

@@ -1167,3 +1167,68 @@ def dod_retention(ds, key_col: str, ts_col: str, *,
                      "n_active": pa.array(na),
                      "n_retained": pa.array(nr),
                      "retention": pa.array(nr / (1.0 * na))})
+
+
+def skipgram_pairs(ds, key_col: str, ts_col: str, type_col: str, *,
+                   window: int = 2, tiebreak: str) -> pa.Table:
+    """Global (center, context, n) skip-gram co-occurrence counts per
+    key sequence ordered by (ts, tiebreak): every ordered pair at
+    rank distance 1..``window`` within the same key, BOTH directions —
+    the word2vec/item2vec training-pair builder
+    (``transition_counts`` is the ``window=1``, one-direction case).
+
+    Same scale shape as the transition matrix: ONE hash exchange
+    co-locates each key's rows, each partition emits a ≤ |types|²
+    count partial (one shifted-adjacency bincount per offset d, run
+    boundaries masked), and the driver merges O(types²) rows — the
+    reduce is bounded by type cardinality, never the rows."""
+    from .partition import partition_map
+
+    empty = pa.table({"center": pa.array([], type=pa.string()),
+                      "context": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        keys = t[key_col].combine_chunks()
+        _, run_id = _runs(keys)
+        enc = pc.dictionary_encode(t[type_col].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        k = len(enc.dictionary)
+        cnt = np.zeros(k * k, dtype=np.int64)
+        for d in range(1, window + 1):
+            if t.num_rows <= d:
+                break
+            a = codes[:-d]
+            b = codes[d:]
+            same = run_id[:-d] == run_id[d:]
+            if not same.any():
+                continue
+            cnt += np.bincount(a[same] * k + b[same],
+                               minlength=k * k)
+            cnt += np.bincount(b[same] * k + a[same],
+                               minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        if not len(nz):
+            return empty
+        return pa.table({
+            "center": enc.dictionary.take(pa.array(nz // k)),
+            "context": enc.dictionary.take(pa.array(nz % k)),
+            "n": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    partials = partition_map(ds, key_col, _fn,
+                             sort_by=[key_col, ts_col, tiebreak])
+    batches = list(partials.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    if not batches:
+        return empty
+    merged = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in batches])
+    return (merged.group_by(["center", "context"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["center", "context", "n"])
+            .sort_by([("center", "ascending"),
+                      ("context", "ascending")]))

@@ -852,3 +852,21 @@ def test_fast_path_dense_ids(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["k"]),
                                   _norm(fast, ["k"]))
+
+
+def test_fast_path_skipgram(ray_session, monkeypatch):
+    """skipgram_pairs' count partials fold identically on both paths."""
+    import ray.data as rd
+
+    from netml_ray.sequences import skipgram_pairs
+
+    t = _events(3000, seed=9)
+
+    def run():
+        return skipgram_pairs(rd.from_arrow(t), "user_id", "ts",
+                              "etype", window=2,
+                              tiebreak="event_id").to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["center", "context"]),
+                                  _norm(fast, ["center", "context"]))

@@ -760,3 +760,44 @@ def test_dod_retention_vs_brute(ray_session):
         assert out.loc[d, "n_retained"] == len(users & nxt)
     assert out.iloc[-1]["n_retained"] == len(
         byday.iloc[-1] & byday.get(byday.index[-1] + 1, set()))
+
+
+def test_skipgram_pairs_vs_brute(ray_session):
+    """skipgram counts match a per-key brute double loop; window=1
+    equals the symmetrized transition matrix."""
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+
+    from netml_ray.sequences import skipgram_pairs, transition_counts
+
+    rng = np.random.default_rng(33)
+    n = 2_000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 40, n)),
+        "ts": pa.array(np.sort(rng.uniform(0, 1e4, n))),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "ty": pa.array(rng.choice(["a", "b", "c", "d"], n))})
+    out = skipgram_pairs(rd.from_arrow(t).repartition(5), "u", "ts",
+                         "ty", window=2, tiebreak="eid").to_pandas()
+    df = t.to_pandas().sort_values(["u", "ts", "eid"])
+    brute = Counter()
+    for _, g in df.groupby("u"):
+        ty = list(g["ty"])
+        for i in range(len(ty)):
+            for j in range(max(0, i - 2), min(len(ty), i + 3)):
+                if j != i:
+                    brute[(ty[i], ty[j])] += 1
+    got = {(r.center, r.context): r.n for r in out.itertuples()}
+    assert got == dict(brute)
+
+    w1 = skipgram_pairs(rd.from_arrow(t), "u", "ts", "ty",
+                        window=1, tiebreak="eid").to_pandas()
+    tr = transition_counts(rd.from_arrow(t), "u", "ts", "ty",
+                           tiebreak="eid").to_pandas()
+    trc = Counter()
+    for r in tr.itertuples():
+        trc[(r.from_type, r.to_type)] += r.n
+        trc[(r.to_type, r.from_type)] += r.n
+    assert {(r.center, r.context): r.n for r in w1.itertuples()} \
+        == dict(trc)
