@@ -627,6 +627,38 @@ FROM events
 """
 
 
+def q_negative_samples_lineitem(sf_dir: str):
+    """Deterministic negative sampling (recsys/embedding training
+    triplets): 3 arithmetic pseudo-random negatives over the dense
+    part space per lineitem positive, collision-bumped
+    (mlprep.negative_samples) — pure int64 narrow flat-map,
+    reproducible across engines; the item-space size is one tiny
+    driver aggregate over part."""
+    from netml_ray.mlprep import negative_samples
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+    n_items = int(part.max("p_partkey"))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey"])
+    return negative_samples(li, ["l_orderkey", "l_linenumber"],
+                            "l_partkey", n_items, k=3)
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH np AS (SELECT max(p_partkey) AS n FROM part),
+r AS (
+  SELECT l_orderkey, l_linenumber, l_partkey AS pos, j, n,
+         ((l_orderkey * 2654435761 + l_linenumber * 40503 + j) % n)
+           + 1 AS raw
+  FROM lineitem, np,
+       (SELECT unnest([1, 2, 3]) AS j)
+)
+SELECT l_orderkey, l_linenumber, pos, CAST(j AS BIGINT) AS j,
+       CASE WHEN raw = pos THEN (raw % n) + 1 ELSE raw END AS neg
+FROM r
+"""
+
+
 def q_skipgram_events(sf_dir: str):
     """word2vec/item2vec training-pair prep: (center, context, n)
     skip-gram counts at rank distance ≤ 2 within each user's
@@ -8747,6 +8779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_events": q_mannwhitney_events,
         "dense_ids_events": q_dense_ids_events,
         "skipgram_events": q_skipgram_events,
+        "negative_samples_lineitem": q_negative_samples_lineitem,
     }
 
 
@@ -8868,6 +8901,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_events": SQL_MANNWHITNEY,
         "dense_ids_events": SQL_DENSE_IDS,
         "skipgram_events": SQL_SKIPGRAM,
+        "negative_samples_lineitem": SQL_NEGATIVE_SAMPLES,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

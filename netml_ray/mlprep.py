@@ -1703,3 +1703,45 @@ def dense_ids(ds, key: str, *, num_partitions: int | None = None):
     refs = [_stamp.remote(ref, int(o))
             for (ref, _), o in zip(blocks, offs)]
     return rd.from_arrow_refs(refs)
+
+
+def negative_samples(ds, key_cols: list, pos_col: str, n_items: int,
+                     *, k: int = 3,
+                     mult: int = 2654435761, mult2: int = 40503):
+    """Deterministic negative sampling for recommendation / embedding
+    training: for every positive row emit ``k`` pseudo-random
+    negatives over the dense item space 1..``n_items`` via pure
+    integer arithmetic — ``raw = (key·m1 + tie·m2 + j) mod n + 1``,
+    bumped one slot (mod n) when it collides with the positive.  All
+    int64 ops, so the sample is reproducible across engines and runs
+    (the property that makes training-data generation resumable);
+    no RNG state, no shuffle — a pure narrow flat-map.
+
+    ``key_cols`` = [primary, tiebreak] integer columns that uniquely
+    identify the positive row.  Output: key cols, ``pos`` (the
+    positive item), ``j`` (1..k), ``neg``."""
+    a_col, b_col = key_cols
+
+    def _f(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                a_col: t[a_col], b_col: t[b_col],
+                "pos": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "neg": pa.array([], pa.int64())})
+        a = t[a_col].to_numpy().astype(np.int64)
+        b = t[b_col].to_numpy().astype(np.int64)
+        pos = t[pos_col].to_numpy().astype(np.int64)
+        n = t.num_rows
+        ar = np.repeat(a, k)
+        br = np.repeat(b, k)
+        pr = np.repeat(pos, k)
+        j = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        raw = (ar * mult + br * mult2 + j) % n_items + 1
+        hit = raw == pr
+        raw[hit] = raw[hit] % n_items + 1
+        return pa.table({a_col: pa.array(ar), b_col: pa.array(br),
+                         "pos": pa.array(pr), "j": pa.array(j),
+                         "neg": pa.array(raw)})
+
+    return ds.map_batches(_f, batch_format="pyarrow")

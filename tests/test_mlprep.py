@@ -931,3 +931,32 @@ def test_dense_ids_contiguous_sorted(ray_session):
         .sort_values("idx").reset_index(drop=True)
     assert list(so["k"]) == ["a", "b", "c"]
     assert list(so["idx"]) == [0, 1, 2]
+
+
+def test_negative_samples_properties(ray_session):
+    """negatives are in 1..n, never equal the positive, k per row,
+    deterministic across runs and repartitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import negative_samples
+
+    rng = np.random.default_rng(8)
+    n_rows, n_items = 3_000, 200
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 10_000, n_rows)),
+        "b": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "item": pa.array(rng.integers(1, n_items + 1, n_rows))})
+    out = negative_samples(rd.from_arrow(t), ["a", "b"], "item",
+                           n_items, k=3).to_pandas()
+    assert len(out) == 3 * n_rows
+    assert out["neg"].between(1, n_items).all()
+    assert (out["neg"] != out["pos"]).all()
+    assert out.groupby(["a", "b"]).size().eq(3).all()
+
+    again = negative_samples(rd.from_arrow(t).repartition(6),
+                             ["a", "b"], "item", n_items,
+                             k=3).to_pandas()
+    key = ["a", "b", "j"]
+    assert out.sort_values(key).reset_index(drop=True) \
+        .equals(again.sort_values(key).reset_index(drop=True))
