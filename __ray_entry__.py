@@ -627,6 +627,43 @@ FROM events
 """
 
 
+def q_late_events_lineitem(sf_dir: str):
+    """Streaming watermark audit (sequences.out_of_order_stats): per
+    order, in line-number ARRIVAL order, how many ship dates run
+    behind the watermark (running max event time) and the worst
+    lateness — the allowed-lateness sizing stats.  ONE keyed exchange;
+    per-run prefix max by a segmented Hillis–Steele doubling scan
+    (log₂ n vectorized passes), reduceat folds.  Integer µs — exact."""
+    from netml_ray.sequences import out_of_order_stats
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate"])
+    return out_of_order_stats(li, "l_orderkey", "l_shipdate",
+                              arrival_col="l_linenumber",
+                              num_partitions=P)
+
+
+SQL_LATE_EVENTS = """
+WITH r AS (
+  SELECT l_orderkey,
+         epoch_us(l_shipdate) AS ts_us,
+         max(epoch_us(l_shipdate)) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, epoch_us(l_shipdate)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM lineitem
+)
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (wm IS NOT NULL AND ts_us < wm)
+            AS BIGINT) AS n_late,
+       CAST(COALESCE(max(wm - ts_us)
+                     FILTER (wm IS NOT NULL AND ts_us < wm), 0)
+            AS BIGINT) AS max_lateness_us
+FROM r GROUP BY l_orderkey
+"""
+
+
 def q_negative_samples_lineitem(sf_dir: str):
     """Deterministic negative sampling (recsys/embedding training
     triplets): 3 arithmetic pseudo-random negatives over the dense
@@ -8780,6 +8817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_ids_events": q_dense_ids_events,
         "skipgram_events": q_skipgram_events,
         "negative_samples_lineitem": q_negative_samples_lineitem,
+        "late_events_lineitem": q_late_events_lineitem,
     }
 
 
@@ -8902,6 +8940,7 @@ def oracle_sql() -> dict[str, str]:
         "dense_ids_events": SQL_DENSE_IDS,
         "skipgram_events": SQL_SKIPGRAM,
         "negative_samples_lineitem": SQL_NEGATIVE_SAMPLES,
+        "late_events_lineitem": SQL_LATE_EVENTS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

@@ -1232,3 +1232,69 @@ def skipgram_pairs(ds, key_col: str, ts_col: str, type_col: str, *,
             .rename_columns(["center", "context", "n"])
             .sort_by([("center", "ascending"),
                       ("context", "ascending")]))
+
+
+def out_of_order_stats(ds, key_col: str, ts_col: str, *,
+                       arrival_col: str,
+                       num_partitions: int | None = None):
+    """Streaming watermark audit: per key, in ARRIVAL order
+    (``arrival_col``), count events whose event time ``ts_col`` is
+    behind the running maximum seen so far (late/out-of-order data)
+    and the worst lateness in µs — the stats that size a streaming
+    window's allowed-lateness at ingest time.
+
+    Returns ``(key, n_events, n_late, max_lateness_us)`` per key.
+    Shape: ONE hash exchange; inside each partition the per-run
+    prefix max is a segmented Hillis–Steele doubling scan (log₂ n
+    vectorized passes — no per-key Python, no overflow-prone offset
+    composite), then reduceat folds per run."""
+    from .partition import partition_map
+
+    I64MIN = np.iinfo(np.int64).min
+
+    def _fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: t[key_col].slice(0, 0),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+            "max_lateness_us": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        keys = t[key_col].combine_chunks()
+        starts, _ = _runs(keys)
+        ts = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[starts] = True
+        key_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0))
+        wm = tsv.copy()
+        shift = 1
+        while shift < n:
+            ok = np.arange(shift, n) - shift >= key_start[shift:]
+            np.maximum(wm[shift:],
+                       np.where(ok, wm[:-shift], I64MIN),
+                       out=wm[shift:])
+            shift <<= 1
+        wm_prev = np.r_[I64MIN, wm[:-1]]
+        wm_prev[starts] = I64MIN
+        late = tsv < wm_prev
+        lateness = np.where(late, wm_prev - tsv, 0)
+        return pa.table({
+            key_col: keys.take(pa.array(starts)),
+            "n_events": pa.array(
+                np.diff(np.r_[starts, n]).astype(np.int64)),
+            "n_late": pa.array(
+                np.add.reduceat(late.astype(np.int64), starts)),
+            "max_lateness_us": pa.array(
+                np.maximum.reduceat(lateness, starts))})
+
+    # ts as final tiebreak: duplicate arrival stamps would otherwise
+    # make the "1 PRECEDING" watermark frame order-dependent on both
+    # engines (observed on lineitem's duplicated line numbers)
+    return partition_map(ds, key_col, _fn,
+                         num_partitions=num_partitions,
+                         sort_by=[key_col, arrival_col, ts_col])

@@ -870,3 +870,26 @@ def test_fast_path_skipgram(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["center", "context"]),
                                   _norm(fast, ["center", "context"]))
+
+
+def test_fast_path_out_of_order(ray_session, monkeypatch):
+    """out_of_order_stats: fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.sequences import out_of_order_stats
+
+    rng = np.random.default_rng(57)
+    n = 2500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 80, n)),
+        "a": pa.array(rng.permutation(n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 10**8, n)
+                       .astype("datetime64[us]"))})
+
+    def run():
+        return out_of_order_stats(rd.from_arrow(t), "k", "ts",
+                                  arrival_col="a").to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["k"]),
+                                  _norm(fast, ["k"]))

@@ -801,3 +801,43 @@ def test_skipgram_pairs_vs_brute(ray_session):
         trc[(r.to_type, r.from_type)] += r.n
     assert {(r.center, r.context): r.n for r in w1.itertuples()} \
         == dict(trc)
+
+
+def test_out_of_order_stats_vs_brute(ray_session):
+    """lateness counts/maxima match a per-key brute walk; in-order
+    keys report zero."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import out_of_order_stats
+
+    rng = np.random.default_rng(19)
+    n = 3_000
+    key = rng.integers(0, 60, n)
+    arr = np.arange(n, dtype=np.int64)           # unique arrival
+    ts = rng.integers(0, 10**9, n)               # µs, shuffled → late
+    t = pa.table({"k": pa.array(key), "a": pa.array(arr),
+                  "ts": pa.array(ts.astype("datetime64[us]"))})
+    out = out_of_order_stats(rd.from_arrow(t).repartition(5), "k",
+                             "ts", arrival_col="a").to_pandas() \
+        .set_index("k").sort_index()
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    for k, g in df.sort_values("a").groupby("k"):
+        wm, n_late, worst = None, 0, 0
+        for v in g["ts_us"]:
+            if wm is not None and v < wm:
+                n_late += 1
+                worst = max(worst, wm - v)
+            wm = v if wm is None else max(wm, v)
+        assert out.loc[k, "n_late"] == n_late
+        assert out.loc[k, "max_lateness_us"] == worst
+        assert out.loc[k, "n_events"] == len(g)
+
+    ordered = pa.table({
+        "k": pa.array(np.zeros(100, dtype=np.int64)),
+        "a": pa.array(np.arange(100, dtype=np.int64)),
+        "ts": pa.array(np.arange(100).astype("datetime64[us]"))})
+    o = out_of_order_stats(rd.from_arrow(ordered), "k", "ts",
+                           arrival_col="a").to_pandas().iloc[0]
+    assert o["n_late"] == 0 and o["max_lateness_us"] == 0
