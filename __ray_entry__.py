@@ -627,6 +627,50 @@ FROM events
 """
 
 
+def q_kcenter_embeddings(sf_dir: str):
+    """Greedy k-center (farthest-first) coreset selection, k=4
+    (mlprep.kcenter_select) — the diversity-sampling data-selection
+    primitive: seed = lowest vec_id, each round one NARROW pass picks
+    the point maximizing its min rounded-L2 distance to the chosen
+    set (ties → lowest id), centers broadcast, O(blocks) candidate
+    partials per round.  SQL reproduces the greedy chain with
+    unrolled CTEs (the kmeans-oracle pattern)."""
+    from netml_ray.mlprep import kcenter_select
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_select(emb, "vec_id", "embedding", 4)
+
+
+SQL_KCENTER = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+d1 AS (
+  SELECT e.vec_id, e.v,
+         round(list_distance(e.v, s0.v), 9) AS d
+  FROM e, s0
+),
+s1 AS (SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+d2 AS (
+  SELECT d1.vec_id, d1.v,
+         least(d1.d, round(list_distance(d1.v, s1.v), 9)) AS d
+  FROM d1, s1
+),
+s2 AS (SELECT vec_id, v, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+d3 AS (
+  SELECT d2.vec_id, d2.v,
+         least(d2.d, round(list_distance(d2.v, s2.v), 9)) AS d
+  FROM d2, s2
+),
+s3 AS (SELECT vec_id, v, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1)
+SELECT CAST(0 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM s0
+UNION ALL SELECT 1, vec_id, d FROM s1
+UNION ALL SELECT 2, vec_id, d FROM s2
+UNION ALL SELECT 3, vec_id, d FROM s3
+"""
+
+
 def q_late_events_lineitem(sf_dir: str):
     """Streaming watermark audit (sequences.out_of_order_stats): per
     order, in line-number ARRIVAL order, how many ship dates run
@@ -8818,6 +8862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_events": q_skipgram_events,
         "negative_samples_lineitem": q_negative_samples_lineitem,
         "late_events_lineitem": q_late_events_lineitem,
+        "kcenter_embeddings": q_kcenter_embeddings,
     }
 
 
@@ -8941,6 +8986,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_events": SQL_SKIPGRAM,
         "negative_samples_lineitem": SQL_NEGATIVE_SAMPLES,
         "late_events_lineitem": SQL_LATE_EVENTS,
+        "kcenter_embeddings": SQL_KCENTER,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

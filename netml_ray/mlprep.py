@@ -1745,3 +1745,66 @@ def negative_samples(ds, key_cols: list, pos_col: str, n_items: int,
                          "neg": pa.array(raw)})
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def kcenter_select(ds, id_col: str, col: str, k: int, *,
+                   round_to: int = 9) -> pa.Table:
+    """Greedy k-center (farthest-first) coreset selection over a
+    fixed-width ``list<float>`` column — the diversity-sampling /
+    data-selection primitive (Gonzalez 1985; 2-approximation of the
+    k-center cover).  Seed = the lowest-``id_col`` row; each round
+    picks the point maximizing its min Euclidean distance to the
+    chosen set (per-center distances rounded to ``round_to`` before
+    the min, ties → lowest id — both rules stated by the SQL oracle).
+
+    Returns k rows ``(rank, id, dist)`` where ``dist`` is the
+    selection-time covering radius (0 for the seed).  Scale shape: k
+    narrow passes, each a per-batch (argmax, id, vector) partial with
+    the chosen centers broadcast — no shuffle; the driver folds
+    O(blocks) candidate rows per round."""
+    from netml_ray.sketches import top_k
+
+    seed_t = top_k(ds, 1, [(id_col, "ascending")])
+    seed_id = seed_t[id_col][0].as_py()
+    seed_v = np.asarray(seed_t[col].combine_chunks().flatten(),
+                        dtype=np.float64)
+    centers = [seed_v]
+    out_ids = [seed_id]
+    out_dist = [0.0]
+    for _ in range(1, k):
+        frozen = np.vstack(centers)
+
+        def _p(t: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "id": pa.array([], t.schema.field(id_col).type),
+                "d": pa.array([], pa.float64()),
+                "v": pa.array([], pa.list_(pa.float64()))})
+            if not t.num_rows:
+                return empty
+            m = _kmeans_matrix(t, col)
+            ids = t[id_col].combine_chunks()
+            # min over centers of rounded L2 distance
+            d2 = ((m[:, None, :] - frozen[None, :, :]) ** 2).sum(-1)
+            d = np.round(np.sqrt(d2), round_to).min(axis=1)
+            order = np.lexsort((ids.to_numpy(zero_copy_only=False),
+                                -d))
+            b = int(order[0])
+            return pa.table({
+                "id": ids.take(pa.array([b])),
+                "d": pa.array([float(d[b])]),
+                "v": pa.array([m[b].tolist()],
+                              pa.list_(pa.float64()))})
+
+        best_id, best_d, best_v = None, -1.0, None
+        for r in ds.map_batches(_p, batch_format="pyarrow").take_all():
+            if (r["d"] > best_d
+                    or (r["d"] == best_d and r["id"] < best_id)):
+                best_id, best_d = r["id"], r["d"]
+                best_v = np.asarray(r["v"], dtype=np.float64)
+        centers.append(best_v)
+        out_ids.append(best_id)
+        out_dist.append(best_d)
+    return pa.table({
+        "rank": pa.array(np.arange(k, dtype=np.int64)),
+        id_col: pa.array(out_ids, seed_t.schema.field(id_col).type),
+        "dist": pa.array(out_dist, pa.float64())})

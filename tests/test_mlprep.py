@@ -960,3 +960,40 @@ def test_negative_samples_properties(ray_session):
     key = ["a", "b", "j"]
     assert out.sort_values(key).reset_index(drop=True) \
         .equals(again.sort_values(key).reset_index(drop=True))
+
+
+def test_kcenter_select_vs_brute(ray_session):
+    """farthest-first selection matches a brute greedy walk and the
+    covering radius is non-increasing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import kcenter_select
+
+    rng = np.random.default_rng(23)
+    n, d, k = 400, 8, 5
+    m = rng.normal(size=(n, d))
+    ids = rng.permutation(n).astype(np.int64)
+    offs = np.arange(n + 1, dtype=np.int64) * d
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "v": pa.ListArray.from_arrays(pa.array(offs),
+                                      pa.array(m.ravel()))})
+    out = kcenter_select(rd.from_arrow(t).repartition(4),
+                         "vec_id", "v", k).to_pandas()
+    # brute greedy with the same rounding/tie rules
+    order = np.argsort(ids)
+    centers = [m[order[0]]]
+    sel = [ids[order[0]]]
+    dist = [0.0]
+    for _ in range(1, k):
+        dmin = np.min(np.round(np.sqrt(
+            ((m[:, None, :] - np.asarray(centers)[None]) ** 2)
+            .sum(-1)), 9), axis=1)
+        best = np.lexsort((ids, -dmin))[0]
+        centers.append(m[best])
+        sel.append(ids[best])
+        dist.append(float(dmin[best]))
+    assert list(out["vec_id"]) == [int(s) for s in sel]
+    assert np.allclose(out["dist"], dist)
+    assert (np.diff(out["dist"][1:]) <= 1e-12).all()
