@@ -627,6 +627,99 @@ FROM events
 """
 
 
+def q_temperature_sample_docs(sf_dir: str):
+    """Temperature-based source mixing (share ∝ √share, the
+    multilingual-LM recipe; curation.temperature_sample): ONE narrow
+    O(sources) count partial, driver threshold fold (α=0.5 pinned —
+    sqrt is correctly-rounded on both engines so the floored
+    per-mille thresholds match bit-for-bit), one shuffle-free
+    hash-bucket filter."""
+    from netml_ray.curation import temperature_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return temperature_sample(docs, "source", "doc_id", frac=0.5)
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH n AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS c
+  FROM documents GROUP BY source
+),
+s AS (SELECT sum(sqrt(c)) AS sw, sum(c) AS N FROM n),
+r AS (
+  SELECT source,
+         CAST(floor(1000 * least(1.0, sqrt(c) / s.sw * 0.5 * s.N / c))
+              AS BIGINT) AS th
+  FROM n, s
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000 < r.th
+"""
+
+
+def q_doc_feature_matrix(sf_dir: str):
+    """Per-document feature-matrix capstone (the quality-classifier
+    training table a 100-TB curation run scores every doc with): ONE
+    fused narrow pass chains the five stateless scorers — token
+    count, punct/digit/upper ratios, char entropy, 2-gram repetition,
+    language id (actor-cached markers) — over the SAME batch (one
+    read, shared tokenization cost, no intermediate materialization),
+    then ONE co-partitioned hash join attaches the bigram-LM bits
+    (its model = one narrow count exchange + broadcast).  The SQL
+    oracle composes the six component queries verbatim."""
+    from netml_ray.curation import repetition_batch
+    from netml_ray.joins import hash_join
+    from netml_ray.partition import auto_concurrency
+    from netml_ray.textops import (LangId, char_entropy_batch,
+                                   quality_score_batch,
+                                   token_count_batch)
+    from netml_ray.textstats import bigram_lm_bits
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rt = 9 if ORACLE_MODE else None
+
+    class _Fused:
+        def __init__(self):
+            self._lang = LangId()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = quality_score_batch(t)
+            t = token_count_batch(t)
+            t = char_entropy_batch(t)
+            t = repetition_batch(t, round_to=rt)
+            t = self._lang(t)
+            return t.select(
+                ["doc_id", "n_tokens", "n_chars_calc", "punct_ratio",
+                 "digit_ratio", "upper_ratio", "pred_lang",
+                 "n_2grams", "dup_2gram_frac", "top_2gram_frac",
+                 "char_entropy"])
+
+    fused = docs.map_batches(_Fused, batch_format="pyarrow",
+                             concurrency=auto_concurrency())
+    lm = bigram_lm_bits(docs, alpha=0.5) \
+        .select_columns(["doc_id", "lm_bits"]) \
+        .map_batches(lambda t: _hedge_round_cols(t, ["lm_bits"], 6),
+                     batch_format="pyarrow")
+    return hash_join(fused, lm, "doc_id", how="inner",
+                     num_partitions=P)
+
+
+def _build_doc_matrix_sql() -> str:
+    return f"""
+SELECT q.doc_id, tc.n_tokens, q.n_chars_calc, q.punct_ratio,
+       q.digit_ratio, q.upper_ratio, lg.pred_lang, rep.n_2grams,
+       rep.dup_2gram_frac, rep.top_2gram_frac, ce.char_entropy,
+       lm.lm_bits
+FROM ({SQL_QUALITY}) q
+JOIN ({SQL_TOKEN_COUNT}) tc USING (doc_id)
+JOIN ({_build_lang_sql()}) lg USING (doc_id)
+JOIN ({SQL_REPETITION}) rep USING (doc_id)
+JOIN ({SQL_CHAR_ENTROPY}) ce USING (doc_id)
+JOIN (SELECT doc_id, lm_bits FROM ({SQL_LM_BITS})) lm USING (doc_id)
+"""
+
+
 def q_kcenter_embeddings(sf_dir: str):
     """Greedy k-center (farthest-first) coreset selection, k=4
     (mlprep.kcenter_select) — the diversity-sampling data-selection
@@ -8863,6 +8956,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples_lineitem": q_negative_samples_lineitem,
         "late_events_lineitem": q_late_events_lineitem,
         "kcenter_embeddings": q_kcenter_embeddings,
+        "doc_feature_matrix": q_doc_feature_matrix,
+        "temperature_sample_docs": q_temperature_sample_docs,
     }
 
 
@@ -8987,6 +9082,8 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples_lineitem": SQL_NEGATIVE_SAMPLES,
         "late_events_lineitem": SQL_LATE_EVENTS,
         "kcenter_embeddings": SQL_KCENTER,
+        "doc_feature_matrix": _build_doc_matrix_sql(),
+        "temperature_sample_docs": SQL_TEMPERATURE_SAMPLE,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

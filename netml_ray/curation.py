@@ -1332,3 +1332,64 @@ def remove_duplicate_spans(ds, *, text_col: str = "text",
         })
 
     return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def temperature_sample(ds, key_col: str = "source",
+                       id_col: str = "doc_id", *,
+                       frac: float = 0.5,
+                       mult: int = 2654435761):
+    """Temperature-based source mixing (the multilingual-LM data
+    recipe: sampling share ∝ (source share)^α, α = 0.5): rare sources
+    are up-weighted, dominant ones down-weighted, overall keep
+    fraction ≈ ``frac``.  Per-source keep rate =
+    min(1, √n_s / Σ√n · frac · N / n_s), floored to a 0..1000
+    per-mille threshold over the same multiplicative-hash bucket as
+    ``weighted_sample_batch`` — deterministic, partition-invariant,
+    reproducible.
+
+    α is pinned at 0.5 because ``sqrt`` is IEEE correctly-rounded on
+    every engine (bit-identical thresholds on Ray and the SQL
+    oracle); other exponents would ride libm ``pow`` and need a
+    rounding hedge at the floor boundary.
+
+    Shape: ONE narrow per-batch count partial (O(sources) rows, no
+    shuffle) folded on the driver, then one shuffle-free filter pass
+    with the per-source thresholds riding the closure."""
+    counts: dict = {}
+    for bt in ds.select_columns([key_col]) \
+                .map_batches(
+                    lambda t: pa.table(
+                        pc.value_counts(t[key_col].combine_chunks())
+                        .flatten(),
+                        names=["k", "n"]),
+                    batch_size=None, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for k, n in zip(bt["k"].to_pylist(), bt["n"].to_pylist()):
+            counts[k] = counts.get(k, 0) + n
+    if not counts:
+        return ds
+    keys = sorted(counts)
+    c = np.array([counts[k] for k in keys], dtype=np.float64)
+    big_n = c.sum()
+    sw = np.sqrt(c).sum()
+    # same left-to-right op order as the SQL oracle
+    rate = np.minimum(1.0, np.sqrt(c) / sw * frac * big_n / c)
+    thresh = {k: int(np.floor(1000.0 * r))
+              for k, r in zip(keys, rate)}
+
+    def _filter(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.uint64)
+        bucket = (ids * np.uint64(mult)) % np.uint64(1 << 32) \
+            % np.uint64(1000)
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        th = np.array([thresh.get(v, 0)
+                       for v in enc.dictionary.to_pylist()],
+                      dtype=np.uint64)
+        return t.filter(pa.array(
+            bucket < th[enc.indices.to_numpy(zero_copy_only=False)]))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -612,3 +612,39 @@ def test_segment_dedup_brute(ray_session):
         assert (r.text, int(r.n_kept), int(r.n_total)) == e
     assert out.loc[5, "text"] == "" and out.loc[5, "n_kept"] == 0
     assert out.loc[7, "n_total"] == 0
+
+
+def test_temperature_sample_rates(ray_session):
+    """α=0.5 mixing: rare sources keep a higher fraction than
+    dominant ones, overall keep ≈ frac, deterministic across
+    repartitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.curation import temperature_sample
+
+    rng = np.random.default_rng(3)
+    src = np.r_[np.zeros(8000, int), np.ones(1500, int),
+                np.full(500, 2, int)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(src), dtype=np.int64)),
+        "source": pa.array([f"s{i}" for i in src])})
+    out = temperature_sample(rd.from_arrow(t), "source", "doc_id",
+                             frac=0.5).to_pandas()
+    n = t.to_pandas().groupby("source").size()
+    kept = out.groupby("source").size().reindex(n.index, fill_value=0)
+    rate = kept / n
+    # upweighted tail, downweighted head
+    assert rate["s2"] > rate["s1"] > rate["s0"]
+    assert 0.35 < len(out) / len(src) < 0.65
+    # expected thresholds: min(1, sqrt share) rule
+    c = n.to_numpy().astype(float)
+    r = np.minimum(1.0, np.sqrt(c) / np.sqrt(c).sum()
+                   * 0.5 * c.sum() / c)
+    for s, exp in zip(n.index, r):
+        assert abs(rate[s] - np.floor(1000 * exp) / 1000) < 0.03
+
+    again = temperature_sample(rd.from_arrow(t).repartition(6),
+                               "source", "doc_id",
+                               frac=0.5).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])
