@@ -627,6 +627,96 @@ FROM events
 """
 
 
+def q_partitioned_parquet_events(sf_dir: str):
+    """Hive-partitioned parquet sink + pruned read-back: events are
+    written ONCE partitioned by event_type (the resumable output
+    layout the north_rule requires — one directory per key, a failed
+    run skips finished partitions), then ONLY the purchase partition
+    is read back — directory pruning means the scan never touches the
+    other partitions' bytes — with a column projection.  Oracle: the
+    same rows straight off the source table."""
+    import os
+
+    import ray.data as rd
+
+    cache = _cache_dir(sf_dir, "events", "netml_ray_hivepart")
+    if not os.path.isdir(cache) or not os.path.exists(
+            f"{cache}/_done"):
+        os.makedirs(cache, exist_ok=True)
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "value"]) \
+            .write_parquet(cache, partition_cols=["event_type"])
+        open(f"{cache}/_done", "w").write("ok")
+
+    ds = rd.read_parquet(f"{cache}/event_type=purchase",
+                         columns=["event_id", "user_id", "value"])
+
+    def _tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "event_type",
+            pa.array(["purchase"] * t.num_rows, pa.string()))
+
+    return ds.map_batches(_tag, batch_format="pyarrow")
+
+
+SQL_PARTITIONED_PARQUET = """
+SELECT event_id, user_id, value, event_type
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_incremental_state_events(sf_dir: str):
+    """Incremental-pipeline aggregate state (mlprep.group_agg_state /
+    merge_agg_states): the per-user (n, Σ, min, max) monoid is built
+    SEPARATELY on the pre-cutoff history and the post-cutoff delta,
+    then folded — state(old) ⊕ state(delta) == state(old ∪ delta),
+    which the full-recompute SQL oracle verifies.  The daily-run shape
+    at 100 TB: history state is a checkpointed table, only the delta
+    is scanned."""
+    import datetime as _dt
+
+    from netml_ray.mlprep import group_agg_state, merge_agg_states
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    cutoff = _dt.datetime(2024, 2, 1)
+
+    def _split(before: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = pc.less(t["ts"], pa.scalar(cutoff))
+            return t.filter(m if before else pc.invert(m))
+        return _f
+
+    old = ev.map_batches(_split(True), batch_format="pyarrow")
+    delta = ev.map_batches(_split(False), batch_format="pyarrow")
+    merged = merge_agg_states(
+        [group_agg_state(old, "user_id", "value", num_partitions=P),
+         group_agg_state(delta, "user_id", "value",
+                         num_partitions=P)],
+        "user_id", num_partitions=P)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": t["n"],
+            "mean_value": pc.round(
+                pc.divide(t["s"], pc.cast(t["n"], pa.float64())),
+                ndigits=9),
+            "min_value": t["mn"],
+            "max_value": t["mx"]})
+
+    return merged.map_batches(_final, batch_format="pyarrow")
+
+
+SQL_INCREMENTAL_STATE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value) / count(*), 9) AS mean_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_temperature_sample_docs(sf_dir: str):
     """Temperature-based source mixing (share ∝ √share, the
     multilingual-LM recipe; curation.temperature_sample): ONE narrow
@@ -8958,6 +9048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_embeddings": q_kcenter_embeddings,
         "doc_feature_matrix": q_doc_feature_matrix,
         "temperature_sample_docs": q_temperature_sample_docs,
+        "incremental_state_events": q_incremental_state_events,
+        "partitioned_parquet_events": q_partitioned_parquet_events,
     }
 
 
@@ -9084,6 +9176,8 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_embeddings": SQL_KCENTER,
         "doc_feature_matrix": _build_doc_matrix_sql(),
         "temperature_sample_docs": SQL_TEMPERATURE_SAMPLE,
+        "incremental_state_events": SQL_INCREMENTAL_STATE,
+        "partitioned_parquet_events": SQL_PARTITIONED_PARQUET,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

@@ -1808,3 +1808,72 @@ def kcenter_select(ds, id_col: str, col: str, k: int, *,
         "rank": pa.array(np.arange(k, dtype=np.int64)),
         id_col: pa.array(out_ids, seed_t.schema.field(id_col).type),
         "dist": pa.array(out_dist, pa.float64())})
+
+
+def group_agg_state(ds, key: str, val: str, *,
+                    num_partitions: int | None = None):
+    """Per-key mergeable aggregate STATE ``(key, n, s, mn, mx)`` — the
+    commutative-monoid partial every incremental pipeline checkpoints:
+    yesterday's state plus today's delta folds to exactly the
+    full-recompute answer (``merge_agg_states``), so a daily run never
+    rescans history.  ONE keyed exchange; inside each partition the
+    fold is segmented reduceat — no per-key Python.
+
+    Also the MERGE step: apply to a union of state tables (same
+    schema) and the reduceat folds combine them — ``n``/``s`` add,
+    ``mn``/``mx`` fold — because the state columns themselves are the
+    monoid.  (``s`` folds in partition order; consumers wanting
+    cross-engine float equality round derived means, the repo's
+    standard hedge.)"""
+    from netml_ray.partition import partition_map
+
+    is_state = all(c in ds.schema().names for c in ("n", "s", "mn", "mx"))
+
+    def _fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key: t[key].slice(0, 0),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.float64()),
+            "mn": pa.array([], pa.float64()),
+            "mx": pa.array([], pa.float64())})
+        if not t.num_rows:
+            return empty
+        keys = t[key].combine_chunks()
+        head = np.r_[True, pc.not_equal(
+            keys.slice(1), keys.slice(0, len(keys) - 1))
+            .to_numpy(zero_copy_only=False)]
+        starts = np.flatnonzero(head)
+        if is_state:
+            n = np.add.reduceat(t["n"].to_numpy(), starts)
+            s = np.add.reduceat(t["s"].to_numpy(), starts)
+            mn = np.minimum.reduceat(t["mn"].to_numpy(), starts)
+            mx = np.maximum.reduceat(t["mx"].to_numpy(), starts)
+        else:
+            v = t[val].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            n = np.diff(np.r_[starts, t.num_rows]).astype(np.int64)
+            s = np.add.reduceat(v, starts)
+            mn = np.minimum.reduceat(v, starts)
+            mx = np.maximum.reduceat(v, starts)
+        return pa.table({
+            key: keys.take(pa.array(starts)),
+            "n": pa.array(n.astype(np.int64)),
+            "s": pa.array(s), "mn": pa.array(mn),
+            "mx": pa.array(mx)})
+
+    return partition_map(ds, key, _fold,
+                         num_partitions=num_partitions,
+                         sort_by=[key])
+
+
+def merge_agg_states(states: list, key: str, *,
+                     num_partitions: int | None = None):
+    """Fold any number of ``group_agg_state`` tables into one — union
+    then ONE keyed exchange re-running the same segmented monoid
+    fold.  Incremental-pipeline contract: state(old) ⊕ state(delta)
+    == state(old ∪ delta), pinned by pytest."""
+    ds = states[0]
+    for other in states[1:]:
+        ds = ds.union(other)
+    return group_agg_state(ds, key, "s",
+                           num_partitions=num_partitions)

@@ -997,3 +997,38 @@ def test_kcenter_select_vs_brute(ray_session):
     assert list(out["vec_id"]) == [int(s) for s in sel]
     assert np.allclose(out["dist"], dist)
     assert (np.diff(out["dist"][1:]) <= 1e-12).all()
+
+
+def test_incremental_state_equals_full(ray_session):
+    """state(old) ⊕ state(delta) == state(old ∪ delta) — the
+    incremental-pipeline monoid contract — and matches a pandas
+    groupby recompute."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_agg_state, merge_agg_states
+
+    rng = np.random.default_rng(14)
+    n = 6_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 150, n)),
+        "v": pa.array(rng.normal(size=n).round(4))})
+    full = group_agg_state(rd.from_arrow(t), "k", "v").to_pandas()
+    a, b = t.slice(0, 2500), t.slice(2500)
+    merged = merge_agg_states(
+        [group_agg_state(rd.from_arrow(a), "k", "v"),
+         group_agg_state(rd.from_arrow(b), "k", "v")],
+        "k").to_pandas()
+    full = full.sort_values("k").reset_index(drop=True)
+    merged = merged.sort_values("k").reset_index(drop=True)
+    assert (full["n"] == merged["n"]).all()
+    assert np.allclose(full["s"], merged["s"])
+    assert (full["mn"] == merged["mn"]).all()
+    assert (full["mx"] == merged["mx"]).all()
+
+    ref = t.to_pandas().groupby("k")["v"] \
+        .agg(["count", "sum", "min", "max"]).reset_index()
+    assert (full["n"].to_numpy() == ref["count"].to_numpy()).all()
+    assert np.allclose(full["s"], ref["sum"])
+    assert (full["mn"].to_numpy() == ref["min"].to_numpy()).all()
+    assert (full["mx"].to_numpy() == ref["max"].to_numpy()).all()

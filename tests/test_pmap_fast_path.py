@@ -893,3 +893,23 @@ def test_fast_path_out_of_order(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["k"]),
                                   _norm(fast, ["k"]))
+
+
+def test_fast_path_agg_state(ray_session, monkeypatch):
+    """group_agg_state / merge_agg_states: fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.mlprep import group_agg_state, merge_agg_states
+
+    t = _events(3000, seed=21)
+
+    def run():
+        a = group_agg_state(rd.from_arrow(t.slice(0, 1500)),
+                            "user_id", "value")
+        b = group_agg_state(rd.from_arrow(t.slice(1500)),
+                            "user_id", "value")
+        return merge_agg_states([a, b], "user_id").to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["user_id"]),
+                                  _norm(fast, ["user_id"]))
