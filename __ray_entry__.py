@@ -627,6 +627,79 @@ FROM events
 """
 
 
+def q_media_dhash_pairs(sf_dir: str):
+    """Multimodal image near-dup (rows-only: binary decode is not
+    SQL-expressible): deterministic REAL PPM/BMP payloads (pure-numpy
+    codecs) with 40 planted exact re-encodes → ImageDHash actor pool
+    (decode → grayscale → 9×8 dHash, the web-scale perceptual dedup
+    key) → the SAME banded-hamming exchange text SimHash uses
+    (dedup.hamming_near_duplicates) — no pairwise image comparison
+    anywhere."""
+    import ray.data as rd
+
+    from netml_ray.dedup import hamming_near_duplicates
+    from netml_ray.multimodal import ImageDHash, media_corpus
+    from netml_ray.partition import auto_concurrency
+
+    base = media_corpus(240, seed=3, real=True)
+    dup = base.slice(0, 40)
+    dup = dup.set_column(
+        0, "media_id",
+        pa.array(1000 + np.arange(40, dtype=np.int64)))
+    ds = rd.from_arrow(pa.concat_tables([base, dup]))
+    sigs = ds.map_batches(
+        ImageDHash,
+        fn_constructor_kwargs={"media_col": "image",
+                               "mime_col": "image_mime"},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=auto_concurrency())
+    return hamming_near_duplicates(
+        sigs.select_columns(["media_id", "dhash"]),
+        id_col="media_id", hash_col="dhash", max_hamming=3)
+
+
+def q_audio_spectral_features(sf_dir: str):
+    """Multimodal audio features (rows-only): deterministic REAL
+    RIFF/WAV PCM-16 payloads → SpectralFeatures actor pool (one rFFT
+    per clip: dominant/centroid/bandwidth/rolloff85 Hz) + AudioDecode
+    (rate, duration, rms, peak, zcr) — the reference's FFT session
+    extractor (parser.py W6) recast over an opaque binary column."""
+    import ray.data as rd
+
+    from netml_ray.multimodal import AudioDecode, SpectralFeatures
+    from netml_ray.multimodal import audio_corpus
+    from netml_ray.partition import auto_concurrency
+
+    ds = rd.from_arrow(audio_corpus(300, seed=4))
+    ds = ds.map_batches(
+        SpectralFeatures,
+        fn_constructor_kwargs={"drop_payload": False},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=auto_concurrency())
+    ds = ds.map_batches(
+        AudioDecode, batch_format="pyarrow", batch_size=64,
+        concurrency=auto_concurrency())
+
+    def _flat(t: pa.Table) -> pa.Table:
+        spec = np.asarray(
+            t["spectral_features"].combine_chunks().flatten()
+        ).reshape(-1, 4)
+        aud = np.asarray(
+            t["audio_features"].combine_chunks().flatten()
+        ).reshape(-1, 6)
+        return pa.table({
+            "audio_id": t["audio_id"],
+            "sample_rate": pa.array(aud[:, 0]),
+            "duration_s": pa.array(aud[:, 2]),
+            "rms": pa.array(aud[:, 3]),
+            "zcr": pa.array(aud[:, 5]),
+            "dominant_hz": pa.array(spec[:, 0]),
+            "centroid_hz": pa.array(spec[:, 1]),
+            "rolloff85_hz": pa.array(spec[:, 3])})
+
+    return ds.map_batches(_flat, batch_format="pyarrow")
+
+
 def q_partitioned_parquet_events(sf_dir: str):
     """Hive-partitioned parquet sink + pruned read-back: events are
     written ONCE partitioned by event_type (the resumable output
@@ -9050,6 +9123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_docs": q_temperature_sample_docs,
         "incremental_state_events": q_incremental_state_events,
         "partitioned_parquet_events": q_partitioned_parquet_events,
+        # rows-only multimodal surface (binary decode isn't
+        # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
+        "media_dhash_pairs": q_media_dhash_pairs,
+        "audio_spectral_features": q_audio_spectral_features,
     }
 
 

@@ -312,3 +312,25 @@ def test_image_near_dup_pipeline(ray_session):
         max_hamming=8).to_pandas()
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (100, 101) in found
+
+
+def test_registry_multimodal_queries(ray_session):
+    """The rows-only registry entries: dHash finds exactly the 40
+    planted re-encodes; spectral dominant_hz tracks the synth tone."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    q = m.queries()
+    pairs = q["media_dhash_pairs"]("/root/testdata/sf0.001").to_pandas()
+    assert len(pairs) == 40
+    assert ((pairs["id_b"] - pairs["id_a"]) == 1000).all()
+    assert (pairs["hamming"] == 0).all()
+
+    spec = q["audio_spectral_features"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(spec) == 300
+    assert (spec["sample_rate"].isin([8000.0, 16000.0])).all()
+    assert (spec["dominant_hz"] >= 0).all()
+    assert (spec["rolloff85_hz"] <= spec["sample_rate"] / 2).all()
