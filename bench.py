@@ -343,6 +343,29 @@ def run_suite() -> dict:
         textstats["novelty_docs"] = nv_rows
         textstats["novelty_docs_per_sec"] = round(
             nv_rows / max(textstats["novelty_sec"], 1e-9), 1)
+        # r5 continuation-6: segment-level dedup — explode + TWO keyed
+        # exchanges (segment string, then doc rebuild) + one join; the
+        # heaviest new-op shape this round
+        from netml_ray.curation import segment_dedup, temperature_sample
+
+        sd_rows = int(os.environ.get("GRAFT_SEGDEDUP_ROWS", "200000"))
+        sdocs = rd.read_parquet(documents_path(sd_rows, seed=13),
+                                columns=["doc_id", "text"])
+        t0 = time.time()
+        _consume(segment_dedup(sdocs, size=16), "segment_dedup")
+        textstats["segdedup_sec"] = round(time.time() - t0, 3)
+        textstats["segdedup_docs"] = sd_rows
+        textstats["segdedup_docs_per_sec"] = round(
+            sd_rows / max(textstats["segdedup_sec"], 1e-9), 1)
+        # temperature mixing: count partial + filter, narrow both ways
+        tdocs2 = rd.read_parquet(documents_path(ts_rows, seed=13),
+                                 columns=["doc_id", "source"])
+        t0 = time.time()
+        _consume(temperature_sample(tdocs2, "source", "doc_id",
+                                    frac=0.5), "temp_sample")
+        textstats["tempsample_sec"] = round(time.time() - t0, 3)
+        textstats["tempsample_docs_per_sec"] = round(
+            ts_rows / max(textstats["tempsample_sec"], 1e-9), 1)
 
     # r5 keyed-statistics / sequence-analytics family: volume
     # throughput for the grouped-stat and sweep operators over a
