@@ -627,6 +627,49 @@ FROM events
 """
 
 
+def q_more_like_this_docs(sf_dir: str):
+    """More-like-this: top-20 doc pairs by exact cosine over sparse
+    top-5-TF-IDF representations (textstats.sparse_cosine_pairs) —
+    pairs exist only through shared terms (three run-segmented keyed
+    exchanges: norm append, per-term pair expansion under the max_df
+    quadratic guard, (a,b) fold), never an all-pairs stage; the final
+    top-20 is select_k partials + driver merge, no sort exchange.
+    The max_df=4096 guard cannot fire at this scale (≤500 docs), so
+    the SQL oracle needs no skip rule."""
+    from netml_ray.sketches import top_k
+    from netml_ray.textstats import sparse_cosine_pairs, tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rep = tfidf_top_terms(docs, k=5)
+    pairs = sparse_cosine_pairs(rep, max_df=4096)
+    return top_k(pairs, 20, [("cos", "descending"),
+                             ("id_a", "ascending"),
+                             ("id_b", "ascending")])
+
+
+def _build_mlt_sql() -> str:
+    return f"""
+WITH rep AS ({SQL_TFIDF}),
+nrm AS (
+  SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS nn
+  FROM rep GROUP BY doc_id
+),
+wn AS (
+  SELECT r.doc_id, r.term, r.tfidf / n.nn AS wn
+  FROM rep r JOIN nrm n USING (doc_id)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(sum(a.wn * b.wn), 9) AS cos
+  FROM wn a JOIN wn b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cos FROM p
+ORDER BY cos DESC, id_a, id_b LIMIT 20
+"""
+
+
 def q_media_dhash_pairs(sf_dir: str):
     """Multimodal image near-dup (rows-only: binary decode is not
     SQL-expressible): deterministic REAL PPM/BMP payloads (pure-numpy
@@ -9123,6 +9166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_docs": q_temperature_sample_docs,
         "incremental_state_events": q_incremental_state_events,
         "partitioned_parquet_events": q_partitioned_parquet_events,
+        "more_like_this_docs": q_more_like_this_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9255,6 +9299,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample_docs": SQL_TEMPERATURE_SAMPLE,
         "incremental_state_events": SQL_INCREMENTAL_STATE,
         "partitioned_parquet_events": SQL_PARTITIONED_PARQUET,
+        "more_like_this_docs": _build_mlt_sql(),
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

@@ -1255,3 +1255,121 @@ def gram_novelty(ds, text_col: str, id_col: str, *, k: int = 3):
                      "n_grams": pa.array(n),
                      "n_novel": pa.array(nv),
                      "novelty": pa.array(nv / (1.0 * n))})
+
+
+def sparse_cosine_pairs(rep, *, id_col: str = "doc_id",
+                        term_col: str = "term", w_col: str = "tfidf",
+                        max_df: int = 4096, round_to: int = 9,
+                        num_partitions: int | None = None):
+    """More-like-this: exact cosine similarity between documents'
+    SPARSE term representations (e.g. ``tfidf_top_terms`` output) —
+    pairs are generated only through shared terms, never all-pairs.
+
+    score(a, b) = Σ_t ŵ_a(t)·ŵ_b(t) with ŵ = w/‖w‖ over the doc's
+    sparse vector; ``w`` is rounded to ``round_to`` first so both
+    engines normalize bit-identical inputs, and the returned ``cos``
+    is rounded again.
+
+    Shape (three keyed exchanges, all run-segmented): ① id-keyed —
+    append the per-doc norm (segmented reduceat); ② term-keyed —
+    in-partition pair expansion of each term's posting run (the
+    adamic_adar expansion with ŵ_a·ŵ_b riding it) under the ``max_df``
+    quadratic guard (hyper-common terms are SKIPPED and logged — they
+    carry no similarity signal anyway, the classic stop-term rule);
+    ③ id_a-keyed — fold (a, b) partials.  Returns a Dataset
+    ``(id_a, id_b, cos)`` with id_a < id_b."""
+    import logging
+
+    from netml_ray.partition import partition_map
+
+    def _norm(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column("wn", pa.array([], pa.float64()))
+        ids = t[id_col].combine_chunks()
+        head = np.r_[True, pc.not_equal(
+            ids.slice(1), ids.slice(0, len(ids) - 1))
+            .to_numpy(zero_copy_only=False)]
+        starts = np.flatnonzero(head)
+        w = np.round(t[w_col].to_numpy(zero_copy_only=False)
+                     .astype(np.float64), round_to)
+        nrm = np.sqrt(np.add.reduceat(w * w, starts))
+        lens = np.diff(np.r_[starts, t.num_rows])
+        return t.append_column("wn", pa.array(w / np.repeat(nrm, lens)))
+
+    withn = partition_map(rep, id_col, _norm,
+                          num_partitions=num_partitions,
+                          sort_by=[id_col, term_col])
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.float64())})
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        terms = t[term_col].combine_chunks()
+        head = np.r_[True, pc.not_equal(
+            terms.slice(1), terms.slice(0, len(terms) - 1))
+            .to_numpy(zero_copy_only=False)]
+        starts = np.flatnonzero(head)
+        lens = np.diff(np.r_[starts, t.num_rows])
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        wn = t["wn"].to_numpy(zero_copy_only=False)
+        big = lens > max_df
+        if big.any():
+            logging.getLogger(__name__).warning(
+                "sparse_cosine_pairs: skipping %d term(s) with df > "
+                "max_df=%d", int(big.sum()), max_df)
+            keep = np.repeat(~big, lens)
+            ids, wn = ids[keep], wn[keep]
+            th = terms.filter(pa.array(keep))
+            head = np.r_[True, pc.not_equal(
+                th.slice(1), th.slice(0, len(th) - 1))
+                .to_numpy(zero_copy_only=False)] \
+                if len(th) else np.zeros(0, bool)
+            starts = np.flatnonzero(head)
+            lens = np.diff(np.r_[starts, len(ids)])
+        if not len(ids):
+            return empty
+        m = np.arange(len(ids)) - np.repeat(starts, lens)
+        cnt_i = lens[np.repeat(np.arange(len(lens)), lens)] - 1 - m
+        total = int(cnt_i.sum())
+        if total == 0:
+            return empty
+        i_row = np.repeat(np.arange(len(ids)), cnt_i)
+        j_off = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(cnt_i)[:-1]], cnt_i)
+        j_row = i_row + 1 + j_off
+        a, b = ids[i_row], ids[j_row]
+        s = wn[i_row] * wn[j_row]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        order = np.lexsort((hi, lo))
+        lo, hi, s = lo[order], hi[order], s[order]
+        f = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        st = np.flatnonzero(f)
+        return pa.table({
+            "id_a": pa.array(lo[st]), "id_b": pa.array(hi[st]),
+            "s": pa.array(np.add.reduceat(s, st))})
+
+    part = partition_map(withn, term_col, _pairs,
+                         num_partitions=num_partitions,
+                         sort_by=[term_col, id_col])
+
+    def _fold(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        f = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        st = np.flatnonzero(f)
+        return pa.table({
+            "id_a": pa.array(a[st]), "id_b": pa.array(b[st]),
+            "cos": pa.array(np.round(
+                np.add.reduceat(t["s"].to_numpy(), st), round_to))})
+
+    return partition_map(part, "id_a", _fold,
+                         num_partitions=num_partitions,
+                         sort_by=["id_a", "id_b"])

@@ -474,3 +474,40 @@ def test_gram_novelty_vs_brute(ray_session):
     assert out.loc[1, "novelty"] == 0.0
     assert out.loc[2, "novelty"] == 0.0
     assert out.loc[0, "novelty"] < 1.0          # shares 'a b c'
+
+
+def test_sparse_cosine_pairs_vs_brute(ray_session):
+    """sparse cosine over a synthetic sparse rep matches a dense
+    numpy cosine restricted to pairs with shared terms."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.textstats import sparse_cosine_pairs
+
+    rng = np.random.default_rng(6)
+    n_docs, n_terms, k = 80, 30, 4
+    rows = []
+    for d in range(n_docs):
+        for t_ in rng.choice(n_terms, k, replace=False):
+            rows.append((d, f"t{t_}", float(rng.uniform(0.5, 3.0))))
+    rep = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "term": pa.array([r[1] for r in rows]),
+        "tfidf": pa.array([r[2] for r in rows])})
+    out = sparse_cosine_pairs(rd.from_arrow(rep).repartition(4)) \
+        .to_pandas()
+    # dense brute
+    m = np.zeros((n_docs, n_terms))
+    for d, t_, w in rows:
+        m[d, int(t_[1:])] = np.round(w, 9)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    dot = mn @ mn.T
+    got = {(r.id_a, r.id_b): r.cos for r in out.itertuples()}
+    for (a, b), c in got.items():
+        assert abs(c - dot[a, b]) < 1e-8
+    # every shared-term pair present
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            if (m[a] * m[b]).sum() > 0:
+                assert (a, b) in got
+    assert all(c > 0 for c in got.values())
