@@ -627,6 +627,52 @@ FROM events
 """
 
 
+def q_snm_pairs_docs(sf_dir: str):
+    """Sorted-neighborhood dedup candidates (dedup.snm_candidates):
+    block on the first-24-chars normalized-text key, global rank via
+    one range sort + metadata-prefix stamps, window-2 shift pairs
+    through ONE group-keyed exchange with edge rows copied to the
+    previous group, Jaro-Winkler ≥ 0.9 (DuckDB-parity kernel).  The
+    linear-candidate alternative to hash blocking — catches near-keys
+    that hash apart."""
+    from netml_ray.dedup import snm_candidates
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bk(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            t["text"], r"\s+", " "))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "bk": pc.utf8_slice_codeunits(norm, 0, 24)})
+
+    keyed = docs.map_batches(_bk, batch_format="pyarrow")
+    return snm_candidates(keyed, "bk", "doc_id", window=2,
+                          min_sim=0.90, num_partitions=P)
+
+
+SQL_SNM_PAIRS = r"""
+WITH k AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                1, 24) AS bk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bk,
+         row_number() OVER (ORDER BY bk, doc_id) AS rn
+  FROM k
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         jaro_winkler_similarity(a.bk, b.bk) AS jw
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+)
+SELECT id_a, id_b, round(jw, 9) AS jw
+FROM p WHERE jw >= 0.90
+"""
+
+
 def q_more_like_this_docs(sf_dir: str):
     """More-like-this: top-20 doc pairs by exact cosine over sparse
     top-5-TF-IDF representations (textstats.sparse_cosine_pairs) —
@@ -9167,6 +9213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_state_events": q_incremental_state_events,
         "partitioned_parquet_events": q_partitioned_parquet_events,
         "more_like_this_docs": q_more_like_this_docs,
+        "snm_pairs_docs": q_snm_pairs_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9300,6 +9347,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_state_events": SQL_INCREMENTAL_STATE,
         "partitioned_parquet_events": SQL_PARTITIONED_PARQUET,
         "more_like_this_docs": _build_mlt_sql(),
+        "snm_pairs_docs": SQL_SNM_PAIRS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

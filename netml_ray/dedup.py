@@ -1822,3 +1822,81 @@ def jaro_winkler_pairs(ds, *, id_col: str = "doc_id",
     emitted = ds.map_batches(_emit, batch_format="pyarrow")
     return partition_map(emitted, "bkey", _pairs,
                          sort_by=["bkey", id_col])
+
+
+def snm_candidates(ds, key_col: str, id_col: str = "doc_id", *,
+                   window: int = 2, min_sim: float = 0.90,
+                   bucket: int = 1024, round_to: int = 9,
+                   num_partitions: int | None = None):
+    """Sorted-neighborhood-method (SNM) record-linkage candidates
+    (Hernández & Stolfo 1995): globally sort on a blocking key, pair
+    every row with its next ``window`` neighbours in sort order, and
+    keep pairs whose keys score ≥ ``min_sim`` Jaro-Winkler — the
+    classic linear-candidate-count alternative to hash blocking (it
+    catches near-keys that hash into DIFFERENT buckets).
+
+    Shape: ``global_row_index`` (one range sort + metadata-prefix
+    stamps) assigns ranks; rows are routed to ``rank // bucket``
+    groups with the first ``window`` rows of each group ALSO copied
+    to the previous group (so every anchor sees its full neighbour
+    window without any cross-partition walk); ONE group-keyed
+    exchange then emits shift-pairs and scores them with the
+    DuckDB-parity ``jaro_winkler_pairs_batch``.  Anchors are only the
+    group's own rows, so no pair is emitted twice.  Returns
+    ``(id_a, id_b, jw)`` with id_a the earlier-rank row."""
+    from netml_ray.partition import global_row_index, partition_map
+
+    g = global_row_index(ds.select_columns([id_col, key_col]),
+                         [key_col, id_col])
+
+    def _route(t: pa.Table) -> pa.Table:
+        gi = t["__gidx"].to_numpy()
+        own = t.append_column(
+            "__bkt", pa.array((gi // bucket).astype(np.int64)))
+        edge = (gi % bucket < window) & (gi // bucket > 0)
+        if not edge.any():
+            return own
+        dup = t.filter(pa.array(edge))
+        gdup = dup["__gidx"].to_numpy()
+        dup = dup.append_column(
+            "__bkt", pa.array((gdup // bucket - 1).astype(np.int64)))
+        return pa.concat_tables([own, dup])
+
+    routed = g.map_batches(_route, batch_format="pyarrow")
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jw": pa.array([], pa.float64())})
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        gi = t["__gidx"].to_numpy()
+        bk = t["__bkt"].to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keys = t[key_col].to_pylist()
+        ai, bi = [], []
+        for d in range(1, window + 1):
+            if t.num_rows <= d:
+                break
+            # consecutive ranks within the same routed group; anchor
+            # must be one of the group's OWN rows (not a borrowed copy)
+            ok = (gi[d:] == gi[:-d] + d) & (bk[d:] == bk[:-d]) \
+                & (gi[:-d] // bucket == bk[:-d])
+            ai.append(np.flatnonzero(ok))
+            bi.append(np.flatnonzero(ok) + d)
+        if not ai or not sum(len(x) for x in ai):
+            return empty
+        a_ix = np.concatenate(ai)
+        b_ix = np.concatenate(bi)
+        jw = jaro_winkler_pairs_batch([keys[i] for i in a_ix],
+                                      [keys[j] for j in b_ix])
+        keep = jw >= min_sim
+        return pa.table({
+            "id_a": pa.array(ids[a_ix[keep]]),
+            "id_b": pa.array(ids[b_ix[keep]]),
+            "jw": pa.array(np.round(jw[keep], round_to))})
+
+    return partition_map(routed, "__bkt", _pairs,
+                         num_partitions=num_partitions,
+                         sort_by=["__bkt", "__gidx"])

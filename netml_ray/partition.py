@@ -362,3 +362,42 @@ def partition_map2(
         return fn(lt, rt)
 
     return both.groupby(PID).map_groups(_run, batch_format="pyarrow")
+
+
+def global_row_index(ds, sort_by: Sequence[str],
+                     out_col: str = "__gidx"):
+    """Append each row's 0-based GLOBAL rank under ``sort_by``: one
+    range ``Dataset.sort``, an exclusive prefix sum over block
+    METADATA row counts (the driver touches counts, never rows), and
+    a per-block arange stamp via raw Ray tasks — the documented case
+    (c) position-aware block transform (same recipe as
+    ``mlprep.dense_ids``, generalized to non-distinct rows)."""
+    import ray
+    import ray.data as rd
+
+    ordered = ds.sort(list(sort_by)).materialize()
+
+    @ray.remote
+    def _stamp(block: pa.Table, off: int) -> pa.Table:
+        return block.append_column(
+            out_col, pa.array(np.arange(off, off + block.num_rows,
+                                        dtype=np.int64)))
+
+    blocks = []
+    for bundle in ordered.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n is None:
+                n = ray.get(ref).num_rows
+            if n:
+                blocks.append((ref, n))
+    if not blocks:
+        return ordered.map_batches(
+            lambda t: t.append_column(
+                out_col, pa.array(np.arange(t.num_rows,
+                                            dtype=np.int64))),
+            batch_format="pyarrow")
+    offs = np.r_[0, np.cumsum([n for _, n in blocks])[:-1]]
+    refs = [_stamp.remote(ref, int(o))
+            for (ref, _), o in zip(blocks, offs)]
+    return rd.from_arrow_refs(refs)

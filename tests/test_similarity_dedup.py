@@ -633,3 +633,33 @@ def test_ngram_containment_vs_jaccard(ray_session):
 
     with pytest.raises(ValueError):
         ngram_jaccard_duplicates(rd.from_arrow(t), metric="dice")
+
+
+def test_snm_candidates_vs_brute(ray_session):
+    """SNM window pairs match a brute sorted walk, including across
+    the bucket boundary (small bucket forces edge routing)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.dedup import jaro_winkler_pairs_batch, snm_candidates
+
+    rng = np.random.default_rng(13)
+    base = ["".join(rng.choice(list("abcdef"), 12)) for _ in range(150)]
+    keys = base + [s[:11] + "z" for s in base[:30]]   # near-keys
+    ids = np.arange(len(keys), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "bk": pa.array(keys)})
+    out = snm_candidates(rd.from_arrow(t).repartition(5), "bk",
+                         "doc_id", window=2, min_sim=0.9,
+                         bucket=16).to_pandas()
+    order = sorted(range(len(keys)), key=lambda i: (keys[i], ids[i]))
+    brute = []
+    for p in range(len(order)):
+        for d in (1, 2):
+            if p + d < len(order):
+                i, j = order[p], order[p + d]
+                jw = jaro_winkler_pairs_batch([keys[i]], [keys[j]])[0]
+                if jw >= 0.9:
+                    brute.append((ids[i], ids[j], round(jw, 9)))
+    got = sorted(map(tuple, out.to_numpy().tolist()))
+    assert got == sorted(brute)
+    assert len(got) >= 30          # the planted near-keys are found
