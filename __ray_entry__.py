@@ -627,6 +627,29 @@ FROM events
 """
 
 
+def q_windowed_dedup_events(sf_dir: str):
+    """Streaming ingestion dedup (sequences.windowed_dedup): keep the
+    first event per (user, type, 1-hour tumbling window) — retries/
+    replays collapse.  ONE keyed exchange, composite run-head test in
+    three vectorized compares."""
+    from netml_ray.sequences import windowed_dedup
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+    return windowed_dedup(ev, "user_id", "event_type", "ts",
+                          window_us=3_600_000_000,
+                          tiebreak="event_id", num_partitions=P)
+
+
+SQL_WINDOWED_DEDUP = """
+SELECT event_id, user_id, event_type, ts FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+  ORDER BY ts, event_id) = 1
+"""
+
+
 def q_snm_pairs_docs(sf_dir: str):
     """Sorted-neighborhood dedup candidates (dedup.snm_candidates):
     block on the first-24-chars normalized-text key, global rank via
@@ -9214,6 +9237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_parquet_events": q_partitioned_parquet_events,
         "more_like_this_docs": q_more_like_this_docs,
         "snm_pairs_docs": q_snm_pairs_docs,
+        "windowed_dedup_events": q_windowed_dedup_events,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9348,6 +9372,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_parquet_events": SQL_PARTITIONED_PARQUET,
         "more_like_this_docs": _build_mlt_sql(),
         "snm_pairs_docs": SQL_SNM_PAIRS,
+        "windowed_dedup_events": SQL_WINDOWED_DEDUP,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

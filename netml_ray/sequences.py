@@ -1298,3 +1298,44 @@ def out_of_order_stats(ds, key_col: str, ts_col: str, *,
     return partition_map(ds, key_col, _fn,
                          num_partitions=num_partitions,
                          sort_by=[key_col, arrival_col, ts_col])
+
+
+def windowed_dedup(ds, key_col: str, type_col: str, ts_col: str, *,
+                   window_us: int = 3_600_000_000,
+                   tiebreak: str | None = None,
+                   num_partitions: int | None = None):
+    """Streaming ingestion dedup: keep only the FIRST event per
+    ``(key, type, tumbling window)`` — the at-least-once → effectively-
+    once cleanup every event pipeline runs at the front door (retries
+    and replays land in the same window and collapse).
+
+    ONE hash exchange on ``key``; inside a partition the composite
+    run head test is three vectorized not_equal/int compares — rows
+    sorted by (key, type, ts, tiebreak), window id = ts_µs //
+    ``window_us`` so window groups are contiguous within each
+    (key, type) run and no second exchange is needed."""
+    from .partition import partition_map
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return t
+        keys = t[key_col].combine_chunks()
+        typ = t[type_col].combine_chunks()
+        ts = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        w = ts.to_numpy(zero_copy_only=False) // window_us
+        new_key = np.r_[True, pc.not_equal(
+            keys.slice(1), keys.slice(0, len(keys) - 1))
+            .to_numpy(zero_copy_only=False)]
+        new_typ = np.r_[True, pc.not_equal(
+            typ.slice(1), typ.slice(0, len(typ) - 1))
+            .to_numpy(zero_copy_only=False)]
+        new_win = np.r_[True, w[1:] != w[:-1]]
+        return t.filter(pa.array(new_key | new_typ | new_win))
+
+    sort_by = [key_col, type_col, ts_col] \
+        + ([tiebreak] if tiebreak else [])
+    return partition_map(ds, key_col, _fn,
+                         num_partitions=num_partitions,
+                         sort_by=sort_by)

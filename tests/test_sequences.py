@@ -841,3 +841,30 @@ def test_out_of_order_stats_vs_brute(ray_session):
     o = out_of_order_stats(rd.from_arrow(ordered), "k", "ts",
                            arrival_col="a").to_pandas().iloc[0]
     assert o["n_late"] == 0 and o["max_lateness_us"] == 0
+
+
+def test_windowed_dedup_vs_brute(ray_session):
+    """first event per (key, type, window) survives; replays planted
+    in the same window collapse, next-window copies survive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.sequences import windowed_dedup
+
+    rng = np.random.default_rng(44)
+    n = 2_000
+    ts = rng.integers(0, 50_000, n)          # window_us=10_000 → 5 windows
+    t = pa.table({
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 30, n)),
+        "ty": pa.array(rng.choice(["a", "b"], n)),
+        "ts": pa.array(ts.astype("datetime64[us]"))})
+    out = windowed_dedup(rd.from_arrow(t).repartition(4), "k", "ty",
+                         "ts", window_us=10_000,
+                         tiebreak="eid").to_pandas()
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["w"] = df["ts_us"] // 10_000
+    exp = df.sort_values(["ts_us", "eid"]) \
+        .groupby(["k", "ty", "w"]).head(1)
+    assert sorted(out["eid"]) == sorted(exp["eid"])
