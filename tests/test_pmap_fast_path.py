@@ -913,3 +913,48 @@ def test_fast_path_agg_state(ray_session, monkeypatch):
     dist, fast = _both_ways(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(dist, ["user_id"]),
                                   _norm(fast, ["user_id"]))
+
+
+def test_fast_path_mlt_snm_windowed(ray_session, monkeypatch):
+    """sparse_cosine_pairs / snm_candidates / windowed_dedup: fast ==
+    distributed on every partition_map stage."""
+    import ray.data as rd
+
+    from netml_ray.dedup import snm_candidates
+    from netml_ray.sequences import windowed_dedup
+    from netml_ray.textstats import sparse_cosine_pairs
+
+    rng = np.random.default_rng(71)
+    rep_rows = []
+    for d in range(60):
+        for t_ in rng.choice(20, 4, replace=False):
+            rep_rows.append((d, f"t{t_}", float(rng.uniform(0.5, 2))))
+    rep = pa.table({
+        "doc_id": pa.array([r[0] for r in rep_rows], pa.int64()),
+        "term": pa.array([r[1] for r in rep_rows]),
+        "tfidf": pa.array([r[2] for r in rep_rows])})
+    keys = ["".join(rng.choice(list("abcd"), 10)) for _ in range(120)]
+    snm_t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                      "bk": pa.array(keys)})
+    ev = _events(2000, seed=72)
+    wt = pa.table({
+        "eid": ev["event_id"], "k": ev["user_id"],
+        "ty": ev["etype"],
+        "ts": pa.array((ev["ts"].to_numpy() * 1e6).astype(np.int64)
+                       .astype("datetime64[us]"))})
+
+    def run():
+        mlt = sparse_cosine_pairs(rd.from_arrow(rep)).to_pandas()
+        snm = snm_candidates(rd.from_arrow(snm_t), "bk", "doc_id",
+                             window=2, min_sim=0.0,
+                             bucket=32).to_pandas()
+        wd = windowed_dedup(rd.from_arrow(wt), "k", "ty", "ts",
+                            window_us=10**8,
+                            tiebreak="eid").to_pandas()
+        return mlt, snm, wd
+
+    dist, fast = _both_ways(monkeypatch, run)
+    for i, kcols in enumerate([["id_a", "id_b"], ["id_a", "id_b"],
+                               ["eid"]]):
+        pd.testing.assert_frame_equal(_norm(dist[i], kcols),
+                                      _norm(fast[i], kcols))
