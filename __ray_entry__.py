@@ -940,44 +940,46 @@ def q_doc_feature_matrix(sf_dir: str):
     count, punct/digit/upper ratios, char entropy, 2-gram repetition,
     language id (actor-cached markers) — over the SAME batch (one
     read, shared tokenization cost, no intermediate materialization),
-    then ONE co-partitioned hash join attaches the bigram-LM bits
-    (its model = one narrow count exchange + broadcast).  The SQL
-    oracle composes the six component queries verbatim."""
+    and the bigram-LM bits scored IN the same pass against the
+    broadcast model (its training = one narrow count exchange) — the
+    whole matrix is ONE model pass + ONE feature pass, zero joins.
+    The SQL oracle composes the six component queries verbatim."""
+    import ray
+
     from netml_ray.curation import repetition_batch
-    from netml_ray.joins import hash_join
     from netml_ray.partition import auto_concurrency
     from netml_ray.textops import (LangId, char_entropy_batch,
                                    quality_score_batch,
                                    token_count_batch)
-    from netml_ray.textstats import bigram_lm_bits
+    from netml_ray.textstats import lm_bits_arrays, train_bigram_model
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     rt = 9 if ORACLE_MODE else None
+    model_ref = ray.put(train_bigram_model(docs, alpha=0.5))
 
     class _Fused:
         def __init__(self):
             self._lang = LangId()
+            self._m = ray.get(model_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            _, bits = lm_bits_arrays(self._m, t["text"])
             t = quality_score_batch(t)
             t = token_count_batch(t)
             t = char_entropy_batch(t)
             t = repetition_batch(t, round_to=rt)
             t = self._lang(t)
+            t = t.append_column("lm_bits", pa.array(
+                [None if not np.isfinite(x) else round(float(x), 6)
+                 for x in bits], type=pa.float64()))
             return t.select(
                 ["doc_id", "n_tokens", "n_chars_calc", "punct_ratio",
                  "digit_ratio", "upper_ratio", "pred_lang",
                  "n_2grams", "dup_2gram_frac", "top_2gram_frac",
-                 "char_entropy"])
+                 "char_entropy", "lm_bits"])
 
-    fused = docs.map_batches(_Fused, batch_format="pyarrow",
-                             concurrency=auto_concurrency())
-    lm = bigram_lm_bits(docs, alpha=0.5) \
-        .select_columns(["doc_id", "lm_bits"]) \
-        .map_batches(lambda t: _hedge_round_cols(t, ["lm_bits"], 6),
-                     batch_format="pyarrow")
-    return hash_join(fused, lm, "doc_id", how="inner",
-                     num_partitions=P)
+    return docs.map_batches(_Fused, batch_format="pyarrow",
+                            concurrency=auto_concurrency())
 
 
 def _build_doc_matrix_sql() -> str:

@@ -366,6 +366,52 @@ def run_suite() -> dict:
         textstats["tempsample_sec"] = round(time.time() - t0, 3)
         textstats["tempsample_docs_per_sec"] = round(
             ts_rows / max(textstats["tempsample_sec"], 1e-9), 1)
+        # the per-doc feature-matrix capstone: bigram model trained in
+        # one narrow count exchange, then ONE fused pass scoring all
+        # six signals per batch (zero joins)
+        import ray as _ray
+
+        from netml_ray.curation import repetition_batch
+        from netml_ray.partition import auto_concurrency
+        from netml_ray.textops import (LangId, char_entropy_batch,
+                                       quality_score_batch,
+                                       token_count_batch)
+        from netml_ray.textstats import (lm_bits_arrays,
+                                         train_bigram_model)
+
+        fm_rows = int(os.environ.get("GRAFT_FEATMATRIX_ROWS",
+                                     "200000"))
+        fdocs = rd.read_parquet(documents_path(fm_rows, seed=13),
+                                columns=["doc_id", "text"])
+        t0 = time.time()
+        mref = _ray.put(train_bigram_model(fdocs))
+
+        class _FusedDocFeat:
+            def __init__(self):
+                self._lang = LangId()
+                self._m = _ray.get(mref)
+
+            def __call__(self, t):
+                import pyarrow as _pa
+
+                _, bits = lm_bits_arrays(self._m, t["text"])
+                t = quality_score_batch(t)
+                t = token_count_batch(t)
+                t = char_entropy_batch(t)
+                t = repetition_batch(t)
+                t = self._lang(t)
+                t = t.append_column("lm_bits",
+                                    _pa.array(bits, type=_pa.float64()))
+                return t.drop_columns(["text"])
+
+        _consume(fdocs.map_batches(_FusedDocFeat,
+                                   batch_format="pyarrow",
+                                   concurrency=auto_concurrency()),
+                 "doc_feature_matrix")
+        textstats["featmatrix_sec"] = round(time.time() - t0, 3)
+        textstats["featmatrix_docs"] = fm_rows
+        textstats["featmatrix_docs_per_sec"] = round(
+            fm_rows / max(textstats["featmatrix_sec"], 1e-9), 1)
 
     # r5 keyed-statistics / sequence-analytics family: volume
     # throughput for the grouped-stat and sweep operators over a
