@@ -627,6 +627,67 @@ FROM events
 """
 
 
+def q_sb_bits_docs(sf_dir: str):
+    """Trigram stupid-backoff LM bits (Brants et al. 2007 — the
+    web-scale smoothing: count-ratio backoff λ=0.4, no normalization
+    pass) per doc: textstats.trigram_sb_bits — uni/bi/trigram counts
+    ride ONE narrow int64-hash exchange, the broadcast model scores
+    every doc in one vectorized pass.  One LM order above
+    lm_bits_docs; round-6 hedge on the log-ratio average."""
+    from netml_ray.textstats import trigram_sb_bits
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = trigram_sb_bits(docs)
+    return out.map_batches(
+        lambda t: _hedge_round_cols(t, ["sb_bits"], 6),
+        batch_format="pyarrow")
+
+
+SQL_SB_BITS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(words) AS w,
+         generate_subscripts(words, 1) AS pos FROM d
+), tg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), t3 AS (
+  SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c
+  FROM tg GROUP BY 1, 2, 3
+), bg AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), b2 AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY 1, 2
+), u1 AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w
+), tt AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM tok),
+scored AS (
+  SELECT g.doc_id,
+         CASE WHEN t3.c IS NOT NULL THEN log2(t3.c / b12.c)
+              WHEN b23.c IS NOT NULL THEN log2(0.4 * b23.c / u2.c)
+              ELSE log2(0.4 * 0.4 * u3.c / tt.T) END AS lp
+  FROM tg g
+  LEFT JOIN t3 ON g.w1 = t3.w1 AND g.w2 = t3.w2 AND g.w3 = t3.w3
+  JOIN b2 b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+  LEFT JOIN b2 b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+  JOIN u1 u2 ON g.w2 = u2.w
+  JOIN u1 u3 ON g.w3 = u3.w
+  CROSS JOIN tt
+), per_doc AS (
+  SELECT doc_id, count(*) AS n, sum(lp) AS s FROM scored GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_trigrams,
+       CASE WHEN p.n > 0 THEN round(-p.s / p.n, 6) END AS sb_bits
+FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_windowed_dedup_events(sf_dir: str):
     """Streaming ingestion dedup (sequences.windowed_dedup): keep the
     first event per (user, type, 1-hour tumbling window) — retries/
@@ -9240,6 +9301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this_docs": q_more_like_this_docs,
         "snm_pairs_docs": q_snm_pairs_docs,
         "windowed_dedup_events": q_windowed_dedup_events,
+        "sb_bits_docs": q_sb_bits_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9375,6 +9437,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this_docs": _build_mlt_sql(),
         "snm_pairs_docs": SQL_SNM_PAIRS,
         "windowed_dedup_events": SQL_WINDOWED_DEDUP,
+        "sb_bits_docs": SQL_SB_BITS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

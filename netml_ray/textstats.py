@@ -1373,3 +1373,194 @@ def sparse_cosine_pairs(rep, *, id_col: str = "doc_id",
     return partition_map(part, "id_a", _fold,
                          num_partitions=num_partitions,
                          sort_by=["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# trigram LM — stupid backoff (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+def _trigram_hash_counts(ds, *, text_col: str, min_count: int = 1):
+    """ONE corpus pass + ONE narrow int64 exchange yields unigram
+    (kind 1), bigram (kind 2) and trigram (kind 3) hash-keyed counts —
+    the ``_bigram_hash_counts`` shape with the two extra orders riding
+    the same exchange.  ``min_count`` prunes TRIGRAM rows only (the
+    long tail; uni/bigram tables are the backoff and stay exact)."""
+    from netml_ray.partition import partition_map
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "code": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        tok = _tok(t[text_col])
+        live = tok.n_words[tok.rowid] > 0
+        wh = tok.word_hashes()[live]
+        rowid = tok.rowid[live]
+        if not len(wh):
+            return empty
+        kinds, codes, ns = [], [], []
+        u1, n1 = np.unique(wh.view(np.int64), return_counts=True)
+        kinds.append(np.ones(len(u1), dtype=np.int8))
+        codes.append(u1)
+        ns.append(n1)
+        if len(wh) > 1:
+            same2 = rowid[1:] == rowid[:-1]
+            code2 = (wh[:-1] * _GOLD + wh[1:])[same2].view(np.int64)
+            if len(code2):
+                u2, n2 = np.unique(code2, return_counts=True)
+                kinds.append(np.full(len(u2), 2, dtype=np.int8))
+                codes.append(u2)
+                ns.append(n2)
+            if len(wh) > 2:
+                same3 = same2[:-1] & same2[1:]
+                code3 = ((wh[:-2] * _GOLD + wh[1:-1]) * _GOLD
+                         + wh[2:])[same3].view(np.int64)
+                if len(code3):
+                    u3, n3 = np.unique(code3, return_counts=True)
+                    kinds.append(np.full(len(u3), 3, dtype=np.int8))
+                    codes.append(u3)
+                    ns.append(n3)
+        return pa.table({
+            "kind": pa.array(np.concatenate(kinds)),
+            "code": pa.array(np.concatenate(codes)),
+            "n": pa.array(np.concatenate(ns).astype(np.int64))})
+
+    def _combine(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy()
+        code = t["code"].to_numpy()
+        n = t["n"].to_numpy()
+        order = np.lexsort((code, kind))
+        k, c, nn = kind[order], code[order], n[order]
+        first = np.r_[True, (k[1:] != k[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(first)
+        return pa.table({"kind": pa.array(k[starts]),
+                         "code": pa.array(c[starts]),
+                         "n": pa.array(np.add.reduceat(nn, starts)
+                                       .astype(np.int64))})
+
+    agg = partition_map(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        "code", _combine).materialize()
+    if min_count > 1:
+        agg = agg.filter(
+            expr=f"kind < 3 or n >= {min_count}")
+    return agg
+
+
+class _StupidBackoffModel:
+    """Broadcast trigram stupid-backoff model (Brants et al. 2007,
+    "Large Language Models in Machine Translation"):
+
+        S(w3|w1w2) = c3/c2(w1w2)            if c3 > 0
+                   = 0.4 · c2(w2w3)/c1(w2)  elif c2(w2w3) > 0
+                   = 0.4² · c1(w3)/T        otherwise
+
+    All lookups are integer searchsorted over sorted hash codes."""
+
+    LAMBDA = 0.4
+
+    def __init__(self, kinds: np.ndarray, codes: np.ndarray,
+                 counts: np.ndarray):
+        def _split(k):
+            m = kinds == k
+            c = codes[m]
+            o = np.argsort(c)
+            return c[o], counts[m][o].astype(np.float64)
+
+        self.c1k, self.c1v = _split(1)
+        self.c2k, self.c2v = _split(2)
+        self.c3k, self.c3v = _split(3)
+        self.total = float(self.c1v.sum())
+
+    @staticmethod
+    def _lookup(keys, vals, q):
+        if not len(keys):
+            return np.zeros(len(q), dtype=np.float64)
+        pos = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+        return np.where(keys[pos] == q, vals[pos], 0.0)
+
+    def logp2(self, h1, h2, h3):
+        c3 = self._lookup(self.c3k, self.c3v,
+                          ((h1 * _GOLD + h2) * _GOLD + h3)
+                          .view(np.int64))
+        ctx = self._lookup(self.c2k, self.c2v,
+                           (h1 * _GOLD + h2).view(np.int64))
+        b23 = self._lookup(self.c2k, self.c2v,
+                           (h2 * _GOLD + h3).view(np.int64))
+        u2 = self._lookup(self.c1k, self.c1v, h2.view(np.int64))
+        u3 = self._lookup(self.c1k, self.c1v, h3.view(np.int64))
+        lam = self.LAMBDA
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(
+                c3 > 0, np.log2(c3 / np.maximum(ctx, 1e-300)),
+                np.where(b23 > 0,
+                         np.log2(lam * b23 / np.maximum(u2, 1e-300)),
+                         np.log2(lam * lam
+                                 * np.maximum(u3, 1e-300) / self.total)))
+        return out
+
+
+def sb_bits_arrays(m: "_StupidBackoffModel", col):
+    """Per-doc (n_trigrams, avg −log2 S) for a text column against a
+    broadcast stupid-backoff model — one vectorized pass."""
+    tok = _tok(col)
+    nrows = len(tok.n_words)
+    nbg = np.zeros(nrows, dtype=np.int64)
+    bits = np.full(nrows, np.nan)
+    live = tok.n_words[tok.rowid] > 0
+    wh = tok.word_hashes()[live]
+    rowid = tok.rowid[live]
+    if len(wh) > 2:
+        same3 = (rowid[1:] == rowid[:-1])[:-1] \
+            & (rowid[1:] == rowid[:-1])[1:]
+        if same3.any():
+            h1 = wh[:-2][same3]
+            h2 = wh[1:-1][same3]
+            h3 = wh[2:][same3]
+            rows = rowid[:-2][same3]
+            lp = m.logp2(h1, h2, h3)
+            cnt = np.bincount(rows, minlength=nrows)
+            ssum = np.zeros(nrows)
+            np.add.at(ssum, rows, lp)
+            pos = cnt > 0
+            nbg[pos] = cnt[pos]
+            bits[pos] = -ssum[pos] / cnt[pos]
+    return nbg, bits
+
+
+def trigram_sb_bits(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id", min_count: int = 1):
+    """Per-doc trigram stupid-backoff score ``(id, n_trigrams,
+    sb_bits)`` (avg −log2 S per trigram; NULL under 3 tokens) — the
+    CCNet-style LM quality signal one order up from
+    ``bigram_lm_bits``, with the web-scale smoothing (count-ratio
+    backoff, no normalization pass).  ONE narrow count exchange
+    trains; the broadcast model scores in one pass."""
+    import ray
+
+    from netml_ray.partition import _collect_table, auto_concurrency
+
+    agg = _trigram_hash_counts(ds, text_col=text_col,
+                               min_count=min_count)
+    gt = _collect_table(agg, pa.schema([("kind", pa.int8()),
+                                        ("code", pa.int64()),
+                                        ("n", pa.int64())]))
+    model = _StupidBackoffModel(gt["kind"].to_numpy(),
+                                gt["code"].to_numpy(),
+                                gt["n"].to_numpy())
+    model_ref = ray.put(model)
+
+    class _Score:
+        def __init__(self):
+            self.m = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nbg, bits = sb_bits_arrays(self.m, t[text_col])
+            return pa.table({
+                id_col: t[id_col],
+                "n_trigrams": pa.array(nbg),
+                "sb_bits": pa.array(
+                    [None if not np.isfinite(x) else float(x)
+                     for x in bits], type=pa.float64())})
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          concurrency=auto_concurrency())

@@ -511,3 +511,86 @@ def test_sparse_cosine_pairs_vs_brute(ray_session):
             if (m[a] * m[b]).sum() > 0:
                 assert (a, b) in got
     assert all(c > 0 for c in got.values())
+
+
+def test_trigram_sb_bits_vs_brute(ray_session):
+    """stupid-backoff bits match a dict-based brute scorer on a tiny
+    corpus exercising all three backoff tiers."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.textstats import trigram_sb_bits
+
+    docs = ["a b c a b d", "a b c e", "x y", "q", "",
+            "c a b c a b"]
+    t = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    out = trigram_sb_bits(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    toks = [d.split() for d in docs if d]
+    c1 = Counter(w for ws in toks for w in ws)
+    c2 = Counter((ws[i], ws[i + 1]) for ws in toks
+                 for i in range(len(ws) - 1))
+    c3 = Counter((ws[i], ws[i + 1], ws[i + 2]) for ws in toks
+                 for i in range(len(ws) - 2))
+    T = sum(c1.values())
+
+    def s(w1, w2, w3):
+        if c3[(w1, w2, w3)]:
+            return math.log2(c3[(w1, w2, w3)] / c2[(w1, w2)])
+        if c2[(w2, w3)]:
+            return math.log2(0.4 * c2[(w2, w3)] / c1[w2])
+        return math.log2(0.4 * 0.4 * c1[w3] / T)
+
+    for d, txt in enumerate(docs):
+        ws = txt.split()
+        tris = [(ws[i], ws[i + 1], ws[i + 2])
+                for i in range(len(ws) - 2)]
+        assert out.loc[d, "n_trigrams"] == len(tris)
+        if tris:
+            exp = -sum(s(*g) for g in tris) / len(tris)
+            assert abs(out.loc[d, "sb_bits"] - exp) < 1e-9
+        else:
+            assert np.isnan(out.loc[d, "sb_bits"])
+
+
+def test_stupid_backoff_tiers(ray_session):
+    """Held-out trigrams exercise tiers 2 and 3 of the backoff (the
+    self-trained corpus query only ever hits tier 1)."""
+    import math
+
+    from netml_ray.textstats import (_GOLD, _StupidBackoffModel,
+                                     _hash_strings)
+
+    kinds, codes, ns = [], [], []
+
+    def add(kind, words, n):
+        h = _hash_strings(list(words))
+        code = h[0]
+        for x in h[1:]:
+            code = code * _GOLD + x
+        kinds.append(kind)
+        codes.append(int(code.view(np.int64) if hasattr(code, "view")
+                         else np.uint64(code).view(np.int64)))
+        ns.append(n)
+
+    for w, n in [("a", 4), ("b", 3), ("c", 2), ("d", 1)]:
+        add(1, [w], n)
+    add(2, ["a", "b"], 2)
+    add(2, ["b", "c"], 2)
+    add(3, ["a", "b", "c"], 1)
+    m = _StupidBackoffModel(np.array(kinds, np.int8),
+                            np.array(codes, np.int64),
+                            np.array(ns, np.int64))
+
+    def lp(w1, w2, w3):
+        h = _hash_strings([w1, w2, w3])
+        return float(m.logp2(h[0:1], h[1:2], h[2:3])[0])
+
+    assert abs(lp("a", "b", "c") - math.log2(1 / 2)) < 1e-12   # tier 1
+    assert abs(lp("d", "b", "c") - math.log2(0.4 * 2 / 3)) < 1e-12  # tier 2
+    assert abs(lp("c", "d", "a") - math.log2(0.16 * 4 / 10)) < 1e-12  # tier 3
