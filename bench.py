@@ -412,6 +412,16 @@ def run_suite() -> dict:
         textstats["featmatrix_docs"] = fm_rows
         textstats["featmatrix_docs_per_sec"] = round(
             fm_rows / max(textstats["featmatrix_sec"], 1e-9), 1)
+        # trigram stupid-backoff: the multi-order gram exchange
+        # (min_count=2 prunes the hapax-trigram tail before the
+        # driver collect — the documented scale knob)
+        from netml_ray.textstats import trigram_sb_bits
+
+        t0 = time.time()
+        _consume(trigram_sb_bits(fdocs, min_count=2), "sb_bits")
+        textstats["sbbits_sec"] = round(time.time() - t0, 3)
+        textstats["sbbits_docs_per_sec"] = round(
+            fm_rows / max(textstats["sbbits_sec"], 1e-9), 1)
 
     # r5 keyed-statistics / sequence-analytics family: volume
     # throughput for the grouped-stat and sweep operators over a
