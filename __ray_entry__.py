@@ -627,6 +627,58 @@ FROM events
 """
 
 
+def q_decontaminate_jaccard_docs(sf_dir: str):
+    """Third decontamination mode (curation.decontaminate_jaccard):
+    EXACT word-3-gram Jaccard ≥ 0.5 against any benchmark doc
+    (doc_id % 97 — the decontaminate_docs convention), benchmark
+    shingle sets broadcast once, one vectorized scan pass — the
+    near-duplicate-of-eval rule beside the substring and 13-gram-hit
+    modes."""
+    from netml_ray.curation import decontaminate_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_ds = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(t["doc_id"].to_numpy() % 97 == 0)),
+        batch_format="pyarrow")
+    bench = [r["text"] for r in bench_ds.take_all()]
+    out = decontaminate_jaccard(docs, bench, n=3, tau=0.5)
+    return out.select_columns(["doc_id", "max_jaccard",
+                               "contaminated"])
+
+
+SQL_DECONTAMINATE_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT doc_id,
+         ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] AS gram
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 3)
+),
+gs AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY doc_id),
+bench AS (SELECT doc_id AS bid, gram FROM gs WHERE doc_id % 97 = 0),
+bsz AS (SELECT bid, count(*) AS bn FROM bench GROUP BY bid),
+inter AS (
+  SELECT gs.doc_id, b.bid, count(*) AS i
+  FROM gs JOIN bench b USING (gram) GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.doc_id,
+         max(i * 1.0 / (sz.n + bsz.bn - i)) AS mj
+  FROM inter JOIN sz USING (doc_id) JOIN bsz USING (bid)
+  GROUP BY inter.doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(jac.mj, 0.0), 9) AS max_jaccard,
+       COALESCE(jac.mj, 0.0) >= 0.5 AS contaminated
+FROM documents d LEFT JOIN jac USING (doc_id)
+"""
+
+
 def q_sb_bits_docs(sf_dir: str):
     """Trigram stupid-backoff LM bits (Brants et al. 2007 — the
     web-scale smoothing: count-ratio backoff λ=0.4, no normalization
@@ -9302,6 +9354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs_docs": q_snm_pairs_docs,
         "windowed_dedup_events": q_windowed_dedup_events,
         "sb_bits_docs": q_sb_bits_docs,
+        "decontaminate_jaccard_docs": q_decontaminate_jaccard_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9438,6 +9491,7 @@ def oracle_sql() -> dict[str, str]:
         "snm_pairs_docs": SQL_SNM_PAIRS,
         "windowed_dedup_events": SQL_WINDOWED_DEDUP,
         "sb_bits_docs": SQL_SB_BITS,
+        "decontaminate_jaccard_docs": SQL_DECONTAMINATE_JACCARD,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

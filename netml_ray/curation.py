@@ -1393,3 +1393,106 @@ def temperature_sample(ds, key_col: str = "source",
             bucket < th[enc.indices.to_numpy(zero_copy_only=False)]))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def decontaminate_jaccard(ds, bench, *, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          tau: float = 0.5):
+    """Third decontamination mode (beside substring and 13-gram-hit):
+    flag any doc whose word-``n``-gram set has Jaccard ≥ ``tau``
+    against ANY benchmark document — the near-duplicate-of-eval rule
+    (GPT-3 appendix C uses the same set-overlap family).  EXACT, not
+    MinHash: the benchmark side is small by construction, so its
+    shingle sets broadcast whole and every doc computes true
+    intersections in one vectorized pass (sorted-array searchsorted
+    per benchmark; 64-bit gram hashes, the decontamination-hash
+    collision precedent).
+
+    ``bench`` is a list of benchmark text strings.  Returns the input
+    with ``max_jaccard`` (rounded 9) and ``contaminated`` appended."""
+    import ray
+
+    from netml_ray.textops import Tokenized
+
+    def _grams(texts):
+        # the SAME Tokenized/word-hash pipeline the scan side uses, so
+        # gram sets are bit-equal across the broadcast boundary
+        if not texts:
+            return []
+        col = pa.array(list(texts), pa.string())
+        tok = Tokenized(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(col, r"\s+", " ")))
+        wh = tok.word_hashes()
+        rowid = tok.rowid
+        live = tok.n_words[rowid] > 0
+        wh, rowid = wh[live], rowid[live]
+        out = []
+        for r in range(len(texts)):
+            hs = wh[rowid == r]
+            if len(hs) < n:
+                continue
+            g = hs[:len(hs) - n + 1].copy()
+            for j in range(1, n):
+                g = g * np.uint64(0x9E3779B97F4A7C15) \
+                    + hs[j:len(hs) - n + 1 + j]
+            out.append(np.unique(g))
+        return out
+
+    bench_sets = _grams(bench)
+    _guard_broadcast_bytes(sum(b.nbytes for b in bench_sets),
+                           "decontaminate_jaccard benchmark")
+    bref = ray.put(bench_sets)
+
+    class _Flag:
+        def __init__(self):
+            self.bench = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nrows = t.num_rows
+            mj = np.zeros(nrows, dtype=np.float64)
+            if nrows and self.bench:
+                tok = Tokenized(pc.utf8_trim_whitespace(
+                    pc.replace_substring_regex(t[text_col],
+                                               r"\s+", " ")))
+                wh = tok.word_hashes()
+                rowid = tok.rowid
+                live = tok.n_words[rowid] > 0
+                wh, rowid = wh[live], rowid[live]
+                if len(wh) >= n:
+                    ok = rowid[:len(rowid) - n + 1] \
+                        == rowid[n - 1:]
+                    g = wh[:len(wh) - n + 1].copy()
+                    for j in range(1, n):
+                        g = g * np.uint64(0x9E3779B97F4A7C15) \
+                            + wh[j:len(wh) - n + 1 + j]
+                    g, rows = g[ok], rowid[:len(rowid) - n + 1][ok]
+                    if len(g):
+                        # distinct grams per doc
+                        order = np.lexsort((g.view(np.int64), rows))
+                        g, rows = g[order], rows[order]
+                        keep = np.r_[True, (rows[1:] != rows[:-1])
+                                     | (g[1:] != g[:-1])]
+                        g, rows = g[keep], rows[keep]
+                        dn = np.bincount(rows, minlength=nrows) \
+                            .astype(np.float64)
+                        for bs in self.bench:
+                            pos = np.clip(
+                                np.searchsorted(bs, g), 0,
+                                len(bs) - 1)
+                            hit = (bs[pos] == g).astype(np.float64)
+                            inter = np.zeros(nrows)
+                            np.add.at(inter, rows, hit)
+                            denom = dn + float(len(bs)) - inter
+                            with np.errstate(invalid="ignore"):
+                                jac = np.where(denom > 0,
+                                               inter / denom, 0.0)
+                            np.maximum(mj, jac, out=mj)
+            t = t.append_column("max_jaccard",
+                                pa.array(np.round(mj, 9)))
+            return t.append_column("contaminated",
+                                   pa.array(mj >= tau))
+
+    from netml_ray.partition import auto_concurrency
+
+    return ds.map_batches(_Flag, batch_format="pyarrow",
+                          concurrency=auto_concurrency())

@@ -648,3 +648,40 @@ def test_temperature_sample_rates(ray_session):
                                "source", "doc_id",
                                frac=0.5).to_pandas()
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_decontaminate_jaccard_planted(ray_session):
+    """exact-copy and near-copy of a benchmark doc flag; unrelated
+    docs don't; max_jaccard matches a set-based brute."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.curation import decontaminate_jaccard
+
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(300)]
+    mk = lambda k: " ".join(rng.choice(vocab, k))
+    bench = [mk(40), mk(35)]
+    near = bench[0].split()
+    near[5] = "zzz"                      # 1-word mutation → high jacc
+    docs = [bench[0], " ".join(near), mk(50), mk(8), ""]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    out = decontaminate_jaccard(rd.from_arrow(t), bench, n=3,
+                                tau=0.5).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    def gset(s):
+        ws = s.split()
+        return {tuple(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    bsets = [gset(b) for b in bench]
+    for d, txt in enumerate(docs):
+        gs = gset(txt)
+        mj = max((len(gs & b) / len(gs | b) for b in bsets
+                  if gs | b), default=0.0)
+        assert abs(out.loc[d, "max_jaccard"] - round(mj, 9)) < 1e-9
+        assert out.loc[d, "contaminated"] == (mj >= 0.5)
+    assert bool(out.loc[0, "contaminated"])       # exact copy
+    assert bool(out.loc[1, "contaminated"])       # near copy
+    assert not out.loc[2, "contaminated"]
