@@ -627,6 +627,64 @@ FROM events
 """
 
 
+def q_csv_roundtrip_events(sf_dir: str):
+    """CSV source parity (the jsonl_docs precedent for the other
+    interchange format): events exported once to CSV under a
+    content-fingerprinted /tmp cache, read back with
+    ``ray.data.read_csv`` (streaming, block-per-file), aggregated per
+    event_type — proving ids, types and doubles survive the text
+    round trip.  Oracle: the same aggregate straight off parquet."""
+    import os
+
+    import ray.data as rd
+
+    cache = _cache_dir(sf_dir, "events", "netml_ray_csv")
+    if not os.path.isdir(cache) or not os.path.exists(
+            f"{cache}/_done"):
+        os.makedirs(cache, exist_ok=True)
+        _read(sf_dir, "events",
+              ["event_id", "event_type", "value"]).write_csv(cache)
+        open(f"{cache}/_done", "w").write("ok")
+
+    ev = rd.read_csv([f"{cache}/{f}" for f in sorted(os.listdir(cache))
+                      if f.endswith(".csv")])
+
+    def _agg(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        enc = pc.dictionary_encode(et)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=v, minlength=k))})
+
+    parts = ev.map_batches(_agg, batch_format="pyarrow")
+    acc: dict = {}
+    for bt in parts.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        for et, n, s in zip(bt["event_type"].to_pylist(),
+                            bt["n"].to_pylist(), bt["s"].to_pylist()):
+            c = acc.setdefault(et, [0, 0.0])
+            c[0] += n
+            c[1] += s
+    keys = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(keys),
+        "n_events": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "sum_value": pa.array([round(acc[k][1], 6) for k in keys])})
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_decontaminate_jaccard_docs(sf_dir: str):
     """Third decontamination mode (curation.decontaminate_jaccard):
     EXACT word-3-gram Jaccard ≥ 0.5 against any benchmark doc
@@ -9355,6 +9413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_dedup_events": q_windowed_dedup_events,
         "sb_bits_docs": q_sb_bits_docs,
         "decontaminate_jaccard_docs": q_decontaminate_jaccard_docs,
+        "csv_roundtrip_events": q_csv_roundtrip_events,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9492,6 +9551,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_dedup_events": SQL_WINDOWED_DEDUP,
         "sb_bits_docs": SQL_SB_BITS,
         "decontaminate_jaccard_docs": SQL_DECONTAMINATE_JACCARD,
+        "csv_roundtrip_events": SQL_CSV_ROUNDTRIP,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
