@@ -958,3 +958,25 @@ def test_fast_path_mlt_snm_windowed(ray_session, monkeypatch):
                                ["eid"]]):
         pd.testing.assert_frame_equal(_norm(dist[i], kcols),
                                       _norm(fast[i], kcols))
+
+
+def test_fast_path_trigram_counts(ray_session, monkeypatch):
+    """_trigram_hash_counts' code exchange: fast == distributed."""
+    import ray.data as rd
+
+    from netml_ray.textstats import _trigram_hash_counts
+
+    rng = np.random.default_rng(91)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [" ".join(rng.choice(vocab, int(k)))
+             for k in rng.integers(0, 25, 300)]
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    def run():
+        return _trigram_hash_counts(
+            rd.from_arrow(t), text_col="text").to_pandas()
+
+    dist, fast = _both_ways(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(dist, ["kind", "code"]),
+                                  _norm(fast, ["kind", "code"]))
