@@ -627,6 +627,61 @@ FROM events
 """
 
 
+def q_weighted_paths_partsupp(sf_dir: str):
+    """Weighted shortest paths (graph.bellman_ford, 3 Jacobi rounds =
+    exact min over ≤3-edge paths, matching the recursive-CTE walk):
+    integer edge weight 1+(p+s)%5 over the symmetrized part↔supplier
+    graph from the smallest part node.  Edges stay distributed; each
+    round is ONE narrow relax pass with the frozen distance vector
+    broadcast; all arithmetic int64 — exact."""
+    import pyarrow.parquet as pq
+
+    from netml_ray.graph import bellman_ford
+
+    pmin = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey"])["l_partkey"] \
+        .to_numpy().min()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy()
+        s = t["l_suppkey"].to_numpy()
+        # distinct within batch is an optimization only; parallel
+        # edges are harmless under MIN relax semantics
+        w = 1 + (p + s) % 5
+        return pa.table({
+            "src": pa.array(np.r_[2 * p, 2 * s + 1]),
+            "dst": pa.array(np.r_[2 * s + 1, 2 * p]),
+            "w": pa.array(np.r_[w, w].astype(np.int64))})
+
+    edges = li.map_batches(_edges, batch_format="pyarrow")
+    res = bellman_ford(edges, [2 * int(pmin)], rounds=3)
+    return pa.table({"node": _node_labels(res["node"].to_numpy()),
+                     "dist": res["dist"]})
+
+
+SQL_WEIGHTED_PATHS = """
+WITH RECURSIVE
+pe AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT 2 * p AS src, 2 * s + 1 AS dst,
+                 1 + (p + s) % 5 AS w FROM pe
+          UNION ALL
+          SELECT 2 * s + 1 AS src, 2 * p AS dst,
+                 1 + (p + s) % 5 AS w FROM pe),
+walk(node, d, hops) AS (
+  SELECT (SELECT 2 * min(l_partkey) FROM lineitem),
+         CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + e.w, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 3)
+SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
 def q_csv_roundtrip_events(sf_dir: str):
     """CSV source parity (the jsonl_docs precedent for the other
     interchange format): events exported once to CSV under a
@@ -9414,6 +9469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sb_bits_docs": q_sb_bits_docs,
         "decontaminate_jaccard_docs": q_decontaminate_jaccard_docs,
         "csv_roundtrip_events": q_csv_roundtrip_events,
+        "weighted_paths_partsupp": q_weighted_paths_partsupp,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9552,6 +9608,7 @@ def oracle_sql() -> dict[str, str]:
         "sb_bits_docs": SQL_SB_BITS,
         "decontaminate_jaccard_docs": SQL_DECONTAMINATE_JACCARD,
         "csv_roundtrip_events": SQL_CSV_ROUNDTRIP,
+        "weighted_paths_partsupp": SQL_WEIGHTED_PATHS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

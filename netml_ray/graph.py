@@ -1138,3 +1138,85 @@ def label_propagation(edges, src: str = "src", dst: str = "dst", *,
 
     return pa.table({"node": pa.array(nodes),
                      "label": pa.array(labels)})
+
+
+def bellman_ford(edges, source_nodes, *, src: str = "src",
+                 dst: str = "dst", weight: str = "w",
+                 rounds: int = 3,
+                 max_nodes: int = 200_000_000) -> pa.Table:
+    """Weighted single/multi-source shortest paths, Bellman–Ford
+    Jacobi rounds: after round r every node holds the exact minimum
+    distance over paths of ≤ r edges (the unweighted analog is
+    :func:`bfs_hops`).  Relaxations read the FROZEN previous-round
+    vector, so the result is well-defined and matches the recursive-
+    CTE oracle's ≤-``rounds``-edge walk.
+
+    Scale shape: the edge Dataset stays distributed; each round is
+    ONE narrow map pass — per batch, a searchsorted lookup of src
+    distances against the broadcast vector, candidate = d + w, and a
+    lexsort/reduceat per-batch MIN per dst (partials are one row per
+    distinct dst, never edge rows); the driver folds mins.  The
+    distance vector is driver-side, bounded by ``max_nodes`` with a
+    loud fail (pagerank's documented rank-vector bound)."""
+    import ray
+
+    edges = edges.materialize()
+    keys = np.unique(np.asarray(list(source_nodes), dtype=np.int64))
+    if not len(keys):
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    dist = np.zeros(len(keys), dtype=np.int64)
+    for _ in range(rounds):
+        ref = ray.put((keys, dist))
+
+        def _relax(t: pa.Table) -> pa.Table:
+            k, d = ray.get(ref)
+            s = t[src].to_numpy()
+            dd = t[dst].to_numpy()
+            w = t[weight].to_numpy()
+            pos = np.clip(np.searchsorted(k, s), 0, len(k) - 1)
+            ok = k[pos] == s
+            if not ok.any():
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            cand = d[pos[ok]] + w[ok]
+            dn = dd[ok]
+            order = np.lexsort((cand, dn))
+            dn, cand = dn[order], cand[order]
+            first = np.r_[True, dn[1:] != dn[:-1]]
+            st = np.flatnonzero(first)
+            return pa.table({"node": pa.array(dn[st]),
+                             "d": pa.array(cand[st])})
+
+        acc: dict = {}
+        for bt in edges.map_batches(_relax, batch_format="pyarrow") \
+                       .iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+            for nd, dv in zip(bt["node"].to_numpy(),
+                              bt["d"].to_numpy()):
+                if nd not in acc or dv < acc[nd]:
+                    acc[nd] = dv
+        if not acc:
+            break
+        new_k = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+        new_d = np.fromiter(acc.values(), dtype=np.int64,
+                            count=len(acc))
+        merged = {int(k_): int(d_) for k_, d_ in zip(keys, dist)}
+        changed = False
+        for nd, dv in zip(new_k, new_d):
+            nd = int(nd)
+            if nd not in merged or dv < merged[nd]:
+                merged[nd] = int(dv)
+                changed = True
+        if len(merged) > max_nodes:
+            raise ValueError(
+                f"bellman_ford: reached set exceeds max_nodes="
+                f"{max_nodes}; shard the distance vector")
+        keys = np.fromiter(sorted(merged), dtype=np.int64,
+                           count=len(merged))
+        dist = np.array([merged[int(k_)] for k_ in keys],
+                        dtype=np.int64)
+        if not changed:
+            break
+    return pa.table({"node": pa.array(keys),
+                     "dist": pa.array(dist)})

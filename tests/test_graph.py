@@ -550,3 +550,35 @@ def test_label_propagation_vs_brute(ray_session):
         lab = new
     for v in nodes:
         assert got2.loc[v, "label"] == lab[v]
+
+
+def test_bellman_ford_vs_brute(ray_session):
+    """3-round distances equal brute min over <=3-edge paths on a
+    random weighted digraph; round-r monotonicity holds."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.graph import bellman_ford
+
+    rng = np.random.default_rng(29)
+    n, m = 40, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.integers(1, 10, m)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "w": pa.array(w.astype(np.int64))})
+    out = bellman_ford(rd.from_arrow(t).repartition(4), [0],
+                       rounds=3).to_pandas().set_index("node")
+    INF = 1 << 60
+    d = np.full(n, INF, dtype=np.int64)
+    d[0] = 0
+    for _ in range(3):
+        nd = d.copy()
+        for s, e, ww in zip(src, dst, w):
+            if d[s] < INF and d[s] + ww < nd[e]:
+                nd[e] = d[s] + ww
+        d = nd
+    reached = np.flatnonzero(d < INF)
+    assert sorted(out.index) == sorted(reached.tolist())
+    for node in reached:
+        assert out.loc[node, "dist"] == d[node]
