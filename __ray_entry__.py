@@ -627,6 +627,105 @@ FROM events
 """
 
 
+def q_dq_audit(sf_dir: str):
+    """Data-quality audit suite — ONE report row per check: four
+    referential-integrity checks (NULL-safe anti-join counts: orders→
+    customer, lineitem→part/supplier/orders), the candidate-key
+    uniqueness check on (l_orderkey, l_linenumber) (total − distinct
+    via one keyed exchange), and the events.user_id NULL count (one
+    narrow pass).  The pre-ingest gate a 100-TB pipeline runs before
+    anything else trusts the keys."""
+    from netml_ray.joins import anti_join
+    from netml_ray.partition import partition_map
+
+    def _ren(ds, old, new):
+        return ds.map_batches(
+            lambda t: pa.table({new: t[old]}),
+            batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey",
+                "l_suppkey"])
+    checks = []
+    checks.append(("orders_orphan_custkey", anti_join(
+        orders, _ren(_read(sf_dir, "customer", ["c_custkey"]),
+                     "c_custkey", "o_custkey"),
+        "o_custkey").count()))
+    checks.append(("lineitem_orphan_partkey", anti_join(
+        li.select_columns(["l_partkey"]),
+        _ren(_read(sf_dir, "part", ["p_partkey"]),
+             "p_partkey", "l_partkey"),
+        "l_partkey").count()))
+    checks.append(("lineitem_orphan_suppkey", anti_join(
+        li.select_columns(["l_suppkey"]),
+        _ren(_read(sf_dir, "supplier", ["s_suppkey"]),
+             "s_suppkey", "l_suppkey"),
+        "l_suppkey").count()))
+    checks.append(("lineitem_orphan_orderkey", anti_join(
+        li.select_columns(["l_orderkey"]),
+        _ren(_read(sf_dir, "orders", ["o_orderkey"]),
+             "o_orderkey", "l_orderkey"),
+        "l_orderkey").count()))
+
+    def _dup(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"n": pa.array([], pa.int64())})
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, (ok[1:] != ok[:-1]) | (ln[1:] != ln[:-1])]
+        return pa.table({
+            "n": pa.array([t.num_rows - int(first.sum())],
+                          pa.int64())})
+
+    dups = partition_map(
+        li.select_columns(["l_orderkey", "l_linenumber"]),
+        "l_orderkey", _dup,
+        sort_by=["l_orderkey", "l_linenumber"])
+    n_dup = sum(r["n"] for r in dups.take_all())
+    checks.append(("lineitem_dup_linenumber", int(n_dup)))
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    n_null = int(ev.count()
+                 - ev.map_batches(
+                     lambda t: t.filter(pc.is_valid(t["user_id"])),
+                     batch_format="pyarrow").count())
+    checks.append(("events_null_user", n_null))
+    return pa.table({
+        "check_name": pa.array([c for c, _ in checks]),
+        "n_violations": pa.array([int(n) for _, n in checks],
+                                 pa.int64())})
+
+
+SQL_DQ_AUDIT = """
+SELECT 'orders_orphan_custkey' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_partkey', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem_orphan_suppkey', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem_dup_linenumber',
+       CAST((SELECT count(*) FROM lineitem)
+            - (SELECT count(*) FROM
+               (SELECT DISTINCT l_orderkey, l_linenumber
+                FROM lineitem)) AS BIGINT)
+UNION ALL
+SELECT 'events_null_user', CAST(count(*) AS BIGINT)
+FROM events WHERE user_id IS NULL
+"""
+
+
 def q_weighted_paths_partsupp(sf_dir: str):
     """Weighted shortest paths (graph.bellman_ford, 3 Jacobi rounds =
     exact min over ≤3-edge paths, matching the recursive-CTE walk):
@@ -9470,6 +9569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_jaccard_docs": q_decontaminate_jaccard_docs,
         "csv_roundtrip_events": q_csv_roundtrip_events,
         "weighted_paths_partsupp": q_weighted_paths_partsupp,
+        "dq_audit": q_dq_audit,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9609,6 +9709,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_jaccard_docs": SQL_DECONTAMINATE_JACCARD,
         "csv_roundtrip_events": SQL_CSV_ROUNDTRIP,
         "weighted_paths_partsupp": SQL_WEIGHTED_PATHS,
+        "dq_audit": SQL_DQ_AUDIT,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
