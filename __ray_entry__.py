@@ -627,6 +627,60 @@ FROM events
 """
 
 
+def q_journey_distance_events(sf_dir: str):
+    """Journey-similarity composition: the 10 most common 3-event
+    user paths (event_paths → O(|types|³)-bounded count fold, tie →
+    lexicographic) pairwise-compared with the exact vectorized
+    Levenshtein DP (dedup.levenshtein_pairs_batch, DuckDB
+    levenshtein parity) — the funnel-mining "are these two flows
+    variants of each other" signal.  45 driver pairs; all heavy work
+    is the ONE keyed path exchange."""
+    from netml_ray.dedup import levenshtein_pairs_batch
+    from netml_ray.sequences import event_paths
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    paths = event_paths(ev, "user_id", "ts", "event_type",
+                        tiebreak="event_id", max_len=3)
+    acc: dict = {}
+    for bt in paths.select_columns(["path"]) \
+                   .iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        for p_ in bt["path"].to_pylist():
+            acc[p_] = acc.get(p_, 0) + 1
+    top = [p_ for p_, _ in sorted(acc.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:10]]
+    a_s, b_s = [], []
+    for x in top:
+        for y in top:
+            if x < y:
+                a_s.append(x)
+                b_s.append(y)
+    d = levenshtein_pairs_batch(a_s, b_s)
+    return pa.table({
+        "path_a": pa.array(a_s), "path_b": pa.array(b_s),
+        "dist": pa.array(d.astype(np.int64))})
+
+
+SQL_JOURNEY_DISTANCE = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+),
+c AS (SELECT path, count(*) AS n FROM p GROUP BY path),
+top AS (SELECT path FROM c ORDER BY n DESC, path LIMIT 10)
+SELECT a.path AS path_a, b.path AS path_b,
+       CAST(levenshtein(a.path, b.path) AS BIGINT) AS dist
+FROM top a JOIN top b ON a.path < b.path
+"""
+
+
 def q_dq_audit(sf_dir: str):
     """Data-quality audit suite — ONE report row per check: four
     referential-integrity checks (NULL-safe anti-join counts: orders→
@@ -9570,6 +9624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_events": q_csv_roundtrip_events,
         "weighted_paths_partsupp": q_weighted_paths_partsupp,
         "dq_audit": q_dq_audit,
+        "journey_distance_events": q_journey_distance_events,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9710,6 +9765,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_events": SQL_CSV_ROUNDTRIP,
         "weighted_paths_partsupp": SQL_WEIGHTED_PATHS,
         "dq_audit": SQL_DQ_AUDIT,
+        "journey_distance_events": SQL_JOURNEY_DISTANCE,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
