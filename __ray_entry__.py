@@ -627,6 +627,86 @@ FROM events
 """
 
 
+def q_contrastive_pairs_docs(sf_dir: str):
+    """Contrastive-pair generation for embedding training (SimCSE /
+    in-batch-negatives prep): per doc with ≥2 twenty-word chunks,
+    anchor = chunk 0, positive = chunk 1 (same-doc views), negative =
+    chunk 0 of an arithmetically-chosen OTHER doc (the
+    negative_samples modular rule — deterministic, reproducible).
+    Composition: one chunk explode (chunk_batch, overlap 0), two
+    narrow chunk-id filters, two co-partitioned hash joins."""
+    from netml_ray.curation import chunk_batch
+    from netml_ray.joins import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    chunks = docs.map_batches(
+        lambda t: chunk_batch(t, "text", size=20, overlap=0,
+                              id_col="doc_id"),
+        batch_format="pyarrow")
+
+    def _pick(cid: int, out: str):
+        def _f(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["chunk_id"], cid)
+            t = t.filter(m)
+            return pa.table({"doc_id": t["doc_id"],
+                             out: t["chunk_text"]})
+        return _f
+
+    a = chunks.map_batches(_pick(0, "anchor"), batch_format="pyarrow")
+    p = chunks.map_batches(_pick(1, "positive"),
+                           batch_format="pyarrow")
+    base = hash_join(a, p, "doc_id", how="inner", num_partitions=P)
+
+    def _neg_key(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        neg = (d * 2654435761 + 1) % n_docs
+        hit = neg == d
+        neg[hit] = (neg[hit] + 1) % n_docs
+        return t.append_column("neg_doc_id", pa.array(neg))
+
+    base = base.map_batches(_neg_key, batch_format="pyarrow")
+    negs = a.map_batches(
+        lambda t: pa.table({"neg_doc_id": t["doc_id"],
+                            "negative": t["anchor"]}),
+        batch_format="pyarrow")
+    return hash_join(base, negs, "neg_doc_id", how="inner",
+                     num_partitions=P)
+
+
+SQL_CONTRASTIVE_PAIRS = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ',
+                                                   'g')), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+seg AS (
+  SELECT doc_id, s AS cid,
+         array_to_string(ws[s*20 + 1 : least(s*20 + 20, len(ws))],
+                         ' ') AS ctext
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT)))
+                 AS s
+        FROM w)
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+a AS (SELECT doc_id, ctext AS anchor FROM seg WHERE cid = 0),
+p AS (SELECT doc_id, ctext AS positive FROM seg WHERE cid = 1),
+base AS (
+  SELECT a.doc_id, anchor, positive,
+         CASE WHEN (a.doc_id * 2654435761 + 1) % nd.n = a.doc_id
+              THEN ((a.doc_id * 2654435761 + 1) % nd.n + 1) % nd.n
+              ELSE (a.doc_id * 2654435761 + 1) % nd.n
+         END AS neg_doc_id
+  FROM a JOIN p USING (doc_id) CROSS JOIN nd
+)
+SELECT b.doc_id, b.anchor, b.positive, b.neg_doc_id,
+       n.anchor AS negative
+FROM base b JOIN a n ON n.doc_id = b.neg_doc_id
+"""
+
+
 def q_journey_distance_events(sf_dir: str):
     """Journey-similarity composition: the 10 most common 3-event
     user paths (event_paths → O(|types|³)-bounded count fold, tie →
@@ -9625,6 +9705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_paths_partsupp": q_weighted_paths_partsupp,
         "dq_audit": q_dq_audit,
         "journey_distance_events": q_journey_distance_events,
+        "contrastive_pairs_docs": q_contrastive_pairs_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9766,6 +9847,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_paths_partsupp": SQL_WEIGHTED_PATHS,
         "dq_audit": SQL_DQ_AUDIT,
         "journey_distance_events": SQL_JOURNEY_DISTANCE,
+        "contrastive_pairs_docs": SQL_CONTRASTIVE_PAIRS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
