@@ -627,6 +627,54 @@ FROM events
 """
 
 
+def q_linkage_clusters_docs(sf_dir: str):
+    """Record-linkage clusters: 3 synchronous min-label rounds
+    (graph.min_label_rounds — the label_propagation fixed-round
+    oracle precedent, all-integer, bitwise) over the symmetrized SNM
+    candidate graph — every doc in a candidate pair gets the min doc
+    id within ≤3 hops as its cluster id (= full connected components
+    once the diameter is covered).  Edges stay distributed; each
+    round is ONE narrow min-partial pass against the broadcast label
+    vector."""
+    from netml_ray.graph import min_label_rounds
+
+    pairs = q_snm_pairs_docs(sf_dir)
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        return pa.table({"src": pa.array(np.r_[a, b]),
+                         "dst": pa.array(np.r_[b, a])})
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow")
+    res = min_label_rounds(edges, rounds=3)
+    return pa.table({"doc_id": res["node"],
+                     "cluster": res["label"]})
+
+
+def _build_linkage_sql() -> str:
+    return f"""
+WITH pairs AS ({SQL_SNM_PAIRS}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+l0 AS (SELECT DISTINCT u AS node FROM e),
+lab0 AS (SELECT node, node AS lbl FROM l0),
+m1 AS (SELECT e.v AS node, min(a.lbl) AS m
+       FROM e JOIN lab0 a ON a.node = e.u GROUP BY e.v),
+lab1 AS (SELECT l.node, least(l.lbl, COALESCE(m1.m, l.lbl)) AS lbl
+         FROM lab0 l LEFT JOIN m1 USING (node)),
+m2 AS (SELECT e.v AS node, min(a.lbl) AS m
+       FROM e JOIN lab1 a ON a.node = e.u GROUP BY e.v),
+lab2 AS (SELECT l.node, least(l.lbl, COALESCE(m2.m, l.lbl)) AS lbl
+         FROM lab1 l LEFT JOIN m2 USING (node)),
+m3 AS (SELECT e.v AS node, min(a.lbl) AS m
+       FROM e JOIN lab2 a ON a.node = e.u GROUP BY e.v),
+lab3 AS (SELECT l.node, least(l.lbl, COALESCE(m3.m, l.lbl)) AS lbl
+         FROM lab2 l LEFT JOIN m3 USING (node))
+SELECT node AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM lab3
+"""
+
+
 def q_contrastive_pairs_docs(sf_dir: str):
     """Contrastive-pair generation for embedding training (SimCSE /
     in-batch-negatives prep): per doc with ≥2 twenty-word chunks,
@@ -9706,6 +9754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_audit": q_dq_audit,
         "journey_distance_events": q_journey_distance_events,
         "contrastive_pairs_docs": q_contrastive_pairs_docs,
+        "linkage_clusters_docs": q_linkage_clusters_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9848,6 +9897,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_audit": SQL_DQ_AUDIT,
         "journey_distance_events": SQL_JOURNEY_DISTANCE,
         "contrastive_pairs_docs": SQL_CONTRASTIVE_PAIRS,
+        "linkage_clusters_docs": _build_linkage_sql(),
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

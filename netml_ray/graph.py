@@ -1220,3 +1220,75 @@ def bellman_ford(edges, source_nodes, *, src: str = "src",
             break
     return pa.table({"node": pa.array(keys),
                      "dist": pa.array(dist)})
+
+
+def min_label_rounds(edges, *, src: str = "src", dst: str = "dst",
+                     rounds: int = 3,
+                     max_nodes: int = 200_000_000) -> pa.Table:
+    """FIXED-round synchronous min-label propagation over an edge
+    Dataset: after round r every node holds min{id(u) : u within ≤r
+    hops} — the deterministic, oracle-able prefix of connected-
+    components labeling (the label_propagation precedent: BOTH
+    engines run exactly ``rounds`` Jacobi rounds, so parity holds
+    whether or not the diameter has converged; run more rounds for
+    full components).
+
+    Edges stay distributed; each round is ONE narrow pass emitting
+    per-batch (dst, min incoming label) partials against the frozen
+    broadcast label vector; the driver folds mins.  Node set =
+    endpoints of the edges; the label vector is driver-side, bounded
+    by ``max_nodes`` with a loud fail."""
+    import ray
+
+    edges = edges.materialize()
+    ends = []
+    for bt in edges.select_columns([src, dst]) \
+                   .iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        ends.append(np.unique(np.r_[bt[src].to_numpy(),
+                                    bt[dst].to_numpy()]))
+    if not ends:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    keys = np.unique(np.concatenate(ends)).astype(np.int64)
+    if len(keys) > max_nodes:
+        raise ValueError(
+            f"min_label_rounds: {len(keys)} nodes exceeds max_nodes="
+            f"{max_nodes}; shard the label vector")
+    label = keys.copy()
+    for _ in range(rounds):
+        ref = ray.put((keys, label))
+
+        def _mins(t: pa.Table) -> pa.Table:
+            k, lab = ray.get(ref)
+            s = t[src].to_numpy()
+            d = t[dst].to_numpy()
+            ls = lab[np.searchsorted(k, s)]
+            order = np.lexsort((ls, d))
+            d, ls = d[order], ls[order]
+            first = np.r_[True, d[1:] != d[:-1]]
+            st = np.flatnonzero(first)
+            return pa.table({"node": pa.array(d[st]),
+                             "m": pa.array(ls[st])})
+
+        incoming: dict = {}
+        for bt in edges.map_batches(_mins, batch_format="pyarrow") \
+                       .iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+            for nd, m in zip(bt["node"].to_numpy(),
+                             bt["m"].to_numpy()):
+                if nd not in incoming or m < incoming[nd]:
+                    incoming[nd] = m
+        if not incoming:
+            break
+        pos = np.searchsorted(keys, np.fromiter(
+            incoming.keys(), dtype=np.int64, count=len(incoming)))
+        vals = np.fromiter(incoming.values(), dtype=np.int64,
+                           count=len(incoming))
+        nxt = label.copy()
+        np.minimum.at(nxt, pos, vals)
+        if (nxt == label).all():
+            break
+        label = nxt
+    return pa.table({"node": pa.array(keys),
+                     "label": pa.array(label)})

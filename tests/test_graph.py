@@ -582,3 +582,38 @@ def test_bellman_ford_vs_brute(ray_session):
     assert sorted(out.index) == sorted(reached.tolist())
     for node in reached:
         assert out.loc[node, "dist"] == d[node]
+
+
+def test_min_label_rounds_vs_brute(ray_session):
+    """r-round labels equal min id within <=r hops; enough rounds give
+    full components."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.graph import min_label_rounds
+
+    rng = np.random.default_rng(31)
+    # chain 10-11-12-...-19 (diameter 9) + random clutter
+    chain = np.arange(10, 20)
+    src = np.r_[chain[:-1], rng.integers(30, 60, 40)]
+    dst = np.r_[chain[1:], rng.integers(30, 60, 40)]
+    s = np.r_[src, dst]
+    d = np.r_[dst, src]
+    t = pa.table({"src": pa.array(s), "dst": pa.array(d)})
+    out3 = min_label_rounds(rd.from_arrow(t), rounds=3) \
+        .to_pandas().set_index("node")
+    # brute BFS min-label within <=3 hops
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in zip(s, d):
+        adj[a].add(b)
+    for node in out3.index:
+        seen = {node}
+        frontier = {node}
+        for _ in range(3):
+            frontier = set().union(*(adj[x] for x in frontier)) - seen
+            seen |= frontier
+        assert out3.loc[node, "label"] == min(seen)
+    full = min_label_rounds(rd.from_arrow(t), rounds=12) \
+        .to_pandas().set_index("node")
+    assert (full.loc[chain, "label"] == 10).all()
