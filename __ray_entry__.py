@@ -627,6 +627,98 @@ FROM events
 """
 
 
+def q_split_leakage_events(sf_dir: str):
+    """Split-leakage audit: cut events at the exact global p80 of ts
+    (sessionize.exact_quantiles — the interpolated quantile both
+    engines compute identically), then report per-fold sizes,
+    distinct users per fold, and the USER OVERLAP — the entity
+    leakage a global time cut silently creates (contrast with
+    temporal_split_events' per-key leak-free split).  Overlap =
+    co-partitioned distinct-user exchange, all counts narrow."""
+    from netml_ray.partition import partition_map
+    from netml_ray.sessionize import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ts_us", t["ts"].combine_chunks().cast(pa.int64()))
+
+    ev = ev.map_batches(_us, batch_format="pyarrow")
+    cut = exact_quantiles(ev, "ts_us", [0.8])[0]
+
+    def _sides(t: pa.Table) -> pa.Table:
+        tr = pc.less_equal(t["ts_us"], pa.scalar(cut, pa.float64()))
+        return pa.table({"user_id": t["user_id"],
+                         "in_train": tr})
+
+    tagged = ev.map_batches(_sides, batch_format="pyarrow")
+
+    def _fold(t: pa.Table) -> pa.Table:
+        # per-user any-train / any-test flags, run-segmented
+        u = t["user_id"].to_numpy()
+        tr = t["in_train"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, u[1:] != u[:-1]]
+        st = np.flatnonzero(first)
+        any_tr = np.logical_or.reduceat(tr, st)
+        any_te = np.logical_or.reduceat(~tr, st)
+        n = np.diff(np.r_[st, t.num_rows])
+        return pa.table({
+            "user_id": pa.array(u[st]),
+            "any_train": pa.array(any_tr),
+            "any_test": pa.array(any_te),
+            "n_train": pa.array(
+                np.add.reduceat(tr.astype(np.int64), st)),
+            "n_test": pa.array(
+                np.add.reduceat((~tr).astype(np.int64), st))})
+
+    per_user = partition_map(tagged, "user_id", _fold,
+                             num_partitions=P,
+                             sort_by=["user_id"])
+    n_train = n_test = u_train = u_test = u_both = 0
+    for bt in per_user.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+        at = bt["any_train"].to_numpy(zero_copy_only=False)
+        ae = bt["any_test"].to_numpy(zero_copy_only=False)
+        n_train += int(bt["n_train"].to_numpy().sum())
+        n_test += int(bt["n_test"].to_numpy().sum())
+        u_train += int(at.sum())
+        u_test += int(ae.sum())
+        u_both += int((at & ae).sum())
+    return pa.table({
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_test": pa.array([n_test], pa.int64()),
+        "users_train": pa.array([u_train], pa.int64()),
+        "users_test": pa.array([u_test], pa.int64()),
+        "users_leaked": pa.array([u_both], pa.int64())})
+
+
+SQL_SPLIT_LEAKAGE = """
+WITH c AS (
+  SELECT quantile_cont(epoch_us(ts), 0.8) AS cut FROM events
+),
+t AS (
+  SELECT user_id, epoch_us(ts) <= c.cut AS in_train
+  FROM events, c
+),
+u AS (
+  SELECT user_id, bool_or(in_train) AS any_train,
+         bool_or(NOT in_train) AS any_test
+  FROM t GROUP BY user_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM t WHERE in_train) AS n_train,
+  (SELECT CAST(count(*) AS BIGINT) FROM t WHERE NOT in_train)
+    AS n_test,
+  (SELECT CAST(count(*) AS BIGINT) FROM u WHERE any_train)
+    AS users_train,
+  (SELECT CAST(count(*) AS BIGINT) FROM u WHERE any_test)
+    AS users_test,
+  (SELECT CAST(count(*) AS BIGINT) FROM u
+   WHERE any_train AND any_test) AS users_leaked
+"""
+
+
 def q_linkage_clusters_docs(sf_dir: str):
     """Record-linkage clusters: 3 synchronous min-label rounds
     (graph.min_label_rounds — the label_propagation fixed-round
@@ -9755,6 +9847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journey_distance_events": q_journey_distance_events,
         "contrastive_pairs_docs": q_contrastive_pairs_docs,
         "linkage_clusters_docs": q_linkage_clusters_docs,
+        "split_leakage_events": q_split_leakage_events,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9898,6 +9991,7 @@ def oracle_sql() -> dict[str, str]:
         "journey_distance_events": SQL_JOURNEY_DISTANCE,
         "contrastive_pairs_docs": SQL_CONTRASTIVE_PAIRS,
         "linkage_clusters_docs": _build_linkage_sql(),
+        "split_leakage_events": SQL_SPLIT_LEAKAGE,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
