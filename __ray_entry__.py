@@ -627,6 +627,170 @@ FROM events
 """
 
 
+def q_data_card_docs(sf_dir: str):
+    """Per-source corpus DATA CARD (the summary artifact a curation
+    run publishes): docs, total/mean tokens, mean punct ratio, mean
+    char entropy, mean bigram-LM bits, and the duplicate-text rate
+    (1 - distinct/total normalized texts).  Shapes, all bounded: a
+    fused narrow pass folding O(sources) (count, sum) partials per
+    batch; LM means via ONE co-partitioned hash join (lm join source)
+    then the same narrow fold; dup rate via ONE text-hash-keyed
+    exchange emitting distinct (hash, source) count partials - the
+    driver only ever holds O(sources) rows.  Means rounded 6."""
+    import hashlib
+
+    from netml_ray.joins import hash_join
+    from netml_ray.partition import partition_map
+    from netml_ray.textops import (char_entropy_batch,
+                                   quality_score_batch,
+                                   token_count_batch)
+    from netml_ray.textstats import bigram_lm_bits
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = quality_score_batch(t)
+        t = token_count_batch(t)
+        t = char_entropy_batch(t)
+        src = t["source"].combine_chunks()
+        enc = pc.dictionary_encode(src)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+
+        def _sum(col):
+            v = t[col].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return np.bincount(codes, weights=v, minlength=k)
+
+        return pa.table({
+            "source": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "tok": pa.array(_sum("n_tokens")),
+            "punct": pa.array(_sum("punct_ratio")),
+            "ent": pa.array(_sum("char_entropy"))})
+
+    lm = bigram_lm_bits(docs).select_columns(["doc_id", "lm_bits"])
+    lm_src = hash_join(lm,
+                       docs.select_columns(["doc_id", "source"]),
+                       "doc_id", how="inner", num_partitions=P)
+
+    def _lm_partial(t: pa.Table) -> pa.Table:
+        src = t["source"].combine_chunks()
+        enc = pc.dictionary_encode(src)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        # the SQL lm CTE emits round-6 lm_bits; average the SAME
+        # rounded values so the mean sits on identical inputs
+        v = np.round(t["lm_bits"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64), 6)
+        ok = ~np.isnan(v)
+        return pa.table({
+            "source": enc.dictionary,
+            "lm_n": pa.array(np.bincount(codes[ok], minlength=k)
+                             .astype(np.int64)),
+            "lm_s": pa.array(np.bincount(codes[ok], weights=v[ok],
+                                         minlength=k))})
+
+    def _hashes(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            t["text"], r"\s+", " "))
+        th = np.array([int.from_bytes(
+            hashlib.blake2b(x.encode(), digest_size=8).digest(),
+            "big", signed=True) for x in norm.to_pylist()],
+            dtype=np.int64)
+        return pa.table({"h": pa.array(th), "source": t["source"]})
+
+    def _distinct_counts(t: pa.Table) -> pa.Table:
+        # sorted by (h, source): count distinct pairs per source
+        if not t.num_rows:
+            return pa.table({"source": t["source"],
+                             "nd": pa.array([], pa.int64())})
+        h = t["h"].to_numpy()
+        src = t["source"].combine_chunks()
+        head = np.r_[True, (h[1:] != h[:-1]) | pc.not_equal(
+            src.slice(1), src.slice(0, len(src) - 1))
+            .to_numpy(zero_copy_only=False)]
+        kept = src.filter(pa.array(head))
+        enc = pc.dictionary_encode(kept)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": enc.dictionary,
+            "nd": pa.array(np.bincount(
+                codes, minlength=len(enc.dictionary))
+                .astype(np.int64))})
+
+    distinct = partition_map(
+        docs.map_batches(_hashes, batch_format="pyarrow"),
+        "h", _distinct_counts, num_partitions=P,
+        sort_by=["h", "source"])
+
+    acc: dict = {}
+
+    def _fold(ds, fields):
+        for bt in ds.iter_batches(batch_size=None,
+                                  batch_format="pyarrow"):
+            for r in bt.to_pylist():
+                c = acc.setdefault(
+                    r["source"], {"n": 0, "tok": 0.0, "punct": 0.0,
+                                  "ent": 0.0, "lm_n": 0,
+                                  "lm_s": 0.0, "nd": 0})
+                for f in fields:
+                    c[f] += r[f]
+
+    _fold(docs.map_batches(_partial, batch_format="pyarrow"),
+          ["n", "tok", "punct", "ent"])
+    _fold(lm_src.map_batches(_lm_partial, batch_format="pyarrow"),
+          ["lm_n", "lm_s"])
+    _fold(distinct, ["nd"])
+    keys = sorted(acc)
+    a = acc
+    return pa.table({
+        "source": pa.array(keys),
+        "n_docs": pa.array([a[k]["n"] for k in keys], pa.int64()),
+        "total_tokens": pa.array([int(a[k]["tok"]) for k in keys],
+                                 pa.int64()),
+        "mean_tokens": pa.array(
+            [round(a[k]["tok"] / a[k]["n"], 6) for k in keys]),
+        "mean_punct_ratio": pa.array(
+            [round(a[k]["punct"] / a[k]["n"], 6) for k in keys]),
+        "mean_char_entropy": pa.array(
+            [round(a[k]["ent"] / a[k]["n"], 6) for k in keys]),
+        "mean_lm_bits": pa.array(
+            [round(a[k]["lm_s"] / a[k]["lm_n"], 6) if a[k]["lm_n"]
+             else None for k in keys], pa.float64()),
+        "dup_text_rate": pa.array(
+            [round(1.0 - a[k]["nd"] / a[k]["n"], 6)
+             for k in keys])})
+
+
+def _build_data_card_sql() -> str:
+    return f"""
+WITH q AS ({SQL_QUALITY}),
+tc AS ({SQL_TOKEN_COUNT}),
+ce AS ({SQL_CHAR_ENTROPY}),
+lm AS (SELECT doc_id, lm_bits FROM ({SQL_LM_BITS})),
+base AS (
+  SELECT d.doc_id, d.source,
+         trim(regexp_replace(d.text, '\\s+', ' ', 'g')) AS norm,
+         tc.n_tokens, q.punct_ratio, ce.char_entropy, lm.lm_bits
+  FROM documents d
+  JOIN q USING (doc_id) JOIN tc USING (doc_id)
+  JOIN ce USING (doc_id) LEFT JOIN lm USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(n_tokens) * 1.0 / count(*), 6) AS mean_tokens,
+       round(sum(punct_ratio) / count(*), 6) AS mean_punct_ratio,
+       round(sum(char_entropy) / count(*), 6) AS mean_char_entropy,
+       round(sum(lm_bits) / count(lm_bits), 6) AS mean_lm_bits,
+       round(1.0 - count(DISTINCT norm) * 1.0 / count(*), 6)
+         AS dup_text_rate
+FROM base GROUP BY source
+"""
+
+
 def q_split_leakage_events(sf_dir: str):
     """Split-leakage audit: cut events at the exact global p80 of ts
     (sessionize.exact_quantiles — the interpolated quantile both
@@ -9848,6 +10012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_pairs_docs": q_contrastive_pairs_docs,
         "linkage_clusters_docs": q_linkage_clusters_docs,
         "split_leakage_events": q_split_leakage_events,
+        "data_card_docs": q_data_card_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -9992,6 +10157,7 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs_docs": SQL_CONTRASTIVE_PAIRS,
         "linkage_clusters_docs": _build_linkage_sql(),
         "split_leakage_events": SQL_SPLIT_LEAKAGE,
+        "data_card_docs": _build_data_card_sql(),
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
