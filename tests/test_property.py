@@ -383,3 +383,24 @@ def test_prop_active_users_intervals(rows, w):
         exp = len({uu for uu, dd in zip(users, days)
                    if day - w + 1 <= dd <= day})
         assert wau[day - lo] == exp
+
+
+def test_segment_dedup_identity_when_unique(ray_session):
+    """Invariant: with all-unique segments, segment_dedup returns
+    every doc's normalized text unchanged (n_kept == n_total)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.curation import segment_dedup
+
+    # unique tokens everywhere → no segment can repeat
+    texts = [" ".join(f"t{d}_{i}" for i in range(k))
+             for d, k in enumerate([1, 5, 16, 17, 33, 0, 48])]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts),
+                                               dtype=np.int64)),
+                  "text": pa.array(texts)})
+    out = segment_dedup(rd.from_arrow(t), size=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for d, txt in enumerate(texts):
+        assert out.loc[d, "text"] == txt
+        assert out.loc[d, "n_kept"] == out.loc[d, "n_total"]
