@@ -627,6 +627,50 @@ FROM events
 """
 
 
+def q_dominant_period_events(sf_dir: str):
+    """Seasonality DETECTION (featstats.dominant_period): per event
+    type, the argmax-power periodogram frequency of the daily count
+    series (k = 1..D//2) and its period in days.  ONE narrow
+    (type, day) count-partial pass bounded by types × days; the DFT
+    runs on the driver over that tiny table.  C/S components rounded
+    before squaring on BOTH sides → bitwise power values and argmax."""
+    from netml_ray.featstats import dominant_period
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return dominant_period(ev, "event_type", "ts")
+
+
+SQL_DOMINANT_PERIOD = """
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+           AS day
+  FROM events
+),
+c AS (SELECT event_type, day, CAST(count(*) AS DOUBLE) AS n
+      FROM d GROUP BY 1, 2),
+dd AS (SELECT CAST(max(day) + 1 AS BIGINT) AS D FROM d),
+ks AS (SELECT unnest(range(1, dd.D // 2 + 1)) AS k FROM dd),
+comp AS (
+  SELECT c.event_type, ks.k,
+         round(sum(c.n * cos(2 * pi() * ks.k * c.day / dd.D)), 6)
+           AS rc,
+         round(sum(c.n * sin(2 * pi() * ks.k * c.day / dd.D)), 6)
+           AS rs
+  FROM c CROSS JOIN ks CROSS JOIN dd
+  GROUP BY 1, 2
+),
+p AS (SELECT event_type, k,
+             round(rc * rc + rs * rs, 6) AS pw FROM comp)
+SELECT event_type, CAST(k AS BIGINT) AS dominant_k,
+       round((SELECT D FROM dd) * 1.0 / k, 6) AS period_days,
+       pw AS power
+FROM p
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY pw DESC, k) = 1
+"""
+
+
 def q_data_card_docs(sf_dir: str):
     """Per-source corpus DATA CARD (the summary artifact a curation
     run publishes): docs, total/mean tokens, mean punct ratio, mean
@@ -10013,6 +10057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters_docs": q_linkage_clusters_docs,
         "split_leakage_events": q_split_leakage_events,
         "data_card_docs": q_data_card_docs,
+        "dominant_period_events": q_dominant_period_events,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -10158,6 +10203,7 @@ def oracle_sql() -> dict[str, str]:
         "linkage_clusters_docs": _build_linkage_sql(),
         "split_leakage_events": SQL_SPLIT_LEAKAGE,
         "data_card_docs": _build_data_card_sql(),
+        "dominant_period_events": SQL_DOMINANT_PERIOD,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,

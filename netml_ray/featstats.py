@@ -2041,3 +2041,80 @@ def anova_f(ds, group_col: str, val_col: str, *,
         "n": pa.array([int(nn)], pa.int64()),
         "eta_sq": pa.array([eta], pa.float64()),
         "f_stat": pa.array([f], pa.float64())})
+
+
+def dominant_period(ds, key_col: str, ts_col: str, *,
+                    day0_epoch_day: int = 19723,
+                    round_to: int = 6) -> pa.Table:
+    """Per-key dominant periodicity via a daily-count periodogram:
+    bucket events into days, DFT the count series (k = 1..D//2),
+    report the argmax-power frequency and its period in days — the
+    seasonality detector beside circadian/seasonal_dev (those assume
+    the period; this FINDS it).
+
+    Scale shape: ONE narrow (key, day) count-partial pass (the fold
+    is bounded by keys × days, not rows); the periodogram itself runs
+    on the driver over that tiny table.  Cross-engine determinism:
+    the C/S components are rounded to ``round_to`` BEFORE squaring
+    (their pre-round noise is ~1e-11 relative — far below the
+    quantum — while the squared magnitudes would straddle it), so
+    power values and the argmax rank bitwise-match the SQL oracle."""
+    acc: dict = {}
+    for bt in ds.select_columns([key_col, ts_col]) \
+                .map_batches(
+                    lambda t: _day_counts(t, key_col, ts_col,
+                                          day0_epoch_day),
+                    batch_size=None, batch_format="pyarrow") \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+        for k_, d_, n_ in zip(bt["k"].to_pylist(),
+                              bt["day"].to_pylist(),
+                              bt["n"].to_pylist()):
+            acc[(k_, d_)] = acc.get((k_, d_), 0) + n_
+    if not acc:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "dominant_k": pa.array([], pa.int64()),
+                         "period_days": pa.array([], pa.float64()),
+                         "power": pa.array([], pa.float64())})
+    big_d = max(d_ for _, d_ in acc) + 1
+    keys = sorted({k_ for k_, _ in acc})
+    out_k, out_p, out_w = [], [], []
+    for key in keys:
+        days = np.array([d_ for (k_, d_) in acc if k_ == key])
+        n = np.array([acc[(key, d_)] for d_ in days],
+                     dtype=np.float64)
+        best = None
+        for k_ in range(1, big_d // 2 + 1):
+            ang = 2 * np.pi * k_ * days / big_d
+            c = round(float((n * np.cos(ang)).sum()), round_to)
+            s = round(float((n * np.sin(ang)).sum()), round_to)
+            pw = round(c * c + s * s, round_to)
+            if best is None or pw > best[1]:
+                best = (k_, pw)
+        out_k.append(best[0])
+        out_p.append(round(big_d * 1.0 / best[0], round_to))
+        out_w.append(best[1])
+    return pa.table({
+        key_col: pa.array(keys),
+        "dominant_k": pa.array(out_k, pa.int64()),
+        "period_days": pa.array(out_p, pa.float64()),
+        "power": pa.array(out_w, pa.float64())})
+
+
+def _day_counts(t: pa.Table, key_col: str, ts_col: str,
+                day0: int) -> pa.Table:
+    ts = t[ts_col].combine_chunks()
+    if pa.types.is_timestamp(ts.type):
+        ts = ts.cast(pa.int64())
+    day = ts.to_numpy(zero_copy_only=False) // 86_400_000_000 - day0
+    key = t[key_col].combine_chunks()
+    enc = pc.dictionary_encode(key)
+    codes = enc.indices.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nd = int(day.max()) + 1 if len(day) else 0
+    comb = codes * max(nd, 1) + day
+    u, n = np.unique(comb, return_counts=True)
+    return pa.table({
+        "k": enc.dictionary.take(pa.array(u // max(nd, 1))),
+        "day": pa.array((u % max(nd, 1)).astype(np.int64)),
+        "n": pa.array(n.astype(np.int64))})

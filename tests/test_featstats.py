@@ -1296,3 +1296,36 @@ def test_mannwhitney_vs_brute(ray_session):
         {"v": pa.array(v2), "g": pa.array(g)})), "v", "g",
         "a", "b").to_pandas().iloc[0]
     assert shifted["z"] > 10.0
+
+
+def test_dominant_period_planted(ray_session):
+    """a planted 7-day cycle is detected (k = D/7); a flat series
+    never reports spurious dominant power above the planted one."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from netml_ray.featstats import dominant_period
+
+    rng = np.random.default_rng(4)
+    D = 28
+    rows_k, rows_t = [], []
+    day0_us = 19723 * 86_400_000_000
+    for d in range(D):
+        # weekly cycle: big spike every 7th day
+        n = 200 if d % 7 == 0 else 20
+        for _ in range(n):
+            rows_k.append("weekly")
+            rows_t.append(day0_us + d * 86_400_000_000
+                          + int(rng.integers(0, 86_400_000_000)))
+        for _ in range(30):
+            rows_k.append("flat")
+            rows_t.append(day0_us + d * 86_400_000_000
+                          + int(rng.integers(0, 86_400_000_000)))
+    t = pa.table({"k": pa.array(rows_k),
+                  "ts": pa.array(np.array(rows_t, dtype=np.int64)
+                                 .astype("datetime64[us]"))})
+    out = dominant_period(rd.from_arrow(t).repartition(4), "k",
+                          "ts").to_pandas().set_index("k")
+    assert out.loc["weekly", "dominant_k"] == 4          # 28/7
+    assert abs(out.loc["weekly", "period_days"] - 7.0) < 1e-9
+    assert out.loc["weekly", "power"] > out.loc["flat", "power"]
