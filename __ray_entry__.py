@@ -627,6 +627,86 @@ FROM events
 """
 
 
+def q_geo_clusters_events(sf_dir: str):
+    """Spatial blob clustering (DBSCAN-lite on the density grid):
+    occupied 5°×5° cells are nodes, 8-adjacent occupied cells are
+    edges, 3 synchronous min-label rounds give each blob its min cell
+    id — geo × graph composition (grid_stats occupancy exchange +
+    graph.min_label_rounds; the occupied-cell set is bounded by the
+    36×72 grid, so the adjacency build is O(cells) driver work)."""
+    import ray.data as rd
+
+    from netml_ray.geo import grid_stats
+    from netml_ray.graph import min_label_rounds
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    cells = grid_stats(ev, "user_id", "value") \
+        .select_columns(["cell_lat", "cell_lon"]).take_all()
+    occ = sorted({(r["cell_lat"], r["cell_lon"]) for r in cells})
+    occ_set = set(occ)
+    nid = {c: c[0] * 100_000 + c[1] for c in occ}
+    srcs, dsts = [], []
+    for (cy, cx) in occ:
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy or dx) and (cy + dy, cx + dx) in occ_set:
+                    srcs.append(nid[(cy, cx)])
+                    dsts.append(nid[(cy + dy, cx + dx)])
+    lab = {}
+    if srcs:
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array(srcs, pa.int64()),
+            "dst": pa.array(dsts, pa.int64())}))
+        res = min_label_rounds(edges, rounds=3)
+        lab = {int(n): int(l) for n, l in
+               zip(res["node"].to_pylist(),
+                   res["label"].to_pylist())}
+    # isolated occupied cells keep their own id (the SQL lab0 row)
+    out = [(cy, cx, lab.get(nid[(cy, cx)], nid[(cy, cx)]))
+           for (cy, cx) in occ]
+    return pa.table({
+        "cell_lat": pa.array([o[0] for o in out], pa.int64()),
+        "cell_lon": pa.array([o[1] for o in out], pa.int64()),
+        "cluster": pa.array([o[2] for o in out], pa.int64())})
+
+
+def _build_geo_clusters_sql() -> str:
+    return """
+WITH ll AS (
+  SELECT ((user_id * 2654435761) % 18000) / 100.0 - 90.0 AS lat,
+         ((user_id * 1103515245 + 12345) % 36000) / 100.0 - 180.0
+           AS lon
+  FROM events),
+occ AS (
+  SELECT DISTINCT
+         CAST(floor((lat + 90.0) / 5.0) AS BIGINT) AS cy,
+         CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS cx
+  FROM ll),
+nodes AS (SELECT cy, cx, cy * 100000 + cx AS node FROM occ),
+e AS (
+  SELECT a.node AS u, b.node AS v
+  FROM nodes a JOIN nodes b
+    ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+   AND a.node <> b.node),
+lab0 AS (SELECT node, node AS lbl FROM nodes),
+m1 AS (SELECT e.v AS node, min(a.lbl) AS m
+       FROM e JOIN lab0 a ON a.node = e.u GROUP BY e.v),
+lab1 AS (SELECT l.node, least(l.lbl, COALESCE(m1.m, l.lbl)) AS lbl
+         FROM lab0 l LEFT JOIN m1 USING (node)),
+m2 AS (SELECT e.v AS node, min(a.lbl) AS m
+       FROM e JOIN lab1 a ON a.node = e.u GROUP BY e.v),
+lab2 AS (SELECT l.node, least(l.lbl, COALESCE(m2.m, l.lbl)) AS lbl
+         FROM lab1 l LEFT JOIN m2 USING (node)),
+m3 AS (SELECT e.v AS node, min(a.lbl) AS m
+       FROM e JOIN lab2 a ON a.node = e.u GROUP BY e.v),
+lab3 AS (SELECT l.node, least(l.lbl, COALESCE(m3.m, l.lbl)) AS lbl
+         FROM lab2 l LEFT JOIN m3 USING (node))
+SELECT n.cy AS cell_lat, n.cx AS cell_lon,
+       CAST(l.lbl AS BIGINT) AS cluster
+FROM nodes n JOIN lab3 l USING (node)
+"""
+
+
 def q_dominant_period_events(sf_dir: str):
     """Seasonality DETECTION (featstats.dominant_period): per event
     type, the argmax-power periodogram frequency of the daily count
@@ -10058,6 +10138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_events": q_split_leakage_events,
         "data_card_docs": q_data_card_docs,
         "dominant_period_events": q_dominant_period_events,
+        "geo_clusters_events": q_geo_clusters_events,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -10204,6 +10285,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_events": SQL_SPLIT_LEAKAGE,
         "data_card_docs": _build_data_card_sql(),
         "dominant_period_events": SQL_DOMINANT_PERIOD,
+        "geo_clusters_events": _build_geo_clusters_sql(),
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
