@@ -627,6 +627,75 @@ FROM events
 """
 
 
+def q_oov_rate_docs(sf_dir: str):
+    """Tokenizer-prep OOV audit: per-doc out-of-vocabulary token rate
+    against the corpus top-10 vocabulary (top_tokens count exchange,
+    deterministic n-desc/token-asc boundary) — the vocabulary-
+    coverage metric that sizes a tokenizer's vocab.  Vocab broadcasts
+    in the closure; the scan is one narrow pass with membership
+    resolved on each batch's SMALL token dictionary, not the
+    stream."""
+    from netml_ray.textops import Tokenized, top_tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    vt = top_tokens(docs, k=10)
+    vocab = np.sort(np.asarray(vt["token"].to_pylist(), dtype=object))
+
+    def _score(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        n = np.zeros(nrows, dtype=np.int64)
+        oov = np.zeros(nrows, dtype=np.int64)
+        if nrows:
+            tok = Tokenized(t["text"])
+            live = tok.n_words[tok.rowid] > 0
+            rowid = tok.rowid[live]
+            codes = tok.codes[live]
+            ds_ = np.asarray(tok.dictionary.to_pylist(), dtype=object)
+            pos = np.clip(np.searchsorted(vocab, ds_), 0,
+                          max(len(vocab) - 1, 0))
+            in_v = (vocab[pos] == ds_) if len(vocab) \
+                else np.zeros(len(ds_), bool)
+            n = np.bincount(rowid, minlength=nrows)
+            oov = np.bincount(rowid[~in_v[codes]], minlength=nrows)
+        rate = np.where(n > 0, np.round(
+            oov / np.maximum(n, 1), 9), np.nan)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n.astype(np.int64)),
+            "n_oov": pa.array(oov.astype(np.int64)),
+            "oov_rate": pa.array(
+                [None if not np.isfinite(x) else float(x)
+                 for x in rate], pa.float64())})
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_OOV_RATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+v AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 10)
+),
+pd AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (
+           t.token NOT IN (SELECT token FROM v)) AS BIGINT) AS oov
+  FROM tok t GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(pd.n, 0) AS n_tokens,
+       COALESCE(pd.oov, 0) AS n_oov,
+       CASE WHEN pd.n > 0
+            THEN round(pd.oov * 1.0 / pd.n, 9) END AS oov_rate
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_geo_clusters_events(sf_dir: str):
     """Spatial blob clustering (DBSCAN-lite on the density grid):
     occupied 5°×5° cells are nodes, 8-adjacent occupied cells are
@@ -10139,6 +10208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_card_docs": q_data_card_docs,
         "dominant_period_events": q_dominant_period_events,
         "geo_clusters_events": q_geo_clusters_events,
+        "oov_rate_docs": q_oov_rate_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -10286,6 +10356,7 @@ def oracle_sql() -> dict[str, str]:
         "data_card_docs": _build_data_card_sql(),
         "dominant_period_events": SQL_DOMINANT_PERIOD,
         "geo_clusters_events": _build_geo_clusters_sql(),
+        "oov_rate_docs": SQL_OOV_RATE,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
