@@ -627,6 +627,93 @@ FROM events
 """
 
 
+def q_token_burstiness_docs(sf_dir: str):
+    """Token burstiness (Church–Gale): variance-to-mean ratio of each
+    top-20 token's per-doc count, zeros included — VMR ≈ 1 is
+    Poisson-like function words, VMR ≫ 1 is bursty content words (a
+    term-weighting/stopword diagnostic).  ONE narrow pass of per-batch
+    (token, Σc, Σc², n_docs_with) partials over each batch's small
+    dictionary; O(vocab) driver fold; moments from power sums with
+    the shared round-6 hedge."""
+    from netml_ray.textops import Tokenized
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        tok = Tokenized(t["text"])
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "s": pa.array([], pa.int64()),
+                          "sq": pa.array([], pa.int64()),
+                          "nd": pa.array([], pa.int64())})
+        if not len(tok.codes):
+            return empty
+        live = tok.n_words[tok.rowid] > 0
+        rowid = tok.rowid[live]
+        codes = tok.codes[live].astype(np.int64)
+        k = len(tok.dictionary)
+        comb = rowid * k + codes
+        u, c = np.unique(comb, return_counts=True)
+        vid = u % k
+        s = np.bincount(vid, weights=c, minlength=k)
+        sq = np.bincount(vid, weights=c.astype(np.float64) ** 2,
+                         minlength=k)
+        nd = np.bincount(vid, minlength=k)
+        keep = nd > 0
+        return pa.table({
+            "token": tok.dictionary.filter(pa.array(keep)),
+            "s": pa.array(s[keep].astype(np.int64)),
+            "sq": pa.array(sq[keep].astype(np.int64)),
+            "nd": pa.array(nd[keep].astype(np.int64))})
+
+    acc: dict = {}
+    for bt in docs.map_batches(_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_size=None,
+                                batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            c = acc.setdefault(r["token"], [0, 0, 0])
+            c[0] += r["s"]
+            c[1] += r["sq"]
+            c[2] += r["nd"]
+    top = sorted(acc.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    rows = []
+    for tok_, (s, sq, nd) in top:
+        mean = s / n_docs
+        var = sq / n_docs - mean * mean
+        rows.append((tok_, s, nd, round(mean, 6),
+                     round(var / mean, 6)))
+    return pa.table({
+        "token": pa.array([r[0] for r in rows]),
+        "n_total": pa.array([r[1] for r in rows], pa.int64()),
+        "n_docs_with": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_per_doc": pa.array([r[3] for r in rows]),
+        "vmr": pa.array([r[4] for r in rows])})
+
+
+SQL_TOKEN_BURSTINESS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+tc AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM tc GROUP BY token
+),
+nd0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+top AS (SELECT * FROM agg ORDER BY s DESC, token LIMIT 20)
+SELECT token, s AS n_total, nd AS n_docs_with,
+       round(s / nd0.n, 6) AS mean_per_doc,
+       round((sq / nd0.n - (s / nd0.n) * (s / nd0.n))
+             / (s / nd0.n), 6) AS vmr
+FROM top, nd0
+"""
+
+
 def q_oov_rate_docs(sf_dir: str):
     """Tokenizer-prep OOV audit: per-doc out-of-vocabulary token rate
     against the corpus top-10 vocabulary (top_tokens count exchange,
@@ -10209,6 +10296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_period_events": q_dominant_period_events,
         "geo_clusters_events": q_geo_clusters_events,
         "oov_rate_docs": q_oov_rate_docs,
+        "token_burstiness_docs": q_token_burstiness_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -10357,6 +10445,7 @@ def oracle_sql() -> dict[str, str]:
         "dominant_period_events": SQL_DOMINANT_PERIOD,
         "geo_clusters_events": _build_geo_clusters_sql(),
         "oov_rate_docs": SQL_OOV_RATE,
+        "token_burstiness_docs": SQL_TOKEN_BURSTINESS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "decayed_sum_events": SQL_DECAYED_SUM,
