@@ -627,6 +627,80 @@ FROM events
 """
 
 
+def q_kwic_docs(sf_dir: str):
+    """Keyword-in-context snippets (the retrieval hit-highlighting
+    stage after keyword_search): for every doc containing 'customer',
+    the FIRST occurrence position (1-based) and the ±5-word window
+    around it.  ONE narrow pass: term membership resolved on each
+    batch's small dictionary, first hit per row via a run-head take,
+    snippets materialized with one ListArray slice + pc.binary_join —
+    no per-row Python."""
+    from netml_ray.textops import Tokenized
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    TERM = "customer"
+
+    def _kwic(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": t["doc_id"].slice(0, 0),
+            "pos": pa.array([], pa.int64()),
+            "snippet": pa.array([], pa.string())})
+        if not t.num_rows:
+            return empty
+        tok = Tokenized(t["text"])
+        ds_ = np.asarray(tok.dictionary.to_pylist(), dtype=object)
+        is_term = ds_ == TERM
+        live = tok.n_words[tok.rowid] > 0
+        hits = is_term[tok.codes] & live
+        if not hits.any():
+            return empty
+        idx = np.flatnonzero(hits)
+        rows = tok.rowid[idx]
+        first = np.r_[True, rows[1:] != rows[:-1]]
+        idx, rows = idx[first], rows[first]
+        word_pos = idx - tok.offsets[rows]           # 0-based in doc
+        n = tok.n_words[rows]
+        lo = np.maximum(word_pos - 5, 0)
+        hi = np.minimum(word_pos + 6, n)             # exclusive
+        words = tok.dictionary.take(pa.array(tok.codes))
+        offs = np.empty(2 * len(rows), dtype=np.int64)
+        offs[0::2] = tok.offsets[rows] + lo
+        offs[1::2] = tok.offsets[rows] + hi
+        # slices [lo,hi) as every OTHER list of an interleaved array
+        inter = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)), words)
+        snip = pc.binary_join(inter, " ")
+        snip = snip.take(pa.array(np.arange(0, len(offs) - 1, 2)))
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(rows)),
+            "pos": pa.array((word_pos + 1).astype(np.int64)),
+            "snippet": snip})
+
+    return docs.map_batches(_kwic, batch_format="pyarrow")
+
+
+SQL_KWIC = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS token,
+         generate_subscripts(ws, 1) AS pos
+  FROM w
+),
+h AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS pos
+  FROM tok WHERE token = 'customer' GROUP BY doc_id
+)
+SELECT h.doc_id, h.pos,
+       array_to_string(
+         w.ws[greatest(1, h.pos - 5) : least(len(w.ws), h.pos + 5)],
+         ' ') AS snippet
+FROM h JOIN w USING (doc_id)
+"""
+
+
 def q_token_burstiness_docs(sf_dir: str):
     """Token burstiness (Church–Gale): variance-to-mean ratio of each
     top-20 token's per-doc count, zeros included — VMR ≈ 1 is
@@ -10296,6 +10370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_period_events": q_dominant_period_events,
         "geo_clusters_events": q_geo_clusters_events,
         "oov_rate_docs": q_oov_rate_docs,
+        "kwic_docs": q_kwic_docs,
         "token_burstiness_docs": q_token_burstiness_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
@@ -10445,6 +10520,7 @@ def oracle_sql() -> dict[str, str]:
         "dominant_period_events": SQL_DOMINANT_PERIOD,
         "geo_clusters_events": _build_geo_clusters_sql(),
         "oov_rate_docs": SQL_OOV_RATE,
+        "kwic_docs": SQL_KWIC,
         "token_burstiness_docs": SQL_TOKEN_BURSTINESS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
