@@ -627,6 +627,62 @@ FROM events
 """
 
 
+def q_gopher_pass_rate_docs(sf_dir: str):
+    """Filter-funnel BY SOURCE: per-source Gopher pass rate (docs,
+    kept, rate) — the per-provenance quality report a curation run
+    reads before re-weighting its mixture.  ONE fused narrow pass
+    (gopher verdict + source keyed to the batch's tiny source
+    dictionary, O(sources) partials), driver fold."""
+    from netml_ray.textops import gopher_quality_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = gopher_quality_batch(t)
+        src = g["source"].combine_chunks()
+        enc = pc.dictionary_encode(src)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keep = g["gopher_keep"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "source": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "kept": pa.array(np.bincount(codes, weights=keep,
+                                         minlength=k)
+                             .astype(np.int64))})
+
+    acc: dict = {}
+    for bt in docs.map_batches(_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_size=None,
+                                batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            c = acc.setdefault(r["source"], [0, 0])
+            c[0] += r["n"]
+            c[1] += r["kept"]
+    keys = sorted(acc)
+    return pa.table({
+        "source": pa.array(keys),
+        "n_docs": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_kept": pa.array([acc[k][1] for k in keys], pa.int64()),
+        "pass_rate": pa.array(
+            [round(acc[k][1] / acc[k][0], 9) for k in keys])})
+
+
+def _build_gopher_rate_sql() -> str:
+    return f"""
+WITH g AS ({SQL_GOPHER})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (g.gopher_keep) AS BIGINT) AS n_kept,
+       round(count(*) FILTER (g.gopher_keep) * 1.0 / count(*), 9)
+         AS pass_rate
+FROM documents d JOIN g USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def q_kwic_docs(sf_dir: str):
     """Keyword-in-context snippets (the retrieval hit-highlighting
     stage after keyword_search): for every doc containing 'customer',
@@ -10371,6 +10427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_clusters_events": q_geo_clusters_events,
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
+        "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
         "token_burstiness_docs": q_token_burstiness_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
@@ -10521,6 +10578,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_clusters_events": _build_geo_clusters_sql(),
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
+        "gopher_pass_rate_docs": _build_gopher_rate_sql(),
         "token_burstiness_docs": SQL_TOKEN_BURSTINESS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
