@@ -627,6 +627,76 @@ FROM events
 """
 
 
+def q_type_gram_events(sf_dir: str):
+    """Co-engagement Gram matrix: G[a,b] = Σ_users c(u,a)·c(u,b) over
+    per-user event-type count vectors (the weighted generalization of
+    set co-occurrence — the item-item matrix a count-based
+    recommender factorizes).  ONE user-keyed exchange; each partition
+    accumulates its runs' outer products into a ≤|types|² partial
+    (run-segmented bincount math, no per-user Python), driver folds
+    O(types²) rows.  Upper triangle incl. diagonal, integer exact."""
+    from netml_ray.partition import partition_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    empty = pa.table({"type_a": pa.array([], pa.string()),
+                      "type_b": pa.array([], pa.string()),
+                      "g": pa.array([], pa.int64())})
+
+    def _gram(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        u = t["user_id"].to_numpy()
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(enc.dictionary)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        nruns = len(starts)
+        run_id = np.repeat(np.arange(nruns),
+                           np.diff(np.r_[starts, t.num_rows]))
+        # per-(run, type) counts: one bincount over the combined code
+        cnt = np.bincount(run_id * k + codes,
+                          minlength=nruns * k).reshape(nruns, k)
+        g = cnt.T @ cnt                      # k×k, tiny
+        ia, ib = np.triu_indices(k)
+        vals = g[ia, ib]
+        keep = vals > 0
+        return pa.table({
+            "type_a": enc.dictionary.take(pa.array(ia[keep])),
+            "type_b": enc.dictionary.take(pa.array(ib[keep])),
+            "g": pa.array(vals[keep].astype(np.int64))})
+
+    partials = partition_map(ev, "user_id", _gram,
+                             num_partitions=P,
+                             sort_by=["user_id", "event_type"])
+    acc: dict = {}
+    for bt in partials.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            key = (min(r["type_a"], r["type_b"]),
+                   max(r["type_a"], r["type_b"]))
+            acc[key] = acc.get(key, 0) + r["g"]
+    keys = sorted(acc)
+    return pa.table({
+        "type_a": pa.array([a for a, _ in keys]),
+        "type_b": pa.array([b for _, b in keys]),
+        "g": pa.array([acc[k] for k in keys], pa.int64())})
+
+
+SQL_TYPE_GRAM = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(sum(a.n * b.n) AS BIGINT) AS g
+FROM c a JOIN c b
+  ON a.user_id = b.user_id AND a.event_type <= b.event_type
+GROUP BY 1, 2
+"""
+
+
 def q_gopher_pass_rate_docs(sf_dir: str):
     """Filter-funnel BY SOURCE: per-source Gopher pass rate (docs,
     kept, rate) — the per-provenance quality report a curation run
@@ -10428,6 +10498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "type_gram_events": q_type_gram_events,
         "token_burstiness_docs": q_token_burstiness_docs,
         # rows-only multimodal surface (binary decode isn't
         # SQL-expressible; kernels pinned by tests/test_salted_multimodal)
@@ -10579,6 +10650,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "type_gram_events": SQL_TYPE_GRAM,
         "token_burstiness_docs": SQL_TOKEN_BURSTINESS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
         "dup_spans_docs": SQL_DUP_SPANS,
