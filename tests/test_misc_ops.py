@@ -518,3 +518,34 @@ def test_top_token_per_doc_semantics(ray_session):
     assert out.loc[1, "top_token"] == "a" and out.loc[1, "n"] == 2
     assert out.loc[2, "top_token"] == "z" and out.loc[2, "n"] == 2
     assert out.loc[4, "top_token"] == "solo"
+
+
+def test_kwic_window_edges(ray_session):
+    """KWIC snippets clamp at doc boundaries and use the FIRST hit."""
+    import sys
+
+    import pyarrow as pa
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "customer at start of doc here now",
+            "a b c d e f customer g h i j k l",
+            "no hit in this one",
+            "x customer y customer z"])})
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        res = m.queries()["kwic_docs"](d).to_pandas() \
+            .set_index("doc_id")
+    assert res.loc[0, "pos"] == 1
+    assert res.loc[0, "snippet"] == "customer at start of doc here"
+    assert res.loc[1, "pos"] == 7
+    assert res.loc[1, "snippet"] == "b c d e f customer g h i j k"
+    assert 2 not in res.index
+    assert res.loc[3, "pos"] == 2          # first hit wins
+    assert res.loc[3, "snippet"] == "x customer y customer z"
