@@ -627,6 +627,95 @@ FROM events
 """
 
 
+def q_text_embedding_corr(sf_dir: str):
+    """Cross-modal sanity audit: Pearson correlation between a doc's
+    bigram-LM bits (text modality) and its embedding's L2 norm
+    (vector modality), joined doc_id = vec_id — the drift check that
+    catches a mis-aligned embedding export.  ONE co-partitioned hash
+    join + one narrow power-sum partial pass (n, Σx, Σy, Σx², Σy²,
+    Σxy — six doubles/batch); round-6 hedge on the moments chain."""
+    from netml_ray.joins import hash_join
+    from netml_ray.textstats import bigram_lm_bits
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lm = bigram_lm_bits(docs).select_columns(["doc_id", "lm_bits"]) \
+        .map_batches(lambda t: _hedge_round_cols(t, ["lm_bits"], 6),
+                     batch_format="pyarrow")
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _norms(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.float64) \
+            .reshape(t.num_rows, -1)
+        return pa.table({
+            "doc_id": t["vec_id"],
+            "nrm": pa.array(np.round(
+                np.sqrt((m * m).sum(axis=1)), 6))})
+
+    norms = emb.map_batches(_norms, batch_format="pyarrow")
+    j = hash_join(lm, norms, "doc_id", how="inner",
+                  num_partitions=P)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t["lm_bits"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = t["nrm"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = ~np.isnan(x) & ~np.isnan(y)
+        x, y = x[ok], y[ok]
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]),
+            "sxy": pa.array([(x * y).sum()])})
+
+    n = sx = sy = sxx = syy = sxy = 0.0
+    for bt in j.map_batches(_partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None,
+                             batch_format="pyarrow"):
+        n += bt["n"][0].as_py()
+        sx += bt["sx"][0].as_py()
+        sy += bt["sy"][0].as_py()
+        sxx += bt["sxx"][0].as_py()
+        syy += bt["syy"][0].as_py()
+        sxy += bt["sxy"][0].as_py()
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    r = cov / np.sqrt(vx * vy)
+    return pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "corr": pa.array([round(float(r), 6)])})
+
+
+def _build_text_emb_corr_sql() -> str:
+    return f"""
+WITH lm AS (SELECT doc_id, lm_bits FROM ({SQL_LM_BITS})),
+nrm AS (
+  SELECT vec_id AS doc_id,
+         round(sqrt(list_sum(list_transform(
+           embedding::DOUBLE[], x -> x * x))), 6) AS nrm
+  FROM embeddings
+),
+j AS (
+  SELECT lm.lm_bits AS x, nrm.nrm AS y
+  FROM lm JOIN nrm USING (doc_id)
+  WHERE lm.lm_bits IS NOT NULL AND nrm.nrm IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sxy / n - (sx / n) * (sy / n))
+             / sqrt((sxx / n - (sx / n) * (sx / n))
+                    * (syy / n - (sy / n) * (sy / n))), 6) AS corr
+FROM s
+"""
+
+
 def q_type_gram_events(sf_dir: str):
     """Co-engagement Gram matrix: G[a,b] = Σ_users c(u,a)·c(u,b) over
     per-user event-type count vectors (the weighted generalization of
@@ -10498,6 +10587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "text_embedding_corr": q_text_embedding_corr,
         "type_gram_events": q_type_gram_events,
         "token_burstiness_docs": q_token_burstiness_docs,
         # rows-only multimodal surface (binary decode isn't
@@ -10650,6 +10740,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "text_embedding_corr": _build_text_emb_corr_sql(),
         "type_gram_events": SQL_TYPE_GRAM,
         "token_burstiness_docs": SQL_TOKEN_BURSTINESS,
         "heavy_hitters_docs": SQL_HEAVY_HITTERS,
