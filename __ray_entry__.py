@@ -627,6 +627,134 @@ FROM events
 """
 
 
+def q_bm25_precision_docs(sf_dir: str):
+    """Retrieval EVALUATION: precision@20 of the BM25 ranking against
+    the contains-ALL-query-terms relevance rule — the quality metric
+    beside the ranking itself (bm25_docs).  The top-20 ids broadcast
+    in the closure; ONE narrow pass re-checks term membership on each
+    batch's small dictionary for just those docs."""
+    from netml_ray.textops import Tokenized
+
+    TERMS = ("customer", "spark", "window")
+    top = q_bm25_docs(sf_dir)
+    ids = set(top["doc_id"].to_pylist()
+              if isinstance(top, pa.Table)
+              else [r["doc_id"] for r in top.take_all()])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _rel(t: pa.Table) -> pa.Table:
+        mask = np.array([i in ids for i in t["doc_id"].to_pylist()])
+        t = t.filter(pa.array(mask))
+        if not t.num_rows:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "rel": pa.array([0], pa.int64())})
+        tok = Tokenized(t["text"])
+        ds_ = np.asarray(tok.dictionary.to_pylist(), dtype=object)
+        ok_all = np.ones(t.num_rows, dtype=bool)
+        for term in TERMS:
+            is_t = ds_ == term
+            has = np.zeros(t.num_rows, dtype=bool)
+            rows = tok.rowid[is_t[tok.codes]]
+            has[np.unique(rows)] = True
+            ok_all &= has
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "rel": pa.array([int(ok_all.sum())], pa.int64())})
+
+    n = rel = 0
+    for bt in docs.map_batches(_rel, batch_format="pyarrow") \
+                  .iter_batches(batch_size=None,
+                                batch_format="pyarrow"):
+        n += bt["n"][0].as_py()
+        rel += bt["rel"][0].as_py()
+    return pa.table({
+        "k": pa.array([20], pa.int64()),
+        "n_relevant": pa.array([rel], pa.int64()),
+        "precision_at_k": pa.array([round(rel / 20.0, 9)])})
+
+
+def _build_bm25_precision_sql() -> str:
+    return f"""
+WITH top AS ({SQL_BM25}),
+rel AS (
+  SELECT doc_id,
+         list_contains(regexp_split_to_array(trim(text), '\\s+'),
+                       'customer')
+     AND list_contains(regexp_split_to_array(trim(text), '\\s+'),
+                       'spark')
+     AND list_contains(regexp_split_to_array(trim(text), '\\s+'),
+                       'window') AS ok
+  FROM documents
+)
+SELECT CAST(20 AS BIGINT) AS k,
+       CAST(count(*) FILTER (rel.ok) AS BIGINT) AS n_relevant,
+       round(count(*) FILTER (rel.ok) / 20.0, 9) AS precision_at_k
+FROM top JOIN rel USING (doc_id)
+"""
+
+
+def q_dedup_savings_docs(sf_dir: str):
+    """Dedup impact report: docs/tokens before vs exact dedup
+    (normalized-text key, keep min id) and the saved fractions — the
+    one-row summary a curation run logs per shard.  Composition:
+    dedup_exact's hash exchange + two narrow token-count partials."""
+    from netml_ray.dedup import dedup_exact
+    from netml_ray.textops import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok_sum(ds):
+        n = t = 0
+        for bt in ds.map_batches(
+                lambda x: pa.table({
+                    "n": pa.array([x.num_rows], pa.int64()),
+                    "t": pa.array([int(
+                        token_count_batch(x)["n_tokens"]
+                        .to_numpy().sum())], pa.int64())}),
+                batch_size=None, batch_format="pyarrow") \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+            n += bt["n"][0].as_py()
+            t += bt["t"][0].as_py()
+        return n, t
+
+    n0, t0 = _tok_sum(docs)
+    kept = dedup_exact(docs, "text", "doc_id")
+    n1, t1 = _tok_sum(kept)
+    return pa.table({
+        "docs_before": pa.array([n0], pa.int64()),
+        "docs_after": pa.array([n1], pa.int64()),
+        "tokens_before": pa.array([t0], pa.int64()),
+        "tokens_after": pa.array([t1], pa.int64()),
+        "doc_frac_removed": pa.array([round(1.0 - n1 / n0, 9)]),
+        "token_frac_removed": pa.array([round(1.0 - t1 / t0, 9)])})
+
+
+SQL_DEDUP_SAVINGS = r"""
+WITH tc AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) END AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, n_tokens FROM tc
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM tc) AS docs_before,
+  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS docs_after,
+  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM tc) AS tokens_before,
+  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM kept) AS tokens_after,
+  round(1.0 - (SELECT count(*) FROM kept) * 1.0
+            / (SELECT count(*) FROM tc), 9) AS doc_frac_removed,
+  round(1.0 - (SELECT sum(n_tokens) FROM kept) * 1.0
+            / (SELECT sum(n_tokens) FROM tc), 9)
+    AS token_frac_removed
+"""
+
+
 def q_text_embedding_corr(sf_dir: str):
     """Cross-modal sanity audit: Pearson correlation between a doc's
     bigram-LM bits (text modality) and its embedding's L2 norm
@@ -10587,6 +10715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "bm25_precision_docs": q_bm25_precision_docs,
+        "dedup_savings_docs": q_dedup_savings_docs,
         "text_embedding_corr": q_text_embedding_corr,
         "type_gram_events": q_type_gram_events,
         "token_burstiness_docs": q_token_burstiness_docs,
@@ -10740,6 +10870,8 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "bm25_precision_docs": _build_bm25_precision_sql(),
+        "dedup_savings_docs": SQL_DEDUP_SAVINGS,
         "text_embedding_corr": _build_text_emb_corr_sql(),
         "type_gram_events": SQL_TYPE_GRAM,
         "token_burstiness_docs": SQL_TOKEN_BURSTINESS,
