@@ -627,6 +627,62 @@ FROM events
 """
 
 
+def q_ambient_activity_events(sf_dir: str):
+    """Cross-entity ambient-load feature: for every purchase, the
+    TOTAL event count (all users) within ±10 minutes — the
+    "site-wide activity at decision time" signal a per-key window
+    can't express.  The global time index is one narrow collected
+    int64 array (ks_test's bounded-collect precedent; loud fail above
+    the threshold, the binned-index variant is the scale path),
+    broadcast once; each purchase batch answers with two
+    searchsorted calls.  Integer exact."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    ts_parts = []
+    total = 0
+    for bt in ev.select_columns(["ts"]) \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+        a = bt["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts_parts.append(a)
+        total += len(a)
+        if total > 50_000_000:
+            raise ValueError(
+                "ambient_activity: index exceeds the collect "
+                "threshold; use the binned time index at this scale")
+    index = np.sort(np.concatenate(ts_parts))
+    ref = ray.put(index)
+    W = 600_000_000  # ±10 min in µs
+
+    def _count(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        t = t.filter(m)
+        idx = ray.get(ref)
+        ts = t["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(idx, ts - W, side="left")
+        hi = np.searchsorted(idx, ts + W, side="right")
+        return pa.table({
+            "event_id": t["event_id"],
+            "n_ambient": pa.array((hi - lo).astype(np.int64))})
+
+    return ev.map_batches(_count, batch_format="pyarrow")
+
+
+SQL_AMBIENT_ACTIVITY = """
+SELECT p.event_id,
+       CAST((SELECT count(*) FROM events e
+             WHERE epoch_us(e.ts)
+                   BETWEEN epoch_us(p.ts) - 600000000
+                       AND epoch_us(p.ts) + 600000000)
+            AS BIGINT) AS n_ambient
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 def q_bm25_precision_docs(sf_dir: str):
     """Retrieval EVALUATION: precision@20 of the BM25 ranking against
     the contains-ALL-query-terms relevance rule — the quality metric
@@ -10715,6 +10771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "ambient_activity_events": q_ambient_activity_events,
         "bm25_precision_docs": q_bm25_precision_docs,
         "dedup_savings_docs": q_dedup_savings_docs,
         "text_embedding_corr": q_text_embedding_corr,
@@ -10870,6 +10927,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "ambient_activity_events": SQL_AMBIENT_ACTIVITY,
         "bm25_precision_docs": _build_bm25_precision_sql(),
         "dedup_savings_docs": SQL_DEDUP_SAVINGS,
         "text_embedding_corr": _build_text_emb_corr_sql(),
