@@ -627,6 +627,68 @@ FROM events
 """
 
 
+def q_isotropy_embeddings(sf_dir: str):
+    """Embedding-space isotropy audit (anisotropy is the classic
+    representation-collapse smell): average pairwise cosine over ALL
+    vector pairs via the closed form (‖Σx̂‖² − n) / (n(n−1)) — no
+    pairwise stage, ONE narrow pass of per-batch (n, Σx̂) partials
+    (d+1 doubles per batch), driver finish.  Unit-normalized sums are
+    rounded per dim before the final dot on both sides."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.float64) \
+            .reshape(t.num_rows, -1)
+        nrm = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        mh = m / nrm
+        s = mh.sum(axis=0)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([s.tolist()],
+                          pa.list_(pa.float64()))})
+
+    n = 0
+    s = None
+    for bt in emb.map_batches(_partial, batch_format="pyarrow") \
+                 .iter_batches(batch_size=None,
+                               batch_format="pyarrow"):
+        n += bt["n"][0].as_py()
+        v = np.asarray(bt["s"][0].as_py())
+        s = v if s is None else s + v
+    s6 = np.round(s, 6)
+    mean_cos = ((s6 * s6).sum() - n) / (n * (n - 1.0))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mean_pairwise_cos": pa.array([round(float(mean_cos), 6)])})
+
+
+SQL_ISOTROPY = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+nv AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, v
+  FROM e
+),
+u AS (
+  SELECT vec_id, unnest(v) / nrm AS x,
+         generate_subscripts(v, 1) AS i
+  FROM nv
+),
+dimsum AS (SELECT i, round(sum(x), 6) AS s FROM u GROUP BY i),
+agg AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM e) AS n,
+         sum(s * s) AS ss
+  FROM dimsum
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((ss - n) / (n * (n - 1.0)), 6) AS mean_pairwise_cos
+FROM agg
+"""
+
+
 def q_ambient_activity_events(sf_dir: str):
     """Cross-entity ambient-load feature: for every purchase, the
     TOTAL event count (all users) within ±10 minutes — the
@@ -10771,6 +10833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "isotropy_embeddings": q_isotropy_embeddings,
         "ambient_activity_events": q_ambient_activity_events,
         "bm25_precision_docs": q_bm25_precision_docs,
         "dedup_savings_docs": q_dedup_savings_docs,
@@ -10927,6 +10990,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "isotropy_embeddings": SQL_ISOTROPY,
         "ambient_activity_events": SQL_AMBIENT_ACTIVITY,
         "bm25_precision_docs": _build_bm25_precision_sql(),
         "dedup_savings_docs": SQL_DEDUP_SAVINGS,
