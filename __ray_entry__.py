@@ -627,6 +627,48 @@ FROM events
 """
 
 
+def q_label_affinity_embeddings(sf_dir: str):
+    """Class-confusability audit: pairwise cosine between per-label
+    embedding centroids (labels whose centroids point the same way
+    are the pairs a classifier will confuse).  Composition on the
+    centroid partial pass — round-9 centroids on both sides, then an
+    O(labels²) driver matrix; round-6 cosines."""
+    import numpy as np
+
+    cents = q_embedding_centroids(sf_dir)
+    if not isinstance(cents, pa.Table):
+        cents = pa.Table.from_pandas(cents.to_pandas())
+    labels = cents["label"].to_pylist()
+    m = np.asarray([np.asarray(c, dtype=np.float64)
+                    for c in cents["centroid"].to_pylist()])
+    nrm = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    mh = m / nrm
+    g = mh @ mh.T
+    ia, ib = np.triu_indices(len(labels), k=1)
+    return pa.table({
+        "label_a": pa.array([labels[i] for i in ia],
+                            pa.int64()),
+        "label_b": pa.array([labels[j] for j in ib],
+                            pa.int64()),
+        "cos": pa.array(np.round(g[ia, ib], 6))})
+
+
+def _build_label_affinity_sql() -> str:
+    return f"""
+WITH c AS ({SQL_EMBEDDING_CENTROIDS}),
+n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(centroid, x -> x * x))) AS nrm,
+         centroid
+  FROM c
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(list_dot_product(a.centroid, b.centroid)
+             / (a.nrm * b.nrm), 6) AS cos
+FROM n a JOIN n b ON a.label < b.label
+"""
+
+
 def q_isotropy_embeddings(sf_dir: str):
     """Embedding-space isotropy audit (anisotropy is the classic
     representation-collapse smell): average pairwise cosine over ALL
@@ -10833,6 +10875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "label_affinity_embeddings": q_label_affinity_embeddings,
         "isotropy_embeddings": q_isotropy_embeddings,
         "ambient_activity_events": q_ambient_activity_events,
         "bm25_precision_docs": q_bm25_precision_docs,
@@ -10990,6 +11033,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "label_affinity_embeddings": _build_label_affinity_sql(),
         "isotropy_embeddings": SQL_ISOTROPY,
         "ambient_activity_events": SQL_AMBIENT_ACTIVITY,
         "bm25_precision_docs": _build_bm25_precision_sql(),
