@@ -627,6 +627,117 @@ FROM events
 """
 
 
+def q_bm25_ndcg_docs(sf_dir: str):
+    """Graded retrieval eval: nDCG@20 of the BM25 ranking with grade
+    = number of query terms present (0..3).  DCG over the ranking's
+    (score desc, doc_id) positions; IDCG from the corpus-wide grade
+    HISTOGRAM (one narrow O(4)-partial pass — the ideal ranking needs
+    only counts, never a sort).  One row: (k, dcg, idcg, ndcg),
+    round-6."""
+    from netml_ray.textops import Tokenized
+
+    TERMS = ("customer", "spark", "window")
+    top = q_bm25_docs(sf_dir)
+    if not isinstance(top, pa.Table):
+        top = pa.Table.from_pandas(top.to_pandas())
+    order = sorted(
+        zip(top["bm25"].to_pylist(), top["doc_id"].to_pylist()),
+        key=lambda sv: (-sv[0], sv[1]))
+    rank_ids = [d for _, d in order]
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _grades(t: pa.Table) -> pa.Table:
+        tok = Tokenized(t["text"])
+        ds_ = np.asarray(tok.dictionary.to_pylist(), dtype=object)
+        g = np.zeros(t.num_rows, dtype=np.int64)
+        for term in TERMS:
+            has = np.zeros(t.num_rows, dtype=bool)
+            rows = tok.rowid[(ds_ == term)[tok.codes]]
+            has[np.unique(rows)] = True
+            g += has
+        hist = np.bincount(g, minlength=4).astype(np.int64)
+        ids = t["doc_id"].to_pylist()
+        sel = {i: int(gv) for i, gv in zip(ids, g)
+               if i in top_ids}
+        return pa.table({
+            "hist": pa.array([hist.tolist()],
+                             pa.list_(pa.int64())),
+            "sel_ids": pa.array([list(sel.keys())],
+                                pa.list_(pa.int64())),
+            "sel_g": pa.array([list(sel.values())],
+                              pa.list_(pa.int64()))})
+
+    top_ids = set(rank_ids)
+    hist = np.zeros(4, dtype=np.int64)
+    grade_of = {}
+    for bt in docs.map_batches(_grades, batch_format="pyarrow") \
+                  .iter_batches(batch_size=None,
+                                batch_format="pyarrow"):
+        hist += np.asarray(bt["hist"][0].as_py())
+        for i, gv in zip(bt["sel_ids"][0].as_py(),
+                         bt["sel_g"][0].as_py()):
+            grade_of[i] = gv
+    k = len(rank_ids)
+    dcg = sum((2.0 ** grade_of.get(d, 0) - 1.0)
+              / np.log2(p + 2.0)
+              for p, d in enumerate(rank_ids))
+    ideal = []
+    for gv in (3, 2, 1, 0):
+        ideal.extend([gv] * int(hist[gv]))
+        if len(ideal) >= k:
+            break
+    idcg = sum((2.0 ** gv - 1.0) / np.log2(p + 2.0)
+               for p, gv in enumerate(ideal[:k]))
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "dcg": pa.array([round(float(dcg), 6)]),
+        "idcg": pa.array([round(float(idcg), 6)]),
+        "ndcg": pa.array([round(float(dcg / idcg), 6)
+                          if idcg else None], pa.float64())})
+
+
+def _build_bm25_ndcg_sql() -> str:
+    return f"""
+WITH top AS ({SQL_BM25}),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+  FROM top
+),
+g AS (
+  SELECT doc_id,
+         CAST(list_contains(regexp_split_to_array(trim(text),
+                                                  '\\s+'),
+                            'customer') AS BIGINT)
+       + CAST(list_contains(regexp_split_to_array(trim(text),
+                                                  '\\s+'),
+                            'spark') AS BIGINT)
+       + CAST(list_contains(regexp_split_to_array(trim(text),
+                                                  '\\s+'),
+                            'window') AS BIGINT) AS grade
+  FROM documents
+),
+dcg AS (
+  SELECT sum((pow(2, g.grade) - 1) / log2(r.pos + 1.0)) AS dcg
+  FROM ranked r JOIN g USING (doc_id)
+),
+ideal AS (
+  SELECT row_number() OVER (ORDER BY grade DESC, doc_id) AS pos,
+         grade
+  FROM g QUALIFY pos <= 20
+),
+idcg AS (
+  SELECT sum((pow(2, grade) - 1) / log2(pos + 1.0)) AS idcg
+  FROM ideal
+)
+SELECT CAST(20 AS BIGINT) AS k,
+       round(dcg.dcg, 6) AS dcg,
+       round(idcg.idcg, 6) AS idcg,
+       round(dcg.dcg / idcg.idcg, 6) AS ndcg
+FROM dcg, idcg
+"""
+
+
 def q_label_affinity_embeddings(sf_dir: str):
     """Class-confusability audit: pairwise cosine between per-label
     embedding centroids (labels whose centroids point the same way
@@ -10875,6 +10986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "bm25_ndcg_docs": q_bm25_ndcg_docs,
         "label_affinity_embeddings": q_label_affinity_embeddings,
         "isotropy_embeddings": q_isotropy_embeddings,
         "ambient_activity_events": q_ambient_activity_events,
@@ -11033,6 +11145,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "bm25_ndcg_docs": _build_bm25_ndcg_sql(),
         "label_affinity_embeddings": _build_label_affinity_sql(),
         "isotropy_embeddings": SQL_ISOTROPY,
         "ambient_activity_events": SQL_AMBIENT_ACTIVITY,
