@@ -627,6 +627,86 @@ FROM events
 """
 
 
+def q_regional_revenue(sf_dir: str):
+    """Four-table star rollup: lineitem ⨝ orders ⨝ customer →
+    nation → region revenue (sum of extendedprice·(1−discount)).
+    Shape: TWO co-partitioned hash-join shuffles for the big sides
+    (lineitem⨝orders on orderkey, then ⨝customer on custkey), the
+    nation→region dimension chain BROADCAST as one composed dict (no
+    third/fourth shuffle), map-side (region, Σ, n) partials, driver
+    merge.  Round-6 revenue."""
+    from netml_ray.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "rev": pa.array(ep * (1.0 - dc))})
+
+    li = li.map_batches(_rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = hash_join(li, orders, "o_orderkey", how="inner",
+                   num_partitions=P)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_custkey", "c_nationkey"]), batch_format="pyarrow")
+    j2 = hash_join(j1.select_columns(["o_custkey", "rev"]), cust,
+                   "o_custkey", how="inner", num_partitions=P)
+    n2r = {r["n_nationkey"]: r["n_regionkey"] for r in
+           _read(sf_dir, "nation",
+                 ["n_nationkey", "n_regionkey"]).take_all()}
+    r2n = {r["r_regionkey"]: r["r_name"] for r in
+           _read(sf_dir, "region",
+                 ["r_regionkey", "r_name"]).take_all()}
+    dim = {nk: r2n[rk] for nk, rk in n2r.items()}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_pylist()
+        names = [dim.get(x) for x in nk]
+        enc = pc.dictionary_encode(pa.array(names, pa.string()))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = t["rev"].to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table({
+            "region": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=v,
+                                      minlength=k))})
+
+    acc: dict = {}
+    for bt in j2.map_batches(_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            c = acc.setdefault(r["region"], [0, 0.0])
+            c[0] += r["n"]
+            c[1] += r["s"]
+    keys = sorted(acc)
+    return pa.table({
+        "region": pa.array(keys),
+        "n_lineitems": pa.array([acc[k][0] for k in keys],
+                                pa.int64()),
+        "revenue": pa.array([round(acc[k][1], 6) for k in keys])})
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r.r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def q_bm25_ndcg_docs(sf_dir: str):
     """Graded retrieval eval: nDCG@20 of the BM25 ranking with grade
     = number of query terms present (0..3).  DCG over the ranking's
@@ -10986,6 +11066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "regional_revenue": q_regional_revenue,
         "bm25_ndcg_docs": q_bm25_ndcg_docs,
         "label_affinity_embeddings": q_label_affinity_embeddings,
         "isotropy_embeddings": q_isotropy_embeddings,
@@ -11145,6 +11226,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "regional_revenue": SQL_REGIONAL_REVENUE,
         "bm25_ndcg_docs": _build_bm25_ndcg_sql(),
         "label_affinity_embeddings": _build_label_affinity_sql(),
         "isotropy_embeddings": SQL_ISOTROPY,
