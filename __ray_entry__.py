@@ -10422,7 +10422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequences keyed-exchange family keeps markov_accuracy /
         # funnel_rates / repurchase_gaps in-window and the NEW entry
         # reuses the sessionize cut rule verbatim)
-        "session_conversion_events": q_session_conversion_events,
+        "windowed_dedup_events": q_windowed_dedup_events,
         # (knn_cosine_ivf_batch rotated to the tail for
         # time_to_purchase_events: the IVF family holds TWO green r04
         # driver rows — knn_cosine_ivf + the batch variant — and the
@@ -10431,7 +10431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source_dup_report_events: checker-verified r5 entry; its
         # forward-searchsorted machinery stays in-window through
         # asof_nearest_events and rolling_corr's window family)
-        "source_dup_report_events": q_source_dup_report_events,
+        "temperature_sample_docs": q_temperature_sample_docs,
         # -- relational / windowed / sessionization core
         # (sessionize_netml_events rotated to the tail for the
         # continuation-2 additions: green r01-r04 driver rows every
@@ -10446,7 +10446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Mann-Kendall test: checker-verified r5 entry; its four-int
         # count-partial fold is pinned in-window by
         # traffic_matrix_events' bincount partials and chi2_docs)
-        "mann_kendall_events": q_mann_kendall_events,
+        "mannwhitney_events": q_mannwhitney_events,
         # (theil_sen_events rotated to the tail for
         # funnel_window_events: checker-verified r5 entry; the
         # segmented pair-expansion machinery stays in-window through
@@ -10488,7 +10488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (runs_test_events rotated to the tail for cohens_kappa:
         # checker-verified r5 entry; the keyed segmented featstats
         # machinery keeps mann_kendall/cusum/changepoint in-window)
-        "cohens_kappa_events": q_cohens_kappa_events,
+        "dense_ids_events": q_dense_ids_events,
         # (gini_docs rotated to the tail for the assortativity graph
         # addition: checker-verified long-green entry; its sort-cumsum
         # kernel is pytest-pinned and the count-partial shape stays
@@ -10497,7 +10497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lead-lag cross-correlation: checker-verified r5 entry; the
         # graph family keeps four in-window anchors — pagerank,
         # bfs_hops, triangle_census, adamic_adar)
-        "leadlag_events": q_leadlag_events,
+        "segment_dedup_docs": q_segment_dedup_docs,
         # (winsorize_events rotated to the tail for the
         # nbr_degree graph addition: checker-verified long-green
         # entry; its exact-quantile clamp kernel is pytest-pinned
@@ -10508,12 +10508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family keeps FIVE in-window anchors — pagerank,
         # assortativity, bfs_hops, triangle_census, adamic_adar —
         # and the canonical-degree head is shared with assortativity)
-        "containment_docs": q_containment_docs,
+        "skipgram_events": q_skipgram_events,
         # (chi2_docs rotated to the tail for cramers_v_docs: the NEW
         # entry runs the SAME shared contingency fold and emits the
         # SAME chi2/dof/n columns plus the normalized V — a strict
         # superset computation over the identical input)
-        "cramers_v_docs": q_cramers_v_docs,
+        "negative_samples_lineitem": q_negative_samples_lineitem,
         # (benford_orders rotated to the tail for kendall_events: its
         # narrow digit-count-partial shape is pinned in-window by
         # chi2_docs; checker-verified at both SFs since its session)
@@ -10560,7 +10560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segmented-rank machinery stays in-window through rank_events
         # and the new gap kernel's lexsort-pick shares the theil_sen
         # median-element precedent)
-        "repurchase_gaps_events": q_repurchase_gaps_events,
+        "late_events_lineitem": q_late_events_lineitem,
         # (jaro_winkler_docs rotated to the tail for the forward
         # as-of: checker-verified r5 entry; its pairwise string-
         # distance kernel is the edit_distance sibling, both fuzz-
@@ -10584,7 +10584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-quantile-edge machinery stays in-window through
         # approx_quantiles_events and the NEW entry exercises the
         # quantile_cont-parity global kernel directly)
-        "embedding_norm_quantiles": q_embedding_norm_quantiles,
+        "kcenter_embeddings": q_kcenter_embeddings,
         # -- rotated INTO the window in r5 (r4 verdict #1: the newest
         # kernels get driver rows; see the rotated-out list below)
         "semi_join_orders": q_semi_join_orders,
@@ -10617,7 +10617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first_event_dist: checker-verified r5 entry; its plus-stage
         # chain stays in-window through curate_corpus_plus_docs and
         # the r04-green curation_funnel_docs driver row in the tail)
-        "first_event_dist": q_first_event_dist,
+        "doc_feature_matrix": q_doc_feature_matrix,
         # (asof_tolerance_events rotated to the tail for
         # new_returning_events: checker-verified r5 entry; the asof
         # family keeps asof_nearest_events in-window — which exercises
@@ -10634,7 +10634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the embedding matmul machinery stays in-window through
         # kmeans_embeddings, the hashing-trick kernel through the
         # in-window fingerprint/minhash family)
-        "wow_growth_events": q_wow_growth_events,
+        "incremental_state_events": q_incremental_state_events,
         "cond_entropy_events": q_cond_entropy_events,
         # (kmeans_embeddings rotated to the tail for
         # user_feature_matrix: checker-verified r5 entry; Lloyd's
@@ -10665,7 +10665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (streaks_events rotated to the tail for jsonl_docs: checker-
         # verified r5 entry; the gaps-and-islands run machinery stays
         # in-window through scd2_events + time_weighted_avg_events)
-        "jsonl_docs": q_jsonl_docs,
+        "snm_pairs_docs": q_snm_pairs_docs,
         # (robust_zscore_events / transitions_events rotated to the
         # tail for the hits/cooccur graph additions: both
         # checker-verified r5 entries; median/MAD machinery pinned by
@@ -10678,7 +10678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (interval_overlap_events rotated to the tail for
         # top_token_per_doc: checker-verified r5 entry; the two-sided
         # partition_map2 family keeps semi/anti joins in-window)
-        "top_token_per_doc": q_top_token_per_doc,
+        "sb_bits_docs": q_sb_bits_docs,
         # (entropy_events rotated to the tail for quantize_embeddings:
         # checker-verified r5 entry whose group-entropy count-partial
         # machinery is subsumed by the NEW in-window
@@ -10709,7 +10709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate lists; the select_k partial machinery stays
         # in-window through rank_events, the BM25 scorer through
         # bm25_indexed_docs)
-        "nearest_poi_events": q_nearest_poi_events,
+        "more_like_this_docs": q_more_like_this_docs,
         "geo_grid_events": q_geo_grid_events,
         "target_encode_oof_events": q_target_encode_oof_events,
         # ------- driver window ends here (50 entries above) -------
@@ -11037,21 +11037,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_events": q_scaled_events,
         # r5 continuation-6 additions (tail; kernels pinned by pytest +
         # the local full-registry checker on both pmap paths)
-        "segment_dedup_docs": q_segment_dedup_docs,
-        "mannwhitney_events": q_mannwhitney_events,
-        "dense_ids_events": q_dense_ids_events,
-        "skipgram_events": q_skipgram_events,
-        "negative_samples_lineitem": q_negative_samples_lineitem,
-        "late_events_lineitem": q_late_events_lineitem,
-        "kcenter_embeddings": q_kcenter_embeddings,
-        "doc_feature_matrix": q_doc_feature_matrix,
-        "temperature_sample_docs": q_temperature_sample_docs,
-        "incremental_state_events": q_incremental_state_events,
+        "leadlag_events": q_leadlag_events,
+        "mann_kendall_events": q_mann_kendall_events,
+        "cohens_kappa_events": q_cohens_kappa_events,
+        "containment_docs": q_containment_docs,
+        "cramers_v_docs": q_cramers_v_docs,
+        "repurchase_gaps_events": q_repurchase_gaps_events,
+        "embedding_norm_quantiles": q_embedding_norm_quantiles,
+        "first_event_dist": q_first_event_dist,
+        "source_dup_report_events": q_source_dup_report_events,
+        "wow_growth_events": q_wow_growth_events,
         "partitioned_parquet_events": q_partitioned_parquet_events,
-        "more_like_this_docs": q_more_like_this_docs,
-        "snm_pairs_docs": q_snm_pairs_docs,
-        "windowed_dedup_events": q_windowed_dedup_events,
-        "sb_bits_docs": q_sb_bits_docs,
+        "nearest_poi_events": q_nearest_poi_events,
+        "jsonl_docs": q_jsonl_docs,
+        "session_conversion_events": q_session_conversion_events,
+        "top_token_per_doc": q_top_token_per_doc,
         "decontaminate_jaccard_docs": q_decontaminate_jaccard_docs,
         "csv_roundtrip_events": q_csv_roundtrip_events,
         "weighted_paths_partsupp": q_weighted_paths_partsupp,
