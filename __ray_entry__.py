@@ -627,6 +627,72 @@ FROM events
 """
 
 
+def q_price_dispersion_parts(sf_dir: str):
+    """Two-level NESTED aggregation in one exchange: per (part,
+    supplier) mean extended price (level 1), then per part the
+    supplier-count and coefficient of variation of those means
+    (level 2) — the price-dispersion market audit.  Both levels run
+    segmented inside ONE part-keyed partition (inner reduceat on
+    (part, supp) runs, outer reduceat on part runs over the level-1
+    rows) — never two shuffles.  Parts with ≥2 suppliers; sample
+    variance; round-9 mean/cv."""
+    from netml_ray.partition import partition_map
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l_partkey": t["l_partkey"].slice(0, 0),
+            "n_suppliers": pa.array([], pa.int64()),
+            "mean_price": pa.array([], pa.float64()),
+            "cv": pa.array([], pa.float64())})
+        if not t.num_rows:
+            return empty
+        p = t["l_partkey"].to_numpy()
+        sp = t["l_suppkey"].to_numpy()
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # level 1: (part, supp) runs
+        f1 = np.r_[True, (p[1:] != p[:-1]) | (sp[1:] != sp[:-1])]
+        s1 = np.flatnonzero(f1)
+        n1 = np.diff(np.r_[s1, t.num_rows])
+        m1 = np.add.reduceat(v, s1) / n1
+        p1 = p[s1]
+        # level 2: part runs over the level-1 rows
+        f2 = np.r_[True, p1[1:] != p1[:-1]]
+        s2 = np.flatnonzero(f2)
+        k = np.diff(np.r_[s2, len(p1)])
+        mu = np.add.reduceat(m1, s2) / k
+        ss = np.add.reduceat(m1 * m1, s2)
+        keep = k >= 2
+        kk = k[keep].astype(np.float64)
+        var = (ss[keep] - kk * mu[keep] * mu[keep]) / (kk - 1.0)
+        cv = np.sqrt(np.maximum(var, 0.0)) / mu[keep]
+        return pa.table({
+            "l_partkey": pa.array(p1[s2][keep]),
+            "n_suppliers": pa.array(k[keep].astype(np.int64)),
+            "mean_price": pa.array(np.round(mu[keep], 9)),
+            "cv": pa.array(np.round(cv, 9))})
+
+    return partition_map(li, "l_partkey", _fn,
+                         num_partitions=P,
+                         sort_by=["l_partkey", "l_suppkey"])
+
+
+SQL_PRICE_DISPERSION = """
+WITH l1 AS (
+  SELECT l_partkey, l_suppkey, avg(l_extendedprice) AS m
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(avg(m), 9) AS mean_price,
+       round(stddev_samp(m) / avg(m), 9) AS cv
+FROM l1 GROUP BY l_partkey
+HAVING count(*) >= 2
+"""
+
+
 def q_regional_revenue(sf_dir: str):
     """Four-table star rollup: lineitem ⨝ orders ⨝ customer →
     nation → region revenue (sum of extendedprice·(1−discount)).
@@ -11081,6 +11147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "price_dispersion_parts": q_price_dispersion_parts,
         "regional_revenue": q_regional_revenue,
         "bm25_ndcg_docs": q_bm25_ndcg_docs,
         "label_affinity_embeddings": q_label_affinity_embeddings,
@@ -11241,6 +11308,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "price_dispersion_parts": SQL_PRICE_DISPERSION,
         "regional_revenue": SQL_REGIONAL_REVENUE,
         "bm25_ndcg_docs": _build_bm25_ndcg_sql(),
         "label_affinity_embeddings": _build_label_affinity_sql(),
