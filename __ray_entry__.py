@@ -627,6 +627,82 @@ FROM events
 """
 
 
+def q_loo_1nn_embeddings(sf_dir: str):
+    """Representation-quality eval: leave-one-out 1-NN label accuracy
+    — each vector's nearest OTHER vector (rounded-9 L2, tie → lowest
+    vec_id) votes with its label.  The corpus matrix broadcasts once
+    (small here; the IVF bucket scan is the documented web-scale
+    path) and every batch answers with one matmul — no pairwise
+    materialization.  One row: (n, n_correct, accuracy round-6)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings",
+                ["vec_id", "embedding", "label"])
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array([rows[i]["embedding"] for i in order],
+                 dtype=np.float64)
+    labels = np.array([rows[i]["label"] for i in order],
+                      dtype=np.int64)
+    sq = (m * m).sum(axis=1)
+    ref = ray.put((ids, m, labels, sq))
+
+    def _vote(t: pa.Table) -> pa.Table:
+        k_ids, km, k_lab, k_sq = ray.get(ref)
+        q = np.asarray(t["embedding"].combine_chunks().flatten(),
+                       dtype=np.float64).reshape(t.num_rows, -1)
+        q_ids = t["vec_id"].to_numpy()
+        d2 = (q * q).sum(axis=1)[:, None] + k_sq[None, :] \
+            - 2.0 * (q @ km.T)
+        d = np.round(np.sqrt(np.maximum(d2, 0.0)), 9)
+        # exclude self by id
+        d[q_ids[:, None] == k_ids[None, :]] = np.inf
+        # argmin with lowest-id tie rule: lexsort per row
+        best = np.empty(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):           # rows per batch, small
+            o = np.lexsort((k_ids, d[i]))
+            best[i] = o[0]
+        own = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        correct = (k_lab[best] == own).sum()
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "c": pa.array([int(correct)], pa.int64())})
+
+    n = c = 0
+    for bt in emb.map_batches(_vote, batch_format="pyarrow") \
+                 .iter_batches(batch_size=None,
+                               batch_format="pyarrow"):
+        n += bt["n"][0].as_py()
+        c += bt["c"][0].as_py()
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_correct": pa.array([c], pa.int64()),
+        "accuracy": pa.array([round(c / n, 6)])})
+
+
+SQL_LOO_1NN = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+nn AS (
+  SELECT a.vec_id, a.label AS own, b.label AS nn_label
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY round(list_distance(a.v, b.v), 9), b.vec_id) = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (own = nn_label) AS BIGINT)
+         AS n_correct,
+       round(count(*) FILTER (own = nn_label) * 1.0 / count(*), 6)
+         AS accuracy
+FROM nn
+"""
+
+
 def q_price_dispersion_parts(sf_dir: str):
     """Two-level NESTED aggregation in one exchange: per (part,
     supplier) mean extended price (level 1), then per part the
@@ -11147,6 +11223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "loo_1nn_embeddings": q_loo_1nn_embeddings,
         "price_dispersion_parts": q_price_dispersion_parts,
         "regional_revenue": q_regional_revenue,
         "bm25_ndcg_docs": q_bm25_ndcg_docs,
@@ -11308,6 +11385,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "loo_1nn_embeddings": SQL_LOO_1NN,
         "price_dispersion_parts": SQL_PRICE_DISPERSION,
         "regional_revenue": SQL_REGIONAL_REVENUE,
         "bm25_ndcg_docs": _build_bm25_ndcg_sql(),
