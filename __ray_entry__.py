@@ -627,6 +627,85 @@ FROM events
 """
 
 
+def q_silhouette_embeddings(sf_dir: str):
+    """Cluster-quality audit: simplified (centroid-based) silhouette
+    per label — a = distance to own label centroid, b = min distance
+    to any OTHER centroid, s = (b−a)/max(a,b); mean s per label.
+    Centroids from the existing partial pass (round-9 both sides)
+    broadcast once; ONE narrow pass scores every vector (one matmul
+    against ≤|labels| centroids); O(labels) partials.  Round-6
+    means."""
+    import numpy as np
+
+    cents = q_embedding_centroids(sf_dir)
+    if not isinstance(cents, pa.Table):
+        cents = pa.Table.from_pandas(cents.to_pandas())
+    c_labels = np.array(cents["label"].to_pylist(), dtype=np.int64)
+    cm = np.array([np.asarray(c, dtype=np.float64)
+                   for c in cents["centroid"].to_pylist()])
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["embedding"].combine_chunks().flatten(),
+                       dtype=np.float64).reshape(t.num_rows, -1)
+        lab = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d2 = (q * q).sum(axis=1)[:, None] \
+            + (cm * cm).sum(axis=1)[None, :] - 2.0 * (q @ cm.T)
+        d = np.round(np.sqrt(np.maximum(d2, 0.0)), 9)
+        own_ix = np.searchsorted(c_labels, lab)
+        a = d[np.arange(t.num_rows), own_ix]
+        d_masked = d.copy()
+        d_masked[np.arange(t.num_rows), own_ix] = np.inf
+        b = d_masked.min(axis=1)
+        s = (b - a) / np.maximum(a, b)
+        k = len(c_labels)
+        codes = own_ix
+        return pa.table({
+            "label": pa.array(c_labels, pa.int64()),
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "ssum": pa.array(np.bincount(codes, weights=s,
+                                         minlength=k))})
+
+    acc: dict = {}
+    for bt in emb.map_batches(_partial, batch_format="pyarrow") \
+                 .iter_batches(batch_size=None,
+                               batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            c = acc.setdefault(r["label"], [0, 0.0])
+            c[0] += r["n"]
+            c[1] += r["ssum"]
+    keys = sorted(acc)
+    return pa.table({
+        "label": pa.array(keys, pa.int64()),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "mean_silhouette": pa.array(
+            [round(acc[k][1] / acc[k][0], 6) for k in keys])})
+
+
+def _build_silhouette_sql() -> str:
+    return f"""
+WITH c AS ({SQL_EMBEDDING_CENTROIDS}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+      FROM embeddings),
+d AS (
+  SELECT e.vec_id, e.label, c.label AS c_label,
+         round(list_distance(e.v, c.centroid), 9) AS dist
+  FROM e CROSS JOIN c
+),
+ab AS (
+  SELECT vec_id, label,
+         min(dist) FILTER (c_label = label) AS a,
+         min(dist) FILTER (c_label <> label) AS b
+  FROM d GROUP BY vec_id, label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+FROM ab GROUP BY label
+"""
+
+
 def q_loo_1nn_embeddings(sf_dir: str):
     """Representation-quality eval: leave-one-out 1-NN label accuracy
     — each vector's nearest OTHER vector (rounded-9 L2, tie → lowest
@@ -11223,6 +11302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "silhouette_embeddings": q_silhouette_embeddings,
         "loo_1nn_embeddings": q_loo_1nn_embeddings,
         "price_dispersion_parts": q_price_dispersion_parts,
         "regional_revenue": q_regional_revenue,
@@ -11385,6 +11465,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "silhouette_embeddings": _build_silhouette_sql(),
         "loo_1nn_embeddings": SQL_LOO_1NN,
         "price_dispersion_parts": SQL_PRICE_DISPERSION,
         "regional_revenue": SQL_REGIONAL_REVENUE,
