@@ -627,6 +627,57 @@ FROM events
 """
 
 
+def q_churn_labels_events(sf_dir: str):
+    """Supervised-label generation: per-user churn flag — inactive
+    for the last 7 days of the observation window (last event ts vs
+    global max ts − 7d).  Narrow per-batch (user, max-ts) partials
+    folded on the driver (O(users) rows, the profile precedent);
+    integer-µs arithmetic, exact."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts = t["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, tss = u[order], ts[order]
+        first = np.r_[True, us[1:] != us[:-1]]
+        st = np.flatnonzero(first)
+        return pa.table({
+            "user_id": pa.array(us[st]),
+            "mx": pa.array(np.maximum.reduceat(tss, st))})
+
+    acc: dict = {}
+    for bt in ev.map_batches(_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+        for u, mx in zip(bt["user_id"].to_numpy(),
+                         bt["mx"].to_numpy()):
+            if u not in acc or mx > acc[u]:
+                acc[u] = mx
+    horizon = max(acc.values()) - 7 * 86_400_000_000
+    keys = sorted(acc)
+    return pa.table({
+        "user_id": pa.array(keys, pa.int64()),
+        "inactive_us": pa.array(
+            [int(max(acc.values()) - acc[k]) for k in keys],
+            pa.int64()),
+        "churned": pa.array([acc[k] < horizon for k in keys])})
+
+
+SQL_CHURN_LABELS = """
+WITH m AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+u AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_ts
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(m.gmax - u.last_ts AS BIGINT) AS inactive_us,
+       u.last_ts < m.gmax - 7 * 86400000000 AS churned
+FROM u, m
+"""
+
+
 def q_silhouette_embeddings(sf_dir: str):
     """Cluster-quality audit: simplified (centroid-based) silhouette
     per label — a = distance to own label centroid, b = min distance
@@ -11302,6 +11353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "churn_labels_events": q_churn_labels_events,
         "silhouette_embeddings": q_silhouette_embeddings,
         "loo_1nn_embeddings": q_loo_1nn_embeddings,
         "price_dispersion_parts": q_price_dispersion_parts,
@@ -11465,6 +11517,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "churn_labels_events": SQL_CHURN_LABELS,
         "silhouette_embeddings": _build_silhouette_sql(),
         "loo_1nn_embeddings": SQL_LOO_1NN,
         "price_dispersion_parts": SQL_PRICE_DISPERSION,
