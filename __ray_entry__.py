@@ -627,6 +627,134 @@ FROM events
 """
 
 
+def q_brand_markup_parts(sf_dir: str):
+    """Per-brand realized markup: lineitem ⨝ part (ONE co-partitioned
+    hash join), markup = l_extendedprice / (l_quantity ·
+    p_retailprice), then O(brands) (n, Σ) narrow partials + driver
+    fold — the pricing-integrity audit over the dimension columns.
+    Round-6 mean."""
+    from netml_ray.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_retailprice"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_partkey", "p_brand", "p_retailprice"]),
+            batch_format="pyarrow")
+    j = hash_join(li, part, "l_partkey", how="inner",
+                  num_partitions=P)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        b = t["p_brand"].combine_chunks()
+        enc = pc.dictionary_encode(b)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        mk = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            / (t["l_quantity"].to_numpy(zero_copy_only=False)
+               * t["p_retailprice"].to_numpy(zero_copy_only=False))
+        k = len(enc.dictionary)
+        return pa.table({
+            "brand": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=mk,
+                                      minlength=k))})
+
+    acc: dict = {}
+    for bt in j.map_batches(_partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None,
+                             batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            c = acc.setdefault(r["brand"], [0, 0.0])
+            c[0] += r["n"]
+            c[1] += r["s"]
+    keys = sorted(acc)
+    return pa.table({
+        "brand": pa.array(keys),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "mean_markup": pa.array(
+            [round(acc[k][1] / acc[k][0], 6) for k in keys])})
+
+
+SQL_BRAND_MARKUP = """
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l.l_extendedprice
+                 / (l.l_quantity * p.p_retailprice)) / count(*), 6)
+         AS mean_markup
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def q_priority_mix_orders(sf_dir: str):
+    """Order-priority mix per calendar month: counts and within-month
+    share — the SLA-mix drift report over o_orderdate ×
+    o_orderpriority.  Narrow (month, priority) count partials
+    (calendar-bincount shape), O(months × priorities) driver fold;
+    share = exact small-int division, round-9."""
+    ev = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks()
+        if pa.types.is_timestamp(d.type):
+            dt = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            days = dt // 86_400_000_000
+        else:
+            days = d.cast(pa.int32()).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        dts = (days.astype("datetime64[D]")
+               .astype("datetime64[M]"))
+        months = dts.astype(np.int64)        # months since 1970-01
+        pr = t["o_orderpriority"].combine_chunks()
+        enc = pc.dictionary_encode(pr)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(enc.dictionary)
+        mmin = months.min()
+        rel = months - mmin
+        span = int(rel.max()) + 1
+        comb = rel * k + codes
+        u, n = np.unique(comb, return_counts=True)
+        return pa.table({
+            "month": pa.array((u // k + mmin).astype(np.int64)),
+            "prio": enc.dictionary.take(pa.array(u % k)),
+            "n": pa.array(n.astype(np.int64))})
+
+    acc: dict = {}
+    for bt in ev.map_batches(_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            key = (r["month"], r["prio"])
+            acc[key] = acc.get(key, 0) + r["n"]
+    tot: dict = {}
+    for (m, _), n in acc.items():
+        tot[m] = tot.get(m, 0) + n
+    keys = sorted(acc)
+    epoch = np.datetime64("1970-01", "M")
+    return pa.table({
+        "month": pa.array(
+            [str(epoch + np.timedelta64(m, "M")) for m, _ in keys]),
+        "o_orderpriority": pa.array([p for _, p in keys]),
+        "n": pa.array([acc[k] for k in keys], pa.int64()),
+        "share": pa.array(
+            [round(acc[k] / tot[k[0]], 9) for k in keys])})
+
+
+SQL_PRIORITY_MIX = """
+WITH c AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+           AS month,
+         o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY month), 9) AS share
+FROM c
+"""
+
+
 def q_churn_labels_events(sf_dir: str):
     """Supervised-label generation: per-user churn flag — inactive
     for the last 7 days of the observation window (last event ts vs
@@ -11353,6 +11481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "brand_markup_parts": q_brand_markup_parts,
+        "priority_mix_orders": q_priority_mix_orders,
         "churn_labels_events": q_churn_labels_events,
         "silhouette_embeddings": q_silhouette_embeddings,
         "loo_1nn_embeddings": q_loo_1nn_embeddings,
@@ -11517,6 +11647,8 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "brand_markup_parts": SQL_BRAND_MARKUP,
+        "priority_mix_orders": SQL_PRIORITY_MIX,
         "churn_labels_events": SQL_CHURN_LABELS,
         "silhouette_embeddings": _build_silhouette_sql(),
         "loo_1nn_embeddings": SQL_LOO_1NN,
