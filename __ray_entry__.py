@@ -627,6 +627,75 @@ FROM events
 """
 
 
+def q_risky_supplier_exposure(sf_dir: str):
+    """Credit-risk exposure: revenue flowing through suppliers with
+    NEGATIVE account balance — broadcast the (small) risky-supplier
+    set as a keyset semi-filter (no shuffle at all), then O(suppliers)
+    (n, Σrev) narrow partials.  Top-10 by rounded exposure, tie →
+    suppkey, via the select_k-free driver fold (O(risky) rows)."""
+    risky = {}
+    for r in _read(sf_dir, "supplier",
+                   ["s_suppkey", "s_acctbal"]).take_all():
+        if r["s_acctbal"] < 0:
+            risky[r["s_suppkey"]] = r["s_acctbal"]
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+    risky_ids = np.sort(np.array(list(risky), dtype=np.int64))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"].to_numpy()
+        pos = np.clip(np.searchsorted(risky_ids, s), 0,
+                      max(len(risky_ids) - 1, 0))
+        ok = len(risky_ids) > 0
+        m = (risky_ids[pos] == s) if ok else np.zeros(len(s), bool)
+        if not m.any():
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        s = s[m]
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(
+                   zero_copy_only=False)))[m]
+        order = np.argsort(s, kind="stable")
+        s, rev = s[order], rev[order]
+        st = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        return pa.table({
+            "s_suppkey": pa.array(s[st]),
+            "n": pa.array(np.diff(np.r_[st, len(s)])
+                          .astype(np.int64)),
+            "rev": pa.array(np.add.reduceat(rev, st))})
+
+    acc: dict = {}
+    for bt in li.map_batches(_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            c = acc.setdefault(r["s_suppkey"], [0, 0.0])
+            c[0] += r["n"]
+            c[1] += r["rev"]
+    rows = sorted(((round(v[1], 6), k, v[0]) for k, v in acc.items()),
+                  key=lambda x: (-x[0], x[1]))[:10]
+    return pa.table({
+        "s_suppkey": pa.array([k for _, k, _ in rows], pa.int64()),
+        "acctbal": pa.array([risky[k] for _, k, _ in rows]),
+        "n_lineitems": pa.array([n for _, _, n in rows], pa.int64()),
+        "exposure": pa.array([e for e, _, _ in rows])})
+
+
+SQL_RISKY_EXPOSURE = """
+SELECT s.s_suppkey, s.s_acctbal AS acctbal,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6)
+         AS exposure
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal < 0
+GROUP BY s.s_suppkey, s.s_acctbal
+ORDER BY round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6)
+  DESC, s.s_suppkey
+LIMIT 10
+"""
+
+
 def q_brand_markup_parts(sf_dir: str):
     """Per-brand realized markup: lineitem ⨝ part (ONE co-partitioned
     hash join), markup = l_extendedprice / (l_quantity ·
@@ -11481,6 +11550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "risky_supplier_exposure": q_risky_supplier_exposure,
         "brand_markup_parts": q_brand_markup_parts,
         "priority_mix_orders": q_priority_mix_orders,
         "churn_labels_events": q_churn_labels_events,
@@ -11647,6 +11717,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "risky_supplier_exposure": SQL_RISKY_EXPOSURE,
         "brand_markup_parts": SQL_BRAND_MARKUP,
         "priority_mix_orders": SQL_PRIORITY_MIX,
         "churn_labels_events": SQL_CHURN_LABELS,
