@@ -627,6 +627,69 @@ FROM events
 """
 
 
+def q_wealth_activity_corr(sf_dir: str):
+    """Cross-table rank association: GLOBAL Spearman between each
+    customer's order count and their account balance (does wealth
+    track activity?).  Composition: order counts per customer (ONE
+    keyed exchange), co-partitioned left join to customer (absent →
+    0 orders), then the EXISTING per-key Spearman kernel under a
+    single constant key — a global statistic by construction."""
+    from netml_ray.featstats import spearman_corr
+    from netml_ray.joins import hash_join
+    from netml_ray.partition import partition_map
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"c_custkey": t["o_custkey"],
+                             "n_orders": pa.array([], pa.int64())})
+        u = t["o_custkey"].to_numpy()
+        st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pa.table({
+            "c_custkey": pa.array(u[st]),
+            "n_orders": pa.array(np.diff(np.r_[st, t.num_rows])
+                                 .astype(np.int64))})
+
+    cnt = partition_map(orders, "o_custkey", _counts,
+                        num_partitions=P, sort_by=["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    j = hash_join(cust, cnt, "c_custkey", how="left",
+                  num_partitions=P)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "n_orders": pc.coalesce(t["n_orders"],
+                                    pa.scalar(0, pa.int64())),
+            "acctbal": t["c_acctbal"]})
+
+    prepped = j.map_batches(_prep, batch_format="pyarrow")
+    return spearman_corr(prepped, "g", "n_orders", "acctbal") \
+        .select_columns(["n", "spearman"])
+
+
+SQL_WEALTH_ACTIVITY = """
+WITH cnt AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+  ) o ON o.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT rank() OVER (ORDER BY n_orders)
+           + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY c_acctbal)
+           + (count(*) OVER (PARTITION BY c_acctbal) - 1) / 2.0 AS ry
+  FROM cnt
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(corr(ry, rx), 6) AS spearman
+FROM r
+"""
+
+
 def q_risky_supplier_exposure(sf_dir: str):
     """Credit-risk exposure: revenue flowing through suppliers with
     NEGATIVE account balance — broadcast the (small) risky-supplier
@@ -11550,6 +11613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "wealth_activity_corr": q_wealth_activity_corr,
         "risky_supplier_exposure": q_risky_supplier_exposure,
         "brand_markup_parts": q_brand_markup_parts,
         "priority_mix_orders": q_priority_mix_orders,
@@ -11717,6 +11781,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "wealth_activity_corr": SQL_WEALTH_ACTIVITY,
         "risky_supplier_exposure": SQL_RISKY_EXPOSURE,
         "brand_markup_parts": SQL_BRAND_MARKUP,
         "priority_mix_orders": SQL_PRIORITY_MIX,
