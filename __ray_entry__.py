@@ -627,6 +627,80 @@ FROM events
 """
 
 
+def q_ship_lag_orders(sf_dir: str):
+    """Logistics SLA: order→ship lag per priority class — lineitem ⨝
+    orders (ONE co-partitioned hash join), integer day difference,
+    O(priorities) (n, Σ, min, max) narrow partials + driver fold.
+    Mean round-6; min/max/count integer exact."""
+    from netml_ray.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_orderkey", "l_shipdate"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(li, orders, "o_orderkey", how="inner",
+                  num_partitions=P)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        od = t["o_orderdate"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        lag = sd - od
+        enc = pc.dictionary_encode(
+            t["o_orderpriority"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        mn = np.full(k, np.iinfo(np.int64).max)
+        mx = np.full(k, np.iinfo(np.int64).min)
+        np.minimum.at(mn, codes, lag)
+        np.maximum.at(mx, codes, lag)
+        return pa.table({
+            "prio": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=lag,
+                                      minlength=k)),
+            "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    acc: dict = {}
+    for bt in j.map_batches(_partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None,
+                             batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            c = acc.setdefault(r["prio"],
+                               [0, 0.0, r["mn"], r["mx"]])
+            c[0] += r["n"]
+            c[1] += r["s"]
+            c[2] = min(c[2], r["mn"])
+            c[3] = max(c[3], r["mx"])
+    keys = sorted(acc)
+    return pa.table({
+        "o_orderpriority": pa.array(keys),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "mean_lag_days": pa.array(
+            [round(acc[k][1] / acc[k][0], 6) for k in keys]),
+        "min_lag_days": pa.array([int(acc[k][2]) for k in keys],
+                                 pa.int64()),
+        "max_lag_days": pa.array([int(acc[k][3]) for k in keys],
+                                 pa.int64())})
+
+
+SQL_SHIP_LAG = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(date_diff('day', o.o_orderdate, l.l_shipdate))
+             * 1.0 / count(*), 6) AS mean_lag_days,
+       CAST(min(date_diff('day', o.o_orderdate, l.l_shipdate))
+            AS BIGINT) AS min_lag_days,
+       CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate))
+            AS BIGINT) AS max_lag_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_wealth_activity_corr(sf_dir: str):
     """Cross-table rank association: GLOBAL Spearman between each
     customer's order count and their account balance (does wealth
@@ -11613,6 +11687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "ship_lag_orders": q_ship_lag_orders,
         "wealth_activity_corr": q_wealth_activity_corr,
         "risky_supplier_exposure": q_risky_supplier_exposure,
         "brand_markup_parts": q_brand_markup_parts,
@@ -11781,6 +11856,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "ship_lag_orders": SQL_SHIP_LAG,
         "wealth_activity_corr": SQL_WEALTH_ACTIVITY,
         "risky_supplier_exposure": SQL_RISKY_EXPOSURE,
         "brand_markup_parts": SQL_BRAND_MARKUP,
