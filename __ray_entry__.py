@@ -627,6 +627,74 @@ FROM events
 """
 
 
+def q_segment_region_matrix(sf_dir: str):
+    """Market-segment × region customer contingency matrix with
+    within-region share: the nation→region dimension chain broadcast
+    as ONE dict (no shuffle anywhere), (segment, region) bincount
+    partials, O(segments×regions) driver fold; shares exact."""
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_mktsegment"])
+    n2r = {r["n_nationkey"]: r["n_regionkey"] for r in
+           _read(sf_dir, "nation",
+                 ["n_nationkey", "n_regionkey"]).take_all()}
+    r2n = {r["r_regionkey"]: r["r_name"] for r in
+           _read(sf_dir, "region",
+                 ["r_regionkey", "r_name"]).take_all()}
+    dim = {nk: r2n[rk] for nk, rk in n2r.items()}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        reg = pa.array([dim.get(x) for x in
+                        t["c_nationkey"].to_pylist()], pa.string())
+        seg = t["c_mktsegment"].combine_chunks()
+        er = pc.dictionary_encode(reg)
+        es = pc.dictionary_encode(seg)
+        cr = er.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cs = es.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kr, ks = len(er.dictionary), len(es.dictionary)
+        comb = cr * ks + cs
+        u, n = np.unique(comb, return_counts=True)
+        return pa.table({
+            "region": er.dictionary.take(pa.array(u // ks)),
+            "segment": es.dictionary.take(pa.array(u % ks)),
+            "n": pa.array(n.astype(np.int64))})
+
+    acc: dict = {}
+    for bt in cust.map_batches(_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_size=None,
+                                batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            key = (r["region"], r["segment"])
+            acc[key] = acc.get(key, 0) + r["n"]
+    tot: dict = {}
+    for (reg, _), n in acc.items():
+        tot[reg] = tot.get(reg, 0) + n
+    keys = sorted(acc)
+    return pa.table({
+        "region": pa.array([r for r, _ in keys]),
+        "segment": pa.array([s for _, s in keys]),
+        "n": pa.array([acc[k] for k in keys], pa.int64()),
+        "share_in_region": pa.array(
+            [round(acc[k] / tot[k[0]], 9) for k in keys])})
+
+
+SQL_SEGMENT_REGION = """
+WITH c AS (
+  SELECT r.r_name AS region, cu.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer cu
+  JOIN nation na ON cu.c_nationkey = na.n_nationkey
+  JOIN region r ON na.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, segment, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY region), 9)
+         AS share_in_region
+FROM c
+"""
+
+
 def q_ship_lag_orders(sf_dir: str):
     """Logistics SLA: order→ship lag per priority class — lineitem ⨝
     orders (ONE co-partitioned hash join), integer day difference,
@@ -11687,6 +11755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "segment_region_matrix": q_segment_region_matrix,
         "ship_lag_orders": q_ship_lag_orders,
         "wealth_activity_corr": q_wealth_activity_corr,
         "risky_supplier_exposure": q_risky_supplier_exposure,
@@ -11856,6 +11925,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "segment_region_matrix": SQL_SEGMENT_REGION,
         "ship_lag_orders": SQL_SHIP_LAG,
         "wealth_activity_corr": SQL_WEALTH_ACTIVITY,
         "risky_supplier_exposure": SQL_RISKY_EXPOSURE,
