@@ -627,6 +627,96 @@ FROM events
 """
 
 
+def q_forecast_backtest_events(sf_dir: str):
+    """Forecast BACKTEST: seasonal-naive hourly-volume predictor
+    (ŷ(h) = y(h−24), the baseline every real forecaster must beat)
+    scored per event type with MAE over all hours having a 24-hour
+    lookback — zero-fill missing hours inside the observed span.
+    ONE narrow (type, hour) count-partial pass bounded by
+    types × hours; the backtest runs on the driver over that tiny
+    dense series.  Round-6 MAE; counts integer exact."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        enc = pc.dictionary_encode(
+            t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hmin = hour.min()
+        rel = hour - hmin
+        k = len(enc.dictionary)
+        comb = codes * (int(rel.max()) + 1) + rel
+        u, n = np.unique(comb, return_counts=True)
+        span = int(rel.max()) + 1
+        return pa.table({
+            "etype": enc.dictionary.take(pa.array(u // span)),
+            "hour": pa.array((u % span + hmin).astype(np.int64)),
+            "n": pa.array(n.astype(np.int64))})
+
+    acc: dict = {}
+    for bt in ev.map_batches(_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None,
+                              batch_format="pyarrow"):
+        for r in bt.to_pylist():
+            key = (r["etype"], r["hour"])
+            acc[key] = acc.get(key, 0) + r["n"]
+    types = sorted({t_ for t_, _ in acc})
+    h_lo = min(h for _, h in acc)
+    h_hi = max(h for _, h in acc)
+    span = h_hi - h_lo + 1
+    out_t, out_n, out_mae = [], [], []
+    for t_ in types:
+        y = np.zeros(span, dtype=np.int64)
+        for (tt, h), n in acc.items():
+            if tt == t_:
+                y[h - h_lo] = n
+        if span <= 24:
+            continue
+        err = np.abs(y[24:] - y[:-24]).astype(np.float64)
+        out_t.append(t_)
+        out_n.append(len(err))
+        out_mae.append(round(float(err.sum() / len(err)), 6))
+    return pa.table({
+        "event_type": pa.array(out_t),
+        "n_hours": pa.array(out_n, pa.int64()),
+        "mae": pa.array(out_mae)})
+
+
+SQL_FORECAST_BACKTEST = """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+grid AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (SELECT unnest(range(
+    (SELECT lo FROM span), (SELECT hi FROM span) + 1)) AS hour) h
+),
+dense AS (
+  SELECT g.event_type, g.hour, COALESCE(b.n, 0) AS y
+  FROM grid g LEFT JOIN b USING (event_type, hour)
+),
+lagged AS (
+  SELECT event_type, y,
+         lag(y, 24) OVER (PARTITION BY event_type
+                          ORDER BY hour) AS yhat
+  FROM dense
+)
+SELECT event_type,
+       CAST(count(yhat) AS BIGINT) AS n_hours,
+       round(sum(abs(y - yhat)) * 1.0 / count(yhat), 6) AS mae
+FROM lagged WHERE yhat IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_segment_region_matrix(sf_dir: str):
     """Market-segment × region customer contingency matrix with
     within-region share: the nation→region dimension chain broadcast
@@ -11755,6 +11845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "kwic_docs": q_kwic_docs,
         "gopher_pass_rate_docs": q_gopher_pass_rate_docs,
+        "forecast_backtest_events": q_forecast_backtest_events,
         "segment_region_matrix": q_segment_region_matrix,
         "ship_lag_orders": q_ship_lag_orders,
         "wealth_activity_corr": q_wealth_activity_corr,
@@ -11925,6 +12016,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "kwic_docs": SQL_KWIC,
         "gopher_pass_rate_docs": _build_gopher_rate_sql(),
+        "forecast_backtest_events": SQL_FORECAST_BACKTEST,
         "segment_region_matrix": SQL_SEGMENT_REGION,
         "ship_lag_orders": SQL_SHIP_LAG,
         "wealth_activity_corr": SQL_WEALTH_ACTIVITY,
